@@ -1,0 +1,210 @@
+"""Deduplication operators.
+
+Reference semantics (SURVEY §2.5, §2.3 J10):
+
+- D2 first-wins dedup via a ``seen_road_ids`` set
+  (``address_etl/pls/tables.py:421-446``);
+- J10 cache merge where freshly-fetched entries win over stored ones
+  (``address_etl/geocode.py:362-388``).
+
+Both need *explicit* precedence: ``orderBy`` before ``dropDuplicates``
+is NOT guaranteed in Spark (shuffle may reorder), so precedence is a
+window ``row_number`` over explicit order columns.
+
+Plus the LLM-pipeline dedup family over the ``documents`` table:
+exact hash dedup, token-shingle MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (see ``workload/llm_text.py`` /
+``workload/llm_similarity.py`` for the driver-checked query forms).
+
+Scale notes: every dedup here is a single shuffle on the dedup key
+(or on LSH band buckets, which bound the candidate-pair blowup).
+MinHash signatures use md5 (deterministic everywhere, including the
+DuckDB oracle) — at 100 TB you'd swap in xxhash64 for speed, the
+algebra is identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dedup_first_wins(
+    df: DataFrame, key_cols: Sequence[str], order_cols: Sequence[str]
+) -> DataFrame:
+    """D2: keep exactly one row per key, "first" = min(order_cols)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_fetched_wins(
+    stored: DataFrame,
+    fetched: DataFrame,
+    key_cols: Sequence[str],
+    priority_col: str,
+) -> DataFrame:
+    """J10: union two same-schema sides; highest priority wins per key."""
+    merged = stored.unionByName(fetched)
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(priority_col))
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text tokenization / shingling shared by the dedup family. Tokenization is
+# deliberately simple (lowercase, non-alnum → space, whitespace split) so the
+# DuckDB oracle can reproduce it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of lowercased, punctuation-stripped text."""
+    cleaned = F.regexp_replace(F.lower(text), "[^a-z0-9 ]", " ")
+    return F.filter(F.split(cleaned, " +"), lambda t: t != "")
+
+
+def shingles_col(toks: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles (word n-grams joined by single spaces).
+
+    Guarded for short docs: Spark's ``sequence(1, 0)`` DESCENDS rather
+    than returning empty, so the index list is built only when
+    size(toks) >= n.
+    """
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: md5-hash groupBy, keep the smallest id per hash."""
+    hashed = df.withColumn("_h", F.md5(F.col(text_col)))
+    w = Window.partitionBy("_h").orderBy(id_col)
+    return hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn", "_h")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: h_i = min(md5(i || shingle)).
+
+    md5-as-hash keeps the whole pipeline reproducible in ANSI SQL (the
+    oracle) and across JVM/Python; min over hex strings is a valid
+    min-wise hash because md5 output is uniformly distributed.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles_col(tokens_col(F.col(text_col)), shingle_n)).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows_per_band = num_hashes/bands), bucket-join:
+    pairs sharing ≥1 band bucket are candidates. Output (id_a < id_b).
+
+    The band bucket join is the scale path: candidates ~ O(collisions),
+    never O(n²). Skewed buckets (boilerplate docs) are handled by AQE
+    skew-join splitting.
+    """
+    rpb = num_hashes // bands
+    band_exprs = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rpb + k}") for k in range(rpb)]
+        band_exprs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash_col(toks: Column, bits: int = 16) -> Column:
+    """SimHash over tokens: bit_i set iff more tokens hash to 1 than 0 at
+    position i. Bit source = high bit of the i-th hex digit of md5(token),
+    reproducible in the SQL oracle. Returns an int (bits ≤ 31)."""
+    total = F.size(toks)
+    acc = F.lit(0)
+    for i in range(bits):
+        ones = F.size(
+            F.filter(toks, lambda t: F.substring(F.md5(t), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"))
+        )
+        bit = F.when(ones * 2 > total, F.lit(1)).otherwise(F.lit(0))
+        acc = acc + (bit * F.lit(1 << i))
+    return acc
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via an inverted shingle index.
+
+    candidates = pairs sharing ≥1 shingle (token-postings join), then
+    |A∩B| counted per pair, |A|,|B| joined in, jaccard filtered. Exact
+    (no candidate above threshold is missed: any pair with J>0 shares a
+    shingle), and distributed: the worst-case blowup is bounded by
+    posting-list sizes — at scale, drop top-frequency shingles first
+    (stop-shingle pruning), which only removes pairs sharing *nothing
+    rare*, then verify.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles_col(tokens_col(F.col(text_col)), shingle_n)).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

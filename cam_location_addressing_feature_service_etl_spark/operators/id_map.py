@@ -1,0 +1,112 @@
+"""Stable dense surrogate-id assignment — SURVEY §2.9 M3, the one
+algorithmically tricky operator in the reference.
+
+Reference: ``address_etl/id_map.py:8-84`` appends unseen text PKs to a
+``(id INTEGER AUTOINCREMENT, iri TEXT UNIQUE)`` map, then rewrites the
+table's text PK to the integer id. Maps are carried across runs so ids
+are *stable forever* (``main_pls.py:137-153``).
+
+Spark-first design:
+
+- new keys = ``left_anti`` against the existing map (tolerant of
+  already-converted ids via the UNION trick, see ``new_key_filter``);
+- ids = ``max(existing.id) + row_number() OVER (ORDER BY key)`` —
+  deterministic, dense, stable. ``monotonically_increasing_id`` is
+  explicitly avoided: it is neither dense nor stable across runs.
+
+Scale: the global ``row_number`` over new keys is a single-partition
+sort, but ONLY over the *new* keys of one increment (small by
+definition in an incremental ETL). For a bulk first load at 100 TB use
+``zipWithIndex``-free two-phase numbering: per-partition counts →
+offsets broadcast → partition-local row_number + offset. Implemented
+here as ``assign_surrogate_ids_bulk``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def assign_surrogate_ids(keys: DataFrame, existing_map: DataFrame, key_col: str = "iri") -> DataFrame:
+    """Return the full map (key_col, id) = existing ∪ newly-numbered keys.
+
+    ``existing_map`` has columns (key_col, id: long). ``keys`` is the
+    (possibly duplicated) key universe; only unseen keys get new ids,
+    numbered max(id)+1.. in deterministic ``key_col`` order.
+    """
+    distinct_keys = keys.select(key_col).distinct()
+    new_keys = distinct_keys.join(existing_map.select(key_col), key_col, "left_anti")
+    start = existing_map.agg(F.coalesce(F.max("id"), F.lit(0)).alias("start"))
+    w = Window.orderBy(key_col)
+    numbered = (
+        new_keys.crossJoin(F.broadcast(start))
+        .withColumn("id", (F.col("start") + F.row_number().over(w)).cast("long"))
+        .select(key_col, "id")
+    )
+    return existing_map.select(key_col, "id").unionByName(numbered)
+
+
+def assign_surrogate_ids_bulk(
+    keys: DataFrame, existing_map: DataFrame, key_col: str = "iri"
+) -> DataFrame:
+    """Bulk variant: same contract as ``assign_surrogate_ids`` but the
+    new-key numbering is distributed (no single-partition window).
+
+    Two-phase: sort-repartition new keys by key (range partitioning),
+    count per partition, prefix-sum the counts into per-partition
+    offsets, then number partition-locally. Deterministic because range
+    partitioning + in-partition sort give a total order by key.
+    """
+    distinct_keys = keys.select(key_col).distinct()
+    new_keys = (
+        distinct_keys.join(existing_map.select(key_col), key_col, "left_anti")
+        .repartitionByRange(F.col(key_col))
+        .sortWithinPartitions(key_col)
+    )
+    base = existing_map.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
+
+    # spark_partition_id is stable for a materialized partitioning; use
+    # a window per partition id with a precomputed offset join.
+    with_pid = new_keys.withColumn("_pid", F.spark_partition_id())
+    counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))).select(
+        "_pid", "_off"
+    )
+    w_local = Window.partitionBy("_pid").orderBy(key_col)
+    numbered = (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn("id", (F.lit(base) + F.col("_off") + F.row_number().over(w_local)).cast("long"))
+        .select(key_col, "id")
+    )
+    return existing_map.select(key_col, "id").unionByName(numbered)
+
+
+def new_key_filter(table: DataFrame, existing_map: DataFrame, pk_col: str, key_col: str = "iri") -> DataFrame:
+    """J7: ``pk NOT IN (SELECT iri FROM map UNION SELECT id FROM map)`` —
+    new-key detection tolerant of already-converted integer ids
+    (``address_etl/id_map.py:36-45``)."""
+    known = (
+        existing_map.select(F.col(key_col).cast("string").alias("k"))
+        .union(existing_map.select(F.col("id").cast("string").alias("k")))
+        .distinct()
+    )
+    return table.join(
+        known, table[pk_col].cast("string") == known["k"], "left_anti"
+    )
+
+
+def rewrite_pk_to_id(table: DataFrame, id_map: DataFrame, pk_col: str, key_col: str = "iri") -> DataFrame:
+    """M3 rewrite step: replace the text PK with the mapped integer id.
+
+    Reference does this as a correlated-subquery UPDATE in 10k rowid
+    batches (id_map.py:64-82); here it is one join producing a new
+    immutable table.
+    """
+    rest = [c for c in table.columns if c != pk_col]
+    return (
+        table.join(id_map, table[pk_col] == id_map[key_col], "inner")
+        .select(F.col("id").alias(pk_col), *rest)
+    )

@@ -1,0 +1,106 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode step is a STUB (this container ships no image/audio libs):
+``decode_image_meta_batches`` computes a *deterministic fake* from the
+byte payload so the Spark-side plumbing — schema, batch shape, UDF
+signature, partitioning — is real and testable end-to-end. Swap
+``_fake_decode`` for PIL/librosa/ffmpeg in production; the plumbing is
+unchanged. ``decode_real`` raises NotImplementedError by design.
+
+Scale notes: mapInPandas streams Arrow batches, so per-executor memory
+is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` rather
+than partition size; binary payloads never pass through Python row
+objects. Repartition by a size-balanced key before decode if payloads
+are skewed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+#: output contract of the image-decode stage
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("byte_len", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("n_frames", LongType(), False),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """STUB decode: deterministic metadata derived from the payload.
+
+    Stands in for a real image/video header parse. Chosen to be
+    reproducible in the DuckDB oracle (pure byte-length arithmetic).
+    """
+    n = len(payload)
+    width = (n % 640) + 16
+    height = ((n * 7) % 480) + 16
+    n_frames = (n % 16) + 1
+    return width, height, n_frames
+
+
+def decode_image_meta_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, payload: bytes) → IMAGE_META_SCHEMA.
+
+    Vectorized over each Arrow batch; never materializes more than one
+    batch per worker thread.
+    """
+    for pdf in batches:
+        lens = pdf["payload"].map(len)
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": lens,
+                "width": (lens % 640) + 16,
+                "height": ((lens * 7) % 480) + 16,
+                "n_frames": (lens % 16) + 1,
+            }
+        )
+        yield out
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model an opaque media payload as a binary column (here: the utf-8
+    bytes of the text, standing in for image bytes)."""
+    return df.select("doc_id", F.col(text_col).cast("binary").alias("payload"))
+
+
+def decode_image_meta(df_with_payload: DataFrame) -> DataFrame:
+    """The decode stage: Arrow-batched mapInPandas over binary payloads."""
+    return df_with_payload.mapInPandas(decode_image_meta_batches, IMAGE_META_SCHEMA)
+
+
+def decode_real(df_with_payload: DataFrame) -> DataFrame:
+    """Real decoder entry point — requires image/audio libraries that are
+    intentionally absent from this environment."""
+    raise NotImplementedError(
+        "real media decode requires PIL/ffmpeg; use decode_image_meta (stub) here"
+    )
+
+
+def frame_sample_plan(meta: DataFrame, every: int = 4) -> DataFrame:
+    """Frame sampling: explode one row per sampled frame index. Pure
+    column ops (sequence + explode) — stays JVM-side."""
+    return meta.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every))
+        ).alias("frame_idx"),
+    ).withColumn("frame_idx", F.col("frame_idx").cast("long"))

@@ -1,0 +1,72 @@
+"""SparkSession construction and per-session tuning.
+
+The engine targets a large multi-executor cluster; locally we run
+``local[$SPARK_GRAFT_CPUS]``. Every knob set here is chosen for scale:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic join-strategy demotion are what keep the
+  100 TB plans healthy without hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE
+  coalesces it down on small inputs and the advisory target keeps
+  post-shuffle partitions near 64 MB at scale.
+- Arrow enabled for the (rare) pandas interchange paths
+  (``mapInPandas`` multimodal plumbing, ``toPandas`` in tests).
+- Session timezone pinned to UTC so timestamp semantics are stable
+  regardless of host timezone (the reference pins Australia/Brisbane
+  at its output edge only — see functions.scalars.to_brisbane).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: conf applied when *we* build the session (builder-time only).
+_BUILDER_CONF = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.ui.enabled": "false",
+}
+
+#: conf safe to (re)apply on any session at runtime, including one the
+#: driver hands us. All of these are runtime-settable SQL confs.
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS); Spark's reader rejects it
+    # unless nanos are surfaced as long (converted back in tables.load).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(app_name: str = "cam-etl-spark", cpus: int | str | None = None) -> SparkSession:
+    """Build (or reuse) a local SparkSession sized from the env."""
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    for k, v in _BUILDER_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an externally-provided session.
+
+    The correctness driver owns its own SparkSession; queries call this
+    so timezone/AQE semantics are identical either way.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static in some deployments
+            pass
+    return spark

@@ -1,0 +1,43 @@
+"""Testdata / snapshot table access.
+
+The reference restores state by locating the *latest* snapshot key on
+S3 (descending-lex sort, ``address_etl/s3.py:37-46,111-121``) and
+attaching it. Here the equivalent is a partitioned parquet snapshot
+directory (``snapshot.py``); for query inputs we read the driver's
+parquet tables.
+
+Reads are plain ``spark.read.parquet`` so Catalyst keeps predicate
+pushdown + column pruning: a downstream ``select``/``filter`` reaches
+the scan (verify with ``df.explain('formatted')`` → ``PushedFilters``
+/ ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table. Never caches: each query should form a
+    single scan-to-result plan so pushdown happens per-query."""
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS) read as long (nanosAsLong);
+        # integer-divide to µs (exact — double division would lose
+        # precision past 2^53) and restore a real timestamp column.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TESTDATA_TABLES}

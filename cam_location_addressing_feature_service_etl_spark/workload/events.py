@@ -1,0 +1,177 @@
+"""Event-stream workload over the ``events`` table: gap-based
+sessionization, tumbling-window aggregation, running totals.
+
+The reference has no streaming surface (SURVEY §2.10) — incrementality
+is batch-level. These are the batch forms; ``streaming/`` hosts the
+Structured Streaming equivalents (same logic over readStream with
+watermarks), which the driver's DuckDB oracle cannot exercise, so the
+batch forms carry the correctness checks.
+
+Scale notes: sessionization is one shuffle on user_id (window
+functions over user partitions); the tumbling window is a partial-agg
+groupBy; the running total re-uses the user_id partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..session import tune
+from ..tables import load
+from . import register
+
+_GAP_MIN = 30
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return load(spark, sf_dir, "events")
+
+
+@register(
+    "ev_sessionize_gap30",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_ms(ts) - epoch_ms(prev_ts) > {_GAP_MIN} * 60000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT CAST(user_id AS VARCHAR) || '-' || CAST(session_idx AS VARCHAR) AS session_id,
+       user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM numbered
+GROUP BY user_id, session_idx
+""",
+)
+def ev_sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session
+    flag → running sum = session index → per-session aggregates."""
+    events = _events(spark, sf_dir)
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_sum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = events.withColumn("prev_ts", F.lag("ts").over(w_lag)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_millis("ts") - F.unix_millis("prev_ts") > _GAP_MIN * 60000),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn("session_idx", F.sum("new_session").over(w_sum))
+    return (
+        numbered.groupBy("user_id", "session_idx")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.concat_ws(
+                "-", F.col("user_id").cast("string"), F.col("session_idx").cast("string")
+            ).alias("session_id"),
+            "user_id",
+            "session_start",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "ev_tumbling_window_hourly",
+    oracle="""
+SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def ev_tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch form of the streaming
+    windowed count; see streaming.events for the readStream version)."""
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "ev_user_running_total",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS running_value
+FROM events
+""",
+)
+def ev_user_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total ordered by time — accumulation order is
+    identical in both engines, so the float sums match."""
+    events = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return events.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+@register(
+    "ev_agg_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)      AS sum_qty,
+       ROUND(AVG(l_discount), 6)      AS avg_disc,
+       CAST(COUNT(*) AS BIGINT)       AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def ev_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — beyond the reference's operator
+    set (it has no numeric aggregates) but the canonical partial-agg
+    benchmark headline. Sums are rounded on both sides because float
+    reduction order differs between engines."""
+    tune(spark)
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

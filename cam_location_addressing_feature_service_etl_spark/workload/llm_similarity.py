@@ -1,0 +1,152 @@
+"""Similarity-search workload over the ``embeddings`` table
+(array<float> column, 64-dim): brute-force cosine top-k baseline,
+IVF-bucketed approximate variant, and threshold near-dup pairs.
+
+Oracles use DuckDB list arithmetic cast to DOUBLE[] so the float math
+is bit-identical (same fold order); cosines are rounded to 6 digits on
+both sides before ranking/filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.similarity import (
+    as_double_array,
+    brute_force_topk,
+    cosine_col,
+    cosine_pairs_above,
+    ivf_assign,
+)
+from ..session import tune
+from ..tables import load
+from . import register
+
+_COS_SQL = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tune(spark)
+    return [load(spark, sf_dir, n) for n in names]
+
+
+@register(
+    "sim_cosine_topk_bruteforce",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="q.e", b="v.e")} AS cosine
+  FROM v CROSS JOIN q
+  WHERE v.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors — the ANN baseline."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    return brute_force_topk(embeddings, queries, k=5)
+
+
+_IVF_CENTROIDS = 8
+_IVF_QUERY_LO, _IVF_QUERY_HI = 8, 18
+
+
+@register(
+    "sim_ann_ivf_bucketed",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < {_IVF_CENTROIDS}),
+member AS (SELECT vec_id, e FROM v WHERE vec_id >= {_IVF_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, centroid_id, e FROM (
+    SELECT m.vec_id, c.centroid_id, m.e,
+           ROW_NUMBER() OVER (PARTITION BY m.vec_id
+                              ORDER BY {_COS_SQL.format(a="m.e", b="c.ce")} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM member m CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, centroid_id, e AS qe FROM assigned
+      WHERE vec_id >= {_IVF_QUERY_LO} AND vec_id < {_IVF_QUERY_HI}),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="q.qe", b="a.e")} AS cosine
+  FROM q JOIN assigned a ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+)
+def sim_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: vectors assigned to nearest of 8 'centroids'
+    (deterministically: the first 8 vectors), queries probe only their
+    own cell — the bucketed scale path (nprobe=1)."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    centroids = embeddings.filter(F.col("vec_id") < _IVF_CENTROIDS)
+    members = embeddings.filter(F.col("vec_id") >= _IVF_CENTROIDS)
+    assigned = ivf_assign(members, centroids).join(
+        members.select("vec_id", as_double_array(F.col("embedding")).alias("e")), "vec_id"
+    )
+    q = assigned.filter(
+        (F.col("vec_id") >= _IVF_QUERY_LO) & (F.col("vec_id") < _IVF_QUERY_HI)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("centroid_id").alias("qc"),
+        F.col("e").alias("qe"),
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("centroid_id") == F.col("qc")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_col(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_NEARDUP_THRESHOLD = 0.4
+
+
+@register(
+    "sim_embedding_neardup",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COS_SQL.format(a="a.e", b="b.e")} AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a="a.e", b="b.e")} >= {_NEARDUP_THRESHOLD}
+""",
+)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4)."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs_above(embeddings, threshold=_NEARDUP_THRESHOLD)

@@ -1,0 +1,372 @@
+"""LLM-training-data text operators over the ``documents`` table:
+exact dedup, MinHash+LSH, SimHash, n-gram Jaccard near-dup, language
+ID, quality scoring, token counting, fingerprinting.
+
+These extend the reference's surface (BASELINE.json north star): a
+100 TB text pipeline needs dedup/quality stages as first-class
+operators. Tokenization is deliberately reproducible in ANSI SQL so
+every query here has a full DuckDB oracle (md5 as the hash family —
+at production scale swap xxhash64, same algebra).
+
+Scale notes: MinHash-LSH is the linear-shuffle path (band-bucket
+join, never O(n²)); n-gram Jaccard uses an inverted shingle index
+whose worst case is bounded by posting-list length (add stop-shingle
+pruning at scale); SimHash pair-scan is quadratic and kept only as a
+small-data verifier — the banded variants are the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles_col,
+    simhash_col,
+    tokens_col,
+)
+from ..session import tune
+from ..tables import load
+from . import register
+
+# --- shared DuckDB SQL fragments (mirror tokens_col / shingles_col) --------
+
+TOKENS_SQL = (
+    "list_filter(string_split_regex("
+    "regexp_replace(lower({col}), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '')"
+)
+
+
+def _shingle_cte(n: int = 3, table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    """CTE producing (id, shingle) distinct n-gram shingles, matching
+    operators.dedup.shingles_col bit-for-bit."""
+    toks = TOKENS_SQL.format(col=text_col)
+    joins = []
+    concat = "t1.tok"
+    for k in range(2, n + 1):
+        joins.append(
+            f"JOIN tok t{k} ON t{k}.{id_col} = t1.{id_col} AND t{k}.pos = t1.pos + {k - 1}"
+        )
+        concat += f" || ' ' || t{k}.tok"
+    return f"""
+tokl AS (SELECT {id_col}, {toks} AS toks FROM {table}),
+tok AS (SELECT {id_col}, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM tokl),
+shingle AS (
+  SELECT DISTINCT t1.{id_col}, {concat} AS shingle
+  FROM tok t1 {" ".join(joins)}
+)"""
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tune(spark)
+    return [load(spark, sf_dir, n) for n in names]
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup + fingerprint
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+SELECT doc_id, md5(text) AS content_hash FROM (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, keep lowest doc_id per content hash."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    kept = exact_dedup(documents, text_col="text", id_col="doc_id")
+    return kept.select("doc_id", F.md5("text").alias("content_hash"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({TOKENS_SQL.format(col="text")})), ' '))
+         AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set (robust to token shuffling, unlike md5(text))."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup candidates
+# ---------------------------------------------------------------------------
+
+_MH_HASHES = 8
+_MH_BANDS = 4
+_MH_SHINGLE_N = 2
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n         ".join(
+        f"MIN(md5('{i}' || shingle)) AS h{i}" for i in range(_MH_HASHES)
+    )
+    rpb = _MH_HASHES // _MH_BANDS
+    band_selects = []
+    for b in range(_MH_BANDS):
+        cols = " || '|' || ".join(f"h{b * rpb + k}" for k in range(rpb))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs"
+        )
+    bands = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH {_shingle_cte(_MH_SHINGLE_N)},
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingle GROUP BY doc_id
+),
+bands AS (
+  {bands}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 perms) + LSH(4 bands × 2 rows) candidate pairs over
+    2-token shingles. Shuffle cost is linear in docs + collisions."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        documents, id_col="doc_id", text_col="text",
+        num_hashes=_MH_HASHES, shingle_n=_MH_SHINGLE_N,
+    )
+    return lsh_candidate_pairs(sigs, id_col="doc_id", num_hashes=_MH_HASHES, bands=_MH_BANDS)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard exact near-dup pairs
+# ---------------------------------------------------------------------------
+
+_NJ_THRESHOLD = 0.12
+_NJ_SHINGLE_N = 2
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_shingle_cte(_NJ_SHINGLE_N)},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM shingle a JOIN shingle b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter / (sa.sz + sb.sz - inter) >= {_NJ_THRESHOLD}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-bigram Jaccard pairs ≥ threshold via inverted index."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        documents, id_col="doc_id", text_col="text",
+        threshold=_NJ_THRESHOLD, shingle_n=_NJ_SHINGLE_N,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (small-data verifier; banded variants are the scale path)
+# ---------------------------------------------------------------------------
+
+_SH_BITS = 16
+_SH_MAXDIST = 1
+
+
+def _simhash_oracle() -> str:
+    toks = TOKENS_SQL.format(col="text")
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(toks, t -> substring(md5(t), {i + 1}, 1) "
+        f"IN ('8','9','a','b','c','d','e','f'))) > len(toks) THEN {1 << i} ELSE 0 END)"
+        for i in range(_SH_BITS)
+    )
+    return f"""
+WITH tokl AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT doc_id, {bit_terms} AS simhash FROM tokl)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= {_SH_MAXDIST}
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(16 bit) pairs with hamming distance ≤ 1."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    sh = documents.select(
+        "doc_id", simhash_col(tokens_col(F.col("text")), bits=_SH_BITS).alias("simhash")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").cast("long").bitwiseXOR(F.col("b.simhash").cast("long"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= _SH_MAXDIST)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"), "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID / quality / token counts
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ("the", "and"),
+    "de": ("der", "und"),
+    "fr": ("le", "et"),
+    "es": ("el", "y"),
+}
+
+
+def _langid_oracle() -> str:
+    toks = TOKENS_SQL.format(col="text")
+    scores = ",\n       ".join(
+        f"len(list_filter(toks, t -> t IN ({', '.join(repr(m) for m in ms)}))) AS s_{lang}"
+        for lang, ms in _LANG_MARKERS.items()
+    )
+    return f"""
+WITH tokl AS (SELECT doc_id, {toks} AS toks FROM documents),
+scored AS (
+  SELECT doc_id,
+       {scores}
+  FROM tokl
+)
+SELECT doc_id,
+       CASE
+         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+         WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+         WHEN s_es > 0 THEN 'es'
+         ELSE 'und'
+       END AS lang_pred,
+       CAST(s_en AS BIGINT) AS score_en
+FROM scored
+"""
+
+
+@register("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID: marker-token counts per language,
+    argmax with a deterministic precedence chain."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    df = documents.select("doc_id", toks.alias("toks"))
+    for lang, markers in _LANG_MARKERS.items():
+        df = df.withColumn(
+            f"s_{lang}", F.size(F.filter(F.col("toks"), lambda t: t.isin(*markers)))
+        )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") > 0),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_es")) & (F.col("s_de") > 0), "de")
+        .when((F.col("s_fr") >= F.col("s_es")) & (F.col("s_fr") > 0), "fr")
+        .when(F.col("s_es") > 0, "es")
+        .otherwise("und")
+    )
+    return df.select(
+        "doc_id", pred.alias("lang_pred"), F.col("s_en").cast("long").alias("score_en")
+    )
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH tokl AS (
+  SELECT doc_id, n_chars, {TOKENS_SQL.format(col="text")} AS toks,
+         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS punct_cnt
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(punct_cnt AS BIGINT) AS punct_cnt,
+       ROUND(len(list_filter(toks, t -> t IN ({", ".join(repr(s) for s in _STOPWORDS)})))
+             / greatest(len(toks), 1), 6) AS stopword_ratio,
+       ROUND(least(len(toks) / 100.0, 1.0) * 0.5
+             + (len(list_filter(toks, t -> t IN ({", ".join(repr(s) for s in _STOPWORDS)})))
+                / greatest(len(toks), 1)) * 0.5, 6) AS quality
+FROM tokl
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword-ratio features
+    combined into a bounded [0,1] score."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    df = documents.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.length(F.regexp_replace("text", "[^.,!?;:]", "")).alias("punct_cnt"),
+    )
+    stop_cnt = F.size(F.filter(F.col("toks"), lambda t: t.isin(*_STOPWORDS)))
+    n_tok = F.size("toks")
+    stop_ratio = stop_cnt / F.greatest(n_tok, F.lit(1))
+    return df.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.col("punct_cnt").cast("long"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5 + stop_ratio * 0.5, 6).alias(
+            "quality"
+        ),
+    )
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({TOKENS_SQL.format(col="text")}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+         AS bpe_ish_tokens
+FROM documents
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letters runs / digit runs / single other glyphs)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )

@@ -1,0 +1,55 @@
+"""Multimodal workload: binary-payload decode metadata (mapInPandas
+stub) and frame sampling. The fake decode is pure byte-length
+arithmetic, so even the pandas-UDF path has a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.multimodal import (
+    attach_binary_payload,
+    decode_image_meta,
+    frame_sample_plan,
+)
+from ..session import tune
+from ..tables import load
+from . import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return load(spark, sf_dir, "documents")
+
+
+@register(
+    "mm_decode_image_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT)             AS byte_len,
+       CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT)  AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 + 16 AS BIGINT) AS height,
+       CAST(octet_length(encode(text)) % 16 + 1 AS BIGINT)    AS n_frames
+FROM documents
+""",
+)
+def mm_decode_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → typed metadata via Arrow-batched mapInPandas
+    (decode itself is a deterministic stub; plumbing is production)."""
+    return decode_image_meta(attach_binary_payload(_docs(spark, sf_dir)))
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) % 16 + 1 AS BIGINT) AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(unnest(range(0, n_frames, 4)) AS BIGINT) AS frame_idx FROM meta
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one row per 4th frame index per media item."""
+    meta = decode_image_meta(attach_binary_payload(_docs(spark, sf_dir)))
+    return frame_sample_plan(meta, every=4).select("doc_id", "frame_idx")

@@ -1,0 +1,763 @@
+"""Relational operators from SURVEY.md §2 (P/J/A/D/O/U/M families),
+each expressed over the driver's TPC-H-ish testdata with a DuckDB
+oracle proving identical semantics.
+
+Reference semantics being reproduced (file:line into /root/reference):
+
+- P4  anti-join lifecycle/privacy filter    pls/queries/address.py:41-44,91-96
+- P5  incremental predicate pushdown        geocode.py:190-202
+- P8  debug subsetting via VALUES           pls/queries/address.py:23-29
+- J1  graph-pattern multiway equi-join      pls/queries/address.py:49-89
+- J2  OPTIONAL pattern = left outer join    pls/queries/address.py:193-281
+- J3  VALUES key-batch semi-join            pls/queries/address.py:137-153
+- J5  left-join-find-unmapped               id_map.py:61
+- J6  anti-join prune                       pls/tables.py:817-830,895-908
+- J7  NOT IN (UNION) new-key detection      id_map.py:36-45
+- J8  update-join (correlated subquery)     pls/tables.py:856-882
+- J9  dict-lookup join with miss-skipping   pls/tables.py:764-814
+- J10 cache merge, fetched-wins             geocode.py:362-388
+- A1  grouped-MAX latest-version-per-key    pls/queries/address.py:31-47
+- A2/A4 predicate counts / rowcount deltas  esri_rest_api.py:83-113; pls/tables.py:829
+- D1/D2 distinct & first-wins dedup         pls/queries/address.py:21; pls/tables.py:421-446
+- O1/O2 top-1 latest snapshot / LIMIT guard s3.py:37-46; geocode.py:60
+- U1/U2 union-distinct / carry-forward      id_map.py:40-44; main_pls.py:121-186
+- M1/M2 upsert, upsert-with-column-reset    address_iri_pid_map.py:121-137; geocode.py:231-270
+- M3  stable dense surrogate ids            id_map.py:8-84
+- F12 CHECK-constraint validation           pls/tables.py:70-79
+
+Scale notes: all small dimension sides are explicitly ``broadcast()``;
+grouped-max is a partial-aggregatable ``max`` (map-side combine);
+window-based latest-row shuffles once on the partition key; the
+surrogate-id assignment avoids ``monotonically_increasing_id`` (not
+dense/stable) in favour of max(id)+row_number over a deterministic
+ordering, which is a single extra shuffle on the (small) new-keys set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..session import tune
+from ..tables import load
+from ..operators.upsert import upsert_by_key, upsert_with_reset
+from ..operators.dedup import dedup_first_wins, merge_fetched_wins
+from ..operators.id_map import assign_surrogate_ids
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tune(spark)
+    return [load(spark, sf_dir, n) for n in names]
+
+
+# ---------------------------------------------------------------------------
+# Flagship: "current, non-private address selection" — the reference's core
+# semantic (A1 grouped latest + P4 anti-join exclusion + J1 multiway join +
+# F1/F2 synthetic concat keys), per SURVEY.md §7 phase 0.
+# ---------------------------------------------------------------------------
+
+@register(
+    "flagship_current_address",
+    oracle="""
+WITH latest AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+),
+excl AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+SELECT CAST(l.o_custkey AS VARCHAR) || '/' || UPPER(n.n_name) || '/'
+         || CAST(l.o_orderkey AS VARCHAR)        AS addr_key,
+       c.c_name                                   AS cust_name,
+       UPPER(n.n_name)                            AS nation_name,
+       STRFTIME(l.o_orderdate, '%Y-%m-%d')        AS latest_order_date,
+       ROUND(l.o_totalprice, 2)                   AS latest_total
+FROM latest l
+JOIN customer c ON c.c_custkey = l.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.rn = 1
+  AND NOT EXISTS (SELECT 1 FROM excl e WHERE e.o_custkey = l.o_custkey)
+""",
+)
+def flagship_current_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    latest = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    excl = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey").distinct()
+    return (
+        latest.join(excl, "o_custkey", "left_anti")
+        .join(customer, latest["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.concat_ws(
+                "/",
+                F.col("o_custkey").cast("string"),
+                F.upper("n_name"),
+                F.col("o_orderkey").cast("string"),
+            ).alias("addr_key"),
+            F.col("c_name").alias("cust_name"),
+            F.upper("n_name").alias("nation_name"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_order_date"),
+            F.round("o_totalprice", 2).alias("latest_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P — projections / filters
+# ---------------------------------------------------------------------------
+
+@register(
+    "p1_column_projection",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+)
+def p1_column_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: column pruning must reach the scan (ReadSchema shows 3 cols)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "p2_computed_projection",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price
+FROM lineitem
+""",
+)
+def p2_computed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: (expr AS ?alias) computed projection."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+    )
+
+
+@register(
+    "p3_typed_literal_filter",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag
+FROM lineitem WHERE l_returnflag = 'R'
+""",
+)
+def p3_typed_literal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: FILTER(DATATYPE(?x) = <tag>) → equality filter on a tag column."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+
+
+@register(
+    "p4_anti_join_open_lifecycle",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+""",
+)
+def p4_anti_join_open_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: FILTER NOT EXISTS {lifecycle hasEnd} → left_anti join."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    ended = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.join(ended, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "p5_incremental_predicate",
+    oracle="""
+SELECT l_orderkey, l_linenumber, STRFTIME(l_shipdate, '%Y-%m-%d') AS ship_date
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+""",
+)
+def p5_incremental_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: last_edited_date >= <prev run> — pushed to the parquet scan."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        )
+    )
+
+
+@register(
+    "p7_notnull_filter",
+    oracle="""
+SELECT event_id, ROUND(value, 4) AS err_value
+FROM events WHERE event_type = 'error' AND value IS NOT NULL
+""",
+)
+def p7_notnull_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: IS NOT NULL probe filter."""
+    (events,) = _t(spark, sf_dir, "events")
+    return events.filter(
+        (F.col("event_type") == "error") & F.col("value").isNotNull()
+    ).select("event_id", F.round("value", 4).alias("err_value"))
+
+
+_DEBUG_KEYS = list(range(1, 501, 20))  # 25 fixed keys, mirrors debug_parcels.py
+
+
+@register(
+    "p8_debug_subset_semijoin",
+    oracle=f"""
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN ({", ".join(str(k) for k in _DEBUG_KEYS)})
+""",
+)
+def p8_debug_subset_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: debug VALUES subsetting → semi-join against a literal DataFrame."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys = spark.createDataFrame([(k,) for k in _DEBUG_KEYS], "o_custkey long")
+    return orders.join(F.broadcast(keys), "o_custkey", "left_semi").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J — joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "j1_multiway_equijoin",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation_name, r.r_name AS region_name
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+""",
+)
+def j1_multiway_equijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: chained graph-pattern equi-joins; small dims broadcast."""
+    customer, nation, region = _t(spark, sf_dir, "customer", "nation", "region")
+    return (
+        customer.join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+@register(
+    "j2_optional_left_join",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, ROUND(o.o_totalprice, 2) AS total_price
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+""",
+)
+def j2_optional_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: OPTIONAL pattern — unmatched rows surface NULL columns (P6)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left"
+    ).select("c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+
+
+@register(
+    "j3_values_batch_semijoin",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 50)
+""",
+)
+def j3_values_batch_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: the reference serializes ≤10k keys into a VALUES clause per
+    batch; here the whole key set is one broadcast semi-join."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    keys = part.filter(F.col("p_size") == 50).select(F.col("p_partkey").alias("l_partkey"))
+    return lineitem.join(F.broadcast(keys), "l_partkey", "left_semi").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+
+@register(
+    "j5_left_join_unmapped",
+    oracle="""
+SELECT c.c_custkey, c.c_name FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey IS NULL
+""",
+)
+def j5_left_join_unmapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: LEFT JOIN ... WHERE right.id IS NULL — rows lacking a mapping."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    pending = orders.filter(F.col("o_orderstatus") == "P")
+    return (
+        customer.join(pending, customer["c_custkey"] == pending["o_custkey"], "left")
+        .filter(F.col("o_orderkey").isNull())
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "j6_prune_keep_semi",
+    oracle="""
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = lineitem.l_orderkey AND o.o_orderstatus = 'O')
+""",
+)
+def j6_prune_keep_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: DELETE WHERE NOT EXISTS inverted to the Spark-idiomatic
+    keep-side left_semi join."""
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    keep = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    return lineitem.join(keep, "l_orderkey", "left_semi").select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+@register(
+    "j7_anti_union_newkeys",
+    oracle="""
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  UNION
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+""",
+)
+def j7_anti_union_newkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: pk NOT IN (SELECT iri FROM map UNION SELECT id FROM map)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    known = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .union(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                F.col("o_custkey").alias("c_custkey")
+            )
+        )
+        .distinct()
+    )
+    return customer.join(known, "c_custkey", "left_anti").select("c_custkey")
+
+
+@register(
+    "j8_update_join_enrich",
+    oracle="""
+SELECT o.o_orderkey, COALESCE(c.c_mktsegment, 'NONE') AS segment
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def j8_update_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: UPDATE t SET col = (SELECT ... ) rewritten as an immutable
+    left join + coalesce — no rowid batching needed (pls/tables.py:856-882)."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    mapping = customer.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    return orders.join(mapping, "o_custkey", "left").select(
+        "o_orderkey", F.coalesce("c_mktsegment", F.lit("NONE")).alias("segment")
+    )
+
+
+@register(
+    "j9_lookup_join_miss_skip",
+    oracle="""
+SELECT l.l_orderkey, l.l_partkey, p.p_name AS part_name
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_retailprice > 950
+""",
+)
+def j9_lookup_join_miss_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: per-batch dict probe with miss-skipping → broadcast inner join
+    (misses drop out; the reference logs them, pls/tables.py:786-789)."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    lookup = part.filter(F.col("p_retailprice") > 950).select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_name").alias("part_name")
+    )
+    return lineitem.join(F.broadcast(lookup), "l_partkey", "inner").select(
+        "l_orderkey", "l_partkey", "part_name"
+    )
+
+
+@register(
+    "j10_cache_merge_fetched_wins",
+    oracle="""
+WITH stored AS (
+  SELECT p_partkey AS key, ROUND(p_retailprice, 2) AS price, 'stored' AS src, 0 AS pri
+  FROM part
+),
+fetched AS (
+  SELECT p_partkey AS key, ROUND(p_retailprice * 1.1, 2) AS price, 'fetched' AS src, 1 AS pri
+  FROM part WHERE p_partkey % 3 = 0
+),
+merged AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY pri DESC) AS rn
+  FROM (SELECT * FROM stored UNION ALL SELECT * FROM fetched)
+)
+SELECT key, price, src FROM merged WHERE rn = 1
+""",
+)
+def j10_cache_merge_fetched_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: stored|fetched dict union, fetched wins on key collision
+    (geocode.py:362-388). Precedence is explicit via a priority column —
+    never rely on orderBy-before-dropDuplicates."""
+    (part,) = _t(spark, sf_dir, "part")
+    stored = part.select(
+        F.col("p_partkey").alias("key"),
+        F.round("p_retailprice", 2).alias("price"),
+        F.lit("stored").alias("src"),
+        F.lit(0).alias("pri"),
+    )
+    fetched = part.filter(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("key"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price"),
+        F.lit("fetched").alias("src"),
+        F.lit(1).alias("pri"),
+    )
+    return merge_fetched_wins(stored, fetched, key_cols=["key"], priority_col="pri").select(
+        "key", "price", "src"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A — aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "a1_grouped_max_latest",
+    oracle="""
+SELECT o_custkey, STRFTIME(MAX(o_orderdate), '%Y-%m-%d') AS latest_start_time
+FROM orders GROUP BY o_custkey
+""",
+)
+def a1_grouped_max_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (agg form): SELECT key, MAX(start) GROUP BY key — partial-agg
+    (map-side combine) makes this shuffle only one value per key."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("latest_start_time")
+    )
+
+
+@register(
+    "a1_latest_row_window",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderpriority FROM (
+  SELECT o_custkey, o_orderkey, o_orderpriority,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+)
+def a1_latest_row_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (window form): keep the whole latest row, not just the max."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderpriority")
+    )
+
+
+@register(
+    "a2_count_with_predicate",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+""",
+)
+def a2_count_with_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: ESRI returnCountOnly=true with a where clause."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.filter(
+        F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "a4_rowcount_delta",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS pruned_cnt FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'O')
+""",
+)
+def a4_rowcount_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: cursor.rowcount after DELETE → count of the pruned set."""
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    keep = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    return lineitem.join(keep, "l_orderkey", "left_anti").agg(
+        F.count(F.lit(1)).alias("pruned_cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D — distinct / dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "d1_distinct_projection",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def d1_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "d2_first_wins_dedup",
+    oracle="""
+SELECT l_partkey, l_orderkey, l_linenumber FROM (
+  SELECT l_partkey, l_orderkey, l_linenumber,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn = 1
+""",
+)
+def d2_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: seen-set first-wins dedup (pls/tables.py:421-446) — "first" made
+    explicit as min (l_orderkey, l_linenumber) per key."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return dedup_first_wins(
+        lineitem.select("l_partkey", "l_orderkey", "l_linenumber"),
+        key_cols=["l_partkey"],
+        order_cols=["l_orderkey", "l_linenumber"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# O — sorts / limits
+# ---------------------------------------------------------------------------
+
+@register(
+    "o1_latest_snapshot_top1",
+    oracle="""
+SELECT event_id, STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts FROM events
+ORDER BY ts DESC, event_id DESC LIMIT 1
+""",
+)
+def o1_latest_snapshot_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: desc-lex sort + first = latest-snapshot selection (s3.py:37-46).
+    Spark executes this as a TakeOrderedAndProject, no full sort."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+        .select("event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"))
+    )
+
+
+@register(
+    "o2_limit_guard",
+    oracle="SELECT p_partkey, p_name FROM part ORDER BY p_partkey LIMIT 1000",
+)
+def o2_limit_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: LIMIT 1000 guard — made deterministic with a total order."""
+    (part,) = _t(spark, sf_dir, "part")
+    return part.orderBy("p_partkey").limit(1000).select("p_partkey", "p_name")
+
+
+# ---------------------------------------------------------------------------
+# U — set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "u1_union_distinct",
+    oracle="""
+SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'
+UNION
+SELECT c_custkey AS key FROM customer WHERE c_acctbal < 0
+""",
+)
+def u1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: UNION (dedup) of two key extracts (id_map.py:40-44)."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("key"))
+    b = customer.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("key"))
+    return a.union(b).distinct()
+
+
+@register(
+    "u2_carry_forward_reshape",
+    oracle="""
+SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS total_price, 'carried' AS src
+FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price, 'current' AS src
+FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def u2_carry_forward_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: INSERT INTO t SELECT ... FROM previous.t with column
+    reshaping/NULL-ing (geocode carry-forward, main_pls.py:123-133)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    carried = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit(None).cast("double").alias("total_price"),
+        F.lit("carried").alias("src"),
+    )
+    current = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.lit("current").alias("src"),
+    )
+    return carried.unionByName(current)
+
+
+# ---------------------------------------------------------------------------
+# M — upsert / surrogate-key semantics
+# ---------------------------------------------------------------------------
+
+@register(
+    "m1_upsert_last_write_wins",
+    oracle="""
+WITH updates AS (
+  SELECT c_custkey AS key, 'UPDATED' AS val FROM customer WHERE c_custkey % 5 = 0
+)
+SELECT key, val FROM updates
+UNION ALL
+SELECT c_custkey AS key, c_mktsegment AS val FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.key = c.c_custkey)
+""",
+)
+def m1_upsert_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: INSERT ... ON CONFLICT DO UPDATE → updates ∪ (base ⟕̸ updates)."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    base = customer.select(F.col("c_custkey").alias("key"), F.col("c_mktsegment").alias("val"))
+    updates = (
+        customer.filter(F.col("c_custkey") % 5 == 0)
+        .select(F.col("c_custkey").alias("key"), F.lit("UPDATED").alias("val"))
+    )
+    return upsert_by_key(base, updates, key_cols=["key"])
+
+
+@register(
+    "m2_upsert_reset_column",
+    oracle="""
+WITH incoming AS (
+  SELECT s_suppkey AS key, 'NEW-' || s_name AS name FROM supplier WHERE s_suppkey % 2 = 0
+)
+SELECT i.key, i.name, CAST(NULL AS DOUBLE) AS enriched FROM incoming i
+UNION ALL
+SELECT s.s_suppkey AS key, s.s_name AS name, ROUND(s.s_acctbal, 2) AS enriched
+FROM supplier s
+WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.key = s.s_suppkey)
+""",
+)
+def m2_upsert_reset_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: check-then-upsert that resets the enrichment column to NULL on
+    update (geocode.py:231-270: site_id reset on re-import)."""
+    (supplier,) = _t(spark, sf_dir, "supplier")
+    base = supplier.select(
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+        F.round("s_acctbal", 2).alias("enriched"),
+    )
+    incoming = supplier.filter(F.col("s_suppkey") % 2 == 0).select(
+        F.col("s_suppkey").alias("key"),
+        F.concat(F.lit("NEW-"), F.col("s_name")).alias("name"),
+    )
+    return upsert_with_reset(base, incoming, key_cols=["key"], reset_cols=["enriched"])
+
+
+@register(
+    "m3_stable_surrogate_ids",
+    oracle="""
+WITH iris AS (
+  SELECT 'iri/' || CAST(p_partkey AS VARCHAR) AS iri, p_partkey, p_name FROM part
+),
+seeded AS (
+  SELECT iri, CAST(ROW_NUMBER() OVER (ORDER BY iri) AS BIGINT) AS id
+  FROM iris WHERE p_partkey <= 100
+),
+newkeys AS (
+  SELECT i.iri FROM iris i
+  WHERE NOT EXISTS (SELECT 1 FROM seeded s WHERE s.iri = i.iri)
+),
+mx AS (SELECT MAX(id) AS m FROM seeded),
+full_map AS (
+  SELECT iri, id FROM seeded
+  UNION ALL
+  SELECT iri, (SELECT m FROM mx) + CAST(ROW_NUMBER() OVER (ORDER BY iri) AS BIGINT) AS id
+  FROM newkeys
+)
+SELECT m.id AS part_id, i.p_name AS part_name
+FROM iris i JOIN full_map m ON m.iri = i.iri
+""",
+)
+def m3_stable_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: stable dense surrogate-id assignment (id_map.py:8-84).
+
+    Pre-seed the map with the first 100 keys (mirrors a carried-forward
+    map), assign max(id)+row_number over deterministic iri order to the
+    rest, then rewrite the table PK text→int via the map join. Never
+    uses monotonically_increasing_id (not dense, not stable).
+    """
+    (part,) = _t(spark, sf_dir, "part")
+    iris = part.select(
+        F.concat(F.lit("iri/"), F.col("p_partkey").cast("string")).alias("iri"),
+        "p_partkey",
+        "p_name",
+    )
+    w = Window.orderBy("iri")
+    seeded = (
+        iris.filter(F.col("p_partkey") <= 100)
+        .select("iri")
+        .withColumn("id", F.row_number().over(w).cast("long"))
+    )
+    full_map = assign_surrogate_ids(iris.select("iri"), seeded, key_col="iri")
+    return iris.join(full_map, "iri").select(
+        F.col("id").alias("part_id"), F.col("p_name").alias("part_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F12 — CHECK-constraint validation stage
+# ---------------------------------------------------------------------------
+
+@register(
+    "f12_validation_checks",
+    oracle="""
+SELECT 'name_width' AS rule, CAST(COUNT(*) FILTER (LENGTH(c_name) > 18) AS BIGINT) AS violations FROM customer
+UNION ALL
+SELECT 'segment_width' AS rule, CAST(COUNT(*) FILTER (LENGTH(c_mktsegment) > 10) AS BIGINT) AS violations FROM customer
+UNION ALL
+SELECT 'status_len1' AS rule, CAST(COUNT(*) FILTER (LENGTH(o_orderstatus) <> 1) AS BIGINT) AS violations FROM orders
+""",
+)
+def f12_validation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: DDL CHECK constraints (length(x) <= N, length(status) = 1,
+    pls/tables.py:70-79) as a data-quality validation stage."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    name_w = customer.agg(
+        F.lit("name_width").alias("rule"),
+        F.count(F.when(F.length("c_name") > 18, 1)).alias("violations"),
+    )
+    seg_w = customer.agg(
+        F.lit("segment_width").alias("rule"),
+        F.count(F.when(F.length("c_mktsegment") > 10, 1)).alias("violations"),
+    )
+    status1 = orders.agg(
+        F.lit("status_len1").alias("rule"),
+        F.count(F.when(F.length("o_orderstatus") != 1, 1)).alias("violations"),
+    )
+    return name_w.unionByName(seg_w).unionByName(status1)

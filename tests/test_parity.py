@@ -1,0 +1,33 @@
+"""The correctness gate, locally: every registered query must match its
+DuckDB oracle on sf0.001 (fast) — the driver repeats this at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cam_location_addressing_feature_service_etl_spark.workload import ORACLES, QUERIES
+
+from tests.conftest import SF_SMOKE
+from tests.parity import run_parity
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, name):
+    issues = run_parity(spark, name, SF_SMOKE)
+    assert not issues, f"{name}: " + "; ".join(issues)
+
+
+def test_every_query_has_oracle_or_is_declared():
+    # queries without oracles get the weaker rows-only check; keep the
+    # list deliberate and small.
+    no_oracle = set(QUERIES) - set(ORACLES)
+    assert no_oracle == set(), f"queries missing oracles: {sorted(no_oracle)}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) == 5
