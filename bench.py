@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop-format write (full column
+materialization, no driver collect overhead). Per-query wall time
+includes plan + execution, mirroring a cold analytic query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cam_location_addressing_feature_service_etl_spark.session import get_spark
+from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+
+#: Queries timed by the bench. Everything registered runs; the heavy
+#: quadratic verifiers (simhash pair scan, embedding all-pairs) stay in
+#: because they are part of the claimed surface — their scale path is
+#: documented in the operator modules.
+SKIP: set[str] = set()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="cam-etl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    # warm the JVM/session with one tiny action so the first measured
+    # query doesn't pay executor startup.
+    spark.range(1).count()
+
+    for name in sorted(QUERIES):
+        if name in SKIP:
+            continue
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "workload_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

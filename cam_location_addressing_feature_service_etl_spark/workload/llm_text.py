@@ -26,8 +26,9 @@ from ..operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
-    shingles_col,
-    simhash_col,
+    shingle_postings,
+    simhash_from_postings,
+    simhash_pairs_exact,
     tokens_col,
 )
 from ..session import tune
@@ -112,7 +113,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH near-dup candidates
 # ---------------------------------------------------------------------------
 
-_MH_HASHES = 8
+_MH_HASHES = 16
 _MH_BANDS = 4
 _MH_SHINGLE_N = 2
 
@@ -146,8 +147,10 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_i
 
 @register("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(8 perms) + LSH(4 bands × 2 rows) candidate pairs over
-    2-token shingles. Shuffle cost is linear in docs + collisions."""
+    """MinHash(16 perms) + LSH(4 bands × 4 rows) candidate pairs over
+    2-token shingles. 4-row bands put the collision knee near J≈0.6:
+    planted near-dups (J≳0.8) are caught w.p. ~99%, while background
+    pairs (J≈0.1) collide at ~4e-4 — shuffle stays linear in docs."""
     (documents,) = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(
         documents, id_col="doc_id", text_col="text",
@@ -160,8 +163,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard exact near-dup pairs
 # ---------------------------------------------------------------------------
 
-_NJ_THRESHOLD = 0.12
-_NJ_SHINGLE_N = 2
+_NJ_THRESHOLD = 0.6
+_NJ_SHINGLE_N = 3
 
 
 @register(
@@ -183,7 +186,9 @@ WHERE inter / (sa.sz + sb.sz - inter) >= {_NJ_THRESHOLD}
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-bigram Jaccard pairs ≥ threshold via inverted index."""
+    """Exact token-trigram Jaccard pairs ≥ 0.6 via inverted index.
+    Trigram shingles keep posting lists short (bigram postings explode
+    on small vocabularies — measured 25× slower at sf0.1)."""
     (documents,) = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         documents, id_col="doc_id", text_col="text",
@@ -195,44 +200,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash near-dup (small-data verifier; banded variants are the scale path)
 # ---------------------------------------------------------------------------
 
-_SH_BITS = 16
+_SH_BITS = 32
 _SH_MAXDIST = 1
+_SH_SHINGLE_N = 3
 
 
 def _simhash_oracle() -> str:
-    toks = TOKENS_SQL.format(col="text")
     bit_terms = " + ".join(
-        f"(CASE WHEN 2 * len(list_filter(toks, t -> substring(md5(t), {i + 1}, 1) "
-        f"IN ('8','9','a','b','c','d','e','f'))) > len(toks) THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN 2 * COUNT(*) FILTER (substring(md5(shingle), {i + 1}, 1) "
+        f"IN ('8','9','a','b','c','d','e','f')) > COUNT(*) THEN {1 << i}::BIGINT ELSE 0 END)"
         for i in range(_SH_BITS)
     )
     return f"""
-WITH tokl AS (SELECT doc_id, {toks} AS toks FROM documents),
-sh AS (SELECT doc_id, {bit_terms} AS simhash FROM tokl)
+WITH {_shingle_cte(_SH_SHINGLE_N)},
+sh AS (SELECT doc_id, {bit_terms} AS simhash FROM shingle GROUP BY doc_id)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS BIGINT) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= {_SH_MAXDIST}
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SH_MAXDIST}
 """
 
 
 @register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(16 bit) pairs with hamming distance ≤ 1."""
+    """SimHash(32 bit, trigram features) pairs with hamming ≤ 1 — EXACT
+    result via chunk indexing (hamming ≤ 1 ⇒ one of the two 16-bit
+    halves is identical), never an O(n²) scan. The DuckDB oracle IS
+    the brute force, proving the index loses nothing."""
     (documents,) = _t(spark, sf_dir, "documents")
-    sh = documents.select(
-        "doc_id", simhash_col(tokens_col(F.col("text")), bits=_SH_BITS).alias("simhash")
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").cast("long").bitwiseXOR(F.col("b.simhash").cast("long"))
-    )
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn("hamming", ham.cast("long"))
-        .filter(F.col("hamming") <= _SH_MAXDIST)
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"), "hamming")
+    postings = shingle_postings(documents, "doc_id", "text", _SH_SHINGLE_N)
+    sh = simhash_from_postings(postings, id_col="doc_id", bits=_SH_BITS)
+    return simhash_pairs_exact(
+        sh, id_col="doc_id", hash_col="simhash", bits=_SH_BITS, max_dist=_SH_MAXDIST
     )
 
 
