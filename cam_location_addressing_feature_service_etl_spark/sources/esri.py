@@ -1,0 +1,140 @@
+"""ESRI FeatureServer source: schema adaptation, incremental predicate
+construction, partitioned paged fetch.
+
+Reference behavior reproduced (file:line into /root/reference):
+
+- S6 layer-schema probe with alternative field names (``address_pid``
+  vs ``pid``, ``geocode_type`` vs ``type``, ``iri`` vs
+  ``address_iri``) and incremental capability detection via presence
+  of ``last_edited_date``      geocode.py:148-187; address_iri_pid_map.py:31-66
+- P5 incremental where-clause ``last_edited_date >= DATE '<ts>'``
+  falling back to full scan    geocode.py:190-202
+- S5 offset/recordCount pagination, batch 2000, outFields projection
+                               geocode.py:398-466
+- feature normalization: numeric attrs → strings, geometry x/y →
+  lon/lat doubles              geocode.py:205-222
+
+Spark-first: pagination becomes *input partitions* — ``spark.range``
+over page offsets → ``mapInPandas`` fetch, so 1000 executors pull
+pages concurrently instead of the reference's sequential loop. The
+HTTP fetcher is injected, keeping the planner testable offline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: alternative source field names per canonical column (S6)
+FIELD_ALTERNATIVES: dict[str, tuple[str, ...]] = {
+    "address_pid": ("address_pid", "pid"),
+    "geocode_type": ("geocode_type", "type"),
+    "address_iri": ("iri", "address_iri"),
+    "objectid": ("objectid",),
+    "last_edited_date": ("last_edited_date",),
+}
+
+
+@dataclass(frozen=True)
+class LayerSchema:
+    """Resolved layer schema: canonical name → actual source field."""
+
+    fields: dict[str, str]
+
+    @property
+    def supports_incremental(self) -> bool:
+        return "last_edited_date" in self.fields
+
+    def out_fields(self, wanted: Sequence[str]) -> list[str]:
+        """Column pruning pushed to the source (ESRI outFields)."""
+        return [self.fields[w] for w in wanted if w in self.fields]
+
+
+def resolve_layer_schema(source_field_names: Sequence[str]) -> LayerSchema:
+    """S6: match canonical columns against the layer's actual fields,
+    first alternative wins (mirrors geocode.py:148-187)."""
+    available = {f.lower() for f in source_field_names}
+    resolved: dict[str, str] = {}
+    for canonical, alts in FIELD_ALTERNATIVES.items():
+        for alt in alts:
+            if alt.lower() in available:
+                resolved[canonical] = alt
+                break
+    return LayerSchema(resolved)
+
+
+def incremental_where(schema: LayerSchema, previous_run_start: str | None) -> str:
+    """P5: server-side incremental predicate; '1=1' full scan when the
+    layer can't support it or there is no previous run
+    (geocode.py:190-202)."""
+    if previous_run_start is not None and schema.supports_incremental:
+        return f"last_edited_date >= DATE '{previous_run_start}'"
+    return "1=1"
+
+
+def requires_full_refresh(schema: LayerSchema, incremental_requested: bool) -> bool:
+    """M5: a layer that lost ``last_edited_date`` forces DELETE+reload
+    (geocode.py:469-484) → overwrite-mode write branch."""
+    return incremental_requested and not schema.supports_incremental
+
+
+def page_plan(spark: SparkSession, total_count: int, page_size: int = 2000) -> DataFrame:
+    """S5: pagination → input partitions. One row per page offset; each
+    Spark task fetches its page, so the scan parallelizes across the
+    cluster (the reference loops sequentially)."""
+    n_pages = max((total_count + page_size - 1) // page_size, 0)
+    return (
+        spark.range(0, n_pages)
+        .select(
+            (F.col("id") * page_size).alias("result_offset"),
+            F.lit(page_size).alias("record_count"),
+        )
+        .repartition(max(min(n_pages, 512), 1))
+    )
+
+
+def paged_feature_scan(
+    pages: DataFrame,
+    fetch_page: Callable[[int, int], list[dict]],
+    result_schema,
+) -> DataFrame:
+    """Distributed paged fetch: each partition pulls its offsets via the
+    injected ``fetch_page(offset, count)`` and yields normalized rows.
+    Retry/backoff/token-refresh live inside the fetcher (connector
+    concern, reference crud.py:19-24 / geocode.py:455-464)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for off, cnt in zip(pdf["result_offset"], pdf["record_count"]):
+                out.extend(fetch_page(int(off), int(cnt)))
+            yield pd.DataFrame(out, columns=[f.name for f in result_schema.fields])
+
+    return pages.mapInPandas(run, result_schema)
+
+
+def normalize_geocode_features(features: DataFrame) -> DataFrame:
+    """ESRI feature struct → flat geocode row (geocode.py:205-222):
+    numeric attributes stringified (F7), geometry x/y → lon/lat."""
+    return features.select(
+        F.col("attributes.objectid").cast("string").alias("geocode_id"),
+        F.col("attributes.type").alias("geocode_type_iri"),
+        F.col("attributes.pid").cast("string").alias("address_pid"),
+        F.col("geometry.y").cast("double").alias("centoid_lat"),
+        F.col("geometry.x").cast("double").alias("centoid_lon"),
+    )
+
+
+def normalize_geocode_type(code_iri: F.Column, known: DataFrame | None = None) -> F.Column:
+    """F6: geocode-type IRI → ≤4-char legacy code with initialism
+    fallback (geocode.py:123-145). ``known`` map joins are done by the
+    caller; this is the fallback expression."""
+    slug = F.regexp_replace(code_iri, "^.*geocode-types/", "")
+    initials = F.array_join(
+        F.transform(F.split(slug, "-"), lambda w: F.substring(w, 1, 1)), ""
+    )
+    return F.substring(F.upper(initials), 1, 4)
