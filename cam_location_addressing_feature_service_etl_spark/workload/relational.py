@@ -542,6 +542,27 @@ def d2_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d3_distinct_keys_sorted",
+    oracle="SELECT DISTINCT l_suppkey AS key FROM lineitem ORDER BY key",
+)
+def d3_distinct_keys_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: sorted({row[k] for row in rows}) before a lookup fetch
+    (pls/tables.py:767-773) — distinct key extraction."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.select(F.col("l_suppkey").alias("key")).distinct().orderBy("key")
+
+
+@register(
+    "d4_distinct_values_pushdown",
+    oracle="SELECT DISTINCT event_type FROM events",
+)
+def d4_distinct_values_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: ESRI returnDistinctValues=true on one field (geocode.py:331-338)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return events.select("event_type").distinct()
+
+
 # ---------------------------------------------------------------------------
 # O — sorts / limits
 # ---------------------------------------------------------------------------
