@@ -119,23 +119,31 @@ _MH_SHINGLE_N = 2
 
 
 def _minhash_oracle() -> str:
+    from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
     mins = ",\n         ".join(
-        f"MIN(md5('{i}' || shingle)) AS h{i}" for i in range(_MH_HASHES)
+        f"MIN(({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(_MH_HASHES)
     )
     rpb = _MH_HASHES // _MH_BANDS
     band_selects = []
     for b in range(_MH_BANDS):
-        cols = " || '|' || ".join(f"h{b * rpb + k}" for k in range(rpb))
+        cols = " || '|' || ".join(
+            f"CAST(h{b * rpb + k} AS VARCHAR)" for k in range(rpb)
+        )
         band_selects.append(
-            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs"
+            f"SELECT doc_id, {b} AS band, {cols} AS bucket FROM sigs"
         )
     bands = "\n  UNION ALL\n  ".join(band_selects)
     return f"""
 WITH {_shingle_cte(_MH_SHINGLE_N)},
+hx AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x FROM shingle
+),
 sigs AS (
   SELECT doc_id,
          {mins}
-  FROM shingle GROUP BY doc_id
+  FROM hx GROUP BY doc_id
 ),
 bands AS (
   {bands}

@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Audit physical plans of the workload queries for the properties that
+matter at 100 TB: predicate pushdown reaching the scan, column-pruned
+ReadSchema, broadcast joins on small sides, no cartesian products, and
+whole-stage codegen coverage.
+
+Usage: python scripts/explain_audit.py [sf_dir] [name_substring ...]
+
+Known-intentional CARTESIAN flags (broadcast cross joins against tiny
+build sides, the designed plan): sim_cosine_topk_bruteforce /
+sim_ann_ivf_bucketed (every vector scored against a broadcast query /
+centroid set) and m3_stable_surrogate_ids (1-row max-id broadcast).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cam_location_addressing_feature_service_etl_spark.session import get_spark
+from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+
+CHECKS = {
+    "pushed_filters": re.compile(r"PushedFilters: \[([^\]]+)\]"),
+    "read_schema": re.compile(r"ReadSchema: (\S+)"),
+    "broadcast_join": re.compile(r"BroadcastHashJoin"),
+    "sortmerge_join": re.compile(r"SortMergeJoin"),
+    "CARTESIAN": re.compile(r"CartesianProduct|BroadcastNestedLoopJoin"),
+    "window_group_limit": re.compile(r"WindowGroupLimit"),
+    "exchanges": re.compile(r"Exchange hashpartitioning"),
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    filters = sys.argv[2:]
+    spark = get_spark(app_name="explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    for name in sorted(QUERIES):
+        if filters and not any(f in name for f in filters):
+            continue
+        plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().explainString(mode)
+        facts = []
+        for label, pat in CHECKS.items():
+            hits = pat.findall(plan)
+            if hits:
+                n = len(hits)
+                sample = hits[0][:60] if isinstance(hits[0], str) else ""
+                facts.append(f"{label}×{n}" + (f"({sample})" if label in ("pushed_filters",) else ""))
+        flag = "  !! CARTESIAN !!" if CHECKS["CARTESIAN"].search(plan) else ""
+        print(f"{name:36s} {'; '.join(facts)}{flag}")
+
+
+if __name__ == "__main__":
+    main()
