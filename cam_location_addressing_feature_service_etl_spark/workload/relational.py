@@ -751,6 +751,66 @@ def m3_stable_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_prune_enrich_composite",
+    oracle="""
+WITH lf_address AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS addr_id,
+         CAST(o_custkey AS VARCHAR) AS address_pid,
+         'site-' || CAST(o_orderkey AS VARCHAR) AS site_id
+  FROM orders
+),
+pid_map AS (SELECT CAST(c_custkey AS VARCHAR) AS address_pid FROM customer WHERE c_acctbal > 0),
+addr AS (
+  SELECT * FROM lf_address a
+  WHERE EXISTS (SELECT 1 FROM pid_map m WHERE m.address_pid = a.address_pid)
+),
+geo AS (
+  SELECT 'g-' || CAST(c_custkey AS VARCHAR) AS geocode_id,
+         CAST(c_custkey AS VARCHAR) AS address_pid,
+         CAST(NULL AS VARCHAR) AS site_id
+  FROM customer
+),
+mapping AS (SELECT address_pid, MIN(site_id) AS new_site FROM addr GROUP BY 1),
+enriched AS (
+  SELECT g.geocode_id, g.address_pid, COALESCE(g.site_id, m.new_site) AS site_id
+  FROM geo g LEFT JOIN mapping m ON m.address_pid = g.address_pid
+)
+SELECT e.geocode_id, e.address_pid, e.site_id FROM enriched e
+WHERE EXISTS (SELECT 1 FROM addr a WHERE a.address_pid = e.address_pid)
+""",
+)
+def pipeline_prune_enrich_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's post-extract composite (§3.1 steps 5-6: prune
+    addresses → update-join geocode enrichment → prune geocodes),
+    composed from the actual plans.pipeline stage functions and modeled
+    on testdata (orders = addresses, customers = geocodes)."""
+    from ..plans.pipeline import (
+        prune_addresses_without_pid_mapping,
+        prune_geocodes_without_addresses,
+        update_geocode_site_id,
+    )
+
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    lf_address = orders.select(
+        F.col("o_orderkey").cast("string").alias("addr_id"),
+        F.col("o_custkey").cast("string").alias("address_pid"),
+        F.concat(F.lit("site-"), F.col("o_orderkey").cast("string")).alias("site_id"),
+    )
+    pid_map = customer.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").cast("string").alias("address_pid")
+    )
+    geocodes = customer.select(
+        F.concat(F.lit("g-"), F.col("c_custkey").cast("string")).alias("geocode_id"),
+        F.col("c_custkey").cast("string").alias("address_pid"),
+        F.lit(None).cast("string").alias("site_id"),
+    )
+    addr = prune_addresses_without_pid_mapping(lf_address, pid_map)
+    geo = update_geocode_site_id(geocodes, addr)
+    geo = prune_geocodes_without_addresses(geo, addr)
+    return geo.select("geocode_id", "address_pid", "site_id")
+
+
 # ---------------------------------------------------------------------------
 # F12 — CHECK-constraint validation stage
 # ---------------------------------------------------------------------------
