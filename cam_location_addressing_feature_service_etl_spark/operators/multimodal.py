@@ -84,6 +84,9 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def decode_image_meta(df_with_payload: DataFrame) -> DataFrame:
     """The decode stage: Arrow-batched mapInPandas over binary payloads."""
+    from ..session import _ship_package
+
+    _ship_package(df_with_payload.sparkSession)
     return df_with_payload.mapInPandas(decode_image_meta_batches, IMAGE_META_SCHEMA)
 
 

@@ -62,11 +62,44 @@ def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conf to an externally-provided session.
 
     The correctness driver owns its own SparkSession; queries call this
-    so timezone/AQE semantics are identical either way.
+    so timezone/AQE semantics are identical either way. Also ships this
+    package to the executors (mapInPandas kernels pickle by reference,
+    so workers must be able to import it even when the driver process
+    didn't start inside the repo).
     """
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf may be static in some deployments
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """addPyFile a zip of this package once per session (idempotent)."""
+    if getattr(spark, "_cam_pkg_shipped", False):
+        return
+    try:
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        pkg_name = os.path.basename(pkg_dir)
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip"
+        )
+        if not os.path.exists(zpath):
+            with zipfile.ZipFile(zpath, "w") as zf:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(root, fn)
+                            rel = os.path.join(
+                                pkg_name, os.path.relpath(full, pkg_dir)
+                            )
+                            zf.write(full, rel)
+        spark.sparkContext.addPyFile(zpath)
+        spark._cam_pkg_shipped = True
+    except Exception:  # pragma: no cover - restricted contexts (e.g. Connect)
+        pass

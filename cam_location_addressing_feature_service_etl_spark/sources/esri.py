@@ -107,6 +107,10 @@ def paged_feature_scan(
     concern, reference crud.py:19-24 / geocode.py:455-464)."""
     import pandas as pd
 
+    from ..session import _ship_package
+
+    _ship_package(pages.sparkSession)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []

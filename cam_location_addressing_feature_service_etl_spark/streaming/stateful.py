@@ -58,6 +58,9 @@ def _update_user(
 
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Cumulative per-user totals, updated each micro-batch."""
+    from ..session import _ship_package
+
+    _ship_package(events.sparkSession)
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
