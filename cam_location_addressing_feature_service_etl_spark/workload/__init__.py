@@ -46,6 +46,7 @@ def _load_all_modules() -> None:
     from . import llm_similarity  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import events  # noqa: F401
+    from . import geo  # noqa: F401
 
 
 _load_all_modules()

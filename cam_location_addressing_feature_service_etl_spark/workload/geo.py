@@ -1,0 +1,118 @@
+"""Geospatial operators over point columns (lat/lon doubles — the
+reference's geocode geometry, ``centoid_lat``/``centoid_lon``).
+
+The reference only carries coordinates through (SURVEY §1.2); a
+location engine also needs distance, containment, and spatial
+bucketing. Testdata has no coordinate columns, so points are derived
+deterministically from customer keys (same arithmetic in the oracle).
+
+Precision note: haversine uses sin/cos/asin whose last-bit results
+may differ between JVM and DuckDB libm — distances are rounded to
+0.1 km on both sides, 10 orders of magnitude above the float noise,
+and every filter compares the rounded value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..tables import load
+from . import register
+
+# Deterministic synthetic points in a box around Queensland:
+# lat in [-29, -9), lon in [138, 154).
+_POINTS_SQL = """
+SELECT c_custkey AS point_id,
+       -29.0 + (c_custkey % 2000) / 100.0        AS lat,
+       138.0 + ((c_custkey * 7) % 1600) / 100.0  AS lon
+FROM customer
+"""
+
+_BNE_LAT, _BNE_LON = -27.47, 153.03
+
+#: haversine great-circle distance in km (R = 6371.0088)
+_HAVERSINE_SQL = """
+2 * 6371.0088 * asin(sqrt(
+    pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)
+    + cos(radians({lat1})) * cos(radians({lat2}))
+      * pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)
+))
+"""
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    customer = load(spark, sf_dir, "customer")
+    return customer.select(
+        F.col("c_custkey").alias("point_id"),
+        (-29.0 + (F.col("c_custkey") % 2000) / 100.0).alias("lat"),
+        (138.0 + ((F.col("c_custkey") * 7) % 1600) / 100.0).alias("lon"),
+    )
+
+
+def haversine_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance (km) as a pure column expression."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = F.pow(F.sin(dlat / 2), 2) + F.cos(F.radians(lat1)) * F.cos(
+        F.radians(lat2)
+    ) * F.pow(F.sin(dlon / 2), 2)
+    return F.lit(2 * 6371.0088) * F.asin(F.sqrt(a))
+
+
+@register(
+    "geo_haversine_within",
+    oracle=f"""
+WITH pts AS ({_POINTS_SQL})
+SELECT point_id,
+       ROUND({_HAVERSINE_SQL.format(lat1="lat", lon1="lon", lat2=_BNE_LAT, lon2=_BNE_LON)}, 1)
+         AS dist_km
+FROM pts
+WHERE ROUND({_HAVERSINE_SQL.format(lat1="lat", lon1="lon", lat2=_BNE_LAT, lon2=_BNE_LON)}, 1) <= 500.0
+""",
+)
+def geo_haversine_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points within 500 km of Brisbane, by haversine distance."""
+    pts = _points(spark, sf_dir)
+    d = F.round(
+        haversine_km(F.col("lat"), F.col("lon"), F.lit(_BNE_LAT), F.lit(_BNE_LON)), 1
+    )
+    return pts.select("point_id", d.alias("dist_km")).filter(F.col("dist_km") <= 500.0)
+
+
+@register(
+    "geo_bbox_filter",
+    oracle=f"""
+WITH pts AS ({_POINTS_SQL})
+SELECT point_id, lat, lon FROM pts
+WHERE lat BETWEEN -28.0 AND -26.0 AND lon BETWEEN 152.0 AND 154.0
+""",
+)
+def geo_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box containment — sargable range predicates that reach
+    the scan (and prune files on lat/lon-sorted layouts)."""
+    return _points(spark, sf_dir).filter(
+        F.col("lat").between(-28.0, -26.0) & F.col("lon").between(152.0, 154.0)
+    )
+
+
+@register(
+    "geo_gridcell_agg",
+    oracle=f"""
+WITH pts AS ({_POINTS_SQL})
+SELECT CAST(FLOOR(lat * 10) AS BIGINT) AS cell_lat,
+       CAST(FLOOR(lon * 10) AS BIGINT) AS cell_lon,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM pts GROUP BY 1, 2
+""",
+)
+def geo_gridcell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """0.1°-grid-cell density — the spatial bucketing that becomes the
+    partition/cluster key for co-located spatial joins at scale."""
+    pts = _points(spark, sf_dir)
+    return pts.groupBy(
+        F.floor(F.col("lat") * 10).cast("long").alias("cell_lat"),
+        F.floor(F.col("lon") * 10).cast("long").alias("cell_lon"),
+    ).agg(F.count(F.lit(1)).alias("n_points"))
