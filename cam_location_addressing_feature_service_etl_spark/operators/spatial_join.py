@@ -1,0 +1,103 @@
+"""Distributed spatial join: nearest neighbor within a radius, via
+grid-cell blocking — the composition pattern for operators Spark
+lacks natively (SURVEY §7 "custom operators": built-in ops first).
+
+Exactness argument: with square cells of side ``cell_deg`` chosen so
+that ``radius_km`` never spans more than one cell in either axis
+(cell_deg ≥ radius_km / 111.0 / cos(max|lat|)), any B-point within the
+radius of an A-point lies in A's cell or one of its 8 neighbors. The
+join therefore explodes each A-point to its 3×3 candidate cells, hash-
+joins on the cell key, verifies haversine ≤ radius, and keeps rank 1.
+
+Scale: one shuffle on the cell key; density skew (cities) is AQE
+skew-split; candidate count is bounded by local density × 9 instead
+of |A|×|B|. This is the standard PostGIS/Sedona grid-join reduced to
+pure DataFrame algebra — no UDFs, no spatial library.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = F.pow(F.sin(dlat / 2), 2) + F.cos(F.radians(lat1)) * F.cos(
+        F.radians(lat2)
+    ) * F.pow(F.sin(dlon / 2), 2)
+    return F.lit(2 * 6371.0088) * F.asin(F.sqrt(a))
+
+
+def _cell(lat: Column, lon: Column, cell_deg: float) -> tuple[Column, Column]:
+    return (
+        F.floor(lat / F.lit(cell_deg)).cast("long"),
+        F.floor(lon / F.lit(cell_deg)).cast("long"),
+    )
+
+
+def nearest_within_radius(
+    points: DataFrame,
+    candidates: DataFrame,
+    radius_km: float,
+    cell_deg: float,
+    point_id: str = "point_id",
+    cand_id: str = "cand_id",
+    round_digits: int = 1,
+) -> DataFrame:
+    """For each row of ``points`` (point_id, lat, lon): the single
+    nearest row of ``candidates`` (cand_id, lat, lon) with haversine
+    distance ≤ radius_km; ties broken by cand_id. Points with no
+    candidate in range are absent (inner semantics).
+
+    ``cell_deg`` must be ≥ the radius in degrees at the data's extreme
+    latitude; validated cheaply here (guards exactness).
+    """
+    if cell_deg * 111.0 < radius_km:
+        raise ValueError(
+            f"cell_deg={cell_deg}° spans {cell_deg * 111.0:.0f} km < radius "
+            f"{radius_km} km — neighbor expansion would miss candidates; the "
+            "caller must also ensure the longitude axis covers the radius at "
+            "the data's extreme latitude (cell_deg·111·cos(lat) ≥ radius)"
+        )
+    # A side exploded to its 3x3 neighborhood
+    a = (
+        points.select(F.col(point_id), F.col("lat").alias("a_lat"), F.col("lon").alias("a_lon"))
+        .withColumn("_clat", F.floor(F.col("a_lat") / F.lit(cell_deg)).cast("long"))
+        .withColumn("_clon", F.floor(F.col("a_lon") / F.lit(cell_deg)).cast("long"))
+        .withColumn("_dlat", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_dlon", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            point_id,
+            "a_lat",
+            "a_lon",
+            (F.col("_clat") + F.col("_dlat")).alias("cell_lat"),
+            (F.col("_clon") + F.col("_dlon")).alias("cell_lon"),
+        )
+    )
+    b = candidates.select(
+        F.col(cand_id),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        F.floor(F.col("lat") / F.lit(cell_deg)).cast("long").alias("cell_lat"),
+        F.floor(F.col("lon") / F.lit(cell_deg)).cast("long").alias("cell_lon"),
+    )
+    scored = (
+        a.join(b, ["cell_lat", "cell_lon"])
+        .withColumn(
+            "dist_km",
+            F.round(
+                haversine_km(F.col("a_lat"), F.col("a_lon"), F.col("b_lat"), F.col("b_lon")),
+                round_digits,
+            ),
+        )
+        .filter(F.col("dist_km") <= radius_km)
+    )
+    w = Window.partitionBy(point_id).orderBy(F.asc("dist_km"), F.asc(cand_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(point_id, cand_id, "dist_km")
+    )

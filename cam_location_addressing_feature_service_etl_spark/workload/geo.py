@@ -98,6 +98,52 @@ def geo_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUPPLIER_POINTS_SQL = """
+SELECT s_suppkey AS cand_id,
+       -29.0 + ((s_suppkey * 13) % 2000) / 100.0 AS lat,
+       138.0 + ((s_suppkey * 29) % 1600) / 100.0 AS lon
+FROM supplier
+"""
+
+_NN_RADIUS_KM = 75.0
+
+
+@register(
+    "geo_nearest_within_radius",
+    oracle=f"""
+WITH a AS ({_POINTS_SQL}),
+b AS ({_SUPPLIER_POINTS_SQL}),
+scored AS (
+  SELECT a.point_id, b.cand_id,
+         ROUND({_HAVERSINE_SQL.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")}, 1)
+           AS dist_km
+  FROM a CROSS JOIN b
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY point_id
+                               ORDER BY dist_km ASC, cand_id ASC) AS rn
+  FROM scored WHERE dist_km <= {_NN_RADIUS_KM}
+)
+SELECT point_id, cand_id, dist_km FROM ranked WHERE rn = 1
+""",
+)
+def geo_nearest_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest supplier-point within 75 km of each customer-point, via
+    the grid-bucketed spatial join (operators/spatial_join.py) — the
+    oracle is the brute-force cross join, proving the 3×3 neighbor
+    expansion loses nothing."""
+    from ..operators.spatial_join import nearest_within_radius
+
+    pts = _points(spark, sf_dir)
+    supplier = load(spark, sf_dir, "supplier")
+    cands = supplier.select(
+        F.col("s_suppkey").alias("cand_id"),
+        (-29.0 + ((F.col("s_suppkey") * 13) % 2000) / 100.0).alias("lat"),
+        (138.0 + ((F.col("s_suppkey") * 29) % 1600) / 100.0).alias("lon"),
+    )
+    return nearest_within_radius(pts, cands, radius_km=_NN_RADIUS_KM, cell_deg=1.0)
+
+
 @register(
     "geo_gridcell_agg",
     oracle=f"""
