@@ -24,7 +24,7 @@ from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.upsert import upsert_by_key, upsert_with_reset
+from ..operators.upsert import upsert_by_key
 from ..sources.snapshot import (
     carry_forward_geocodes,
     latest_snapshot,

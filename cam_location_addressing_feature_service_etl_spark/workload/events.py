@@ -55,7 +55,7 @@ SELECT CAST(user_id AS VARCHAR) || '-' || CAST(session_idx AS VARCHAR) AS sessio
        user_id,
        STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 4) AS total_value
+       ROUND(SUM(CAST(value AS DECIMAL(18,8))), 4)::DOUBLE AS total_value
 FROM numbered
 GROUP BY user_id, session_idx
 """,
@@ -82,7 +82,9 @@ def ev_sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,8)")), 4)
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.concat_ws(
@@ -102,7 +104,7 @@ def ev_sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value
+       ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -115,7 +117,9 @@ def ev_tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -148,11 +152,57 @@ def ev_user_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_top_revenue_segments",
+    oracle="""
+SELECT c.c_mktsegment, n.n_name,
+       ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'O'
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+GROUP BY 1, 2
+""",
+)
+def agg_top_revenue_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-heavy revenue rollup (TPC-H Q3/Q5 shape): fact⋈fact⋈dim⋈dim
+    with partial aggregation and a distinct-count. Beyond the
+    reference's operator set; a benchmark headline for join planning.
+
+    Note: revenue is summed as DECIMAL(18,6) on both sides — float
+    reduction order differs between engines (and between Spark runs),
+    and a measured 1-in-125 groups landed exactly on a 0.01 rounding
+    boundary with double sums. Decimal addition is exact and
+    order-independent; the per-row product stays in double (identical
+    bits everywhere)."""
+    tune(spark)
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_mktsegment", "n_name")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
     "ev_agg_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2)      AS sum_qty,
-       ROUND(AVG(l_discount), 6)      AS avg_disc,
+       ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2)::DOUBLE AS sum_qty,
+       ROUND(SUM(CAST(l_discount AS DECIMAL(18,9))) / COUNT(*), 6)::DOUBLE AS avg_disc,
        CAST(COUNT(*) AS BIGINT)       AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -170,8 +220,14 @@ def ev_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,9)")) / F.count(F.lit(1)), 6
+            )
+            .cast("double")
+            .alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
