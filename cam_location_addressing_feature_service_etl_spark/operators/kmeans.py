@@ -1,0 +1,74 @@
+"""Iterative k-means (Lloyd's) in pure DataFrame algebra — the
+representative *iterative* algorithm (driver records a rows-only
+check: multi-round iteration with data-dependent state is not
+expressible as one ANSI-SQL query).
+
+Per iteration: assign each vector to its nearest centroid (squared
+euclidean via zip_with/aggregate — JVM-side), then recompute centroids
+as element-wise means (posexplode → groupBy(cluster, pos) avg →
+re-assemble arrays). Assignments are persisted per round to keep the
+plan linear in iterations.
+
+Determinism: init = the k lowest vec_ids; ties in assignment break by
+centroid id. Scale: each iteration is one shuffle for the assignment
+argmin (window on vec_id) + one for the centroid mean; centroids
+broadcast (k ≪ n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, v) × (cluster, c) → (vec_id, cluster) by nearest centroid."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cluster", _sq_dist(F.col("v"), F.col("c")).alias("d")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cluster"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster")
+    )
+
+
+def kmeans_update(vectors: DataFrame, assignments: DataFrame) -> DataFrame:
+    """New centroids = element-wise mean of each cluster's members."""
+    member = vectors.join(assignments, "vec_id").select(
+        "cluster", F.posexplode("v").alias("pos", "val")
+    )
+    means = member.groupBy("cluster", "pos").agg(F.avg("val").alias("m"))
+    return (
+        means.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cluster", F.transform("pm", lambda s: s["m"]).alias("c"))
+    )
+
+
+def lloyd(vectors: DataFrame, k: int, iterations: int = 3) -> DataFrame:
+    """Run ``iterations`` rounds of Lloyd's; returns final assignments
+    (vec_id, cluster). ``vectors`` must have (vec_id, embedding)."""
+    v = vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    w = Window.orderBy("vec_id")
+    centroids = (
+        v.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select((F.col("rn") - 1).alias("cluster"), F.col("v").alias("c"))
+    )
+    assignments = None
+    for _ in range(iterations):
+        assignments = kmeans_assign(v, centroids).persist()
+        assignments.count()  # materialize: keeps the next round's plan flat
+        centroids = kmeans_update(v, assignments)
+    return assignments

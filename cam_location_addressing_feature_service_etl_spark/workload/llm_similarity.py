@@ -133,6 +133,19 @@ def sim_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_kmeans_assignments")  # no oracle: iterative, rows-only check
+def sim_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2 rounds of Lloyd's k-means (k=8) over the embeddings — the
+    iterative-algorithm representative (deliberately no SQL oracle:
+    multi-round data-dependent iteration isn't one ANSI query; the
+    driver records the weaker rows-only check for exactly this class).
+    Convergence/quality is asserted in tests/test_kmeans.py."""
+    from ..operators.kmeans import lloyd
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return lloyd(embeddings, k=8, iterations=2)
+
+
 _NEARDUP_THRESHOLD = 0.4
 
 
