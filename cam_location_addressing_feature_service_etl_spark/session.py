@@ -43,6 +43,9 @@ RUNTIME_CONF = {
     # events.parquet stores TIMESTAMP(NANOS); Spark's reader rejects it
     # unless nanos are surfaced as long (converted back in tables.load).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # the esri Python data source implements pushFilters; Spark refuses
+    # to initialize such readers unless this is on.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

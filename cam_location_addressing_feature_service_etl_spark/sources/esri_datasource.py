@@ -63,6 +63,41 @@ class EsriReader(DataSourceReader):
         self.page_size = int(options.get("page_size", "2000"))
         self.mode = options.get("mode", "live")
         self.where = options.get("where", "1=1")
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        """Best-effort pushdown (P5 at the DSv2 layer): supported
+        comparison filters are translated into the server-side ``where``
+        clause — the page COUNT shrinks, so fewer partitions and fewer
+        rows transfer — and are ALSO returned so Spark re-applies them
+        (safe even if the server's evaluation differs; the reference
+        trusts the server the same way for last_edited_date)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        fragments = []
+        for f in filters:
+            op = ops.get(type(f))
+            if op is not None and len(f.attribute) == 1 and isinstance(
+                f.value, (int, float)
+            ):
+                fragments.append(f"{f.attribute[0]} {op} {f.value}")
+        if fragments:
+            self.pushed = fragments
+            self.where = " AND ".join([self.where, *fragments])
+        return filters  # Spark re-applies everything (partial pushdown)
 
     def _total(self) -> int:
         if self.mode == "fake":
