@@ -120,15 +120,32 @@ def cosine_pairs_above(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    num_tiles: int = 8,
 ) -> DataFrame:
-    """All pairs (a<b) with cosine ≥ threshold, computed as a blocked
-    GEMM: vectors are unit-normalized JVM-side, the full normalized
-    matrix is broadcast (like the build side of a broadcast join), and
-    each partition multiplies its block against it with numpy
-    (BLAS-vectorized mapInPandas) — ~50× the per-pair expression path.
+    """All pairs (a<b) with cosine ≥ threshold, as a fully distributed
+    tiled GEMM — the driver never materializes the matrix.
 
-    Scale: at 100 TB you tile the broadcast side (IVF-block or
-    band-partition both sides); the kernel is unchanged. The float
+    Plan shape (one shuffle):
+
+    1. unit-normalize JVM-side (``transform``/``aggregate`` exprs);
+    2. tile each vector by ``xxhash64(id) % T`` and replicate it to its
+       tile-pair groups — tile ``t`` serves as the A side of pairs
+       ``(t, t..T-1)`` and the B side of pairs ``(0..t, t)``, so the
+       T(T+1)/2 upper-triangle tile pairs each see exactly the rows
+       they need (replication factor T+1, shuffle volume N·(T+1));
+    3. ``applyInPandas`` per tile pair runs one numpy/BLAS GEMM
+       A @ Bᵀ and keeps entries ≥ threshold.
+
+    Diagonal groups (ta == tb) hold each vector on both sides; the
+    strict ``id_a < id_b`` mask keeps the triangle. Off-diagonal
+    groups hold disjoint sides, every cross pair appears in exactly
+    one group, and ids are emitted (min, max) — so the union over
+    groups is exact and duplicate-free.
+
+    Scale: T is a knob — pick T ≈ N·bytes_per_row / executor_block
+    budget so a tile pair (2 blocks + the score tile) fits one task.
+    At 100 TB nothing changes: no broadcast, no driver state, skew-free
+    hash tiling, and the GEMM stays BLAS-vectorized per task. The float
     delta between BLAS accumulation and a sequential fold is ~1e-15
     relative — far inside the 1e-6 rounding applied on both sides.
     """
@@ -142,12 +159,45 @@ def cosine_pairs_above(
         StructType,
     )
 
-    v = vectors.select(F.col(id_col), normalized_col(as_double_array(F.col(vec_col))).alias("nv"))
-    rows = v.collect()  # broadcast build side: ids + normalized matrix
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    sc = vectors.sparkSession.sparkContext
-    build = sc.broadcast((ids, mat))
+    t_count = int(num_tiles)
+    v = (
+        vectors.select(
+            F.col(id_col).alias("vid"),
+            normalized_col(as_double_array(F.col(vec_col))).alias("nv"),
+        )
+        .withColumn("t", F.pmod(F.xxhash64("vid"), F.lit(t_count)).cast("int"))
+    )
+    # Side A: tile t participates in pairs (t, tb) for tb >= t.
+    a_side = (
+        v.select(
+            "vid",
+            "nv",
+            "t",
+            F.explode(F.sequence(F.col("t"), F.lit(t_count - 1))).alias("tb"),
+        )
+        .select(
+            (F.col("t") * t_count + F.col("tb")).alias("grp"),
+            F.lit(0).alias("side"),
+            "vid",
+            "nv",
+        )
+    )
+    # Side B: tile t participates in pairs (ta, t) for ta <= t.
+    b_side = (
+        v.select(
+            "vid",
+            "nv",
+            "t",
+            F.explode(F.sequence(F.lit(0), F.col("t"))).alias("ta"),
+        )
+        .select(
+            (F.col("ta") * t_count + F.col("t")).alias("grp"),
+            F.lit(1).alias("side"),
+            "vid",
+            "nv",
+        )
+    )
+    both = a_side.unionByName(b_side)
 
     out_schema = StructType(
         [
@@ -157,19 +207,29 @@ def cosine_pairs_above(
         ]
     )
 
-    def kernel(batches):
-        ids_b, mat_b = build.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            block_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            block = np.vstack(pdf["nv"].to_numpy())
-            sims = np.round(block @ mat_b.T, round_digits)
-            ia, ib = np.nonzero(
-                (sims >= threshold) & (block_ids[:, None] < ids_b[None, :])
-            )
-            yield pd.DataFrame(
-                {"id_a": block_ids[ia], "id_b": ids_b[ib], "cosine": sims[ia, ib]}
-            )
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
+        )
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return empty
+        grp = int(pdf["grp"].iloc[0])
+        diagonal = (grp // t_count) == (grp % t_count)
+        a_ids = a["vid"].to_numpy(dtype=np.int64)
+        b_ids = b["vid"].to_numpy(dtype=np.int64)
+        a_mat = np.vstack(a["nv"].to_numpy())
+        b_mat = np.vstack(b["nv"].to_numpy())
+        sims = np.round(a_mat @ b_mat.T, round_digits)
+        mask = sims >= threshold
+        if diagonal:
+            mask &= a_ids[:, None] < b_ids[None, :]
+        else:
+            mask &= a_ids[:, None] != b_ids[None, :]
+        ia, ib = np.nonzero(mask)
+        lo = np.minimum(a_ids[ia], b_ids[ib])
+        hi = np.maximum(a_ids[ia], b_ids[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[ia, ib]})
 
-    return v.mapInPandas(kernel, out_schema)
+    return both.groupBy("grp").applyInPandas(kernel, out_schema)
