@@ -1,0 +1,85 @@
+"""Merge as-of join — for each left row, the latest right row with
+``right_ts <= left_ts`` on the same key.
+
+Spark has no ASOF JOIN operator (DuckDB/Pandas do); the naive rewrite
+is a range join that explodes to O(|L|·|R|) per key. This is the
+scalable composition: tag both sides, union, and take
+``last(payload, ignorenulls=True)`` over a (key, time)-ordered window
+— one shuffle on the key, linear work, no pair blow-up. This mirrors
+how pandas.merge_asof works after its sort, but distributed.
+
+Reference context: the reference ETL has no temporal joins (SURVEY.md
+§2.3 "Not present: range joins, as-of/interval joins"); this operator
+is part of the large-scale-pipeline extension surface (event
+attribution, feature backfill at training time).
+
+Scale notes: one shuffle on ``on``; within a partition the window is
+a linear scan. Skewed keys degrade like any window — pre-salt by time
+range and stitch boundary rows if a single key exceeds an executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def merge_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_seq: str,
+    payload: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, enriched with ``payload``
+    columns from the latest ``right`` row at or before ``left_ts``
+    (ties on ``right_ts`` broken by highest ``right_seq``); NULLs when
+    no right row precedes.
+
+    Output columns: all of ``left``'s, then ``{prefix}ts`` (the
+    matched right timestamp) and one ``{prefix}<c>`` per payload col.
+    """
+    pay_struct = F.struct(
+        F.col(right_ts).alias("ts"), *[F.col(c).alias(c) for c in payload]
+    )
+    r2 = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(right_seq).cast("long").alias("_seq"),
+        pay_struct.alias("_pay"),
+    )
+    pay_type = r2.schema["_pay"].dataType
+    lrow = F.struct(*[F.col(c) for c in left.columns])
+    l2 = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_seq"),
+        F.lit(None).cast(pay_type).alias("_pay"),
+        lrow.alias("_lrow"),
+    )
+    lrow_type = l2.schema["_lrow"].dataType
+    r2 = r2.withColumn("_lrow", F.lit(None).cast(lrow_type))
+
+    # Right rows sort BEFORE left rows at equal timestamps (_side 0 < 1)
+    # so the match is inclusive (right_ts <= left_ts); among right ties,
+    # the highest _seq lands last in the frame and wins.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_seq").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        l2.unionByName(r2)
+        .withColumn("_last", F.last("_pay", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    out = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    out.append(F.col("_last.ts").alias(f"{prefix}ts"))
+    out.extend(F.col(f"_last.{c}").alias(f"{prefix}{c}") for c in payload)
+    return matched.select(*out)

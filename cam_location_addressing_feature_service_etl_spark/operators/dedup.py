@@ -316,3 +316,50 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    iterations: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Fixed-iteration min-label propagation over an undirected edge
+    set: each node's label starts as itself and each round becomes the
+    minimum of its own and its neighbors' labels. After ``iterations``
+    rounds the label is the component minimum for every node within
+    that graph distance of its component's minimum — the dedup-cluster
+    representative (union-find, but set-based and distributed).
+
+    Determinism: the result after exactly N rounds is a pure function
+    of the edge set, so a fixed N yields an oracle-checkable result
+    whether or not propagation has converged. Per round: one shuffle
+    to group neighbor labels, one join back — at 100 TB scale switch
+    to the large-star/small-star alternation (Kiveris et al., "CC in
+    MapReduce and Beyond"), which converges in O(log n) rounds with
+    the same per-round plan shape.
+
+    Returns (node, label) with label = component representative.
+    """
+    bidir = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    labels = bidir.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iterations):
+        nbr_min = (
+            bidir.join(labels, bidir["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                labels["node"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
+                ).alias("label"),
+            )
+        )
+    return labels

@@ -231,3 +231,110 @@ def ev_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@register(
+    "ev_asof_last_purchase",
+    oracle="""
+WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
+       (SELECT epoch_us(p.ts) FROM p
+        WHERE p.user_id = c.user_id AND p.ts <= c.ts
+        ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS asof_us,
+       (SELECT ROUND(p.value, 4) FROM p
+        WHERE p.user_id = c.user_id AND p.ts <= c.ts
+        ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS asof_value
+FROM clicks c
+""",
+)
+def ev_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each click enriched with the user's latest purchase
+    at or before the click (NULL if none). Spark lacks ASOF JOIN; the
+    union + last-ignoring-nulls window composition is one shuffle and
+    linear work (operators/asof.py), vs the oracle's correlated-
+    subquery formulation — semantically identical, proving the
+    operator."""
+    from ..operators.asof import merge_asof
+
+    events = _events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase")
+    joined = merge_asof(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_seq="event_id", payload=["value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        F.unix_micros("asof_ts").alias("asof_us"),
+        F.round("asof_value", 4).alias("asof_value"),
+    )
+
+
+@register(
+    "ev_latency_percentiles",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.50), 4) AS p50,
+       ROUND(quantile_cont(value, 0.90), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def ev_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per event type — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the same
+    definition. Exact percentiles shuffle the group's values; at scale
+    swap in approx_percentile (t-digest) and drop the oracle to a
+    tolerance check."""
+    events = _events(spark, sf_dir)
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.90)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_BANDS = [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e12)]
+
+
+@register(
+    "ev_value_band_join",
+    oracle=f"""
+SELECT b.band,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(CAST(e.value AS DECIMAL(18,8))), 4)::DOUBLE AS sum_value
+FROM events e
+JOIN (VALUES {", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)}) b(band, lo, hi)
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+""",
+)
+def ev_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-band join: events bucketed into value bands via an
+    inequality join against a tiny literal dimension. The broadcast
+    nested-loop with a 3-row build side IS the scalable plan (probe
+    side streams, never shuffles); for large band tables switch to an
+    equi-join on a precomputed floor-bucket key."""
+    events = _events(spark, sf_dir)
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        events.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,8)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

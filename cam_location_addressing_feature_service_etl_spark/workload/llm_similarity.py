@@ -171,3 +171,76 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the sequential-fold brute force, proving equivalence."""
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     return cosine_pairs_above(embeddings, threshold=_NEARDUP_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (SimHash for embeddings)
+# ---------------------------------------------------------------------------
+
+_HP_DIM = 64
+_HP_PLANES = 8
+_HP_THRESHOLD = 0.4
+
+
+def _hyperplane(j: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane j: sin(1 + j*DIM + d).
+    Reproducible as plain numeric literals in both engines — no RNG
+    state to ship."""
+    import math
+
+    return [math.sin(1 + j * _HP_DIM + d) for d in range(_HP_DIM)]
+
+
+def _lsh_hyperplane_oracle() -> str:
+    bucket_terms = []
+    for j in range(_HP_PLANES):
+        plane = ", ".join(repr(x) for x in _hyperplane(j))
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(e, [{plane}]) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+hashed AS (SELECT vec_id, e, {bucket} AS bucket FROM v)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+       {_COS_SQL.format(a="a.e", b="b.e")} AS cosine
+FROM hashed a JOIN hashed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a="a.e", b="b.e")} >= {_HP_THRESHOLD}
+"""
+
+
+@register("sim_lsh_hyperplane", oracle=_lsh_hyperplane_oracle())
+def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH (sign-of-dot sketch, 8 planes): vectors
+    sharing an 8-bit sketch bucket are candidates; exact cosine
+    reranks within the bucket. The self-join keys on the bucket —
+    linear shuffle, never O(n²); P[same bucket] = (1 - θ/π)^8, so the
+    candidate mass concentrates on near-parallel vectors. Plane
+    coefficients are deterministic literals, identical in the oracle."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    v = embeddings.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("e")
+    )
+    bucket = None
+    for j in range(_HP_PLANES):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(j)])
+        dot = F.aggregate(
+            F.zip_with(F.col("e"), plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    hashed = v.withColumn("bucket", bucket)
+    a = hashed.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), "bucket"
+    )
+    b = hashed.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("bucket").alias("bb")
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cosine", F.round(cosine_col(F.col("ea"), F.col("eb")), 6))
+        .filter(F.col("cosine") >= _HP_THRESHOLD)
+        .select("id_a", "id_b", "bucket", "cosine")
+    )

@@ -376,3 +376,187 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bpe_ish_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over near-dup edges
+# ---------------------------------------------------------------------------
+
+_CC_THRESHOLD = 0.5
+_CC_ITERATIONS = 4
+
+
+def _cc_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, _CC_ITERATIONS + 1):
+        rounds.append(
+            f"""l{i} AS (
+  SELECT l.node, LEAST(l.label, COALESCE(MIN(nl.label), l.label)) AS label
+  FROM {prev} l
+  LEFT JOIN e ON e.s = l.node
+  LEFT JOIN {prev} nl ON nl.node = e.d
+  GROUP BY l.node, l.label
+)"""
+        )
+        prev = f"l{i}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH {_shingle_cte(_NJ_SHINGLE_N)},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM shingle a JOIN shingle b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter / (sa.sz + sb.sz - inter) >= {_CC_THRESHOLD}
+),
+e AS (SELECT id_a AS s, id_b AS d FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+l0 AS (SELECT DISTINCT s AS node, s AS label FROM e),
+{rounds_sql}
+SELECT node AS doc_id, label AS component_id FROM {prev}
+"""
+
+
+@register("dedup_connected_components", oracle=_cc_oracle())
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: trigram-Jaccard ≥ 0.5 pairs as edges, then
+    {n} rounds of min-label propagation — each near-dup cluster
+    collapses to its minimum doc_id (the canonical survivor). Fixed
+    iteration count makes the result oracle-checkable independent of
+    convergence; the oracle unrolls the same rounds as SQL."""
+    from ..operators.dedup import connected_components
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents, id_col="doc_id", text_col="text",
+        threshold=_CC_THRESHOLD, shingle_n=_NJ_SHINGLE_N,
+    )
+    labels = connected_components(pairs, iterations=_CC_ITERATIONS)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+dedup_connected_components.__doc__ = dedup_connected_components.__doc__.format(
+    n=_CC_ITERATIONS
+)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling k-gram hash, window minimum)
+# ---------------------------------------------------------------------------
+
+_WN_K = 3  # tokens per k-gram
+_WN_W = 4  # k-grams per winnowing window
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=f"""
+WITH tokl AS (SELECT doc_id, {TOKENS_SQL.format(col="text")} AS t FROM documents),
+tokpos AS (
+  SELECT doc_id, t, generate_subscripts(t, 1) AS pos, unnest(t) AS tok FROM tokl
+),
+sh AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(t[pos:pos + {_WN_K - 1}], ' ')) AS h,
+         len(t) - {_WN_K - 1} AS n_sh
+  FROM tokpos
+  WHERE pos <= len(t) - {_WN_K - 1}
+),
+winmin AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WN_W - 1} FOLLOWING) AS sel
+  FROM sh
+  QUALIFY pos <= n_sh - {_WN_W - 1}
+),
+sel AS (SELECT DISTINCT doc_id, sel FROM winmin)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_selected,
+       md5(string_agg(sel, '' ORDER BY sel)) AS winnow_fp
+FROM sel GROUP BY doc_id
+""",
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer et al., MOSS): hash
+    every {k}-token k-gram, slide a window of {w} consecutive hashes,
+    keep each window's minimum, fingerprint = md5 over the sorted
+    distinct selected hashes. Near-dup docs share selected hashes even
+    after edits — the basis of copy detection at corpus scale. Pure
+    column exprs + one explode; no shuffle until the final per-doc
+    aggregation."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toks = documents.select("doc_id", tokens_col(F.col("text")).alias("t"))
+    sh = (
+        toks.withColumn("n_sh", F.size("t") - (_WN_K - 1))
+        .filter(F.col("n_sh") >= 1)
+        .select(
+            "doc_id",
+            "n_sh",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_sh") - 1),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ", *[F.element_at("t", i + k + 1) for k in range(_WN_K)]
+                        )
+                    ),
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WN_W - 1)
+    )
+    winmin = (
+        sh.withColumn("sel", F.min("h").over(w))
+        .filter(F.col("pos") <= F.col("n_sh") - _WN_W)
+        .select("doc_id", "sel")
+        .distinct()
+    )
+    return winmin.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.md5(F.array_join(F.array_sort(F.collect_list("sel")), "")).alias("winnow_fp"),
+    )
+
+
+text_winnow_fingerprint.__doc__ = text_winnow_fingerprint.__doc__.format(
+    k=_WN_K, w=_WN_W
+)
+
+
+# ---------------------------------------------------------------------------
+# PII-style regex scan + redaction
+# ---------------------------------------------------------------------------
+
+@register(
+    "pii_redact_props",
+    oracle="""
+SELECT event_id,
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_numbers,
+       regexp_replace(props, '[0-9]+', '[NUM]', 'g') AS redacted
+FROM events
+""",
+)
+def pii_redact_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrub over the raw event payload: count numeric spans
+    and redact them — the pattern slot where production pipelines put
+    email/phone/SSN regexes. Pure JVM regex (regexp_count /
+    regexp_replace), no Python in the row path."""
+    tune(spark)
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.regexp_count("props", F.lit("[0-9]+")).cast("long").alias("n_numbers"),
+        F.regexp_replace("props", "[0-9]+", "[NUM]").alias("redacted"),
+    )
