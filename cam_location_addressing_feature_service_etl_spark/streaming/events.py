@@ -97,17 +97,102 @@ def sessionized_events(
     )
 
 
-def run_stream_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming plan over all currently-available input
     (availableNow trigger) into a memory sink; returns the result as a
     batch DataFrame. Used by tests; a real deployment writes to
-    Kafka/Delta with checkpointing instead."""
+    Kafka/Delta with checkpointing instead. ``output_mode`` must be
+    ``append`` for stream-stream joins and streaming dedup (no
+    result-set retraction), ``complete`` for running aggregates."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
     return stream_df.sparkSession.table(query_name)
+
+
+def deduped_event_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-per-id dedup: drop replayed event_ids
+    within the watermark horizon (``dropDuplicatesWithinWatermark``
+    keys the state store on event_id and evicts ids older than the
+    watermark — bounded state, unlike a plain dropDuplicates which
+    grows forever on a stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def click_purchase_stream_join(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each click paired with the same
+    user's purchases in the preceding ``horizon``. Both sides are
+    watermarked so the join state (buffered unmatched rows) is
+    evicted once the time-range condition can no longer match —
+    the canonical bounded-state stream-stream join shape.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", horizon)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", horizon)
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+        & (F.col("purchase_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value")
+
+
+def upsert_snapshot_sink(
+    stream_df: DataFrame,
+    snapshot_dir: str,
+    key_cols: list[str],
+    query_name: str = "upsert_sink",
+):
+    """foreachBatch upsert sink: every micro-batch is MERGEd into a
+    parquet snapshot with last-write-wins semantics (operators.upsert
+    — the streaming twin of the reference's per-page ESRI upsert,
+    SURVEY §2.9 M1/M2). Each batch rewrites the snapshot atomically
+    (read → merge → write to a temp dir → swap); on Delta/Iceberg this
+    becomes a native MERGE INTO with no rewrite.
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    import os
+    import shutil
+
+    from ..operators.upsert import upsert_by_key
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        updates = batch_df.dropDuplicates(key_cols)
+        if os.path.isdir(snapshot_dir):
+            base = spark.read.parquet(snapshot_dir)
+            merged = upsert_by_key(base, updates, key_cols)
+        else:
+            merged = updates
+        tmp = snapshot_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(snapshot_dir):
+            shutil.rmtree(snapshot_dir)
+        os.rename(tmp, snapshot_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
