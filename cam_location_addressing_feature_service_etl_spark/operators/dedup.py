@@ -341,13 +341,19 @@ def connected_components(
 
     Returns (node, label) with label = component representative.
     """
-    bidir = edges.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    bidir = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        # the edge set is re-joined every round: materialize it once
+        # (without this the edge-derivation subtree is replicated into
+        # every iteration's plan — measured 248 parquet scans for 4
+        # rounds over an LSH edge set)
+        .localCheckpoint(eager=False)
+    )
     labels = bidir.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    for _ in range(iterations):
+    for i in range(iterations):
         nbr_min = (
             bidir.join(labels, bidir["dst"] == labels["node"])
             .groupBy("src")
@@ -362,4 +368,9 @@ def connected_components(
                 ).alias("label"),
             )
         )
+        # truncate lineage each round (iterative plans grow without
+        # bound otherwise — the same reason GraphX checkpoints);
+        # lazy: nothing executes until the caller's action
+        if i < iterations - 1:
+            labels = labels.localCheckpoint(eager=False)
     return labels

@@ -9,7 +9,13 @@ Usage: python scripts/explain_audit.py [sf_dir] [name_substring ...]
 Known-intentional CARTESIAN flags (broadcast cross joins against tiny
 build sides, the designed plan): sim_cosine_topk_bruteforce /
 sim_ann_ivf_bucketed (every vector scored against a broadcast query /
-centroid set) and m3_stable_surrogate_ids (1-row max-id broadcast).
+centroid set), m3_stable_surrogate_ids (1-row max-id broadcast), and
+ev_value_band_join (inequality join against a 3-row literal dimension
+— BroadcastNestedLoop with a tiny build side IS the plan).
+
+Iterative operators (dedup_connected_components) localCheckpoint per
+round, so the audit sees only the final round's plan — by design:
+lineage truncation is what keeps iterative plans bounded.
 """
 
 from __future__ import annotations
