@@ -338,3 +338,156 @@ def ev_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@register(
+    "agg_cube_order_status",
+    oracle="""
+SELECT COALESCE(o_orderstatus, '(all)') AS status,
+       COALESCE(o_orderpriority, '(all)') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in one
+    pass (Spark expands the cube in a single Expand+partial-agg — no
+    4× rescan). Cube NULLs are labelled '(all)' (source columns are
+    non-null here, so the sentinel is unambiguous)."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+_EV_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "ev_pivot_type_counts",
+    oracle=f"""
+SELECT user_id,
+       {", ".join(f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}" for t in _EV_TYPES)}
+FROM events
+GROUP BY user_id
+""",
+)
+def ev_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per user, one count column per event type. The
+    explicit value list keeps the plan a single pass (no distinct-scan
+    to discover pivot columns) — at scale always pin the values."""
+    events = _events(spark, sf_dir)
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", _EV_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in _EV_TYPES],
+    )
+
+
+@register(
+    "ev_user_value_quartiles",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+""",
+)
+def ev_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows: ntile quartile + percent_rank per user over
+    the value ordering (event_id tiebreak makes ranks deterministic)."""
+    events = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@register(
+    "a5_approx_distinct_check",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+""",
+)
+def a5_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch, self-verified: the query
+    computes BOTH the exact distinct count (hash-checked against the
+    oracle) and the HLL estimate, and asserts the estimate lands
+    within 5% — the sketch's contract. At 100 TB the exact branch is
+    dropped and the sketch (mergeable, fixed-size state) is the
+    answer; rsd=0.02 ⇒ ~1.5 KB of state per group vs a distinct
+    shuffle of every user id."""
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+        )
+    )
+
+
+@register(
+    "a6_approx_percentile_check",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+""",
+)
+def a6_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (fixed-size quantile summary) self-verified
+    against the exact interpolated median: estimate must land within
+    5% relative. Same pattern as the HLL check: exact value carries
+    the oracle hash, the sketch carries the scale story."""
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
+        )
+        .select(
+            "event_type",
+            "exact_p50",
+            (
+                F.abs(F.col("approx_p50") - F.col("exact_p50"))
+                <= 0.05 * F.abs(F.col("exact_p50"))
+            ).alias("approx_within_5pct"),
+        )
+    )
