@@ -52,19 +52,25 @@ def brute_force_topk(
     streams through one pass — O(|Q|·|V|) work but a single scan and
     no shuffle except the per-query top-k (window on query id).
     """
+    # norms are precomputed ONCE per vector (not per pair): same fold
+    # order as the per-pair form, so the doubles are bit-identical,
+    # but the scoring loop runs 1 array fold per pair instead of 3.
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm_col(F.col("qv")))
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("nv")
-    )
+    ).withColumn("nn", norm_col(F.col("nv")))
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_col(F.col("qv"), F.col("nv")), round_digits).alias("cosine"),
+            F.round(
+                dot_col(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")),
+                round_digits,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -90,14 +96,17 @@ def ivf_assign(
     """
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), as_double_array(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm_col(F.col("cv")))
     v = vectors.select(
         F.col(id_col).alias("vid"), as_double_array(F.col(vec_col)).alias("vv")
-    )
+    ).withColumn("vn", norm_col(F.col("vv")))
     scored = v.crossJoin(F.broadcast(c)).select(
         "vid",
         "centroid_id",
-        F.round(cosine_col(F.col("vv"), F.col("cv")), round_digits).alias("ccos"),
+        F.round(
+            dot_col(F.col("vv"), F.col("cv")) / (F.col("vn") * F.col("cn")),
+            round_digits,
+        ).alias("ccos"),
     )
     w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("centroid_id"))
     return (

@@ -17,6 +17,8 @@ from ..operators.similarity import (
     as_double_array,
     brute_force_topk,
     cosine_col,
+    dot_col,
+    norm_col,
     cosine_pairs_above,
     ivf_assign,
 )
@@ -105,7 +107,10 @@ def sim_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = embeddings.filter(F.col("vec_id") < _IVF_CENTROIDS)
     members = embeddings.filter(F.col("vec_id") >= _IVF_CENTROIDS)
     assigned = ivf_assign(members, centroids).join(
-        members.select("vec_id", as_double_array(F.col("embedding")).alias("e")), "vec_id"
+        members.select(
+            "vec_id", as_double_array(F.col("embedding")).alias("e")
+        ).withColumn("n", norm_col(F.col("e"))),
+        "vec_id",
     )
     q = assigned.filter(
         (F.col("vec_id") >= _IVF_QUERY_LO) & (F.col("vec_id") < _IVF_QUERY_HI)
@@ -113,6 +118,7 @@ def sim_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("centroid_id").alias("qc"),
         F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
     )
     scored = (
         assigned.join(
@@ -122,7 +128,9 @@ def sim_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_col(F.col("qe"), F.col("e")), 6).alias("cosine"),
+            F.round(
+                dot_col(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -231,16 +239,22 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         term = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
-    hashed = v.withColumn("bucket", bucket)
+    # norm precomputed once per vector (bit-identical to the per-pair
+    # form, 3x fewer array folds in the rerank)
+    hashed = v.withColumn("bucket", bucket).withColumn("n", norm_col(F.col("e")))
     a = hashed.select(
-        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), "bucket"
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na"), "bucket"
     )
     b = hashed.select(
-        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("bucket").alias("bb")
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("n").alias("nb"),
+        F.col("bucket").alias("bb"),
     )
     return (
         a.join(b, (F.col("bucket") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cosine", F.round(cosine_col(F.col("ea"), F.col("eb")), 6))
+        .withColumn(
+            "cosine",
+            F.round(dot_col(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6),
+        )
         .filter(F.col("cosine") >= _HP_THRESHOLD)
         .select("id_a", "id_b", "bucket", "cosine")
     )

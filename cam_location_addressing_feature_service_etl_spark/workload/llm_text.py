@@ -560,3 +560,59 @@ def pii_redact_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("props", F.lit("[0-9]+")).cast("long").alias("n_numbers"),
         F.regexp_replace("props", "[0-9]+", "[NUM]").alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style merge statistics (global adjacent-pair counts)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+
+@register(
+    "text_bpe_pair_stats",
+    oracle=f"""
+WITH tokl AS (SELECT doc_id, {TOKENS_SQL.format(col="text")} AS t FROM documents),
+tokpos AS (
+  SELECT doc_id, t, generate_subscripts(t, 1) AS pos, unnest(t) AS tok FROM tokl
+),
+pairs AS (
+  SELECT tok || ' ' || t[pos + 1] AS pair
+  FROM tokpos WHERE pos < len(t)
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT {_BPE_TOP}
+""",
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE vocabulary training: corpus-wide counts
+    of adjacent token pairs, top-{n} by frequency. One explode + one
+    partial-agg groupBy; the top-k is a TakeOrderedAndProject (no full
+    sort). At 100 TB this is exactly the job you iterate per merge
+    round — counts are mergeable, so map-side combine does most of the
+    work before the shuffle."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(tokens_col(F.col("text")).alias("t"))
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i + 1), F.element_at("t", i + 2)
+                    ),
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_BPE_TOP)
+    )
+
+
+text_bpe_pair_stats.__doc__ = text_bpe_pair_stats.__doc__.format(n=_BPE_TOP)
