@@ -107,3 +107,58 @@ def frame_sample_plan(meta: DataFrame, every: int = 4) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every))
         ).alias("frame_idx"),
     ).withColumn("frame_idx", F.col("frame_idx").cast("long"))
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("out_width", LongType(), False),
+        StructField("out_height", LongType(), False),
+        StructField("out_bytes", LongType(), False),
+    ]
+)
+
+
+def resize_plan_batches(
+    batches: Iterator[pd.DataFrame], max_side: int = 224
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the resize stage: aspect-preserving
+    bound to ``max_side``. The pixel work is stubbed (no image libs
+    here) but the kernel carries the real contract: vectorized dim
+    arithmetic per Arrow batch, output byte estimate = w*h*3 (RGB).
+    Swap the body for PIL's ``thumbnail`` in production — signature,
+    schema and batch shape are unchanged."""
+    import numpy as np
+
+    for pdf in batches:
+        w = pdf["width"].to_numpy(dtype=np.float64)
+        h = pdf["height"].to_numpy(dtype=np.float64)
+        scale = np.minimum(1.0, max_side / np.maximum(w, h))
+        ow = np.floor(w * scale).astype(np.int64)
+        oh = np.floor(h * scale).astype(np.int64)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "out_width": ow,
+                "out_height": oh,
+                "out_bytes": ow * oh * 3,
+            }
+        )
+
+
+def resize_plan(meta: DataFrame, max_side: int = 224) -> DataFrame:
+    """Resize stage over decoded image metadata (Arrow-batched)."""
+    from ..session import _ship_package
+
+    _ship_package(meta.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return resize_plan_batches(batches, max_side=max_side)
+
+    return meta.select("doc_id", "width", "height").mapInPandas(
+        kernel, RESIZE_SCHEMA
+    )

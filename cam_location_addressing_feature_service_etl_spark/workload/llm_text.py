@@ -616,3 +616,64 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_bpe_pair_stats.__doc__ = text_bpe_pair_stats.__doc__.format(n=_BPE_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence chunking (fixed-size overlapping token windows)
+# ---------------------------------------------------------------------------
+
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 48
+
+
+@register(
+    "text_chunk_for_training",
+    oracle=f"""
+WITH tokl AS (SELECT doc_id, {TOKENS_SQL.format(col="text")} AS t FROM documents),
+tokpos AS (
+  SELECT doc_id, t, generate_subscripts(t, 1) AS pos, unnest(t) AS tok FROM tokl
+),
+starts AS (
+  SELECT doc_id, t, pos,
+         CAST((pos - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx
+  FROM tokpos
+  WHERE (pos - 1) % {_CHUNK_STRIDE} = 0
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(t[pos:pos + {_CHUNK_LEN - 1}]) AS BIGINT) AS n_tokens,
+       md5(array_to_string(t[pos:pos + {_CHUNK_LEN - 1}], ' ')) AS chunk_hash
+FROM starts
+""",
+)
+def text_chunk_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence prep for training: overlapping {L}-token chunks at
+    stride {S} (16-token overlap preserves context across boundaries).
+    One row per chunk with its token count and content hash. Explode +
+    slice stay JVM-side; at 100 TB this is a map-only stage — no
+    shuffle at all."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select("doc_id", tokens_col(F.col("text")).alias("t"))
+    chunks = toks.filter(F.size("t") >= 1).select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size("t") - 1) / _CHUNK_STRIDE).cast("long"),
+            )
+        ).alias("chunk_idx"),
+    )
+    sliced = chunks.withColumn(
+        "chunk", F.slice("t", F.col("chunk_idx").cast("int") * _CHUNK_STRIDE + 1, _CHUNK_LEN)
+    )
+    return sliced.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
+    )
+
+
+text_chunk_for_training.__doc__ = text_chunk_for_training.__doc__.format(
+    L=_CHUNK_LEN, S=_CHUNK_STRIDE
+)

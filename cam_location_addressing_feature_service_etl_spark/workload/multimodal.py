@@ -53,3 +53,36 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: one row per 4th frame index per media item."""
     meta = decode_image_meta(attach_binary_payload(_docs(spark, sf_dir)))
     return frame_sample_plan(meta, every=4).select("doc_id", "frame_idx")
+
+
+@register(
+    "mm_resize_plan",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT)       AS width,
+         CAST((octet_length(encode(text)) * 7) % 480 + 16 AS BIGINT) AS height
+  FROM documents
+),
+scaled AS (
+  SELECT doc_id, width, height,
+         LEAST(1.0, 224.0 / GREATEST(width, height)) AS scale
+  FROM meta
+)
+SELECT doc_id, width, height,
+       CAST(FLOOR(width * scale) AS BIGINT)  AS out_width,
+       CAST(FLOOR(height * scale) AS BIGINT) AS out_height,
+       CAST(FLOOR(width * scale) * FLOOR(height * scale) * 3 AS BIGINT) AS out_bytes
+FROM scaled
+""",
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize stage (bound to 224px): decode →
+    resize as chained Arrow mapInPandas stages — the standard
+    image-preprocessing shape for vision training data. Pixel work is
+    stubbed; dim arithmetic, schema, and batch plumbing are real and
+    oracle-checked."""
+    from ..operators.multimodal import resize_plan
+
+    meta = decode_image_meta(attach_binary_payload(_docs(spark, sf_dir)))
+    return resize_plan(meta, max_side=224)
