@@ -491,3 +491,102 @@ def a6_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_within_5pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion (ordered stage progression per user)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ev_funnel_conversion",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after
+""",
+)
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked strictly after
+    their first view, then purchased strictly after that click. Each
+    stage is a per-user MIN + a time-conditioned join back — at scale
+    all three stages share the user_id shuffle partitioning, so AQE
+    plans one exchange, and the stage frontiers are tiny relative to
+    the raw stream."""
+    events = _events(spark, sf_dir)
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (behavioral bigrams)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ev_event_transitions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ordered WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def ev_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: counts of consecutive event-type
+    bigrams per user (lead window on the user_id partitioning, then a
+    25-cell aggregate — the Markov-chain input for session modeling).
+    The groupBy output is bounded by |event_type|², so the final
+    shuffle is trivially small."""
+    events = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -258,3 +258,65 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= _HP_THRESHOLD)
         .select("id_a", "id_b", "bucket", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization of embeddings (row-wise min/max)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_embedding_quantize_int8",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+mm AS (
+  SELECT vec_id, e,
+         list_aggregate(e, 'min') AS mn,
+         list_aggregate(e, 'max') AS mx
+  FROM v
+),
+q AS (
+  SELECT vec_id, mn, mx,
+         CAST(len(e) AS BIGINT) AS n_dims,
+         list_transform(e, x -> CAST(LEAST(FLOOR((x - mn) * 255.0 / (mx - mn)), 255)
+                                     AS BIGINT)) AS codes
+  FROM mm
+)
+SELECT vec_id, n_dims,
+       ROUND(mn, 6) AS vmin, ROUND(mx, 6) AS vmax,
+       md5(array_to_string(codes, ',')) AS code_hash
+FROM q
+""",
+)
+def sim_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (asymmetric min/max) int8 quantization of the embedding
+    column — the standard 4× memory shrink before ANN index build.
+    Row-wise, map-only, pure JVM array exprs (transform/array_min/
+    array_max); the integer code vector is hash-verified against the
+    oracle bit-for-bit, no float tolerance needed. At 100 TB this
+    stage has zero shuffle."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    v = embeddings.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("e")
+    )
+    mm = v.select(
+        "vec_id",
+        "e",
+        F.array_min("e").alias("mn"),
+        F.array_max("e").alias("mx"),
+    )
+    codes = F.transform(
+        F.col("e"),
+        lambda x: F.least(
+            F.floor((x - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn"))),
+            F.lit(255),
+        ).cast("long"),
+    )
+    return mm.select(
+        "vec_id",
+        F.size("e").cast("long").alias("n_dims"),
+        F.round("mn", 6).alias("vmin"),
+        F.round("mx", 6).alias("vmax"),
+        F.md5(
+            F.array_join(F.transform(codes, lambda c: c.cast("string")), ",")
+        ).alias("code_hash"),
+    )

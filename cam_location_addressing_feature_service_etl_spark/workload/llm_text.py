@@ -677,3 +677,273 @@ def text_chunk_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_chunk_for_training.__doc__ = text_chunk_for_training.__doc__.format(
     L=_CHUNK_LEN, S=_CHUNK_STRIDE
 )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk block spans, per source)
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 256
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+WITH tokl AS (
+  SELECT doc_id, source,
+         CAST(len({TOKENS_SQL.format(col="text")}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_offset
+  FROM tokl
+)
+SELECT doc_id, source, n_tokens, start_offset,
+       CAST(FLOOR(start_offset / {_PACK_CAP}) AS BIGINT) AS first_block,
+       CAST(FLOOR((start_offset + GREATEST(n_tokens, 1) - 1) / {_PACK_CAP}) AS BIGINT)
+         AS last_block
+FROM cum
+""",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk): within each
+    source stream, documents are concatenated in doc_id order and cut
+    into fixed {cap}-token training blocks; each doc maps to its
+    [first_block, last_block] span. One running-sum window partitioned
+    by source — the packing key IS the partition key, so at 100 TB
+    this is a single shuffle on source with no global ordering
+    bottleneck (the classic mistake is a corpus-wide window)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toks = documents.select(
+        "doc_id", "source", F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = toks.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / _PACK_CAP).cast("long").alias("first_block"),
+        F.floor(
+            (F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+            / _PACK_CAP
+        )
+        .cast("long")
+        .alias("last_block"),
+    )
+
+
+text_pack_sequences.__doc__ = text_pack_sequences.__doc__.format(cap=_PACK_CAP)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+WITH tokl AS (SELECT doc_id, {TOKENS_SQL.format(col="text")} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM tokl),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+idf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, idf.df,
+         ROUND(tf.tf * ln((n.n_docs + 1.0) / (idf.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN idf USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok AS term, tf, df, tfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, tok ASC) AS rn
+  FROM scored
+) WHERE rn <= {_TFIDF_K}
+""",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{k} TF-IDF terms (smoothed idf). Term
+    frequencies partial-aggregate map-side; the document-frequency
+    table is vocabulary-sized (≪ corpus) so AQE broadcasts it; ranking
+    happens on the ROUNDed score (both engines) with a term tie-break
+    so top-k is total-ordered."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    tok = documents.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(idf, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_K)
+        .select("doc_id", F.col("tok").alias("term"), "tf", "df", "tfidf")
+    )
+
+
+text_tfidf_topk.__doc__ = text_tfidf_topk.__doc__.format(k=_TFIDF_K)
+
+
+# ---------------------------------------------------------------------------
+# Corpus unigram log-probability (perplexity-proxy quality signal)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+WITH tokl AS (SELECT doc_id, {TOKENS_SQL.format(col="text")} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM tokl),
+freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(ln(f.cnt / (1.0 * tot.total))), 6) AS avg_logprob
+FROM tok t JOIN freq f USING (tok) CROSS JOIN tot
+GROUP BY t.doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under the corpus unigram
+    distribution — the cheap perplexity proxy used to filter
+    gibberish/boilerplate before training. Two aggregations (corpus
+    term counts, then per-doc mean over a vocab join); the frequency
+    table is vocabulary-sized, so the join broadcasts."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    return (
+        tok.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / (1.0 * F.col("total")))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (hash-ordered per-stratum cap)
+# ---------------------------------------------------------------------------
+
+_STRAT_K = 40
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {_STRAT_K}
+""",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for data mixes: within each
+    language stratum keep the first {k} docs in content-hash order —
+    reproducible across runs and engines (no RNG), uniform because the
+    hash destroys doc_id locality. At scale this is one shuffle on the
+    stratum key; the per-stratum top-k never materializes the full
+    sort (rank + filter prunes early)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        documents.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _STRAT_K)
+        .select("doc_id", "lang", F.col("sample_rank").cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (posting lists, document frequency)
+# ---------------------------------------------------------------------------
+
+_POST_TOP = 50
+_POST_CAP = 10
+
+
+@register(
+    "text_postings_index",
+    oracle=f"""
+WITH tokl AS (SELECT doc_id, {TOKENS_SQL.format(col="text")} AS t FROM documents),
+dt AS (SELECT DISTINCT doc_id, tok
+       FROM (SELECT doc_id, unnest(t) AS tok FROM tokl)),
+agg AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+         array_to_string(list_sort(list(doc_id))[1:{_POST_CAP}], ',') AS postings
+  FROM dt GROUP BY tok
+)
+SELECT tok AS term, df, postings
+FROM agg ORDER BY df DESC, term ASC LIMIT {_POST_TOP}
+""",
+)
+def text_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: term → document frequency + the
+    first {cap} postings (sorted doc_ids), for the {top} highest-df
+    terms. The posting cap bounds per-term state (a real index shards
+    long posting lists); the top-k is TakeOrderedAndProject, not a
+    full sort."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    dt = (
+        documents.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    agg = dt.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, _POST_CAP),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return (
+        agg.select(F.col("tok").alias("term"), "df", "postings")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(_POST_TOP)
+    )
+
+
+text_postings_index.__doc__ = text_postings_index.__doc__.format(
+    cap=_POST_CAP, top=_POST_TOP
+)

@@ -11,7 +11,10 @@ build sides, the designed plan): sim_cosine_topk_bruteforce /
 sim_ann_ivf_bucketed (every vector scored against a broadcast query /
 centroid set), m3_stable_surrogate_ids (1-row max-id broadcast), and
 ev_value_band_join (inequality join against a 3-row literal dimension
-— BroadcastNestedLoop with a tiny build side IS the plan).
+— BroadcastNestedLoop with a tiny build side IS the plan), and the
+1-row broadcast scalar aggregates in text_tfidf_topk (corpus doc
+count), text_unigram_logprob (corpus token total), and
+ev_funnel_conversion (three stage counts combined into one row).
 
 Iterative operators (dedup_connected_components) localCheckpoint per
 round, so the audit sees only the final round's plan — by design:
