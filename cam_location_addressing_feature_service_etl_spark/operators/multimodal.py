@@ -162,3 +162,52 @@ def resize_plan(meta: DataFrame, max_side: int = 224) -> DataFrame:
     return meta.select("doc_id", "width", "height").mapInPandas(
         kernel, RESIZE_SCHEMA
     )
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("byte_len", LongType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("duration_ms", LongType(), False),
+        StructField("n_windows", LongType(), False),
+    ]
+)
+
+_AUDIO_WIN = 400  # 25 ms @ 16 kHz
+_AUDIO_HOP = 160  # 10 ms hop
+
+
+def decode_audio_meta_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the audio-decode stage (STUB header
+    parse, same contract as ``decode_image_meta_batches``): sample
+    rate / sample count / duration derived deterministically from the
+    payload length; framing uses the standard 25 ms window / 10 ms hop.
+    Swap for librosa/soundfile in production — schema, Arrow batch
+    shape, and framing arithmetic are the real pipeline."""
+    for pdf in batches:
+        lens = pdf["payload"].map(len)
+        sample_rate = 8000 + (lens % 3) * 4000
+        n_samples = (lens * 13) % 32000 + 800
+        n_windows = ((n_samples - _AUDIO_WIN) // _AUDIO_HOP + 1).clip(lower=0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": lens,
+                "sample_rate": sample_rate,
+                "n_samples": n_samples,
+                "duration_ms": n_samples * 1000 // sample_rate,
+                "n_windows": n_windows,
+            }
+        )
+
+
+def decode_audio_meta(df_with_payload: DataFrame) -> DataFrame:
+    """Audio-decode stage: Arrow-batched mapInPandas over payloads."""
+    from ..session import _ship_package
+
+    _ship_package(df_with_payload.sparkSession)
+    return df_with_payload.mapInPandas(decode_audio_meta_batches, AUDIO_META_SCHEMA)

@@ -320,3 +320,87 @@ def sim_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.transform(codes, lambda c: c.cast("string")), ",")
         ).alias("code_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): LSH bucket -> canonical -> prune
+# ---------------------------------------------------------------------------
+
+_SEM_THRESHOLD = 0.3
+
+
+def _semantic_dedup_oracle() -> str:
+    bucket_terms = []
+    for j in range(_HP_PLANES):
+        plane = ", ".join(repr(x) for x in _hyperplane(j))
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(e, [{plane}]) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    cos = _COS_SQL.format(a="h.e", b="ce.e")
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+hashed AS (SELECT vec_id, e, {bucket} AS bucket FROM v),
+canon AS (SELECT bucket, MIN(vec_id) AS canonical_id FROM hashed GROUP BY bucket),
+scored AS (
+  SELECT h.vec_id, h.bucket, c.canonical_id,
+         {cos} AS cos_to_canonical
+  FROM hashed h
+  JOIN canon c USING (bucket)
+  JOIN hashed ce ON ce.vec_id = c.canonical_id
+)
+SELECT vec_id, bucket, canonical_id, cos_to_canonical,
+       (vec_id <> canonical_id AND cos_to_canonical >= {_SEM_THRESHOLD}) AS pruned
+FROM scored
+"""
+
+
+@register("dedup_semantic_embedding", oracle=_semantic_dedup_oracle())
+def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: hyperplane-LSH bucket as the
+    cluster proxy, the minimum vec_id in each bucket as the canonical
+    survivor, and every other member pruned when its cosine to the
+    canonical clears the threshold. One shuffle on the bucket key plus
+    a broadcast-sized canonical join — the linear-cost shape of
+    cluster-then-prune semantic dedup at corpus scale (swap the LSH
+    bucket for k-means cell ids when a trained codebook exists). The
+    prune decision compares the ROUNDed cosine on both engines."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    v = embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("e"))
+    bucket = None
+    for j in range(_HP_PLANES):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(j)])
+        dot = F.aggregate(
+            F.zip_with(F.col("e"), plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    hashed = v.withColumn("bucket", bucket)
+    canon = hashed.groupBy("bucket").agg(F.min("vec_id").alias("canonical_id"))
+    canon_vec = hashed.select(
+        F.col("vec_id").alias("canonical_id"), F.col("e").alias("ce")
+    )
+    scored = (
+        hashed.join(canon, "bucket")
+        .join(canon_vec, "canonical_id")
+        .withColumn(
+            "cos_to_canonical",
+            F.round(
+                dot_col(F.col("e"), F.col("ce"))
+                / (norm_col(F.col("e")) * norm_col(F.col("ce"))),
+                6,
+            ),
+        )
+    )
+    return scored.select(
+        "vec_id",
+        "bucket",
+        "canonical_id",
+        "cos_to_canonical",
+        (
+            (F.col("vec_id") != F.col("canonical_id"))
+            & (F.col("cos_to_canonical") >= _SEM_THRESHOLD)
+        ).alias("pruned"),
+    )

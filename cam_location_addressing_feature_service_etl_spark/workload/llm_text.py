@@ -947,3 +947,76 @@ def text_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_postings_index.__doc__ = text_postings_index.__doc__.format(
     cap=_POST_CAP, top=_POST_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-ratio quality rule (Gopher-style duplicate n-gram filter)
+# ---------------------------------------------------------------------------
+
+_REP_DUP_MAX = 0.2
+_REP_DISTINCT_MIN = 0.5
+
+
+def _repetition_oracle() -> str:
+    toks = TOKENS_SQL.format(col="text")
+    return f"""
+WITH {_shingle_cte(3)},
+sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS distinct_3g FROM shingle GROUP BY doc_id),
+base AS (SELECT doc_id, {toks} AS t FROM documents),
+scored AS (
+  SELECT b.doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         ROUND(len(list_distinct(t)) / (1.0 * GREATEST(len(t), 1)), 6)
+           AS distinct_token_ratio,
+         ROUND(CASE WHEN len(t) > 2
+                    THEN 1.0 - COALESCE(sc.distinct_3g, 0) / (1.0 * (len(t) - 2))
+                    ELSE 0.0 END, 6) AS dup_trigram_ratio
+  FROM base b LEFT JOIN sc ON sc.doc_id = b.doc_id
+)
+SELECT doc_id, n_tokens, distinct_token_ratio, dup_trigram_ratio,
+       (dup_trigram_ratio > {_REP_DUP_MAX}
+        OR distinct_token_ratio < {_REP_DISTINCT_MIN}) AS flagged
+FROM scored
+"""
+
+
+@register("text_repetition_ratio", oracle=_repetition_oracle())
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rule: fraction of duplicate
+    trigrams (1 - distinct/total) and distinct-token ratio; a doc is
+    flagged when dup_trigram_ratio > {dup} or distinct_token_ratio <
+    {dis} — the boilerplate/spam filter every corpus pass runs. Pure
+    array exprs per row (tokenize once, then count); the flag compares
+    the ROUNDed ratios so both engines decide identically at the
+    boundary."""
+    from ..operators.dedup import shingles_col
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    base = documents.select("doc_id", tokens_col(F.col("text")).alias("t"))
+    n = F.size("t")
+    distinct_ratio = F.round(
+        F.size(F.array_distinct("t")) / F.greatest(n, F.lit(1)), 6
+    )
+    dup_ratio = F.round(
+        F.when(
+            n > 2,
+            1.0 - F.size(shingles_col(F.col("t"), 3)) / (1.0 * (n - 2)),
+        ).otherwise(0.0),
+        6,
+    )
+    scored = base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        distinct_ratio.alias("distinct_token_ratio"),
+        dup_ratio.alias("dup_trigram_ratio"),
+    )
+    return scored.withColumn(
+        "flagged",
+        (F.col("dup_trigram_ratio") > _REP_DUP_MAX)
+        | (F.col("distinct_token_ratio") < _REP_DISTINCT_MIN),
+    )
+
+
+text_repetition_ratio.__doc__ = text_repetition_ratio.__doc__.format(
+    dup=_REP_DUP_MAX, dis=_REP_DISTINCT_MIN
+)

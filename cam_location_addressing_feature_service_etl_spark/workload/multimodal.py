@@ -86,3 +86,35 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     meta = decode_image_meta(attach_binary_payload(_docs(spark, sf_dir)))
     return resize_plan(meta, max_side=224)
+
+
+@register(
+    "mm_audio_frame_plan",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+  FROM documents
+),
+derived AS (
+  SELECT doc_id, byte_len,
+         8000 + (byte_len % 3) * 4000 AS sample_rate,
+         (byte_len * 13) % 32000 + 800 AS n_samples
+  FROM meta
+)
+SELECT doc_id, byte_len,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(FLOOR(n_samples * 1000 / sample_rate) AS BIGINT) AS duration_ms,
+       CAST(GREATEST(FLOOR((n_samples - 400) / 160) + 1, 0) AS BIGINT) AS n_windows
+FROM derived
+""",
+)
+def mm_audio_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality: decode stub + 25ms/10ms framing plan via Arrow
+    mapInPandas — the STT/audio-embedding preprocessing shape. Decode
+    is stubbed (no audio libs here); framing arithmetic, schema, and
+    batch plumbing are real and oracle-checked."""
+    from ..operators.multimodal import decode_audio_meta
+
+    return decode_audio_meta(attach_binary_payload(_docs(spark, sf_dir)))
