@@ -842,3 +842,97 @@ def f12_validation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.length("o_orderstatus") != 1, 1)).alias("violations"),
     )
     return name_w.unionByName(seg_w).unionByName(status1)
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP hierarchy + INTERSECT / EXCEPT set ops (engine-completeness:
+# the reference uses only UNION — SURVEY §2.7 — but a drop-in analytics
+# engine owes the full set-op family)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_rollup_region_nation",
+    oracle="""
+SELECT COALESCE(r.r_name, '(all)') AS region,
+       COALESCE(n.n_name, '(all)') AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))), 2)::DOUBLE AS total_acctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation hierarchy: per-nation, per-region
+    subtotal, and grand-total rows in one Expand+partial-agg pass (no
+    3× rescan). The two dimension joins broadcast (25/5 rows)."""
+    tune(spark)
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+    ).join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+@register(
+    "u3_intersect_nations",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""",
+)
+def u3_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations having both customers and suppliers.
+    Catalyst plans it as a distinct + left-semi — one shuffle per
+    side, no row explosion."""
+    tune(spark)
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@register(
+    "u4_except_nations",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+EXCEPT
+SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+""",
+)
+def u4_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with high-balance customers but no high-balance
+    suppliers (distinct + left-anti under the hood — the set-op twin
+    of the reference's NOT-EXISTS prune, SURVEY J6; both filters push
+    to the scans)."""
+    tune(spark)
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        customer.filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .subtract(
+            supplier.filter(F.col("s_acctbal") > 9000).select(
+                F.col("s_nationkey").alias("nationkey")
+            )
+        )
+    )
