@@ -33,34 +33,51 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    spark = get_spark(app_name="cam-etl-bench")
-    spark.sparkContext.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
-    # warm the JVM/session with one tiny action so the first measured
-    # query doesn't pay executor startup.
-    spark.range(1).count()
+    # The JSON result line must be the ONLY stdout line. Spark's JVM
+    # writes to fd 1 directly (ivy, log4j console), so swap fd 1 → fd 2
+    # at the OS level for the whole run and restore it just for the
+    # final print.
+    real_stdout_fd = os.dup(1)
+    os.dup2(2, 1)
+    try:
+        spark = get_spark(app_name="cam-etl-bench")
+        spark.sparkContext.setLogLevel("ERROR")
 
-    for name in sorted(QUERIES):
-        if name in SKIP:
-            continue
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings: dict[str, float] = {}
+        # warm the JVM/session with one tiny action so the first measured
+        # query doesn't pay executor startup.
+        spark.range(1).count()
+
+        for name in sorted(QUERIES):
+            if name in SKIP:
+                continue
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+    finally:
+        sys.stdout.flush()
+        os.dup2(real_stdout_fd, 1)
+        os.close(real_stdout_fd)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "workload_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "workload_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    # durable copy so the record survives any stdout-capture truncation
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "BENCH.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -63,21 +63,24 @@ def _update_funnel(
     t_view, t_click, t_purchase = (
         state.get if state.exists else (_NONE, _NONE, _NONE)
     )
-    for pdf in pdfs:
-        pdf = pdf.assign(ts_us=pdf["ts"].astype("int64") // 1000)
-        t_view = _min_ts(pdf, pdf["event_type"] == "view", t_view)
-        if t_view != _NONE:
-            t_click = _min_ts(
-                pdf,
-                (pdf["event_type"] == "click") & (pdf["ts_us"] > t_view),
-                t_click,
-            )
-        if t_click != _NONE:
-            t_purchase = _min_ts(
-                pdf,
-                (pdf["event_type"] == "purchase") & (pdf["ts_us"] > t_click),
-                t_purchase,
-            )
+    # Arrow delivers a group as multiple chunks in arbitrary order; the
+    # stage scan must see the whole micro-batch at once or a purchase in
+    # an earlier chunk than its unlocking click would be dropped.
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.assign(ts_us=pdf["ts"].astype("int64") // 1000)
+    t_view = _min_ts(pdf, pdf["event_type"] == "view", t_view)
+    if t_view != _NONE:
+        t_click = _min_ts(
+            pdf,
+            (pdf["event_type"] == "click") & (pdf["ts_us"] > t_view),
+            t_click,
+        )
+    if t_click != _NONE:
+        t_purchase = _min_ts(
+            pdf,
+            (pdf["event_type"] == "purchase") & (pdf["ts_us"] > t_click),
+            t_purchase,
+        )
     state.update((t_view, t_click, t_purchase))
     stage = 3 if t_purchase != _NONE else 2 if t_click != _NONE else 1 if t_view != _NONE else 0
     yield pd.DataFrame(

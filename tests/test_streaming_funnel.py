@@ -14,7 +14,6 @@ from cam_location_addressing_feature_service_etl_spark.streaming.events import (
 from cam_location_addressing_feature_service_etl_spark.streaming.funnel import (
     funnel_stage_tracker,
 )
-from cam_location_addressing_feature_service_etl_spark.tables import load
 from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
 
 from tests.conftest import SF_SMOKE
@@ -68,8 +67,14 @@ def test_streaming_funnel_matches_batch_single_batch(spark, tmp_path):
 
 def test_streaming_funnel_carries_state_across_ordered_batches(spark, tmp_path):
     # split the stream at the median event time: batch1 strictly
-    # precedes batch2, so ordered replay must equal the batch result
-    events = load(spark, SF_SMOKE, "events")
+    # precedes batch2, so ordered replay must equal the batch result.
+    # Split the RAW long-ns events (same physical schema the stream
+    # reads with EVENTS_FILE_SCHEMA) — re-writing through tables.load
+    # would convert ts to a TIMESTAMP and break the bigint read schema.
+    events = (
+        spark.read.schema(EVENTS_FILE_SCHEMA)
+        .parquet(f"{SF_SMOKE}/events.parquet")
+    )
     cut = events.agg(
         F.percentile_approx("ts", 0.5).alias("cut")
     ).collect()[0].cut
