@@ -1,7 +1,8 @@
 """Iterative k-means (Lloyd's) in pure DataFrame algebra — the
-representative *iterative* algorithm (driver records a rows-only
-check: multi-round iteration with data-dependent state is not
-expressible as one ANSI-SQL query).
+representative *iterative* algorithm. A fixed iteration count CAN be
+checked against ANSI SQL by unrolling each Lloyd round as a CTE chain
+(the workload registers exactly that oracle); ``round_digits`` exists
+so both engines agree bit-for-bit on argmin ties and centroid means.
 
 Per iteration: assign each vector to its nearest centroid (squared
 euclidean via zip_with/aggregate — JVM-side), then recompute centroids
@@ -28,10 +29,20 @@ def _sq_dist(a, b):
     )
 
 
-def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, v) × (cluster, c) → (vec_id, cluster) by nearest centroid."""
+def kmeans_assign(
+    vectors: DataFrame, centroids: DataFrame, round_digits: int | None = None
+) -> DataFrame:
+    """(vec_id, v) × (cluster, c) → (vec_id, cluster) by nearest centroid.
+
+    ``round_digits`` rounds the squared distance before the argmin so an
+    engine with a different float summation order (the DuckDB parity
+    oracle) ranks identically; ties break by centroid id either way.
+    """
+    d = _sq_dist(F.col("v"), F.col("c"))
+    if round_digits is not None:
+        d = F.round(d, round_digits)
     scored = vectors.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "cluster", _sq_dist(F.col("v"), F.col("c")).alias("d")
+        "vec_id", "cluster", d.alias("d")
     )
     w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cluster"))
     return (
@@ -41,12 +52,22 @@ def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_update(vectors: DataFrame, assignments: DataFrame) -> DataFrame:
-    """New centroids = element-wise mean of each cluster's members."""
+def kmeans_update(
+    vectors: DataFrame, assignments: DataFrame, round_digits: int | None = None
+) -> DataFrame:
+    """New centroids = element-wise mean of each cluster's members.
+
+    ``round_digits`` rounds each mean component, re-synchronizing the
+    centroid arrays with an oracle engine whose AVG partial-sums in a
+    different order.
+    """
     member = vectors.join(assignments, "vec_id").select(
         "cluster", F.posexplode("v").alias("pos", "val")
     )
-    means = member.groupBy("cluster", "pos").agg(F.avg("val").alias("m"))
+    m = F.avg("val")
+    if round_digits is not None:
+        m = F.round(m, round_digits)
+    means = member.groupBy("cluster", "pos").agg(m.alias("m"))
     return (
         means.groupBy("cluster")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
@@ -54,7 +75,12 @@ def kmeans_update(vectors: DataFrame, assignments: DataFrame) -> DataFrame:
     )
 
 
-def lloyd(vectors: DataFrame, k: int, iterations: int = 3) -> DataFrame:
+def lloyd(
+    vectors: DataFrame,
+    k: int,
+    iterations: int = 3,
+    round_digits: int | None = None,
+) -> DataFrame:
     """Run ``iterations`` rounds of Lloyd's; returns final assignments
     (vec_id, cluster). ``vectors`` must have (vec_id, embedding)."""
     v = vectors.select(
@@ -68,7 +94,7 @@ def lloyd(vectors: DataFrame, k: int, iterations: int = 3) -> DataFrame:
     )
     assignments = None
     for _ in range(iterations):
-        assignments = kmeans_assign(v, centroids).persist()
+        assignments = kmeans_assign(v, centroids, round_digits).persist()
         assignments.count()  # materialize: keeps the next round's plan flat
-        centroids = kmeans_update(v, assignments)
+        centroids = kmeans_update(v, assignments, round_digits)
     return assignments

@@ -141,17 +141,75 @@ def sim_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_kmeans_assignments")  # no oracle: iterative, rows-only check
+_KM_K = 8
+
+# squared distance as the same left-to-right fold Spark uses:
+# dot(diff, diff) over the element-wise difference list
+_KM_D = (
+    "ROUND(list_dot_product("
+    "list_transform(list_zip({a}, {b}), p -> p[1] - p[2]), "
+    "list_transform(list_zip({a}, {b}), p -> p[1] - p[2])), 6)"
+)
+
+
+def _kmeans_oracle(iterations: int = 2) -> str:
+    """Unroll ``iterations`` Lloyd rounds as a CTE chain — the same
+    fixed-iteration unrolling trick as the connected-components oracle
+    (``_cc_oracle``). Both engines round distances and centroid means
+    to 6 digits, so argmin and AVG agree despite different float
+    summation orders; ties break by cluster id on both sides."""
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         e AS c
+  FROM v ORDER BY vec_id LIMIT {_KM_K}
+)""",
+    ]
+    prev_cent = "c0"
+    for i in range(1, iterations + 1):
+        d = _KM_D.format(a="v.e", b=f"{prev_cent}.c")
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, {prev_cent}.cluster,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d} ASC, {prev_cent}.cluster ASC) AS rn
+    FROM v CROSS JOIN {prev_cent}
+  ) WHERE rn = 1
+)""")
+        if i < iterations:
+            parts.append(f"""mem{i} AS (
+  SELECT a{i}.cluster,
+         unnest(range(1, len(v.e) + 1)) AS pos,
+         unnest(v.e) AS val
+  FROM a{i} JOIN v USING (vec_id)
+)""")
+            parts.append(f"""m{i} AS (
+  SELECT cluster, pos, ROUND(AVG(val), 6) AS m
+  FROM mem{i} GROUP BY cluster, pos
+)""")
+            parts.append(f"""c{i} AS (
+  SELECT cluster, list(m ORDER BY pos) AS c FROM m{i} GROUP BY cluster
+)""")
+            prev_cent = f"c{i}"
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT vec_id, cluster FROM a{iterations}"
+    )
+
+
+@register("sim_kmeans_assignments", oracle=_kmeans_oracle(iterations=2))
 def sim_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2 rounds of Lloyd's k-means (k=8) over the embeddings — the
-    iterative-algorithm representative (deliberately no SQL oracle:
-    multi-round data-dependent iteration isn't one ANSI query; the
-    driver records the weaker rows-only check for exactly this class).
-    Convergence/quality is asserted in tests/test_kmeans.py."""
+    iterative-algorithm representative. The oracle unrolls both rounds
+    as a CTE chain (assign → per-position AVG centroid → assign), with
+    distances and centroid means rounded to 6 digits on BOTH engines so
+    the argmin is order-insensitive. Convergence/quality is asserted in
+    tests/test_kmeans.py."""
     from ..operators.kmeans import lloyd
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
-    return lloyd(embeddings, k=8, iterations=2)
+    return lloyd(embeddings, k=8, iterations=2, round_digits=6)
 
 
 _NEARDUP_THRESHOLD = 0.4

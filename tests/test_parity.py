@@ -18,9 +18,9 @@ def test_query_matches_oracle(spark, name):
     assert not issues, f"{name}: " + "; ".join(issues)
 
 
-#: the deliberate rows-only queries (genuinely non-SQL-expressible:
-#: iterative algorithms). Anything else missing an oracle is a bug.
-DECLARED_ROWS_ONLY = {"sim_kmeans_assignments"}
+#: queries deliberately registered without an oracle. Empty: even the
+#: iterative k-means is covered by unrolling its fixed rounds in SQL.
+DECLARED_ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_oracle_or_is_declared():
