@@ -66,6 +66,19 @@ EXPORT_CONTRACT: dict[str, ExportTable] = {
             ),
         ),
         ExportTable(
+            # Reference ETL never populates this table (definitions.json
+            # declares it for consumers; address_etl has no loader) —
+            # exported header-only unless a populated DataFrame is given.
+            "lf_locality_alias_with_link.csv", "LOCALITY_ALIAS", "lf_locality_alias",
+            (
+                E("locality_alias_id", "Integer", 11, True),
+                E("locality_alias_name", "String", 100),
+                E("locality_code", "String", 10),
+                E("status", "String", 10),
+                E("loc_type", "String", 10),
+            ),
+        ),
+        ExportTable(
             "lf_road.csv", "ROAD", "lf_road",
             (
                 E("road_id", "Integer", 10, True),
@@ -156,16 +169,23 @@ def export_projection(df: DataFrame, contract: ExportTable) -> DataFrame:
 
 def width_violations(df: DataFrame, contract: ExportTable) -> DataFrame:
     """(rule, violations) counts for export width checks — run before
-    writing; a non-zero count means the upstream plan broke contract."""
+    writing; a non-zero count means the upstream plan broke contract.
+
+    Enforced for String (character width) and Integer (digit count
+    incl. sign) fields. Double Sizes in definitions.json are *display*
+    widths — a valid double's string form routinely exceeds them
+    (full-precision repr), so truncation there would corrupt data;
+    deliberately not enforced.
+    """
+    checked = [f for f in contract.fields if f.dtype in ("String", "Integer")]
     aggs = [
         F.count(
             F.when(F.length(F.col(f.name).cast("string")) > f.size, 1)
         ).alias(f"{f.name}_width")
-        for f in contract.fields
-        if f.dtype == "String"
+        for f in checked
     ]
     wide = df.agg(*aggs)
-    names = [f"{f.name}_width" for f in contract.fields if f.dtype == "String"]
+    names = [f"{f.name}_width" for f in checked]
     stacked = ", ".join(f"'{n}', {n}" for n in names)
     return wide.selectExpr(f"stack({len(names)}, {stacked}) AS (rule, violations)")
 
@@ -180,6 +200,8 @@ def write_export(
     path. Raises if any width check fails — the contract forbids
     silent truncation."""
     projected = export_projection(df, contract)
+    # bounded collect: width_violations is a single global agg stacked
+    # to one row per declared field (≤17), never per-data-row.
     bad = [
         r
         for r in width_violations(projected, contract).collect()

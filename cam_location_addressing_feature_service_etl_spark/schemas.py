@@ -99,6 +99,22 @@ PLS_TABLES: dict[str, TableSpec] = {
             ),
         ),
         TableSpec(
+            # In the reference this table exists only in the consumer
+            # contract (pls/definitions.json table 5, LOCALITY_ALIAS);
+            # no populate path exists in address_etl, so runs export it
+            # header-only. Declared here so the export contract covers
+            # all 9 definitions.json tables.
+            "lf_locality_alias",
+            pk=("locality_alias_id",),
+            columns=(
+                S("locality_alias_id", "long", nullable=False),
+                S("locality_alias_name", max_size=100),
+                S("locality_code", max_size=10),
+                S("status", max_size=10),
+                S("loc_type", max_size=10),
+            ),
+        ),
+        TableSpec(
             "lf_road",
             pk=("road_id",),
             columns=(

@@ -20,8 +20,10 @@ def test_contract_covers_all_entity_tables():
     sources = {t.source_table for t in EXPORT_CONTRACT.values()}
     # every exported source is a declared PLS table
     assert sources <= set(PLS_TABLES)
-    # the 8 entity tables are all exported (metadata is not in the CSV contract)
-    assert len(EXPORT_CONTRACT) == 8
+    # all 9 definitions.json tables are exported (metadata is not in
+    # the CSV contract; LOCALITY_ALIAS is header-only, see export.py)
+    assert len(EXPORT_CONTRACT) == 9
+    assert "lf_locality_alias_with_link.csv" in EXPORT_CONTRACT
 
 
 def test_contract_fields_resolve_to_internal_columns():
@@ -65,6 +67,36 @@ def test_width_violation_blocks_export(spark, tmp_path):
     ).withColumn("hash", F.col("parcel_id"))
     with pytest.raises(ValueError, match="lot_no_width"):
         write_export(bad, contract, str(tmp_path / "bad"))
+
+
+def test_integer_width_violation_blocks_export(spark, tmp_path):
+    # locality.csv declares la_code Integer Size 4: 5-digit codes must
+    # trip the gate (numeric widths are digit counts, enforced too)
+    contract = EXPORT_CONTRACT["locality.csv"]
+    bad = spark.createDataFrame(
+        [("L1", "Brisbane", "CITY", 99999, "QLD", "C", None)],
+        "locality_code string, locality_name string, locality_type string,"
+        " la_code long, state string, locality_status_code string, hash string",
+    )
+    with pytest.raises(ValueError, match="la_code_width"):
+        write_export(bad, contract, str(tmp_path / "bad_int"))
+
+
+def test_locality_alias_header_only_export(spark, tmp_path):
+    # the reference never populates LOCALITY_ALIAS; the contract still
+    # produces a correctly-shaped (header-only) CSV from an empty frame
+    contract = EXPORT_CONTRACT["lf_locality_alias_with_link.csv"]
+    schema = (
+        "locality_alias_id long, locality_alias_name string,"
+        " locality_code string, status string, loc_type string"
+    )
+    empty = spark.createDataFrame([], schema)
+    write_export(empty, contract, str(tmp_path))
+    [f] = glob.glob(f"{tmp_path}/lf_locality_alias_with_link.csv/part-*.csv")
+    header = open(f).readline().strip()
+    assert header == (
+        "locality_alias_id,locality_alias_name,locality_code,status,loc_type"
+    )
 
 
 def test_export_roundtrip(spark, tmp_path):

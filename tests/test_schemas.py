@@ -10,6 +10,7 @@ def test_contract_covers_all_nine_tables():
     assert set(PLS_TABLES) == {
         "local_auth",
         "locality",
+        "lf_locality_alias",
         "lf_road",
         "lf_parcel",
         "lf_site",
