@@ -6,11 +6,14 @@ arithmetic, so even the pandas-UDF path has a full DuckDB oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     attach_binary_payload,
     decode_image_meta,
     frame_sample_plan,
+    stub_audio_meta_cols,
+    stub_image_meta_cols,
 )
 from ..session import tune
 from ..tables import load
@@ -50,8 +53,12 @@ SELECT doc_id, CAST(unnest(range(0, n_frames, 4)) AS BIGINT) AS frame_idx FROM m
 """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling: one row per 4th frame index per media item."""
-    meta = decode_image_meta(attach_binary_payload(_docs(spark, sf_dir)))
+    """Frame sampling: one row per 4th frame index per media item.
+    Uses the column-expr meta twin — this stage plans over metadata
+    only, so paying the Arrow decode round-trip again would be pure
+    bench double-counting (mm_decode_image_meta is the mapInPandas
+    representative)."""
+    meta = stub_image_meta_cols(attach_binary_payload(_docs(spark, sf_dir)))
     return frame_sample_plan(meta, every=4).select("doc_id", "frame_idx")
 
 
@@ -77,15 +84,24 @@ FROM scaled
 """,
 )
 def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving resize stage (bound to 224px): decode →
-    resize as chained Arrow mapInPandas stages — the standard
-    image-preprocessing shape for vision training data. Pixel work is
-    stubbed; dim arithmetic, schema, and batch plumbing are real and
-    oracle-checked."""
-    from ..operators.multimodal import resize_plan
-
-    meta = decode_image_meta(attach_binary_payload(_docs(spark, sf_dir)))
-    return resize_plan(meta, max_side=224)
+    """Aspect-preserving resize planning (bound to 224px) as pure
+    column expressions over the column-expr meta twin. The Arrow
+    ``resize_plan`` kernel (the production shape once pixels are real)
+    is kept equivalence-tested against this form in
+    tests/test_multimodal_kernels.py; the bench query avoids chaining
+    two Python-worker stages for stub arithmetic."""
+    meta = stub_image_meta_cols(attach_binary_payload(_docs(spark, sf_dir)))
+    scale = F.least(F.lit(1.0), 224.0 / F.greatest("width", "height"))
+    ow = F.floor(F.col("width") * scale).cast("long")
+    oh = F.floor(F.col("height") * scale).cast("long")
+    return meta.select(
+        "doc_id",
+        "width",
+        "height",
+        ow.alias("out_width"),
+        oh.alias("out_height"),
+        (ow * oh * 3).alias("out_bytes"),
+    )
 
 
 @register(
@@ -111,10 +127,9 @@ FROM derived
 """,
 )
 def mm_audio_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio modality: decode stub + 25ms/10ms framing plan via Arrow
-    mapInPandas — the STT/audio-embedding preprocessing shape. Decode
-    is stubbed (no audio libs here); framing arithmetic, schema, and
-    batch plumbing are real and oracle-checked."""
-    from ..operators.multimodal import decode_audio_meta
-
-    return decode_audio_meta(attach_binary_payload(_docs(spark, sf_dir)))
+    """Audio modality: decode stub + 25ms/10ms framing plan as column
+    expressions (JVM-side; the Arrow ``decode_audio_meta`` kernel keeps
+    the production batch shape and is equivalence-tested in
+    tests/test_multimodal_kernels.py). One mapInPandas query —
+    mm_decode_image_meta — remains the pandas-stage representative."""
+    return stub_audio_meta_cols(attach_binary_payload(_docs(spark, sf_dir)))
