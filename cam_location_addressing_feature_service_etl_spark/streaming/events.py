@@ -165,9 +165,15 @@ def upsert_snapshot_sink(
     """foreachBatch upsert sink: every micro-batch is MERGEd into a
     parquet snapshot with last-write-wins semantics (operators.upsert
     — the streaming twin of the reference's per-page ESRI upsert,
-    SURVEY §2.9 M1/M2). Each batch rewrites the snapshot atomically
-    (read → merge → write to a temp dir → swap); on Delta/Iceberg this
-    becomes a native MERGE INTO with no rewrite.
+    SURVEY §2.9 M1/M2). Each batch rewrites the snapshot via
+    read → merge → write to a temp dir → rename-aside swap: the old
+    snapshot is renamed to ``.bak`` (single rename), the new one
+    renamed into place (single rename), then the backup dropped — a
+    crash between the renames leaves a recoverable ``.bak``, which the
+    next batch restores automatically. POSIX rename is atomic per
+    directory entry, so no crash point loses both copies (a concurrent
+    reader can still observe the sub-second gap between the two
+    renames; Delta/Iceberg's MERGE INTO removes even that).
 
     Returns the started StreamingQuery (availableNow trigger).
     """
@@ -176,8 +182,12 @@ def upsert_snapshot_sink(
 
     from ..operators.upsert import upsert_by_key
 
+    bak = snapshot_dir + ".bak"
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if not os.path.isdir(snapshot_dir) and os.path.isdir(bak):
+            os.rename(bak, snapshot_dir)  # crash recovery
         updates = batch_df.dropDuplicates(key_cols)
         if os.path.isdir(snapshot_dir):
             base = spark.read.parquet(snapshot_dir)
@@ -186,9 +196,11 @@ def upsert_snapshot_sink(
             merged = updates
         tmp = snapshot_dir + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(bak, ignore_errors=True)
         if os.path.isdir(snapshot_dir):
-            shutil.rmtree(snapshot_dir)
+            os.rename(snapshot_dir, bak)
         os.rename(tmp, snapshot_dir)
+        shutil.rmtree(bak, ignore_errors=True)
 
     return (
         stream_df.writeStream.foreachBatch(merge_batch)

@@ -133,3 +133,29 @@ def test_foreach_batch_upsert_sink(spark, tmp_path):
     # deterministically: maxFilesPerTrigger processes files in discovery
     # order, so f2 (updates) lands in a later batch than f1 iff two
     # batches ran; with one batch, dropDuplicates keeps one of them.
+
+    # swap never leaves a .bak behind on clean exit
+    import os
+
+    assert not os.path.isdir(snap + ".bak")
+
+    # crash recovery: simulate a crash between the two swap renames
+    # (snapshot renamed aside, new one not yet in place) — the next
+    # batch must restore from .bak instead of starting empty
+    os.rename(snap, snap + ".bak")
+    # remove the original source files: keys 1..3 can now ONLY come
+    # from the .bak restore, not from reprocessing
+    os.remove(str(src / "f1.parquet"))
+    os.remove(str(src / "f2.parquet"))
+    late = spark.createDataFrame([(4, "d", 3)], "k long, v string, batch int")
+    late.toPandas().to_parquet(str(src / "f3.parquet"))
+    stream2 = (
+        spark.readStream.schema("k long, v string, batch int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q2 = upsert_snapshot_sink(stream2, snap, key_cols=["k"], query_name="upsert2")
+    q2.awaitTermination(120)
+    recovered = {r["k"]: r["v"] for r in spark.read.parquet(snap).collect()}
+    assert recovered[4] == "d" and recovered[1] == "a" and recovered[3] == "c"
+    assert not os.path.isdir(snap + ".bak")
