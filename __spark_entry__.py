@@ -78,6 +78,8 @@ _PRIORITY = [
     "a6_approx_percentile_check",
     "ev_funnel_conversion",
     "ev_event_transitions",
+    "ev_sessionize_salted",
+    "ev_asof_salted",
     "geo_haversine_within",
     "geo_bbox_filter",
     "geo_nearest_within_radius",

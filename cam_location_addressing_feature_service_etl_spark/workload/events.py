@@ -30,9 +30,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events")
 
 
-@register(
-    "ev_sessionize_gap30",
-    oracle=f"""
+_SESSIONIZE_ORACLE = f"""
 WITH ordered AS (
   SELECT user_id, ts, value,
          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -58,25 +56,10 @@ SELECT CAST(user_id AS VARCHAR) || '-' || CAST(session_idx AS VARCHAR) AS sessio
        ROUND(SUM(CAST(value AS DECIMAL(18,8))), 4)::DOUBLE AS total_value
 FROM numbered
 GROUP BY user_id, session_idx
-""",
-)
-def ev_sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity): lag → new-session
-    flag → running sum = session index → per-session aggregates."""
-    events = _events(spark, sf_dir)
-    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_sum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    flagged = events.withColumn("prev_ts", F.lag("ts").over(w_lag)).withColumn(
-        "new_session",
-        F.when(
-            F.col("prev_ts").isNull()
-            | (F.unix_millis("ts") - F.unix_millis("prev_ts") > _GAP_MIN * 60000),
-            1,
-        ).otherwise(0),
-    )
-    numbered = flagged.withColumn("session_idx", F.sum("new_session").over(w_sum))
+"""
+
+
+def _session_agg(numbered: DataFrame) -> DataFrame:
     return (
         numbered.groupBy("user_id", "session_idx")
         .agg(
@@ -96,6 +79,41 @@ def ev_sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register("ev_sessionize_gap30", oracle=_SESSIONIZE_ORACLE)
+def ev_sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session
+    flag → running sum = session index → per-session aggregates."""
+    events = _events(spark, sf_dir)
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_sum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = events.withColumn("prev_ts", F.lag("ts").over(w_lag)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_millis("ts") - F.unix_millis("prev_ts") > _GAP_MIN * 60000),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn("session_idx", F.sum("new_session").over(w_sum))
+    return _session_agg(numbered)
+
+
+@register("ev_sessionize_salted", oracle=_SESSIONIZE_ORACLE)
+def ev_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-hardened sessionization path (operators/sessionize.py:
+    local lag/cumsum within (user, time-bucket) + boundary-stitch
+    renumbering over bucket summaries) checked against the SAME oracle
+    as ev_sessionize_gap30 — the salted numbering must be globally
+    identical, so one task never holds a hot user's full history."""
+    from ..operators.sessionize import sessionize_time_salted
+
+    events = _events(spark, sf_dir)
+    numbered = sessionize_time_salted(events, gap_ms=_GAP_MIN * 60_000)
+    return _session_agg(numbered)
 
 
 @register(
@@ -233,9 +251,7 @@ def ev_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ev_asof_last_purchase",
-    oracle="""
+_ASOF_ORACLE = """
 WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
 p AS (SELECT * FROM events WHERE event_type = 'purchase')
 SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
@@ -246,23 +262,19 @@ SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
         WHERE p.user_id = c.user_id AND p.ts <= c.ts
         ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS asof_value
 FROM clicks c
-""",
-)
-def ev_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AS-OF join: each click enriched with the user's latest purchase
-    at or before the click (NULL if none). Spark lacks ASOF JOIN; the
-    union + last-ignoring-nulls window composition is one shuffle and
-    linear work (operators/asof.py), vs the oracle's correlated-
-    subquery formulation — semantically identical, proving the
-    operator."""
-    from ..operators.asof import merge_asof
+"""
+
+
+def _asof_click_purchase(spark: SparkSession, sf_dir: str, salted: bool) -> DataFrame:
+    from ..operators.asof import merge_asof, merge_asof_salted
 
     events = _events(spark, sf_dir)
     clicks = events.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
     purchases = events.filter(F.col("event_type") == "purchase")
-    joined = merge_asof(
+    op = merge_asof_salted if salted else merge_asof
+    joined = op(
         clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
         right_seq="event_id", payload=["value"],
     )
@@ -273,6 +285,27 @@ def ev_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("asof_ts").alias("asof_us"),
         F.round("asof_value", 4).alias("asof_value"),
     )
+
+
+@register("ev_asof_last_purchase", oracle=_ASOF_ORACLE)
+def ev_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each click enriched with the user's latest purchase
+    at or before the click (NULL if none). Spark lacks ASOF JOIN; the
+    union + last-ignoring-nulls window composition is one shuffle and
+    linear work (operators/asof.py), vs the oracle's correlated-
+    subquery formulation — semantically identical, proving the
+    operator."""
+    return _asof_click_purchase(spark, sf_dir, salted=False)
+
+
+@register("ev_asof_salted", oracle=_ASOF_ORACLE)
+def ev_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-hardened as-of path (operators/asof.py
+    merge_asof_salted: (key, time-bucket) windows + carry-in boundary
+    rows) checked against the SAME correlated-subquery oracle as
+    ev_asof_last_purchase — identical output with no task ever holding
+    a hot key's whole timeline."""
+    return _asof_click_purchase(spark, sf_dir, salted=True)
 
 
 @register(
