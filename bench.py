@@ -45,9 +45,13 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
 
         timings: dict[str, float] = {}
-        # warm the JVM/session with one tiny action so the first measured
-        # query doesn't pay executor startup.
+        # Warm session infrastructure so the first measured queries don't
+        # absorb one-time costs that aren't query work: JVM/codegen
+        # (range), parquet listing + vectorized reader (smallest table),
+        # and the Python worker pool (trivial mapInPandas).
         spark.range(1).count()
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+        spark.range(8).mapInPandas(lambda it: it, "id long").count()
 
         for name in sorted(QUERIES):
             if name in SKIP:

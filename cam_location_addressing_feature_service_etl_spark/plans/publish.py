@@ -86,3 +86,31 @@ def kafka_message_df(
         [(presigned_url.encode(), hdr)],
         "value binary, headers array<struct<key:string,value:binary>>",
     )
+
+
+def publish_to_kafka(
+    message_df: DataFrame, bootstrap_servers: str, topic: str
+) -> None:
+    """The live sink edge for S10 (reference:
+    ``address_etl/kafka.py:30-54``): write the message DataFrame to a
+    broker with headers included. Requires the ``spark-sql-kafka``
+    connector on the classpath and a reachable broker — neither exists
+    in this sandbox, so tests only assert the error contract; the call
+    is the one-liner the reference's confluent producer becomes on
+    Spark.
+    """
+    try:
+        (
+            message_df.write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+            .option("includeHeaders", "true")
+            .save()
+        )
+    except Exception as exc:  # connector jar missing → actionable message
+        if "Failed to find" in str(exc) or "kafka" in str(exc).lower():
+            raise RuntimeError(
+                "kafka sink unavailable: add the spark-sql-kafka-0-10 "
+                "connector package and a reachable broker"
+            ) from exc
+        raise

@@ -69,3 +69,17 @@ def test_kafka_message_shape(spark):
     assert df.schema.simpleString() == (
         "struct<value:binary,headers:array<struct<key:string,value:binary>>>"
     )
+
+
+def test_publish_to_kafka_error_contract_without_connector(spark):
+    # no broker or connector jar in this sandbox: the sink must fail
+    # with the actionable message, not an opaque classpath error
+    import pytest
+
+    from cam_location_addressing_feature_service_etl_spark.plans.publish import (
+        publish_to_kafka,
+    )
+
+    df = kafka_message_df(spark, "https://example.com/x", {"etl-name": "pls"})
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        publish_to_kafka(df, "localhost:9092", "pls-artifacts")
