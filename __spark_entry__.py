@@ -80,6 +80,10 @@ _PRIORITY = [
     "ev_event_transitions",
     "ev_sessionize_salted",
     "ev_asof_salted",
+    "u5_snapshot_diff",
+    "agg_grouping_sets",
+    "ev_sliding_value_30min",
+    "ev_unpivot_metrics",
     "geo_haversine_within",
     "geo_bbox_filter",
     "geo_nearest_within_radius",

@@ -623,3 +623,78 @@ def ev_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "ev_sliding_value_30min",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_30min,
+       ROUND(SUM(CAST(value AS DECIMAL(18,8))) OVER w, 4)::DOUBLE AS sum_30min
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW)
+""",
+)
+def ev_sliding_value_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based sliding window via a RANGE frame: per event, count
+    and sum of the same user's activity in the trailing 30 minutes —
+    the rate-limit / rolling-feature shape. RANGE (not ROWS) so ties
+    on the timestamp are handled identically in both engines; ordered
+    by epoch millis so the frame boundary arithmetic is exact integer
+    math. One shuffle on user_id; at scale this keys the same
+    partitioning as sessionization (and the time-salted pattern in
+    operators/sessionize.py applies when a key is hot)."""
+    events = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-1_800_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_30min"),
+        F.round(F.sum(F.col("value").cast("decimal(18,8)")).over(w), 4)
+        .cast("double")
+        .alias("sum_30min"),
+    )
+
+
+@register(
+    "ev_unpivot_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n_events,
+         ROUND(SUM(CAST(value AS DECIMAL(18,8))), 4)::DOUBLE AS total_value,
+         ROUND(AVG(value), 4) AS avg_value
+  FROM events GROUP BY event_type
+)
+SELECT event_type, 'n_events' AS metric, n_events AS metric_value FROM wide
+UNION ALL
+SELECT event_type, 'total_value', total_value FROM wide
+UNION ALL
+SELECT event_type, 'avg_value', avg_value FROM wide
+""",
+)
+def ev_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide metrics → long key/value rows, the inverse of
+    ev_pivot_type_counts): per-type aggregates melted with ``stack`` —
+    a zero-shuffle reshape on top of the aggregation's single shuffle,
+    the standard metrics-table normalization."""
+    events = _events(spark, sf_dir)
+    wide = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,8)")), 4)
+        .cast("double")
+        .alias("total_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    return wide.select(
+        "event_type",
+        F.expr(
+            "stack(3, 'n_events', n_events, 'total_value', total_value,"
+            " 'avg_value', avg_value) AS (metric, metric_value)"
+        ),
+    )

@@ -936,3 +936,97 @@ def u4_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "u5_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN ROUND(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT COALESCE(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type
+FROM old FULL OUTER JOIN new USING (o_orderkey)
+WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+   OR old.o_totalprice <> new.o_totalprice
+""",
+)
+def u5_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff — the set-based form of the reference's
+    incremental upsert bookkeeping (SURVEY §2.9 M1 + A4 rowcount
+    delta): full-outer join two snapshot versions on the primary key
+    and classify each key as added / removed / changed, dropping
+    unchanged rows. One shuffle on the pk; at 100 TB both snapshots
+    would be bucketed by pk so the join is co-located, and the value
+    compare extends to a hash column per row. The two 'snapshots' are
+    deterministic filters/mutations of orders so the oracle replays
+    them exactly."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    old = orders.filter(F.pmod("o_orderkey", F.lit(10)) != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.filter(F.pmod("o_orderkey", F.lit(7)) != 0).select(
+        "o_orderkey",
+        F.when(
+            F.pmod("o_orderkey", F.lit(3)) == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, on="o_orderkey", how="full_outer")
+    return joined.select(
+        "o_orderkey",
+        F.when(F.col("o.o_totalprice").isNull(), "added")
+        .when(F.col("n.o_totalprice").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        F.col("o.o_totalprice").alias("_old"),
+        F.col("n.o_totalprice").alias("_new"),
+    ).filter(
+        F.col("_old").isNull()
+        | F.col("_new").isNull()
+        | (F.col("_old") != F.col("_new"))
+    ).select("o_orderkey", "change_type")
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of the ROLLUP/CUBE
+    family already covered): per (status, priority), per status, and
+    grand total in one pass, tagged with grouping_id. Spark expands
+    sets into a single Expand + partial-aggregatable hash aggregate —
+    one shuffle for all three granularities (vs three separate
+    groupBys)."""
+    tune(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """)
