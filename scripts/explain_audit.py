@@ -14,7 +14,9 @@ ev_value_band_join (inequality join against a 3-row literal dimension
 — BroadcastNestedLoop with a tiny build side IS the plan), and the
 1-row broadcast scalar aggregates in text_tfidf_topk (corpus doc
 count), text_unigram_logprob (corpus token total), and
-ev_funnel_conversion (three stage counts combined into one row).
+ev_funnel_conversion (three stage counts combined into one row), and
+sim_kmeans_assignments (every vector scored against the broadcast
+k=8 centroid set — one per Lloyd round plus the init top-k).
 
 Iterative operators (dedup_connected_components) localCheckpoint per
 round, so the audit sees only the final round's plan — by design:
