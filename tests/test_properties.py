@@ -101,3 +101,133 @@ def test_fetched_wins_on_every_collision(spark, overlap):
     )
     merged = merge_fetched_wins(stored, fetched, ["key"], "pri")
     assert all(r["src"] == "fetched" for r in merged.collect())
+
+
+# ---------------------------------------------------------------------------
+# as-of join vs pandas.merge_asof (the canonical reference semantics)
+# ---------------------------------------------------------------------------
+
+_asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user key
+        st.integers(min_value=0, max_value=50),     # ts (seconds, MANY ties)
+        st.integers(min_value=0, max_value=999),    # value payload
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(left_rows=_asof_events, right_rows=_asof_events)
+@_SET
+def test_merge_asof_matches_pandas(spark, left_rows, right_rows):
+    import pandas as pd
+
+    from cam_location_addressing_feature_service_etl_spark.operators.asof import (
+        merge_asof,
+    )
+
+    # unique event ids; right_seq = event_id so tie-breaking is
+    # deterministic on both sides
+    left = [(i, k, ts * 1_000_000) for i, (k, ts, _) in enumerate(left_rows)]
+    right = [
+        (1000 + i, k, ts * 1_000_000, float(v))
+        for i, (k, ts, v) in enumerate(right_rows)
+    ]
+    ldf = spark.createDataFrame(
+        left or [(None, None, None)], "event_id long, user_id long, us long"
+    ).filter(F.col("event_id").isNotNull()).select(
+        "event_id", "user_id", F.timestamp_micros("us").alias("ts")
+    )
+    rdf = spark.createDataFrame(
+        right or [(None, None, None, None)],
+        "event_id long, user_id long, us long, value double",
+    ).filter(F.col("event_id").isNotNull()).select(
+        "event_id", "user_id", F.timestamp_micros("us").alias("ts"), "value"
+    )
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in merge_asof(
+            ldf, rdf, on="user_id", left_ts="ts", right_ts="ts",
+            right_seq="event_id", payload=["value"],
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left, columns=["event_id", "user_id", "us"])
+    rp = pd.DataFrame(right, columns=["event_id", "user_id", "us", "value"])
+    # pandas.merge_asof backward + allow_exact_matches picks the LAST
+    # right row in sort order among ties; sorting by (us, event_id)
+    # makes that the highest event_id — our documented tie-break
+    if len(lp) and len(rp):
+        expected_df = pd.merge_asof(
+            lp.sort_values(["us", "event_id"]).reset_index(drop=True),
+            rp.sort_values(["us", "event_id"]).reset_index(drop=True),
+            on="us",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+            suffixes=("", "_r"),
+        )
+        expected = {
+            int(r.event_id): (None if pd.isna(r.value) else float(r.value))
+            for r in expected_df.itertuples()
+        }
+    else:
+        expected = {int(e): None for e, _, _ in left}
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# time-salted sessionization vs unsalted on arbitrary gap patterns
+# ---------------------------------------------------------------------------
+
+
+@given(
+    gaps=st.lists(
+        st.integers(min_value=0, max_value=7200),  # seconds between events
+        min_size=1,
+        max_size=40,
+    ),
+    bucket_s=st.sampled_from([600, 1800, 3600, 7200]),
+)
+@_SET
+def test_sessionize_salted_matches_unsalted_property(spark, gaps, bucket_s):
+    from pyspark.sql.window import Window
+
+    from cam_location_addressing_feature_service_etl_spark.operators.sessionize import (
+        sessionize_time_salted,
+    )
+
+    base = 1_700_000_000
+    ts, rows = base, []
+    for i, g in enumerate(gaps):
+        ts += g
+        rows.append((i, 0, ts * 1_000_000))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long"
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
+
+    gap_ms = 30 * 60_000
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_sum = w_lag.rowsBetween(Window.unboundedPreceding, 0)
+    expected = {
+        r["event_id"]: r["session_idx"]
+        for r in df.withColumn("prev", F.lag("ts").over(w_lag))
+        .withColumn(
+            "new",
+            F.when(
+                F.col("prev").isNull()
+                | (F.unix_millis("ts") - F.unix_millis("prev") > gap_ms),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("new").over(w_sum))
+        .collect()
+    }
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize_time_salted(
+            df, gap_ms=gap_ms, bucket_ms=bucket_s * 1000
+        ).collect()
+    }
+    assert got == expected
