@@ -82,6 +82,7 @@ _PRIORITY = [
     "ev_asof_salted",
     "u5_snapshot_diff",
     "agg_grouping_sets",
+    "dedup_ngram_jaccard_prefix",
     "ev_sliding_value_30min",
     "ev_unpivot_metrics",
     "geo_haversine_within",

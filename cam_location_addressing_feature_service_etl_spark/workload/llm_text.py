@@ -174,9 +174,7 @@ _NJ_THRESHOLD = 0.6
 _NJ_SHINGLE_N = 3
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+_NJ_ORACLE = f"""
 WITH {_shingle_cte(_NJ_SHINGLE_N)},
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shingle GROUP BY doc_id),
 inter AS (
@@ -190,14 +188,33 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE inter / (sa.sz + sb.sz - inter) >= {_NJ_THRESHOLD}
-""",
-)
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NJ_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-trigram Jaccard pairs ≥ 0.6 via inverted index.
     Trigram shingles keep posting lists short (bigram postings explode
     on small vocabularies — measured 25× slower at sf0.1)."""
     (documents,) = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
+        documents, id_col="doc_id", text_col="text",
+        threshold=_NJ_THRESHOLD, shingle_n=_NJ_SHINGLE_N,
+    )
+
+
+@register("dedup_ngram_jaccard_prefix", oracle=_NJ_ORACLE)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact Jaccard pairs via prefix filtering (AllPairs/
+    PPJoin): only each doc's rarest |A|−⌈t·|A|⌉+1 shingles are
+    indexed, so corpus-hot shingles never generate candidates, then
+    survivors verify on the full set intersection. Checked against the
+    same brute-force-index oracle as dedup_ngram_jaccard — identical
+    output, sub-quadratic candidate volume (the 100 TB path)."""
+    from ..operators.dedup import ngram_jaccard_pairs_prefix
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_prefix(
         documents, id_col="doc_id", text_col="text",
         threshold=_NJ_THRESHOLD, shingle_n=_NJ_SHINGLE_N,
     )
