@@ -406,40 +406,37 @@ def connected_components(
 
     Determinism: the result after exactly N rounds is a pure function
     of the edge set, so a fixed N yields an oracle-checkable result
-    whether or not propagation has converged. Per round: one shuffle
-    to group neighbor labels, one join back — at 100 TB scale switch
-    to the large-star/small-star alternation (Kiveris et al., "CC in
+    whether or not propagation has converged. Each round is a single
+    join + min-aggregate over an adjacency list that carries a
+    self-loop per node — min(self ∪ neighbors) in one pass, instead
+    of the neighbor-min + left-join-back-to-self formulation (same
+    result, one fewer shuffle per round). At 100 TB scale switch to
+    the large-star/small-star alternation (Kiveris et al., "CC in
     MapReduce and Beyond"), which converges in O(log n) rounds with
     the same per-round plan shape.
 
     Returns (node, label) with label = component representative.
     """
-    bidir = (
-        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        # the edge set is re-joined every round: materialize it once
-        # (without this the edge-derivation subtree is replicated into
-        # every iteration's plan — measured 248 parquet scans for 4
-        # rounds over an LSH edge set)
+    bidir = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    nodes = bidir.select(F.col("src").alias("node")).distinct()
+    adj = (
+        bidir.unionByName(
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        )
+        # the adjacency list is re-joined every round: materialize it
+        # once (without this the edge-derivation subtree is replicated
+        # into every iteration's plan — measured 248 parquet scans for
+        # 4 rounds over an LSH edge set)
         .localCheckpoint(eager=False)
     )
-    labels = bidir.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
+    labels = nodes.withColumn("label", F.col("node"))
     for i in range(iterations):
-        nbr_min = (
-            bidir.join(labels, bidir["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
         labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .select(
-                labels["node"],
-                F.least(
-                    labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
-                ).alias("label"),
-            )
+            adj.join(labels, adj["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("label"))
         )
         # truncate lineage each round (iterative plans grow without
         # bound otherwise — the same reason GraphX checkpoints);
