@@ -107,8 +107,16 @@ def publish_to_kafka(
             .option("includeHeaders", "true")
             .save()
         )
-    except Exception as exc:  # connector jar missing → actionable message
-        if "Failed to find" in str(exc) or "kafka" in str(exc).lower():
+    except Exception as exc:
+        # Rewrite ONLY the missing-connector classpath failure; any
+        # other error (broker unreachable, auth, timeout) also contains
+        # the substring "kafka" and must propagate unchanged.
+        msg = str(exc)
+        if (
+            "Failed to find data source: kafka" in msg
+            or "Failed to find the data source: kafka" in msg
+            or "ClassNotFoundException" in msg
+        ):
             raise RuntimeError(
                 "kafka sink unavailable: add the spark-sql-kafka-0-10 "
                 "connector package and a reachable broker"

@@ -65,9 +65,19 @@ def _update_funnel(
     )
     # Arrow delivers a group as multiple chunks in arbitrary order; the
     # stage scan must see the whole micro-batch at once or a purchase in
-    # an earlier chunk than its unlocking click would be dropped.
-    pdf = pd.concat(list(pdfs), ignore_index=True)
-    pdf = pdf.assign(ts_us=pdf["ts"].astype("int64") // 1000)
+    # an earlier chunk than its unlocking click would be dropped (each
+    # stage's threshold depends on the previous stage's batch-final
+    # value, so a single forward pass over chunks can't be correct).
+    # Tradeoff: this materializes one key's micro-batch in memory —
+    # bounded here to the two columns the scan needs (event_type,
+    # ts_us), so a hot key costs ~16 bytes/event, not the full row.
+    pdf = pd.concat(
+        [
+            c.assign(ts_us=c["ts"].astype("int64") // 1000)[["event_type", "ts_us"]]
+            for c in pdfs
+        ],
+        ignore_index=True,
+    )
     t_view = _min_ts(pdf, pdf["event_type"] == "view", t_view)
     if t_view != _NONE:
         t_click = _min_ts(

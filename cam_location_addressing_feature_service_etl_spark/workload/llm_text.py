@@ -713,8 +713,11 @@ WITH tokl AS (
 ),
 cum AS (
   SELECT doc_id, source, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         -- CAST: DuckDB widens windowed SUM(BIGINT) to HUGEINT, which
+         -- fetchdf() materializes as float64 and breaks type-sensitive
+         -- hash comparison against Spark's int64.
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
            AS start_offset
   FROM tokl
 )

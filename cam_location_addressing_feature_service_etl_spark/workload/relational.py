@@ -956,7 +956,7 @@ SELECT COALESCE(new.o_orderkey, old.o_orderkey) AS o_orderkey,
             ELSE 'changed' END AS change_type
 FROM old FULL OUTER JOIN new USING (o_orderkey)
 WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
-   OR old.o_totalprice <> new.o_totalprice
+   OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
 """,
 )
 def u5_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -968,11 +968,14 @@ def u5_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be bucketed by pk so the join is co-located, and the value
     compare extends to a hash column per row. The two 'snapshots' are
     deterministic filters/mutations of orders so the oracle replays
-    them exactly."""
+    them exactly. Presence is classified on explicit membership
+    markers (not value-column nullity), and the changed filter is
+    null-safe, so a legitimately-NULL value column in either snapshot
+    is still diffed correctly."""
     tune(spark)
     orders = load(spark, sf_dir, "orders")
     old = orders.filter(F.pmod("o_orderkey", F.lit(10)) != 0).select(
-        "o_orderkey", "o_totalprice"
+        "o_orderkey", "o_totalprice", F.lit(True).alias("_in_old")
     )
     new = orders.filter(F.pmod("o_orderkey", F.lit(7)) != 0).select(
         "o_orderkey",
@@ -982,22 +985,25 @@ def u5_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("o_totalprice"))
         .alias("o_totalprice"),
+        F.lit(True).alias("_in_new"),
     )
     o = old.alias("o")
     n = new.alias("n")
     joined = o.join(n, on="o_orderkey", how="full_outer")
     return joined.select(
         "o_orderkey",
-        F.when(F.col("o.o_totalprice").isNull(), "added")
-        .when(F.col("n.o_totalprice").isNull(), "removed")
+        F.when(F.col("o._in_old").isNull(), "added")
+        .when(F.col("n._in_new").isNull(), "removed")
         .otherwise("changed")
         .alias("change_type"),
+        F.col("o._in_old").alias("_in_old"),
+        F.col("n._in_new").alias("_in_new"),
         F.col("o.o_totalprice").alias("_old"),
         F.col("n.o_totalprice").alias("_new"),
     ).filter(
-        F.col("_old").isNull()
-        | F.col("_new").isNull()
-        | (F.col("_old") != F.col("_new"))
+        F.col("_in_old").isNull()
+        | F.col("_in_new").isNull()
+        | ~F.col("_old").eqNullSafe(F.col("_new"))
     ).select("o_orderkey", "change_type")
 
 

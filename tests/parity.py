@@ -62,6 +62,17 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     if len(spark_pdf) != len(oracle_pdf):
         issues.append(f"row count differs: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
     a, b = _canon(spark_pdf), _canon(oracle_pdf)
+    # The driver's value hash is dtype-sensitive: an int64 Spark column
+    # vs a float64 oracle column (the DuckDB SUM→HUGEINT→float64 trap)
+    # hashes differently even when every value compares equal. Mirror
+    # that here so the builder-side sweep catches it first.
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka != kb and {ka, kb} <= {"i", "u", "f"}:
+            issues.append(
+                f"col {c!r}: numeric dtype kind differs (spark={a[c].dtype} "
+                f"oracle={b[c].dtype}) — driver hash would mismatch"
+            )
     if len(a) == len(b):
         for c in a.columns:
             sa, sb = a[c], b[c]
