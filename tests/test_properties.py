@@ -231,3 +231,127 @@ def test_sessionize_salted_matches_unsalted_property(spark, gaps, bucket_s):
         ).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# probabilistic-dedup guarantees: simhash chunk-index exactness, MinHash/LSH
+# banding equivalence + identical-doc recall, prefix-filter equivalence
+# ---------------------------------------------------------------------------
+
+
+@given(
+    hashes=st.lists(st.integers(min_value=0, max_value=(1 << 16) - 1), min_size=0, max_size=20),
+    max_dist=st.sampled_from([1, 2]),
+)
+@_SET
+def test_simhash_chunk_index_equals_bruteforce_hamming(spark, hashes, max_dist):
+    """simhash_pairs_exact claims EXACTNESS (Manku pigeonhole): its
+    output must equal the brute-force all-pairs hamming scan — every
+    pair within max_dist found, none beyond it, correct distances."""
+    from itertools import combinations
+
+    from cam_location_addressing_feature_service_etl_spark.operators.dedup import (
+        simhash_pairs_exact,
+    )
+
+    rows = [(i, h) for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows or [(None, None)], "id long, simhash long").filter(
+        F.col("id").isNotNull()
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs_exact(df, "id", "simhash", bits=16, max_dist=max_dist).collect()
+    }
+    expect = {
+        (i, j): bin(hi ^ hj).count("1")
+        for (i, hi), (j, hj) in combinations(rows, 2)
+        if bin(hi ^ hj).count("1") <= max_dist
+    }
+    assert got == expect
+
+
+_vocab_doc = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=3,
+    max_size=10,
+)
+
+
+@given(
+    docs=st.lists(_vocab_doc, min_size=1, max_size=10),
+    dup_of=st.integers(min_value=0, max_value=9),
+)
+@_SET
+def test_lsh_banding_equivalence_and_identical_doc_recall(spark, docs, dup_of):
+    """Two guarantees for MinHash+LSH: (a) the banding/bucket join is
+    EXACTLY 'pairs agreeing on >= 1 full signature band' — verified
+    against a Python recomputation from the collected signatures; (b)
+    an exact duplicate (same shingle set) has an identical signature,
+    so it is ALWAYS a candidate — the J=1 point of the S-curve, the
+    only per-instance-deterministic recall bound."""
+    from cam_location_addressing_feature_service_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # plant an exact duplicate of one doc at a fresh id
+    dup_src = dup_of % len(docs)
+    corpus = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    dup_id = len(docs)
+    corpus.append((dup_id, " ".join(docs[dup_src])))
+    df = spark.createDataFrame(corpus, "id long, text string")
+
+    num_hashes, bands = 8, 4
+    sigs = minhash_signatures(df, "id", "text", num_hashes=num_hashes, shingle_n=3)
+    sig_rows = {r["id"]: [r[f"h{i}"] for i in range(num_hashes)] for r in sigs.collect()}
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, "id", num_hashes=num_hashes, bands=bands).collect()
+    }
+
+    rpb = num_hashes // bands
+    expect = set()
+    ids = sorted(sig_rows)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            sa, sb = sig_rows[ids[ai]], sig_rows[ids[bi]]
+            if any(
+                sa[b * rpb : (b + 1) * rpb] == sb[b * rpb : (b + 1) * rpb]
+                for b in range(bands)
+            ):
+                expect.add((ids[ai], ids[bi]))
+    assert got == expect  # (a) banding is exactly band-agreement
+
+    # (b) identical-shingle-set docs are always candidates (if the doc
+    # produced shingles at all: < 3 tokens after normalization -> no
+    # signature row, no recall claim)
+    if dup_src in sig_rows and dup_id in sig_rows:
+        assert (dup_src, dup_id) in got
+
+
+@given(
+    docs=st.lists(_vocab_doc, min_size=1, max_size=12),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+@_SET
+def test_prefix_jaccard_equals_naive_jaccard(spark, docs, threshold):
+    """ngram_jaccard_pairs_prefix claims the prefix/length/positional
+    filters are LOSSLESS: its output (pairs AND jaccard values) must
+    equal the naive inverted-index variant on any corpus."""
+    from cam_location_addressing_feature_service_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], "id long, text string"
+    )
+    naive = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "id", "text", threshold, shingle_n=3).collect()
+    }
+    prefix = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs_prefix(df, "id", "text", threshold, shingle_n=3).collect()
+    }
+    assert prefix == naive
