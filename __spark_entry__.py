@@ -43,6 +43,9 @@ _PRIORITY = [
     "geo_gridcell_agg",
     "geo_nearest_within_radius",
     "text_pack_sequences",
+    "text_contamination_ngram",
+    "text_train_order_interleave",
+    "text_length_quantiles",
     "flagship_current_address",
     "text_langid",
     "text_quality_score",

@@ -1,0 +1,176 @@
+"""Training-corpus hygiene operators: benchmark decontamination,
+deterministic epoch ordering, and corpus length statistics.
+
+These extend the LLM-pipeline surface (SURVEY §2 extensions) with the
+three remaining stages a 100 TB pretraining pipeline runs between
+dedup and tokenization:
+
+- **decontamination** — drop/flag documents whose n-grams overlap an
+  evaluation benchmark (the standard n-gram-collision check, e.g.
+  GPT-3 appendix C / PaLM §7): benchmark n-gram sets are tiny relative
+  to the corpus, so the scale plan is a broadcast (or bloom-filter)
+  join against the exploded document n-grams — never a corpus-side
+  shuffle on the benchmark key.
+- **epoch ordering** — a deterministic, seedable global shuffle
+  expressed WITHOUT a global window: a per-source hash rank is
+  computed in parallel (window partitioned by ``source``), and the
+  training read order is the range-partitioned sort on
+  (rank, source) downstream. No single-task stage anywhere.
+- **length quantiles** — exact per-group percentiles for corpus QA
+  dashboards. Exact ``percentile`` holds each group's values in
+  memory; at 100 TB switch to ``approx_percentile`` (t-digest,
+  mergeable map-side) — the exact form is kept here because the
+  oracle must be bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.dedup import shingle_postings
+from .llm_text import _shingle_cte, _t
+from . import register
+
+#: Decontamination n-gram width. Real pipelines use 8-13; the synthetic
+#: docs are short (~tens of tokens), so 5 keeps a meaningful hit rate.
+_DC_N = 5
+#: Fraction of a doc's distinct n-grams that must collide with the
+#: benchmark set before the doc is flagged.
+_DC_THRESHOLD = 0.2
+#: Deterministic stand-in for "the benchmark set": every 97th doc.
+_DC_BENCH_MOD = 97
+
+
+@register(
+    "text_contamination_ngram",
+    oracle=f"""
+WITH {_shingle_cte(_DC_N)},
+bench AS (
+  SELECT DISTINCT shingle FROM shingle WHERE doc_id % {_DC_BENCH_MOD} = 0
+),
+hits AS (
+  SELECT s.doc_id, b.shingle IS NOT NULL AS hit
+  FROM shingle s LEFT JOIN bench b USING (shingle)
+  WHERE s.doc_id % {_DC_BENCH_MOD} <> 0
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(CASE WHEN hit THEN 1 END) AS BIGINT) AS n_hit,
+       ROUND(COUNT(CASE WHEN hit THEN 1 END)::DOUBLE / COUNT(*), 6)
+         AS contamination_rate,
+       ROUND(COUNT(CASE WHEN hit THEN 1 END)::DOUBLE / COUNT(*), 6)
+         >= {_DC_THRESHOLD} AS contaminated
+FROM hits GROUP BY doc_id
+""",
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag documents whose {n}-gram sets
+    overlap the benchmark set above {t:.0%}. The benchmark here is a
+    deterministic corpus slice (doc_id % {m} == 0) standing in for an
+    eval suite; in production it is an external table of benchmark
+    n-grams.
+
+    Plan shape: one explode of each side's distinct n-grams, a
+    broadcast LEFT join of corpus postings against the (small,
+    distinct) benchmark n-gram set, one partial-aggregatable groupBy
+    per doc. The corpus side is never shuffled on the n-gram key, so
+    hot n-grams cannot skew; at real scale the broadcast becomes a
+    bloom filter pushed into the scan."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    # both the benchmark branch and the corpus branch consume the
+    # postings: materialize the tokenize+shingle+explode subtree once
+    # (it runs twice otherwise — ~2× warm wall-time at sf0.1)
+    sh = shingle_postings(documents, "doc_id", "text", _DC_N).localCheckpoint(eager=False)
+    bench = (
+        sh.filter(F.col("doc_id") % _DC_BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("_bench", F.lit(True))
+    )
+    corpus = sh.filter(F.col("doc_id") % _DC_BENCH_MOD != 0)
+    rate = F.round(
+        F.count(F.when(F.col("_bench"), 1)) / F.count(F.lit(1)), 6
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("_bench"), 1)).alias("n_hit"),
+            rate.alias("contamination_rate"),
+            (rate >= _DC_THRESHOLD).alias("contaminated"),
+        )
+    )
+
+
+text_contamination_ngram.__doc__ = text_contamination_ngram.__doc__.format(
+    n=_DC_N, t=_DC_THRESHOLD, m=_DC_BENCH_MOD
+)
+
+
+_EPOCH_SEED = "epoch-1"
+
+
+@register(
+    "text_train_order_interleave",
+    oracle=f"""
+SELECT doc_id, source,
+       md5('{_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY md5('{_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS interleave_pos
+FROM documents
+""",
+)
+def text_train_order_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + source interleave: each doc gets a
+    seeded hash key, and its rank WITHIN its source under that key.
+    The training read order is ORDER BY (interleave_pos, source) — a
+    round-robin interleave of per-source shuffled streams, stable
+    across reruns for the same seed (reproducible data order is a
+    training requirement, not a nicety).
+
+    Scale: the only window is partitioned by ``source`` (parallel,
+    no global ordering stage); the final global sort is left to the
+    writer, where Spark range-partitions it across the cluster.
+    Changing the epoch re-keys everything by seed string alone."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(_EPOCH_SEED + ":"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("shuffle_key", "doc_id")
+    return (
+        documents.select("doc_id", "source", key.alias("shuffle_key"))
+        .withColumn("interleave_pos", F.row_number().over(w).cast("long"))
+    )
+
+
+_LQ_PCTS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@register(
+    "text_length_quantiles",
+    oracle=f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {", ".join(
+           f"ROUND(quantile_cont(n_chars, {p}), 6) AS p{int(p * 100)}"
+           for p in _LQ_PCTS
+       )}
+FROM documents GROUP BY source
+""",
+)
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quantiles (corpus QA: spot truncated
+    or runaway sources before tokenization). Exact linear-interpolation
+    percentiles — identical definition in Spark ``percentile`` and
+    DuckDB ``quantile_cont`` — so the oracle matches bit-for-bit after
+    rounding. At 100 TB use ``approx_percentile`` (mergeable t-digest)
+    instead: exact percentile materializes each group's values."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + [
+        F.round(F.percentile("n_chars", F.lit(p)), 6).alias(f"p{int(p * 100)}")
+        for p in _LQ_PCTS
+    ]
+    return documents.groupBy("source").agg(*aggs)
