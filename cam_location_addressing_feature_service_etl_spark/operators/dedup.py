@@ -167,9 +167,14 @@ def lsh_candidate_pairs(
         band_exprs.append(
             F.struct(F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("bucket"))
         )
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = (
+        signatures.select(F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb"))
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        # both sides of the bucket self-join consume this frame; without
+        # materialization the signature aggregation (the expensive part)
+        # runs once per branch — Spark does not reuse the exchange here
+        .localCheckpoint(eager=False)
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -199,6 +204,9 @@ def simhash_pairs_exact(
     n_chunks = max_dist + 1
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
+    # the chunk expansion below self-joins; materialize the (usually
+    # aggregation-produced) signature frame once instead of per branch
+    sh = sh.localCheckpoint(eager=False)
     chunk_structs = [
         F.struct(
             F.lit(i).alias("chunk_id"),
@@ -295,7 +303,9 @@ def ngram_jaccard_pairs(
     (stop-shingle pruning), which only removes pairs sharing *nothing
     rare*, then verify.
     """
-    sh = shingle_postings(df, id_col, text_col, shingle_n)
+    # postings feed three branches (both self-join sides + the size
+    # aggregate): materialize the tokenize+shingle+explode subtree once
+    sh = shingle_postings(df, id_col, text_col, shingle_n).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -305,7 +305,13 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket = term if bucket is None else bucket + term
     # norm precomputed once per vector (bit-identical to the per-pair
     # form, 3x fewer array folds in the rerank)
-    hashed = v.withColumn("bucket", bucket).withColumn("n", norm_col(F.col("e")))
+    # both self-join sides consume the sketch; materialize the 8-plane
+    # fold once instead of once per branch
+    hashed = (
+        v.withColumn("bucket", bucket)
+        .withColumn("n", norm_col(F.col("e")))
+        .localCheckpoint(eager=False)
+    )
     a = hashed.select(
         F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na"), "bucket"
     )
