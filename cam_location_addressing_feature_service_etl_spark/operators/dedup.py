@@ -256,13 +256,30 @@ def simhash_from_postings(
     share a small vocabulary (measured 449k hamming≤1 pairs at sf0.1
     with 16-bit token simhash vs ~10³ with 32-bit shingle simhash).
     """
-    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    # Bit source: the high bit of hex digit i of md5(shingle). Rather
+    # than 32 substring+set-membership aggregate expressions (which
+    # also re-evaluate the md5 per bit), convert the hash to 8-hex-
+    # digit long chunks ONCE per row, then each bit is a shift+AND —
+    # integer ops inside the partial aggregate. Digit i (0-based from
+    # the left) lives in chunk i//8 at nibble 7-(i%8); its high bit is
+    # nibble_bit 3. Semantics identical to the substring form (the
+    # oracle keeps the substring spelling).
     h = F.md5(F.col("shingle"))
+    n_chunks = (bits + 7) // 8
+    pre = postings.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring(h, 8 * j + 1, 8), 16, 10).cast("long").alias(f"_c{j}")
+            for j in range(n_chunks)
+        ],
+    )
     aggs = [F.count(F.lit(1)).alias("_total")] + [
-        F.count(F.when(F.substring(h, i + 1, 1).isin(*high), 1)).alias(f"_o{i}")
+        F.sum(
+            F.shiftright(F.col(f"_c{i // 8}"), 4 * (7 - i % 8) + 3).bitwiseAND(F.lit(1))
+        ).alias(f"_o{i}")
         for i in range(bits)
     ]
-    grouped = postings.groupBy(id_col).agg(*aggs)
+    grouped = pre.groupBy(id_col).agg(*aggs)
     acc = F.lit(0).cast("long")
     for i in range(bits):
         acc = acc + F.when(F.col(f"_o{i}") * 2 > F.col("_total"), F.lit(1 << i)).otherwise(
