@@ -46,6 +46,7 @@ _PRIORITY = [
     "text_contamination_ngram",
     "text_train_order_interleave",
     "text_length_quantiles",
+    "sample_quality_weighted",
     "flagship_current_address",
     "text_langid",
     "text_quality_score",

@@ -29,8 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.dedup import shingle_postings
-from .llm_text import _shingle_cte, _t
+from ..operators.dedup import shingle_postings, tokens_col
+from .llm_text import _STOPWORDS, TOKENS_SQL, _shingle_cte, _t
 from . import register
 
 #: Decontamination n-gram width. Real pipelines use 8-13; the synthetic
@@ -143,6 +143,97 @@ def text_train_order_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         documents.select("doc_id", "source", key.alias("shuffle_key"))
         .withColumn("interleave_pos", F.row_number().over(w).cast("long"))
+    )
+
+
+#: Per-quality-quartile keep rates (percent): the pretraining-mix
+#: pattern — keep all of the best quartile, downsample the rest.
+_QW_RATES = {1: 100, 2: 50, 3: 25, 4: 10}
+_QW_SEED = "qs"
+
+
+@register(
+    "sample_quality_weighted",
+    oracle=f"""
+WITH tokl AS (
+  SELECT doc_id, source,
+         {{toks}} AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         ROUND(least(len(toks) / 100.0, 1.0) * 0.5
+               + (len(list_filter(toks, t -> t IN ({{stops}})))
+                  / greatest(len(toks), 1)) * 0.5, 6) AS quality
+  FROM tokl
+),
+binned AS (
+  SELECT doc_id, source, quality,
+         CAST(NTILE(4) OVER (PARTITION BY source
+                             ORDER BY quality DESC, doc_id) AS BIGINT) AS q_bin,
+         ('0x' || substr(md5('{_QW_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 100 AS h
+  FROM scored
+)
+SELECT doc_id, source, quality, q_bin
+FROM binned
+WHERE h < CASE q_bin {" ".join(f"WHEN {b} THEN {r}" for b, r in _QW_RATES.items())} END
+""".format(
+        toks=TOKENS_SQL.format(col="text"),
+        stops=", ".join(repr(s) for s in _STOPWORDS),
+    ),
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling (the pretraining-mix stage):
+    score each doc, quartile it WITHIN its source (ntile over a
+    deterministic total order), then keep a per-quartile fraction via
+    a seeded hash — top quartile kept whole, lower quartiles
+    downsampled to 50/25/10%. Deterministic end to end: same seed →
+    same corpus, the reproducibility requirement for training mixes.
+
+    Scale: scoring is map-only; the only shuffle is the per-source
+    ntile window (partitioned by source, no global stage); the sample
+    filter is a pure column predicate, so it pushes into the scan
+    when the score/bin are materialized columns in a real layout."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    scored = documents.select(
+        "doc_id",
+        "source",
+        tokens_col(F.col("text")).alias("_toks"),
+    ).select(
+        "doc_id",
+        "source",
+        F.round(
+            F.least(F.size("_toks") / 100.0, F.lit(1.0)) * 0.5
+            + (
+                F.size(F.filter(F.col("_toks"), lambda t: t.isin(*_STOPWORDS)))
+                / F.greatest(F.size("_toks"), F.lit(1))
+            )
+            * 0.5,
+            6,
+        ).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), "doc_id")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_QW_SEED + ":"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.create_map(
+        *[F.lit(x) for br in _QW_RATES.items() for x in br]
+    )
+    binned = scored.withColumn("q_bin", F.ntile(4).over(w).cast("long")).withColumn(
+        "_h", h
+    )
+    return binned.filter(F.col("_h") < rate[F.col("q_bin")]).select(
+        "doc_id", "source", "quality", "q_bin"
     )
 
 
