@@ -47,6 +47,7 @@ _PRIORITY = [
     "text_train_order_interleave",
     "text_length_quantiles",
     "sample_quality_weighted",
+    "graph_pagerank_3round",
     "flagship_current_address",
     "text_langid",
     "text_quality_score",

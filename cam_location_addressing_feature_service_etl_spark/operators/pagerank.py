@@ -1,0 +1,69 @@
+"""Fixed-round PageRank as pure DataFrame iteration.
+
+Same engineering shape as ``operators/dedup.connected_components``:
+a deterministic, oracle-checkable number of rounds, the edge set
+materialized once before fan-out, and lineage truncated per round so
+the final plan stays bounded (the GraphX checkpoint pattern).
+
+Scale: each round is one join (edges ⋈ ranks on src) plus one
+partial-aggregatable groupBy on dst — shuffle keyed on node id, no
+global stage. Skewed hub nodes are handled by AQE skew splitting; at
+extreme skew pre-split hubs with the salting operators. Dangling
+nodes never arise when the caller feeds an undirected
+(symmetrized) edge set — every node then has out-degree ≥ 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Standard damping factor.
+DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = DAMPING,
+) -> DataFrame:
+    """Unnormalized PageRank (init rank 1.0, ``rank = (1-d) + d·Σ
+    rank/outdeg``) for exactly ``iterations`` rounds over the given
+    directed edge list. Ranks are rounded to 6 digits each round so a
+    SQL oracle unrolling the same rounds agrees despite differing
+    float summation orders.
+
+    Returns (node, rank). Nodes = distinct sources (feed a
+    symmetrized edge set for undirected graphs so every node appears
+    and none dangles).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=False
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(
+        eager=False
+    )
+    ranks = deg.select("src", F.lit(1.0).alias("rank"))
+    for i in range(iterations):
+        contrib = (
+            e.join(ranks, "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        ranks = (
+            deg.select(F.col("src"))
+            .join(contrib.groupBy("node").agg(F.sum("c").alias("s")),
+                  deg["src"] == F.col("node"), "left")
+            .select(
+                "src",
+                F.round(
+                    F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    6,
+                ).alias("rank"),
+            )
+        )
+        if i < iterations - 1:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(F.col("src").alias("node"), "rank")

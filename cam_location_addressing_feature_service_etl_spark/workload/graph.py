@@ -1,0 +1,88 @@
+"""Graph analytics over the relational schema: fixed-round PageRank
+on the customer↔supplier interaction graph.
+
+Together with ``dedup_connected_components`` this gives the engine an
+iterative-graph family: deterministic round counts make both
+oracle-checkable (the SQL unrolls the same rounds as CTEs), and both
+share the same scale shape — edge set materialized once, one
+join + grouped aggregate per round, lineage truncated per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.pagerank import pagerank
+from .llm_text import _t
+from . import register
+
+_PR_ROUNDS = 3
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle(rounds: int = _PR_ROUNDS) -> str:
+    parts = [
+        """
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS c,
+                  's:' || CAST(l.l_suppkey AS VARCHAR) AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT src, CAST(1.0 AS DOUBLE) AS pr FROM deg)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT e.dst AS node, SUM(r.pr / d.outdeg) AS s
+  FROM edges e JOIN r{i - 1} r ON e.src = r.src JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT deg.src,
+         ROUND(CAST({1 - _PR_DAMP:.2f} AS DOUBLE)
+               + CAST({_PR_DAMP:.2f} AS DOUBLE) * COALESCE(c{i}.s, 0), 6) AS pr
+  FROM deg LEFT JOIN c{i} ON deg.src = c{i}.node
+)"""
+        )
+    parts.append(f"\nSELECT src AS node, pr AS rank FROM r{rounds}")
+    return "".join(parts)
+
+
+@register("graph_pagerank_3round", oracle=_pagerank_oracle())
+def graph_pagerank_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank ({n} fixed rounds, d={d}) over the symmetrized
+    customer↔supplier graph (an edge per distinct customer-supplier
+    trading pair from orders ⋈ lineitem). Fixed rounds + 6-digit
+    per-round rounding make the result oracle-checkable independent
+    of convergence; the oracle unrolls the rounds as CTEs.
+
+    Scale: the edge build is one shuffle join + distinct; each round
+    is a node-keyed join + partial-aggregatable groupBy via
+    ``operators/pagerank.py`` — no global stage, AQE splits hub
+    skew."""
+    (orders, lineitem) = _t(spark, sf_dir, "orders", "lineitem")
+    pairs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iterations=_PR_ROUNDS, damping=_PR_DAMP)
+
+
+graph_pagerank_3round.__doc__ = graph_pagerank_3round.__doc__.format(
+    n=_PR_ROUNDS, d=_PR_DAMP
+)
