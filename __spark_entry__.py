@@ -48,6 +48,7 @@ _PRIORITY = [
     "text_length_quantiles",
     "sample_quality_weighted",
     "graph_pagerank_3round",
+    "text_bpe_merge_rules",
     "flagship_current_address",
     "text_langid",
     "text_quality_score",

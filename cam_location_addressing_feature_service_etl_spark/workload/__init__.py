@@ -45,6 +45,7 @@ def _load_all_modules() -> None:
     from . import llm_text  # noqa: F401
     from . import decontam  # noqa: F401
     from . import graph  # noqa: F401
+    from . import vocab  # noqa: F401
     from . import llm_similarity  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import events  # noqa: F401

@@ -1,0 +1,38 @@
+"""Greedy-left semantics of operators/bpe.py, including the only
+genuinely sequential-looking case: self-pair runs ("b b b b b" must
+merge positions 1-2 and 3-4, never the overlapping middle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cam_location_addressing_feature_service_etl_spark.operators.bpe import (
+    bpe_merge_rules,
+)
+
+
+def _tokens(spark, docs):
+    rows = [(i, p, t) for i, toks in enumerate(docs) for p, t in enumerate(toks)]
+    return spark.createDataFrame(rows, "doc_id long, pos long, tok string")
+
+
+def test_self_pair_run_merges_greedy_left(spark):
+    rules = bpe_merge_rules(_tokens(spark, [["b"] * 5]), rounds=3).collect()
+    got = [(r["merge_round"], r["pair_a"], r["pair_b"], r["pair_count"]) for r in rules]
+    # round 1: (b,b) appears 4x; greedy-left merges positions (0,1) and
+    # (2,3) -> [b_b, b_b, b]. round 2 pairs: (b_b,b_b) and (b_b,b),
+    # both count 1 -> lexicographic tiebreak picks (b_b, b) -> merges
+    # the TRAILING pair -> [b_b, b_b_b]. round 3: one pair left.
+    assert sorted(got) == [
+        (1, "b", "b", 4),
+        (2, "b_b", "b", 1),
+        (3, "b_b", "b_b_b", 1),
+    ]
+
+
+def test_distinct_pair_merges_everywhere(spark):
+    docs = [["x", "y", "z"], ["x", "y"], ["y", "x", "y"]]
+    rules = bpe_merge_rules(_tokens(spark, docs), rounds=1).collect()
+    assert [(r["pair_a"], r["pair_b"], r["pair_count"]) for r in rules] == [
+        ("x", "y", 3)
+    ]
