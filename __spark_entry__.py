@@ -49,6 +49,7 @@ _PRIORITY = [
     "sample_quality_weighted",
     "graph_pagerank_3round",
     "text_bpe_merge_rules",
+    "llm_corpus_prep_composite",
     "flagship_current_address",
     "text_langid",
     "text_quality_score",

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.dedup import shingle_postings, tokens_col
+from ..operators.dedup import exact_dedup, shingle_postings, tokens_col
 from .llm_text import _STOPWORDS, TOKENS_SQL, _shingle_cte, _t
 from . import register
 
@@ -265,3 +265,125 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in _LQ_PCTS
     ]
     return documents.groupBy("source").agg(*aggs)
+
+
+_CP_MIN_QUALITY = 0.3
+
+
+@register(
+    "llm_corpus_prep_composite",
+    oracle=f"""
+WITH {{shingles}},
+bench AS (
+  SELECT DISTINCT shingle FROM shingle WHERE doc_id % {_DC_BENCH_MOD} = 0
+),
+contam AS (
+  SELECT s.doc_id,
+         ROUND(COUNT(CASE WHEN b.shingle IS NOT NULL THEN 1 END)::DOUBLE
+               / COUNT(*), 6) AS rate
+  FROM shingle s LEFT JOIN bench b USING (shingle)
+  WHERE s.doc_id % {_DC_BENCH_MOD} <> 0
+  GROUP BY s.doc_id
+),
+dedup AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents WHERE doc_id % {_DC_BENCH_MOD} <> 0
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         ROUND(least(len(toks) / 100.0, 1.0) * 0.5
+               + (len(list_filter(toks, t -> t IN ({{stops}})))
+                  / greatest(len(toks), 1)) * 0.5, 6) AS quality
+  FROM (SELECT doc_id, source, {{toks}} AS toks FROM dedup)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       -- integer micro-units keep the mean deterministic: summing the
+       -- 6-digit-rounded qualities as BIGINTs is exact in any order,
+       -- so the single final division rounds identically in both
+       -- engines (a float AVG straddled a 1e-6 boundary here)
+       ROUND(SUM(CAST(ROUND(quality * 1000000, 0) AS BIGINT))::DOUBLE
+             / COUNT(*) / 1000000, 6) AS avg_quality
+FROM scored s LEFT JOIN contam c USING (doc_id)
+WHERE s.quality >= {_CP_MIN_QUALITY} AND COALESCE(c.rate, 0) < {_DC_THRESHOLD}
+GROUP BY source
+""".format(
+        shingles=_shingle_cte(_DC_N),
+        toks=TOKENS_SQL.format(col="text"),
+        stops=", ".join(repr(s) for s in _STOPWORDS),
+    ),
+)
+def llm_corpus_prep_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-side flagship composite: the full corpus-preparation
+    pipeline as ONE plan — benchmark exclusion → exact dedup →
+    quality gate → n-gram decontamination → per-source corpus stats.
+    Mirrors the ETL-side full-lifecycle composite
+    (flagship_current_address / plans/run.py) for the training-data
+    workload: every stage is an operator verified standalone
+    elsewhere in the registry; this query proves they compose.
+
+    Scale shape: dedup is one hash groupBy; quality is map-only; the
+    decontamination join is broadcast on the benchmark n-gram set;
+    the final rollup is a partial-aggregatable groupBy on source.
+    Nothing quadratic, no global stage."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    nonbench = documents.filter(F.col("doc_id") % _DC_BENCH_MOD != 0)
+    kept = exact_dedup(nonbench, text_col="text", id_col="doc_id")
+    sh = shingle_postings(documents, "doc_id", "text", _DC_N).localCheckpoint(eager=False)
+    bench = (
+        sh.filter(F.col("doc_id") % _DC_BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("_bench", F.lit(True))
+    )
+    contam = (
+        sh.filter(F.col("doc_id") % _DC_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.count(F.when(F.col("_bench"), 1)) / F.count(F.lit(1)), 6).alias(
+                "rate"
+            )
+        )
+    )
+    scored = kept.select(
+        "doc_id", "source", tokens_col(F.col("text")).alias("_toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.least(F.size("_toks") / 100.0, F.lit(1.0)) * 0.5
+            + (
+                F.size(F.filter(F.col("_toks"), lambda t: t.isin(*_STOPWORDS)))
+                / F.greatest(F.size("_toks"), F.lit(1))
+            )
+            * 0.5,
+            6,
+        ).alias("quality"),
+    )
+    return (
+        scored.join(contam, "doc_id", "left")
+        .filter(
+            (F.col("quality") >= _CP_MIN_QUALITY)
+            & (F.coalesce(F.col("rate"), F.lit(0.0)) < _DC_THRESHOLD)
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            # exact integer micro-unit sum -> one deterministic division
+            # (see oracle comment: float AVG straddles 1e-6 boundaries)
+            F.round(
+                F.sum(F.round(F.col("quality") * 1e6).cast("long"))
+                / F.count(F.lit(1))
+                / 1e6,
+                6,
+            ).alias("avg_quality"),
+        )
+    )
