@@ -52,6 +52,19 @@ def main() -> None:
         spark.range(1).count()
         spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
         spark.range(8).mapInPandas(lambda it: it, "id long").count()
+        # generic whole-stage-codegen warmup (explode + window + join +
+        # aggregate on a tiny frame): without it the alphabetically
+        # first query of each expression family absorbs several seconds
+        # of one-time JIT that is not that query's work
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        _w = spark.range(100).select(
+            (F.col("id") % 7).alias("k"), F.explode(F.array(F.lit("a"), F.lit("b"))).alias("t")
+        )
+        _w.withColumn("rn", F.row_number().over(Window.partitionBy("k").orderBy("t"))).join(
+            _w.groupBy("k").agg(F.count(F.lit(1)).alias("c")), "k"
+        ).groupBy("t").agg(F.sum("c")).count()
 
         for name in sorted(QUERIES):
             if name in SKIP:
