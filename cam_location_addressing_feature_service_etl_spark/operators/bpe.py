@@ -84,13 +84,20 @@ def bpe_merge_rules(
                 "_newrun",
                 F.col("_m") & ~F.coalesce(F.lag("_m").over(wdoc), F.lit(False)),
             )
+            # Greedy-left parity must be computed over row offsets, not
+            # raw pos values: pos is ordered but not necessarily dense
+            # (e.g. tokens at pos 0,2,4), and value arithmetic would
+            # mark both matches of a self-pair run as _taken. _ridx is
+            # a dense row index over the same window, so it shares the
+            # single exchange with the rest of the pipeline.
+            .withColumn("_ridx", F.row_number().over(wdoc))
             .withColumn(
                 "_run_start",
-                F.max(F.when(F.col("_newrun"), F.col("pos"))).over(wrun),
+                F.max(F.when(F.col("_newrun"), F.col("_ridx"))).over(wrun),
             )
             .withColumn(
                 "_taken",
-                F.col("_m") & ((F.col("pos") - F.col("_run_start")) % 2 == 0),
+                F.col("_m") & ((F.col("_ridx") - F.col("_run_start")) % 2 == 0),
             )
             .withColumn("_drop", F.coalesce(F.lag("_taken").over(wdoc), F.lit(False)))
         )

@@ -28,6 +28,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     damping: float = DAMPING,
+    teleport: float | None = None,
 ) -> DataFrame:
     """Unnormalized PageRank (init rank 1.0, ``rank = (1-d) + d·Σ
     rank/outdeg``) for exactly ``iterations`` rounds over the given
@@ -35,10 +36,17 @@ def pagerank(
     SQL oracle unrolling the same rounds agrees despite differing
     float summation orders.
 
+    ``teleport`` defaults to ``1 - damping`` but can be passed
+    explicitly: ``1.0 - 0.85`` is 1 ulp away from the double nearest
+    the literal ``0.15`` a SQL oracle would parse, and the per-round
+    ROUND(..., 6) boundary could flip between engines. Callers with a
+    SQL twin should pass the same literal to both sides.
+
     Returns (node, rank). Nodes = distinct sources (feed a
     symmetrized edge set for undirected graphs so every node appears
     and none dangles).
     """
+    t = (1.0 - damping) if teleport is None else teleport
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
         eager=False
     )
@@ -59,7 +67,7 @@ def pagerank(
             .select(
                 "src",
                 F.round(
-                    F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    F.lit(t) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
                     6,
                 ).alias("rank"),
             )

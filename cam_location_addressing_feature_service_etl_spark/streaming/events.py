@@ -27,8 +27,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: physical schema of events.parquet (ts is TIMESTAMP(NANOS) → long
-#: under nanosAsLong; converted to a real timestamp below)
+#: physical schema of events.parquet when ts is TIMESTAMP(NANOS) read
+#: as long under nanosAsLong (older generator); newer data carries a
+#: real µs timestamp — read_event_stream probes the footer and adapts.
 EVENTS_FILE_SCHEMA = StructType(
     [
         StructField("event_id", LongType(), True),
@@ -42,14 +43,25 @@ EVENTS_FILE_SCHEMA = StructType(
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream of events with the ns→timestamp conversion
-    (mirrors tables.load for the batch path)."""
-    raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
-        .format("parquet")
-        .load(path)
+    """File-source stream of events, schema-adaptive on ts like
+    tables.load: nanos-as-long footers get the ns→µs conversion,
+    native timestamp footers stream as-is. A streaming source needs
+    the schema up front, so probe it with a batch footer read (driver
+    metadata only — no data scan)."""
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        raw = spark.readStream.schema(EVENTS_FILE_SCHEMA).format("parquet").load(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    schema = StructType(
+        [
+            f if f.name != "ts" else StructField("ts", ts_type, True)
+            for f in EVENTS_FILE_SCHEMA.fields
+        ]
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = spark.readStream.schema(schema).format("parquet").load(path)
+    # session tz is pinned UTC, so NTZ→LTZ keeps the same instant;
+    # watermarks and window() need the LTZ type.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(

@@ -30,12 +30,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS) read as long (nanosAsLong);
-        # integer-divide to µs (exact — double division would lose
-        # precision past 2^53) and restore a real timestamp column.
+        # ts arrives either as parquet TIMESTAMP(NANOS) read as long
+        # (nanosAsLong — integer-divide to µs; double division would
+        # lose precision past 2^53) or already as a µs timestamp,
+        # depending on the generator's parquet writer version. Accept
+        # both so the engine is schema-adaptive like the reference's
+        # layer probe (address_etl/geocode.py:148-187).
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # session tz is pinned UTC (session.py), so NTZ→LTZ keeps
+            # the same instant the nanos path produced; downstream
+            # unix_millis/unix_micros require the LTZ type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

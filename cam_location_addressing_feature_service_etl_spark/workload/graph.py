@@ -19,6 +19,10 @@ from . import register
 
 _PR_ROUNDS = 3
 _PR_DAMP = 0.85
+# The teleport constant is passed as the SAME literal to both engines:
+# Python's 1.0 - 0.85 is 1 ulp above the double nearest "0.15", and the
+# per-round ROUND(..., 6) could flip between Spark and the oracle.
+_PR_TELEPORT = 0.15
 
 
 def _pagerank_oracle(rounds: int = _PR_ROUNDS) -> str:
@@ -47,8 +51,8 @@ c{i} AS (
 ),
 r{i} AS (
   SELECT deg.src,
-         ROUND(CAST({1 - _PR_DAMP:.2f} AS DOUBLE)
-               + CAST({_PR_DAMP:.2f} AS DOUBLE) * COALESCE(c{i}.s, 0), 6) AS pr
+         ROUND(CAST({_PR_TELEPORT!r} AS DOUBLE)
+               + CAST({_PR_DAMP!r} AS DOUBLE) * COALESCE(c{i}.s, 0), 6) AS pr
   FROM deg LEFT JOIN c{i} ON deg.src = c{i}.node
 )"""
         )
@@ -80,7 +84,9 @@ def graph_pagerank_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return pagerank(edges, iterations=_PR_ROUNDS, damping=_PR_DAMP)
+    return pagerank(
+        edges, iterations=_PR_ROUNDS, damping=_PR_DAMP, teleport=_PR_TELEPORT
+    )
 
 
 graph_pagerank_3round.__doc__ = graph_pagerank_3round.__doc__.format(

@@ -67,6 +67,9 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     # hashes differently even when every value compares equal. Mirror
     # that here so the builder-side sweep catches it first.
     for c in a.columns:
+        if c not in b.columns:
+            issues.append(f"col {c!r}: missing from oracle frame")
+            continue
         ka, kb = a[c].dtype.kind, b[c].dtype.kind
         if ka != kb and {ka, kb} <= {"i", "u", "f"}:
             issues.append(

@@ -36,3 +36,15 @@ def test_distinct_pair_merges_everywhere(spark):
     assert [(r["pair_a"], r["pair_b"], r["pair_count"]) for r in rules] == [
         ("x", "y", 3)
     ]
+
+
+def test_non_dense_pos_self_pair_run(spark):
+    # pos is ordered but NOT dense (0,2,4): greedy-left must still merge
+    # only the first pair of the b,b,b run -> [b_b, b], leaving a
+    # (b_b, b) pair for round 2. Value-based parity arithmetic would
+    # take both matches and corrupt the rewrite.
+    rows = [(0, 0, "b"), (0, 2, "b"), (0, 4, "b")]
+    tokens = spark.createDataFrame(rows, "doc_id long, pos long, tok string")
+    rules = bpe_merge_rules(tokens, rounds=2).collect()
+    got = [(r["merge_round"], r["pair_a"], r["pair_b"], r["pair_count"]) for r in rules]
+    assert sorted(got) == [(1, "b", "b", 2), (2, "b_b", "b", 1)]
