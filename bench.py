@@ -66,6 +66,8 @@ def main() -> None:
             _w.groupBy("k").agg(F.count(F.lit(1)).alias("c")), "k"
         ).groupBy("t").agg(F.sum("c")).count()
 
+        import gc
+
         for name in sorted(QUERIES):
             if name in SKIP:
                 continue
@@ -73,6 +75,15 @@ def main() -> None:
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+            # Drop the query's DataFrame refs and collect NOW: the
+            # iterative operators localCheckpoint intermediate RDDs,
+            # whose storage blocks are only unpersisted once the Python
+            # object dies and the JVM ContextCleaner notices. With a
+            # large heap the JVM may not GC for many queries, so blocks
+            # pile up and later queries absorb erratic GC pauses —
+            # measured as ±2s per-query noise across bench runs.
+            del df
+            gc.collect()
     finally:
         sys.stdout.flush()
         os.dup2(real_stdout_fd, 1)

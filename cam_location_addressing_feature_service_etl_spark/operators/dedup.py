@@ -375,23 +375,33 @@ def ngram_jaccard_pairs_prefix(
     postings — partial-aggregatable, no hot key (it groups BY shingle,
     and the ranking window is per doc, never global).
 
-    Verify stage: candidates are intersected via the postings
-    themselves — expand each candidate pair by its SMALLER doc's
-    shingles and keep the ones the larger doc also has (hash join on
-    (id, shingle)), count per pair. Cost is Σ min(|A|,|B|) narrow rows
-    over surviving candidates, NOT a collect_set shuffle of every
-    doc's whole shingle array (the round-3 form, which moved full sets
-    for all docs and dwarfed the candidate savings — judge-measured 2×
-    slower than the naive variant it was meant to beat).
+    Verify stage: each doc's shingle set is aggregated ONCE (a narrow
+    per-doc array, total volume = the postings themselves) and the
+    filtered candidate pairs hash-join it twice to compute
+    ``array_intersect`` sizes. The postings are partitioned by doc id
+    up front, so the rank window, the size window AND the set
+    aggregation all reuse that one exchange — no further shuffle until
+    the (much smaller) candidate join. Earlier forms were measured
+    slower at sf0.1: round 3 collect_set'd full sets per CANDIDATE
+    (quadratic re-shuffle), round 4 probed the postings with two extra
+    full-postings joins; this form moves each doc's set exactly once.
     """
-    # The postings feed four plan branches (rank/size pass, both verify
-    # sides, frequency agg); materialize the tokenize+shingle+explode
-    # subtree once instead of re-running it per branch.
-    sh = shingle_postings(df, id_col, text_col, shingle_n).localCheckpoint(eager=False)
+    # The postings feed three plan branches (rank/size pass, set agg,
+    # frequency agg); materialize the tokenize+shingle+explode subtree
+    # once, already hash-partitioned on the doc id.
+    sh = (
+        shingle_postings(df, id_col, text_col, shingle_n)
+        .repartition(F.col(id_col))
+        .localCheckpoint(eager=False)
+    )
+    # df ranking: one aggregate per distinct shingle. NOT broadcast-
+    # hinted — at corpus scale the distinct-shingle table is huge and
+    # must stay a shuffle join; locally AQE broadcasts it from runtime
+    # stats.
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # One shuffle on the doc id computes BOTH the df-order rank and the
-    # doc size (row_number + count over the same partition key) —
-    # instead of a separate sizes aggregate joined back in.
+    # row_number + count reuse the checkpoint's id partitioning — the
+    # join with freq is broadcast (AQE), so no re-exchange before the
+    # windows.
     w = Window.partitionBy(id_col).orderBy("df", "shingle")
     wsz = Window.partitionBy(id_col)
     ranked = sh.join(freq, "shingle").select(
@@ -439,40 +449,31 @@ def ngram_jaccard_pairs_prefix(
             )
         )
         .select("id_a", "id_b", "sz_a", "sz_b")
-        .distinct()
     )
-    # Verify by probing with the SMALLER doc of each pair (expansion is
-    # Σ min(|A|,|B|) instead of Σ|A|) and hash-joining the other side's
-    # postings on (id, shingle). The candidate set is the filtered
-    # survivor set — orders of magnitude smaller than the postings — so
-    # it is broadcast; on a real cluster AQE reaches the same plan from
-    # runtime stats.
-    probe = cand.select(
-        F.when(F.col("sz_a") <= F.col("sz_b"), F.col("id_a"))
-        .otherwise(F.col("id_b"))
-        .alias("probe_id"),
-        F.when(F.col("sz_a") <= F.col("sz_b"), F.col("id_b"))
-        .otherwise(F.col("id_a"))
-        .alias("other_id"),
-        "id_a",
-        "id_b",
-        "sz_a",
-        "sz_b",
-    )
-    sh_p = sh.select(F.col(id_col).alias("probe_id"), "shingle")
-    sh_o = sh.select(F.col(id_col).alias("other_id"), "shingle")
+    # Verify: aggregate each doc's shingle set once (reuses the id
+    # partitioning — no exchange) and join it to both sides of the
+    # candidate pairs. Total data moved is Σ|A| set elements — the
+    # postings themselves, once — versus the candidate count, which
+    # the prefix+length+positional filters have already collapsed.
+    # Candidate duplicates (a pair colliding on several prefix
+    # shingles) are carried through verification — the intersect is
+    # the same for every copy — and folded by the final distinct on
+    # the tiny threshold-surviving output, which is cheaper than a
+    # distinct over the full candidate set.
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sset"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b"))
     return (
-        F.broadcast(probe)
-        .join(sh_p, "probe_id")
-        .join(sh_o, ["other_id", "shingle"])
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")).cast("long"))
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .distinct()
     )
 
 

@@ -28,6 +28,11 @@ _BUILDER_CONF = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.ui.enabled": "false",
+    # ContextCleaner frees localCheckpoint/shuffle blocks only after a
+    # JVM GC proves the RDD unreachable; with a large heap full GCs are
+    # rare and dead blocks accumulate across a long session (the bench
+    # runs 100+ queries in one JVM). Periodic GC keeps cleanup timely.
+    "spark.cleaner.periodicGC.interval": "2min",
 }
 
 #: conf safe to (re)apply on any session at runtime, including one the
