@@ -32,14 +32,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: The driver samples a 50-query prefix of this ordering each round.
-#: Round 4 leads with the only two registry queries never driver-sampled
-#: in any round (geo_gridcell_agg, geo_nearest_within_radius — both
-#: judge-verified clean at sf0.01) so the union of CORRECTNESS_r02/r03/
-#: r04 covers 101/101, and with text_pack_sequences whose oracle dtype
-#: fix (HUGEINT→BIGINT cast) needs a fresh green hash row.
+#: Round 5 leads with the queries new this round (PCA power iteration,
+#: PQ codes, vocab coverage, temperature mix) so they get driver
+#: CORRECTNESS rows immediately, then the reworked prefix-Jaccard and
+#: the rest of the iterative/heavy family.
 #: scripts/check_parity.py (committed as PARITY_r{N}.txt) proves the
 #: full registry every round regardless.
 _PRIORITY = [
+    "emb_pca_power_projection",
+    "emb_pq_codes",
+    "text_vocab_coverage",
+    "sample_temperature_mix",
+    "dedup_ngram_jaccard_prefix",
     "geo_gridcell_agg",
     "geo_nearest_within_radius",
     "text_pack_sequences",
@@ -94,7 +98,6 @@ _PRIORITY = [
     "ev_asof_salted",
     "u5_snapshot_diff",
     "agg_grouping_sets",
-    "dedup_ngram_jaccard_prefix",
     "ev_sliding_value_30min",
     "ev_unpivot_metrics",
     "geo_haversine_within",

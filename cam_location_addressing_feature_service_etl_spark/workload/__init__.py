@@ -47,6 +47,7 @@ def _load_all_modules() -> None:
     from . import graph  # noqa: F401
     from . import vocab  # noqa: F401
     from . import llm_similarity  # noqa: F401
+    from . import factorization  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import events  # noqa: F401
     from . import geo  # noqa: F401

@@ -1,0 +1,144 @@
+"""Embedding linear-algebra workload: Gram-matrix PCA power iteration
+and product-quantization codes (``operators/factorization.py``).
+
+Both queries run in exact micro-unit integer arithmetic end to end, so
+the DuckDB oracles match bit-for-bit with no float tolerance: Spark
+sums DECIMAL(38,0) where DuckDB sums HUGEINT, and every division is an
+integer division of non-negative operands. The PCA oracle unrolls the
+fixed iteration rounds as CTEs exactly like the PageRank/BPE oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.factorization import (
+    MICRO,
+    gram_matrix,
+    micro_components,
+    pca_project,
+    power_iteration,
+    pq_codes,
+)
+from .llm_similarity import _t
+from . import register
+
+_PCA_ROUNDS = 3
+_PQ_CODEBOOK = 16
+_PQ_SUB_DIMS = 8
+
+_COMP_CTE = f"""raw AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings
+),
+comp AS (
+  SELECT vec_id, pos, CAST(FLOOR(x * {MICRO} + 0.5) AS BIGINT) AS xi FROM raw
+)"""
+
+
+def _pca_oracle(rounds: int = _PCA_ROUNDS) -> str:
+    parts = [
+        f"""
+WITH {_COMP_CTE},
+gram AS (
+  SELECT a.pos AS i, b.pos AS j,
+         SUM(CAST(a.xi AS HUGEINT) * CAST(b.xi AS HUGEINT)) AS g
+  FROM comp a JOIN comp b USING (vec_id)
+  GROUP BY 1, 2
+),
+v0 AS (SELECT DISTINCT pos, CAST({MICRO} AS HUGEINT) AS vi FROM comp)"""
+    ]
+    prev = "v0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+u{r} AS (
+  SELECT g.i AS pos, SUM(g.g * v.vi) AS u
+  FROM gram g JOIN {prev} v ON v.pos = g.j
+  GROUP BY 1
+),
+m{r} AS (SELECT MAX(ABS(u)) AS m FROM u{r}),
+v{r} AS (
+  SELECT pos,
+         CAST(SIGN(u) AS HUGEINT) * ((ABS(u) * {MICRO}) // m) AS vi
+  FROM u{r}, m{r}
+)"""
+        )
+        prev = f"v{r}"
+    parts.append(
+        f"""
+SELECT c.vec_id, CAST(SUM(CAST(c.xi AS HUGEINT) * v.vi) AS BIGINT) AS proj
+FROM comp c JOIN {prev} v ON v.pos = c.pos
+GROUP BY c.vec_id"""
+    )
+    return "".join(parts)
+
+
+@register("emb_pca_power_projection", oracle=_pca_oracle())
+def emb_pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA: exact Gram matrix (one map-combinable pass —
+    the d² reduction that keeps shuffle size independent of corpus
+    rows), {n} rounds of exact-integer power iteration on the d×d
+    frame, then a broadcast-join projection of every vector onto the
+    dominant direction. The classic pre-step for whitening / spectral
+    filtering of an embedding corpus before ANN or clustering; at
+    100 TB only the first and last stage touch the data, each once."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    x = micro_components(embeddings, "vec_id", "embedding").localCheckpoint(eager=False)
+    g = gram_matrix(x)
+    v = power_iteration(g, rounds=_PCA_ROUNDS)
+    return pca_project(x, v).select("vec_id", F.col("proj"))
+
+
+emb_pca_power_projection.__doc__ = emb_pca_power_projection.__doc__.format(n=_PCA_ROUNDS)
+
+
+_PQ_ORACLE = f"""
+WITH {_COMP_CTE},
+xs AS (
+  SELECT vec_id, (pos - 1) // {_PQ_SUB_DIMS} AS subspace, pos, xi FROM comp
+),
+cb AS (
+  SELECT vec_id AS code, subspace, pos, xi AS ci
+  FROM xs WHERE vec_id < {_PQ_CODEBOOK}
+),
+per AS (
+  SELECT x.vec_id, x.subspace, c.code,
+         SUM((x.xi - c.ci) * (x.xi - c.ci)) AS dist_sq
+  FROM xs x JOIN cb c ON c.subspace = x.subspace AND c.pos = x.pos
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, subspace, code, dist_sq,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY dist_sq, code) AS rn
+  FROM per
+)
+SELECT vec_id, CAST(subspace AS BIGINT) AS subspace, code,
+       CAST(dist_sq AS BIGINT) AS dist_sq
+FROM best WHERE rn = 1
+"""
+
+
+@register("emb_pq_codes", oracle=_PQ_ORACLE)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: dims split into {m}-dim subspaces, each
+    (vector, subspace) assigned its nearest of the {k} deterministic
+    codebook entries (vectors with the lowest ids) under the exact
+    integer squared-L2 metric. PQ codes are the memory-compressed
+    representation ANN indexes rerank against; the codebook side is
+    broadcast and the argmin is a lexicographic struct MIN, so the
+    plan is two partial-aggregatable groupBys with no window."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    x = micro_components(embeddings, "vec_id", "embedding")
+    return pq_codes(x, codebook_ids=_PQ_CODEBOOK, sub_dims=_PQ_SUB_DIMS).select(
+        "vec_id",
+        F.col("subspace").cast("long"),
+        "code",
+        F.col("dist_sq").cast("long"),
+    )
+
+
+emb_pq_codes.__doc__ = emb_pq_codes.__doc__.format(m=_PQ_SUB_DIMS, k=_PQ_CODEBOOK)

@@ -913,6 +913,79 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_BUDGET = 200
+
+
+@register(
+    "sample_temperature_mix",
+    oracle=f"""
+WITH n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS w
+  FROM n
+),
+tot AS (SELECT SUM(w) AS tw FROM w),
+quota AS (
+  SELECT source, CAST((CAST(w AS HUGEINT) * {_MIX_BUDGET}) // tw AS BIGINT) AS quota
+  FROM w, tot
+),
+ranked AS (
+  SELECT d.doc_id, d.source, q.quota,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rnk
+  FROM documents d JOIN quota q USING (source)
+)
+SELECT doc_id, source, CAST(rnk AS BIGINT) AS sample_rank
+FROM ranked WHERE rnk <= quota
+""",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture sampling (t=0.5): each source\'s
+    share of a {b}-doc budget is proportional to sqrt(its size), the
+    standard multilingual/multi-domain rebalancing that upsamples rare
+    sources relative to their natural frequency. Quotas are exact
+    integers (sqrt is correctly rounded IEEE, then floored to
+    micro-units; the division is integer), and the per-source picks
+    are the first quota docs in content-hash order — reproducible
+    across engines with no RNG.
+
+    Scale shape: one tiny per-source aggregate (broadcast back), one
+    shuffle on the source key for the rank window; the md5 order
+    destroys doc_id locality so the "sample" is uniform within each
+    source."""
+    from pyspark.sql.window import Window
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    n = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_int = n.select(
+        "source",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000).cast("long").alias("w"),
+    )
+    tot = w_int.agg(F.sum("w").alias("tw"))
+    quota = (
+        w_int.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr(
+                f"CAST((CAST(w AS DECIMAL(38,0)) * {_MIX_BUDGET}) DIV tw AS BIGINT)"
+            ).alias("quota"),
+        )
+    )
+    wnd = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        documents.join(F.broadcast(quota), "source")
+        .withColumn("rnk", F.row_number().over(wnd))
+        .filter(F.col("rnk") <= F.col("quota"))
+        .select("doc_id", "source", F.col("rnk").cast("long").alias("sample_rank"))
+    )
+
+
+sample_temperature_mix.__doc__ = sample_temperature_mix.__doc__.format(b=_MIX_BUDGET)
+
+
 # ---------------------------------------------------------------------------
 # Inverted index (posting lists, document frequency)
 # ---------------------------------------------------------------------------

@@ -95,3 +95,69 @@ def text_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_bpe_merge_rules.__doc__ = text_bpe_merge_rules.__doc__.format(n=_BPE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (Zipf head coverage)
+# ---------------------------------------------------------------------------
+
+_COV_TOP = 100
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH tokl AS (SELECT doc_id, {{toks}} AS t FROM documents),
+tok AS (SELECT unnest(t) AS tok FROM tokl),
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS total FROM cnt),
+top AS (SELECT tok, cnt FROM cnt ORDER BY cnt DESC, tok LIMIT {_COV_TOP}),
+run AS (
+  SELECT tok, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_count
+  FROM top
+)
+SELECT r.tok, r.cnt, r.cum_count,
+       CAST((CAST(r.cum_count AS HUGEINT) * 1000000) // t.total AS BIGINT) AS cum_ppm
+FROM run r, tot t
+""".format(toks=TOKENS_SQL.format(col="text")),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head-coverage curve: the {k} most frequent tokens with the
+    cumulative fraction of all token occurrences they cover, in exact
+    ppm (integer division — no float aggregation, hash-stable). The
+    statistic tokenizer-vocabulary sizing reads off directly ("how
+    many types cover 95% of tokens").
+
+    Scale shape: one token-count aggregation (map-side combinable),
+    a global top-k that Spark executes as TakeOrderedAndProject (never
+    a full sort), a single-row total broadcast, and a window over just
+    the {k} surviving rows — the only single-partition step touches
+    {k} rows, not the corpus."""
+    from pyspark.sql.window import Window
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").alias("total"))
+    top = cnt.orderBy(F.col("cnt").desc(), F.col("tok")).limit(_COV_TOP)
+    w = (
+        Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.withColumn("cum_count", F.sum("cnt").over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "cnt",
+            "cum_count",
+            F.expr("CAST((CAST(cum_count AS DECIMAL(38,0)) * 1000000) DIV total AS BIGINT)").alias(
+                "cum_ppm"
+            ),
+        )
+    )
+
+
+text_vocab_coverage.__doc__ = text_vocab_coverage.__doc__.format(k=_COV_TOP)

@@ -16,7 +16,10 @@ ev_value_band_join (inequality join against a 3-row literal dimension
 count), text_unigram_logprob (corpus token total), and
 ev_funnel_conversion (three stage counts combined into one row), and
 sim_kmeans_assignments (every vector scored against the broadcast
-k=8 centroid set — one per Lloyd round plus the init top-k).
+k=8 centroid set — one per Lloyd round plus the init top-k), and the
+1-row broadcast scalars in emb_pca_power_projection (per-round max|u|
+renormalizer), sample_temperature_mix (total source weight), and
+text_vocab_coverage (corpus token total).
 
 Iterative operators (dedup_connected_components) localCheckpoint per
 round, so the audit sees only the final round's plan — by design:

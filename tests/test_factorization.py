@@ -1,0 +1,106 @@
+"""Unit tests for the embedding linear-algebra operators
+(``operators/factorization.py``): exact-integer PCA power iteration
+and product-quantization assignment."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cam_location_addressing_feature_service_etl_spark.operators.factorization import (
+    MICRO,
+    gram_matrix,
+    micro_components,
+    pca_project,
+    power_iteration,
+    pq_codes,
+)
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(v) for v in vec]) for i, vec in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_micro_components_fixed_point(spark):
+    df = _vec_df(spark, [(0, [1.5, -0.25]), (1, [0.0000004, -0.0000006])])
+    got = {
+        (r["vec_id"], r["pos"]): r["xi"]
+        for r in micro_components(df, "vec_id", "embedding").collect()
+    }
+    assert got[(0, 1)] == 1_500_000
+    assert got[(0, 2)] == -250_000
+    # floor(x*1e6 + 0.5): .4 rounds down, -.6 rounds to -1 (half-up)
+    assert got[(1, 1)] == 0
+    assert got[(1, 2)] == -1
+
+
+def test_gram_matrix_exact_symmetric(spark):
+    df = _vec_df(spark, [(0, [1.0, 2.0]), (1, [3.0, -1.0])])
+    x = micro_components(df, "vec_id", "embedding")
+    g = {(r["i"], r["j"]): int(r["g"]) for r in gram_matrix(x).collect()}
+    m = MICRO * MICRO
+    assert g[(1, 1)] == (1 * 1 + 3 * 3) * m
+    assert g[(2, 2)] == (2 * 2 + 1 * 1) * m
+    assert g[(1, 2)] == g[(2, 1)] == (1 * 2 + 3 * -1) * m
+
+
+def test_power_iteration_finds_dominant_axis(spark):
+    # variance overwhelmingly along dim 1: the iterated vector must
+    # weight dim 1 at full scale and dim 2 near zero.
+    rows = [(i, [10.0 * (1 if i % 2 == 0 else -1), 0.01 * (i % 3)]) for i in range(20)]
+    x = micro_components(_vec_df(spark, rows), "vec_id", "embedding")
+    v = {r["pos"]: r["vi"] for r in power_iteration(gram_matrix(x), rounds=3).collect()}
+    assert abs(v[1]) == MICRO  # dominant axis at full micro-scale
+    assert abs(v[2]) < MICRO // 100
+
+
+def test_pca_projection_orders_by_dominant_component(spark):
+    rows = [(0, [5.0, 0.1]), (1, [1.0, 0.0]), (2, [-3.0, 0.2])]
+    x = micro_components(_vec_df(spark, rows), "vec_id", "embedding")
+    v = power_iteration(gram_matrix(x), rounds=3)
+    proj = {r["vec_id"]: r["proj"] for r in pca_project(x, v).collect()}
+    order = sorted(proj, key=lambda k: abs(proj[k]), reverse=True)
+    assert order == [0, 2, 1]
+
+
+def test_power_iteration_deterministic(spark):
+    rows = [(i, [math.sin(i + d) for d in range(4)]) for i in range(10)]
+    x = micro_components(_vec_df(spark, rows), "vec_id", "embedding")
+    a = sorted(power_iteration(gram_matrix(x), rounds=3).collect())
+    b = sorted(power_iteration(gram_matrix(x), rounds=3).collect())
+    assert a == b
+
+
+def test_pq_codes_assigns_nearest_codebook_entry(spark):
+    # 4 dims, 2 subspaces of 2; codebook = ids 0,1. id 2 sits exactly
+    # on id 0 in subspace 0 and on id 1 in subspace 1.
+    rows = [
+        (0, [0.0, 0.0, 5.0, 5.0]),
+        (1, [9.0, 9.0, 0.0, 0.0]),
+        (2, [0.1, -0.1, 0.2, 0.1]),
+    ]
+    x = micro_components(_vec_df(spark, rows), "vec_id", "embedding")
+    got = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in pq_codes(x, codebook_ids=2, sub_dims=2).collect()
+    }
+    assert got[(2, 0)] == 0  # near origin -> code 0 in subspace 0
+    assert got[(2, 1)] == 1  # near origin -> code 1 in subspace 1
+    # codebook members quantize to themselves at distance 0
+    assert got[(0, 0)] == 0 and got[(1, 1)] == 1
+
+
+def test_pq_codes_tie_breaks_to_smaller_code(spark):
+    # both codebook entries identical: every assignment must pick code 0
+    rows = [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [4.0, -2.0])]
+    x = micro_components(_vec_df(spark, rows), "vec_id", "embedding")
+    got = {
+        (r["vec_id"], r["subspace"]): (r["code"], r["dist_sq"])
+        for r in pq_codes(x, codebook_ids=2, sub_dims=2).collect()
+    }
+    assert all(code == 0 for code, _ in got.values())
+    assert got[(0, 0)][1] == 0
