@@ -41,6 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     "emb_pca_power_projection",
     "emb_pq_codes",
+    "emb_ivfpq_index",
     "text_vocab_coverage",
     "sample_temperature_mix",
     "dedup_ngram_jaccard_prefix",
@@ -59,6 +60,7 @@ _PRIORITY = [
     "text_quality_score",
     "text_token_counts",
     "dedup_connected_components",
+    "dedup_cc_star_converged",
     "text_winnow_fingerprint",
     "pii_redact_props",
     "text_bpe_pair_stats",

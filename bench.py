@@ -65,6 +65,32 @@ def main() -> None:
         _w.withColumn("rn", F.row_number().over(Window.partitionBy("k").orderBy("t"))).join(
             _w.groupBy("k").agg(F.count(F.lit(1)).alias("c")), "k"
         ).groupBy("t").agg(F.sum("c")).count()
+        # second warmup family: array transform + nested posexplode +
+        # decimal aggregate + set ops (the shapes the embedding
+        # linear-algebra and shingle-set queries compile to)
+        _a = spark.range(50).select(
+            "id", F.transform(F.sequence(F.lit(1), F.lit(4)), lambda i: i * F.col("id")).alias("xs")
+        )
+        _e = _a.select("id", F.posexplode("xs").alias("i", "x"), F.col("xs").alias("ys"))
+        _e.select("id", "i", "x", F.posexplode("ys").alias("j", "y")).groupBy("i", "j").agg(
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("g")
+        ).count()
+        _a.select(F.size(F.array_intersect("xs", "xs")).alias("s")).groupBy("s").agg(
+            F.collect_set("s")
+        ).count()
+        # third warmup family: the tokenize/shingle pipeline (regex
+        # clean + split + filter + n-gram transform + explode) that
+        # every dedup/text query compiles to — otherwise the
+        # alphabetically first of that family pays its JIT
+        from cam_location_addressing_feature_service_etl_spark.operators.dedup import (
+            shingle_postings,
+        )
+
+        _docs = spark.createDataFrame(
+            [(i, "warm up the shingle code path, not a benchmark row %d" % i) for i in range(8)],
+            "doc_id long, text string",
+        )
+        shingle_postings(_docs, "doc_id", "text", 3).groupBy("shingle").count().count()
 
         import gc
 

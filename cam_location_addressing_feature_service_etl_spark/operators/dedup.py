@@ -537,3 +537,77 @@ def connected_components(
         if i < iterations - 1:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components via LARGE-STAR / SMALL-STAR alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round scale path that ``connected_components``'s
+    docstring promises for 100 TB graphs, run to convergence.
+
+    Each round is two map-combinable groupBy/join passes over the edge
+    set; the edge set only shrinks toward a star per component, so the
+    per-round cost FALLS as the algorithm proceeds (fixed-round label
+    propagation instead re-joins the full adjacency every round and
+    needs diameter rounds). Convergence is detected with one scalar
+    action per round — an order-insensitive (count, xxhash-sum)
+    fingerprint of the canonical edge set; the loop is driver-side but
+    every data operation is distributed.
+
+    Returns (node, label) for every node incident to an edge, label =
+    component minimum — identical to converged min-label propagation.
+    """
+
+    def canon(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+        )
+
+    e = canon(
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    ).localCheckpoint(eager=False)
+
+    def fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: 64-bit hash values overflow a LONG sum
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = fingerprint(e)
+    for _ in range(max_rounds):
+        # LARGE-STAR: every strictly-larger neighbor of u re-attaches
+        # to u's neighborhood minimum (including u itself).
+        bidir = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = bidir.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = canon(
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        ).localCheckpoint(eager=False)
+        # SMALL-STAR: on the (larger → smaller) canonical edges, every
+        # smaller neighbor and u itself attach to the minimum.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = canon(
+            large.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+        ).localCheckpoint(eager=False)
+        e = small
+        cur = fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged stars: u -> component minimum; centers label themselves
+    return e.select(F.col("u").alias("node"), F.col("v").alias("label")).unionByName(
+        e.select(F.col("v").alias("node"), F.col("v").alias("label")).distinct()
+    )

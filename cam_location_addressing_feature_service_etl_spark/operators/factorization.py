@@ -36,37 +36,53 @@ from pyspark.sql import functions as F
 MICRO = 1_000_000
 
 
-def micro_components(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, pos, xi) rows with xi = FLOOR(v[pos]*1e6 + 0.5) as BIGINT —
-    the exact fixed-point view of an array<float> column. ``pos`` is
-    1-based to match SQL ``generate_subscripts``."""
+def micro_array(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, xs) with xs[k] = FLOOR(v[k]*1e6 + 0.5) as array<long> — the
+    exact fixed-point view of an array<float> column, computed map-only
+    (multiply, add, floor are each single exactly-rounded IEEE ops, so
+    the integers are engine-independent)."""
     return df.select(
         F.col(id_col),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "x"),
-    ).select(
-        id_col,
-        (F.col("pos0") + 1).alias("pos"),
-        F.floor(F.col("x") * MICRO + F.lit(0.5)).cast("long").alias("xi"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda v: F.floor(v * MICRO + F.lit(0.5)).cast("long"),
+        ).alias("xs"),
     )
 
 
-def gram_matrix(x: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """Exact Gram matrix G[i,j] = Σ_v x_v[i]·x_v[j] over micro-unit
-    components, as (i, j, g) with g DECIMAL(38,0).
+def micro_components(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, pos, xi) exploded view of :func:`micro_array`. ``pos`` is
+    1-based to match SQL ``generate_subscripts``."""
+    return micro_array(df, id_col, vec_col).select(
+        id_col,
+        F.posexplode("xs").alias("pos0", "xi"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "xi")
 
-    The self-join on the vector id expands each vector to d² product
-    terms, but the following aggregate is map-side combinable, so the
-    shuffle carries at most d² rows per task — the standard "tall
-    matrix → tiny Gram" reduction that makes PCA a one-pass distributed
-    job. Products are summed as DECIMAL(38,0): |xi| ≲ 1e7 micro-units
-    keeps Σ within 38 digits up to ~1e23 vectors."""
-    a = x.select(F.col(id_col).alias("_v"), F.col("pos").alias("i"), F.col("xi").alias("xa"))
-    b = x.select(F.col(id_col).alias("_v"), F.col("pos").alias("j"), F.col("xi").alias("xb"))
+
+def gram_matrix(xs: DataFrame) -> DataFrame:
+    """Exact Gram matrix G[i,j] = Σ_v xs_v[i]·xs_v[j] over a micro-unit
+    array frame (:func:`micro_array` output), as (i, j, g) with g
+    DECIMAL(38,0).
+
+    Each vector expands to its d² product terms MAP-SIDE — the i-side
+    is exploded while the full component array rides along for the
+    j-side, so there is no self-join and zero shuffle before the
+    aggregate (a join-on-id form would exchange data that is already
+    row-local). The aggregate is map-side combinable, so the shuffle
+    carries at most d² rows per task — the standard "tall matrix →
+    tiny Gram" reduction that makes PCA a one-pass distributed job.
+    Products are exact in BIGINT (|xi| ≲ 1e7 micro-units → |xi·xj| ≲
+    1e14) and summed as DECIMAL(38,0), good to ~1e23 vectors."""
+    i_side = xs.select(F.posexplode("xs").alias("i0", "xa"), F.col("xs").alias("_ys"))
+    both = i_side.select(
+        (F.col("i0") + 1).alias("i"),
+        "xa",
+        F.posexplode("_ys").alias("j0", "xb"),
+    )
     return (
-        a.join(b, "_v")
-        .groupBy("i", "j")
+        both.groupBy("i", (F.col("j0") + 1).alias("j"))
         .agg(
-            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb").cast("decimal(38,0)"))
+            F.sum((F.col("xa") * F.col("xb")).cast("decimal(38,0)"))
             .cast("decimal(38,0)")
             .alias("g")
         )
@@ -170,3 +186,87 @@ def pq_codes(
         )
     )
     return best
+
+
+def ivfpq_index(
+    xs: DataFrame,
+    n_cells: int,
+    codebook_ids: int,
+    sub_dims: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ index build — the FAISS-style composite: a coarse
+    quantizer assigns each vector to its nearest cell, then the
+    RESIDUAL (vector − cell centroid) is product-quantized. Encoding
+    residuals instead of raw vectors is the IVF-PQ trick: residual
+    energy is much smaller than vector energy, so the same code budget
+    quantizes far more precisely.
+
+    Deterministic setup mirroring ``sim_ann_ivf_bucketed``: cell
+    centroids are the vectors with id < ``n_cells``; the PQ codebook
+    entries are the residuals of the ``codebook_ids`` lowest-id
+    members. All distances are exact integer squared-L2 in micro
+    units, so the index is bit-identical across engines.
+
+    Plan shape (the 100 TB story): centroids and codebook are
+    broadcast; cell assignment is a JVM ``zip_with``/``aggregate``
+    fold over the broadcast pair (no explode, no shuffle); the only
+    shuffles are the two partial-aggregatable groupBys of the PQ
+    argmin, exactly as :func:`pq_codes`. Returns
+    (id, centroid_id, subspace, code, dist_sq)."""
+    cents = xs.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("centroid_id"), F.col("xs").alias("cs")
+    )
+    members = xs.filter(F.col(id_col) >= n_cells)
+    sq_l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    scored = members.crossJoin(F.broadcast(cents)).select(
+        id_col, "centroid_id", "xs", sq_l2(F.col("xs"), F.col("cs")).alias("d")
+    )
+    assigned = (
+        scored.groupBy(id_col)
+        .agg(F.min(F.struct("d", "centroid_id")).alias("b"))
+        .select(id_col, F.col("b.centroid_id").alias("centroid_id"))
+    )
+    resid = (
+        members.join(assigned, id_col)
+        .join(F.broadcast(cents), "centroid_id")
+        .select(
+            id_col,
+            "centroid_id",
+            F.zip_with("xs", "cs", lambda a, b: a - b).alias("rs"),
+        )
+    )
+    rcomp = resid.select(
+        id_col,
+        "centroid_id",
+        F.posexplode("rs").alias("pos0", "ri"),
+    ).select(
+        id_col,
+        "centroid_id",
+        (F.col("pos0") + 1).alias("pos"),
+        ((F.col("pos0")) / sub_dims).cast("long").alias("subspace"),
+        "ri",
+    )
+    cb = rcomp.filter(F.col(id_col) < n_cells + codebook_ids).select(
+        F.col(id_col).alias("code"), "subspace", "pos", F.col("ri").alias("bi")
+    )
+    per = (
+        rcomp.join(F.broadcast(cb), ["subspace", "pos"])
+        .groupBy(id_col, "centroid_id", "subspace", "code")
+        .agg(F.sum((F.col("ri") - F.col("bi")) * (F.col("ri") - F.col("bi"))).alias("dist_sq"))
+    )
+    return (
+        per.groupBy(id_col, "centroid_id", "subspace")
+        .agg(F.min(F.struct("dist_sq", "code")).alias("b"))
+        .select(
+            id_col,
+            "centroid_id",
+            "subspace",
+            F.col("b.code").alias("code"),
+            F.col("b.dist_sq").alias("dist_sq"),
+        )
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..operators.factorization import (
     MICRO,
     gram_matrix,
+    micro_array,
     micro_components,
     pca_project,
     power_iteration,
@@ -86,8 +87,11 @@ def emb_pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering of an embedding corpus before ANN or clustering; at
     100 TB only the first and last stage touch the data, each once."""
     (embeddings,) = _t(spark, sf_dir, "embeddings")
-    x = micro_components(embeddings, "vec_id", "embedding").localCheckpoint(eager=False)
-    g = gram_matrix(x)
+    xs = micro_array(embeddings, "vec_id", "embedding").localCheckpoint(eager=False)
+    x = xs.select("vec_id", F.posexplode("xs").alias("pos0", "xi")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "xi"
+    )
+    g = gram_matrix(xs)
     v = power_iteration(g, rounds=_PCA_ROUNDS)
     return pca_project(x, v).select("vec_id", F.col("proj"))
 
@@ -142,3 +146,82 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 emb_pq_codes.__doc__ = emb_pq_codes.__doc__.format(m=_PQ_SUB_DIMS, k=_PQ_CODEBOOK)
+
+
+_IVFPQ_CELLS = 8
+_IVFPQ_CODEBOOK = 16
+
+_IVFPQ_ORACLE = f"""
+WITH {_COMP_CTE},
+cent AS (SELECT vec_id AS centroid_id, pos, xi AS ci FROM comp WHERE vec_id < {_IVFPQ_CELLS}),
+mem AS (SELECT * FROM comp WHERE vec_id >= {_IVFPQ_CELLS}),
+ad AS (
+  SELECT m.vec_id, c.centroid_id, SUM((m.xi - c.ci) * (m.xi - c.ci)) AS d
+  FROM mem m JOIN cent c USING (pos)
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, centroid_id) AS rn
+    FROM ad
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT m.vec_id, a.centroid_id, m.pos,
+         (m.pos - 1) // {_PQ_SUB_DIMS} AS subspace,
+         m.xi - c.ci AS ri
+  FROM mem m
+  JOIN assigned a USING (vec_id)
+  JOIN cent c ON c.centroid_id = a.centroid_id AND c.pos = m.pos
+),
+cb AS (
+  SELECT vec_id AS code, subspace, pos, ri AS bi
+  FROM resid WHERE vec_id < {_IVFPQ_CELLS + _IVFPQ_CODEBOOK}
+),
+per AS (
+  SELECT r.vec_id, r.centroid_id, r.subspace, c.code,
+         SUM((r.ri - c.bi) * (r.ri - c.bi)) AS dist_sq
+  FROM resid r JOIN cb c ON c.subspace = r.subspace AND c.pos = r.pos
+  GROUP BY 1, 2, 3, 4
+),
+best AS (
+  SELECT vec_id, centroid_id, subspace, code, dist_sq,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY dist_sq, code) AS rn
+  FROM per
+)
+SELECT vec_id, centroid_id, CAST(subspace AS BIGINT) AS subspace, code,
+       CAST(dist_sq AS BIGINT) AS dist_sq
+FROM best WHERE rn = 1
+"""
+
+
+@register("emb_ivfpq_index", oracle=_IVFPQ_ORACLE)
+def emb_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index build — coarse cells + product-quantized RESIDUALS
+    (the FAISS composite; residual energy is far smaller than vector
+    energy, so the same code budget quantizes far more precisely).
+    Cells and codebook are deterministic (lowest-id vectors / member
+    residuals), every distance an exact integer, so the whole index
+    hash-matches the SQL oracle. Cell assignment is a broadcast
+    zip_with/aggregate fold (no explode, no shuffle); the PQ argmin is
+    the same two partial-aggregatable groupBys as emb_pq_codes."""
+    from ..operators.factorization import ivfpq_index
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    # the array frame fans out into centroid / member / codebook
+    # branches — materialize once instead of re-scanning per branch
+    xs = micro_array(embeddings, "vec_id", "embedding").localCheckpoint(eager=False)
+    return ivfpq_index(
+        xs,
+        n_cells=_IVFPQ_CELLS,
+        codebook_ids=_IVFPQ_CODEBOOK,
+        sub_dims=_PQ_SUB_DIMS,
+    ).select(
+        "vec_id",
+        "centroid_id",
+        F.col("subspace").cast("long"),
+        "code",
+        F.col("dist_sq").cast("long"),
+    )

@@ -464,6 +464,57 @@ dedup_connected_components.__doc__ = dedup_connected_components.__doc__.format(
 )
 
 
+def _cc_star_oracle() -> str:
+    """Converged-components oracle: recursive label reachability (every
+    node collects all labels reachable over the symmetric edge set;
+    the MIN is the component minimum). Round-count independent, so it
+    checks the large-star/small-star variant's fixed point."""
+    return f"""
+WITH RECURSIVE {_shingle_cte(_NJ_SHINGLE_N)},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM shingle a JOIN shingle b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter / (sa.sz + sb.sz - inter) >= {_CC_THRESHOLD}
+),
+e AS (SELECT id_a AS s, id_b AS d FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+cc(node, label) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT e.d, cc.label FROM cc JOIN e ON e.s = cc.node
+)
+SELECT node AS doc_id, MIN(label) AS component_id FROM cc GROUP BY node
+"""
+
+
+@register("dedup_cc_star_converged", oracle=_cc_star_oracle())
+def dedup_cc_star_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME dedup clustering as ``dedup_connected_components`` but
+    via large-star/small-star alternation run to CONVERGENCE — the
+    O(log n)-round 100 TB path (fixed-round propagation needs diameter
+    rounds and re-joins the full adjacency each round; star rounds
+    shrink the edge set toward per-component stars). The oracle is a
+    recursive reachability CTE, so it checks the true fixed point
+    rather than any particular round count."""
+    from ..operators.dedup import connected_components_star
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents, id_col="doc_id", text_col="text",
+        threshold=_CC_THRESHOLD, shingle_n=_NJ_SHINGLE_N,
+    )
+    labels = connected_components_star(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints (rolling k-gram hash, window minimum)
 # ---------------------------------------------------------------------------

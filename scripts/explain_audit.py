@@ -19,7 +19,9 @@ sim_kmeans_assignments (every vector scored against the broadcast
 k=8 centroid set — one per Lloyd round plus the init top-k), and the
 1-row broadcast scalars in emb_pca_power_projection (per-round max|u|
 renormalizer), sample_temperature_mix (total source weight), and
-text_vocab_coverage (corpus token total).
+text_vocab_coverage (corpus token total), and emb_ivfpq_index (every
+member vector scored against the broadcast 8-row cell-centroid set —
+the same intentional shape as sim_kmeans_assignments).
 
 Iterative operators (dedup_connected_components) localCheckpoint per
 round, so the audit sees only the final round's plan — by design:

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from cam_location_addressing_feature_service_etl_spark.operators.factorization import (
     MICRO,
     gram_matrix,
+    micro_array,
     micro_components,
     pca_project,
     power_iteration,
@@ -40,8 +41,10 @@ def test_micro_components_fixed_point(spark):
 
 def test_gram_matrix_exact_symmetric(spark):
     df = _vec_df(spark, [(0, [1.0, 2.0]), (1, [3.0, -1.0])])
-    x = micro_components(df, "vec_id", "embedding")
-    g = {(r["i"], r["j"]): int(r["g"]) for r in gram_matrix(x).collect()}
+    g = {
+        (r["i"], r["j"]): int(r["g"])
+        for r in gram_matrix(micro_array(df, "vec_id", "embedding")).collect()
+    }
     m = MICRO * MICRO
     assert g[(1, 1)] == (1 * 1 + 3 * 3) * m
     assert g[(2, 2)] == (2 * 2 + 1 * 1) * m
@@ -52,16 +55,17 @@ def test_power_iteration_finds_dominant_axis(spark):
     # variance overwhelmingly along dim 1: the iterated vector must
     # weight dim 1 at full scale and dim 2 near zero.
     rows = [(i, [10.0 * (1 if i % 2 == 0 else -1), 0.01 * (i % 3)]) for i in range(20)]
-    x = micro_components(_vec_df(spark, rows), "vec_id", "embedding")
-    v = {r["pos"]: r["vi"] for r in power_iteration(gram_matrix(x), rounds=3).collect()}
+    xs = micro_array(_vec_df(spark, rows), "vec_id", "embedding")
+    v = {r["pos"]: r["vi"] for r in power_iteration(gram_matrix(xs), rounds=3).collect()}
     assert abs(v[1]) == MICRO  # dominant axis at full micro-scale
     assert abs(v[2]) < MICRO // 100
 
 
 def test_pca_projection_orders_by_dominant_component(spark):
     rows = [(0, [5.0, 0.1]), (1, [1.0, 0.0]), (2, [-3.0, 0.2])]
-    x = micro_components(_vec_df(spark, rows), "vec_id", "embedding")
-    v = power_iteration(gram_matrix(x), rounds=3)
+    df = _vec_df(spark, rows)
+    x = micro_components(df, "vec_id", "embedding")
+    v = power_iteration(gram_matrix(micro_array(df, "vec_id", "embedding")), rounds=3)
     proj = {r["vec_id"]: r["proj"] for r in pca_project(x, v).collect()}
     order = sorted(proj, key=lambda k: abs(proj[k]), reverse=True)
     assert order == [0, 2, 1]
@@ -69,9 +73,9 @@ def test_pca_projection_orders_by_dominant_component(spark):
 
 def test_power_iteration_deterministic(spark):
     rows = [(i, [math.sin(i + d) for d in range(4)]) for i in range(10)]
-    x = micro_components(_vec_df(spark, rows), "vec_id", "embedding")
-    a = sorted(power_iteration(gram_matrix(x), rounds=3).collect())
-    b = sorted(power_iteration(gram_matrix(x), rounds=3).collect())
+    xs = micro_array(_vec_df(spark, rows), "vec_id", "embedding")
+    a = sorted(power_iteration(gram_matrix(xs), rounds=3).collect())
+    b = sorted(power_iteration(gram_matrix(xs), rounds=3).collect())
     assert a == b
 
 
@@ -104,3 +108,28 @@ def test_pq_codes_tie_breaks_to_smaller_code(spark):
     }
     assert all(code == 0 for code, _ in got.values())
     assert got[(0, 0)][1] == 0
+
+
+def test_ivfpq_residual_encoding(spark):
+    from cam_location_addressing_feature_service_etl_spark.operators.factorization import (
+        ivfpq_index,
+    )
+
+    # cells = ids 0,1 (axis-aligned); codebook = residuals of members
+    # 2,3. Member 4 equals cell 0's centroid plus member 2's residual,
+    # so it must land in cell 0 with code 2 at distance 0.
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [100.0, 100.0]),
+        (2, [1.0, -1.0]),     # cell 0, residual (1, -1)
+        (3, [99.0, 102.0]),   # cell 1, residual (-1, 2)
+        (4, [1.0, -1.0]),     # identical to member 2
+    ]
+    xs = micro_array(_vec_df(spark, rows), "vec_id", "embedding")
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["code"], r["dist_sq"])
+        for r in ivfpq_index(xs, n_cells=2, codebook_ids=2, sub_dims=2).collect()
+    }
+    assert got[2] == (0, 2, 0)  # codebook member encodes itself
+    assert got[3] == (1, 3, 0)
+    assert got[4] == (0, 2, 0)  # same residual -> same code, exact

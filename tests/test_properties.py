@@ -355,3 +355,43 @@ def test_prefix_jaccard_equals_naive_jaccard(spark, docs, threshold):
         for r in ngram_jaccard_pairs_prefix(df, "id", "text", threshold, shingle_n=3).collect()
     }
     assert prefix == naive
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=12), st.integers(min_value=0, max_value=12)),
+        min_size=0,
+        max_size=20,
+    )
+)
+@_SET
+def test_star_cc_equals_union_find(spark, edges):
+    """connected_components_star claims the converged components of an
+    arbitrary undirected graph — verified against a Python union-find
+    ground truth (label = component minimum, nodes incident to >=1
+    non-loop edge)."""
+    from cam_location_addressing_feature_service_etl_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    real = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(real or [(None, None)], "id_a long, id_b long").filter(
+        F.col("id_a").isNotNull()
+    )
+    got = {(r["node"], r["label"]) for r in connected_components_star(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in real:
+        parent[find(a)] = find(b)
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    expect = {(n, min(members)) for members in comps.values() for n in members}
+    assert got == expect
