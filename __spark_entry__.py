@@ -54,6 +54,7 @@ _PRIORITY = [
     "sample_quality_weighted",
     "graph_pagerank_3round",
     "text_bpe_merge_rules",
+    "text_bpe_encode",
     "llm_corpus_prep_composite",
     "flagship_current_address",
     "text_langid",

@@ -134,9 +134,14 @@ def merge_asof_salted(
     lrow_type = l2.schema["_lrow"].dataType
     r2 = r2.withColumn("_lrow", F.lit(None).cast(lrow_type))
 
-    # winner per (key, right-bucket): struct max orders by (_t, _seq)
-    bucket_best = r2.groupBy("_k", "_b").agg(
-        F.max(F.struct("_t", "_seq", "_pay")).alias("_m")
+    # winner per (key, right-bucket): struct max orders by (_t, _seq).
+    # Materialized: it feeds BOTH the timeline union leg and the join
+    # below, and without a checkpoint the right-side scan + aggregate
+    # subtree executes once per branch.
+    bucket_best = (
+        r2.groupBy("_k", "_b")
+        .agg(F.max(F.struct("_t", "_seq", "_pay")).alias("_m"))
+        .localCheckpoint(eager=False)
     )
     # every bucket that needs a carry-in: all left buckets + all right
     # buckets (a left bucket with no right rows still needs the carry)

@@ -44,6 +44,28 @@ def bpe_merge_rules(
     ``pos`` long, ``tok`` string; pos need only be ordered, not dense)
     and return the learned rules: (round, pair_a, pair_b, pair_count).
     """
+    rules, _ = _bpe_rounds(tokens, rounds, id_col)
+    return rules
+
+
+def bpe_apply(
+    tokens: DataFrame,
+    rounds: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ENCODE side of BPE: the token stream after ``rounds``
+    greedy-left merge rounds (rules re-learned from the same corpus —
+    train→apply as one deterministic pipeline). Returns (id, pos, tok)
+    with pos renumbered dense per doc."""
+    _, stream = _bpe_rounds(tokens, rounds, id_col)
+    return stream
+
+
+def _bpe_rounds(
+    tokens: DataFrame,
+    rounds: int,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
     wdoc = Window.partitionBy(id_col).orderBy("pos")
     wrun = wdoc.rowsBetween(Window.unboundedPreceding, 0)
     expl = tokens.localCheckpoint(eager=False)
@@ -110,4 +132,4 @@ def bpe_merge_rules(
             )
             .localCheckpoint(eager=False)
         )
-    return rules
+    return rules, expl

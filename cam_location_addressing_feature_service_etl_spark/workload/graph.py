@@ -80,6 +80,9 @@ def graph_pagerank_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
         )
         .distinct()
+        # both symmetrization legs consume the (orders ⋈ lineitem +
+        # distinct) subtree — materialize it once, not per leg
+        .localCheckpoint(eager=False)
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.bpe import JOIN_CH, bpe_merge_rules
+from ..operators.bpe import JOIN_CH, bpe_apply, bpe_merge_rules
 from ..operators.dedup import tokens_col
 from .llm_text import TOKENS_SQL, _t
 from . import register
@@ -71,15 +71,30 @@ tok{r} AS (
   WHERE d.pos IS NULL
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle_rules(rounds: int = _BPE_ROUNDS) -> str:
     selects = [
         f"SELECT {r} AS merge_round, a AS pair_a, b AS pair_b, CAST(cnt AS BIGINT) AS pair_count FROM top{r}"
         for r in range(1, rounds + 1)
     ]
-    parts.append("\n" + "\nUNION ALL\n".join(selects))
-    return "".join(parts)
+    return _bpe_oracle(rounds) + "\n" + "\nUNION ALL\n".join(selects)
 
 
-@register("text_bpe_merge_rules", oracle=_bpe_oracle())
+def _bpe_oracle_encode(rounds: int = _BPE_ROUNDS) -> str:
+    return (
+        _bpe_oracle(rounds)
+        + f"""
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS stream_hash
+FROM tok{rounds}
+GROUP BY doc_id"""
+    )
+
+
+@register("text_bpe_merge_rules", oracle=_bpe_oracle_rules())
 def text_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn {n} BPE-style merge rules over the document corpus: per
     round, the corpus-wide most frequent adjacent token pair (count
@@ -161,3 +176,29 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_vocab_coverage.__doc__ = text_vocab_coverage.__doc__.format(k=_COV_TOP)
+
+
+@register("text_bpe_encode", oracle=_bpe_oracle_encode())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE side of BPE (train→apply as one pipeline): rewrite
+    every document with the {n} learned merge rules and emit per-doc
+    post-merge token counts plus an md5 of the exact rewritten token
+    stream — so the oracle verifies every merge position in every
+    document, not just the rule list. Same per-doc window pipeline as
+    the trainer; the stream hash is order-exact via a per-doc sorted
+    aggregation (no global stage)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    tokens = documents.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
+    )
+    stream = bpe_apply(tokens, rounds=_BPE_ROUNDS)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+    )
+    return stream.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(ordered, " ")).alias("stream_hash"),
+    )
+
+
+text_bpe_encode.__doc__ = text_bpe_encode.__doc__.format(n=_BPE_ROUNDS)

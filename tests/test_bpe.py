@@ -48,3 +48,21 @@ def test_non_dense_pos_self_pair_run(spark):
     rules = bpe_merge_rules(tokens, rounds=2).collect()
     got = [(r["merge_round"], r["pair_a"], r["pair_b"], r["pair_count"]) for r in rules]
     assert sorted(got) == [(1, "b", "b", 2), (2, "b_b", "b", 1)]
+
+
+def test_bpe_apply_rewrites_stream(spark):
+    from cam_location_addressing_feature_service_etl_spark.operators.bpe import bpe_apply
+
+    # "a b" dominates round 1 -> merged everywhere greedy-left
+    rows = [(1, i, t) for i, t in enumerate(["a", "b", "a", "b", "c"])] + [
+        (2, i, t) for i, t in enumerate(["a", "b", "x"])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, pos long, tok string")
+    out = bpe_apply(df, rounds=1)
+    got = {
+        (r["doc_id"], r["pos"]): r["tok"] for r in out.collect()
+    }
+    assert got[(1, 1)] == "a_b" and got[(1, 2)] == "a_b" and got[(1, 3)] == "c"
+    assert got[(2, 1)] == "a_b" and got[(2, 2)] == "x"
+    # dense renumbering: doc 1 has exactly 3 positions
+    assert {p for d, p in got if d == 1} == {1, 2, 3}
