@@ -79,6 +79,7 @@ _PRIORITY = [
     "sim_embedding_quantize_int8",
     "dedup_semantic_embedding",
     "mm_decode_image_meta",
+    "mm_phash_near_dup",
     "mm_frame_sample",
     "mm_resize_plan",
     "mm_audio_frame_plan",

@@ -25,7 +25,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -292,3 +292,35 @@ def decode_audio_meta(df_with_payload: DataFrame) -> DataFrame:
 
     _ship_package(df_with_payload.sparkSession)
     return df_with_payload.mapInPandas(decode_audio_meta_batches, AUDIO_META_SCHEMA)
+
+
+def phash_bits_col(payload: Column, bits: int = 16) -> Column:
+    """Perceptual-hash stand-in over an opaque binary payload: the
+    payload's HEX transcription is cut into ``bits`` equal blocks
+    (integer-exact boundaries: block i spans chars (i·H div bits,
+    (i+1)·H div bits]), each block's md5 contributes one bit (leading
+    hex nibble ≥ 8), and the bits pack little-endian into a BIGINT.
+
+    Hashing the hex transcription rather than raw byte slices keeps
+    the SQL oracle exact for ARBITRARY bytes (SQL engines slice
+    VARCHAR, not BLOB; hex chars are ASCII so char slicing == byte
+    slicing). A real pHash would DCT the decoded pixels — the *shape*
+    is identical (binary → fixed-width locality-sensitive integer).
+    Pure JVM column exprs: no Python worker.
+    """
+    # power-of-two block count keeps the double division i·H/bits
+    # exact (binary scaling), so truncation == the oracle's integer
+    # division for ANY payload length
+    assert bits & (bits - 1) == 0, "bits must be a power of two"
+    hx = F.upper(F.hex(payload))
+    n = F.length(hx)
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        start = (F.lit(i) * n / F.lit(bits)).cast("long")
+        end = (F.lit(i + 1) * n / F.lit(bits)).cast("long")
+        block = F.substring(hx, (start + 1).cast("int"), (end - start).cast("int"))
+        bit = F.when(
+            F.substring(F.md5(block), 1, 1).isin(*"89abcdef"), F.lit(1)
+        ).otherwise(F.lit(0))
+        acc = acc + bit.cast("long") * F.lit(1 << i).cast("long")
+    return acc

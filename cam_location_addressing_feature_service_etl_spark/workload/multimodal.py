@@ -133,3 +133,52 @@ def mm_audio_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal_kernels.py). One mapInPandas query —
     mm_decode_image_meta — remains the pandas-stage representative."""
     return stub_audio_meta_cols(attach_binary_payload(_docs(spark, sf_dir)))
+
+
+_PH_BITS = 16
+_PH_MAXDIST = 2
+
+_PH_BIT_SQL = " + ".join(
+    # block i spans hex chars ((i*n)//16, ((i+1)*n)//16]; bit = leading
+    # md5 nibble >= 8; little-endian packing — mirrors phash_bits_col
+    f"(CASE WHEN substr(md5(substring(hx, (({i} * n) // {_PH_BITS}) + 1, "
+    f"(({i} + 1) * n) // {_PH_BITS} - ({i} * n) // {_PH_BITS})), 1, 1) "
+    f"IN ('8','9','a','b','c','d','e','f') THEN {1 << i} ELSE 0 END)"
+    for i in range(_PH_BITS)
+)
+
+
+@register(
+    "mm_phash_near_dup",
+    oracle=f"""
+WITH pl AS (SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents),
+pln AS (SELECT doc_id, hx, CAST(length(hx) AS BIGINT) AS n FROM pl),
+ph AS (SELECT doc_id, CAST({_PH_BIT_SQL} AS BIGINT) AS phash FROM pln)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {_PH_MAXDIST}
+""",
+)
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: a perceptual-hash stand-in (blockwise md5
+    bits over the opaque binary payload — the shape of pHash without a
+    pixel decoder) packed into a {b}-bit integer, then EXACT hamming
+    pairs ≤ {d} via the same Manku chunk-index pigeonhole join the
+    text SimHash uses — bucketed, never all-pairs. The oracle is the
+    brute-force cross join, proving no candidate loss. This is how
+    image/video dedup runs at 100 TB: hash map-side, join on index
+    chunks."""
+    from ..operators.dedup import simhash_pairs_exact
+    from ..operators.multimodal import phash_bits_col
+
+    docs = _docs(spark, sf_dir)
+    ph = attach_binary_payload(docs).select(
+        "doc_id", phash_bits_col(F.col("payload"), bits=_PH_BITS).alias("phash")
+    )
+    return simhash_pairs_exact(
+        ph, "doc_id", "phash", bits=_PH_BITS, max_dist=_PH_MAXDIST
+    ).select(F.col("id_a"), F.col("id_b"), F.col("hamming"))
+
+
+mm_phash_near_dup.__doc__ = mm_phash_near_dup.__doc__.format(b=_PH_BITS, d=_PH_MAXDIST)

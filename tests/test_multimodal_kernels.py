@@ -71,3 +71,22 @@ def test_decode_real_requires_pillow_or_decodes(spark):
     [row] = decode_real(df).collect()
     assert (row["width"], row["height"], row["n_frames"]) == (3, 2, 1)
     assert row["byte_len"] == len(buf.getvalue())
+
+
+def test_phash_bits_change_locally_with_payload(spark):
+    from pyspark.sql import functions as F
+
+    from cam_location_addressing_feature_service_etl_spark.operators.multimodal import (
+        phash_bits_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "same content here"), (2, "same content here"), (3, "entirely different")],
+        "doc_id long, text string",
+    ).select("doc_id", F.col("text").cast("binary").alias("payload"))
+    got = {r["doc_id"]: r["ph"] for r in df.select(
+        "doc_id", phash_bits_col(F.col("payload")).alias("ph")
+    ).collect()}
+    assert got[1] == got[2]            # identical bytes -> identical hash
+    assert got[1] != got[3]            # different bytes -> different hash
+    assert all(0 <= v < (1 << 16) for v in got.values())
