@@ -44,6 +44,8 @@ _PRIORITY = [
     "emb_ivfpq_index",
     "text_vocab_coverage",
     "sample_temperature_mix",
+    "dedup_incremental_minhash",
+    "ev_retention_cohorts",
     "dedup_ngram_jaccard_prefix",
     "geo_gridcell_agg",
     "geo_nearest_within_radius",

@@ -25,7 +25,12 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 DEFAULT_SCHEMA = "objectid bigint, pid string, type string, x double, y double"
@@ -153,3 +158,73 @@ class EsriDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return EsriReader(dict(self.options), schema)
+
+    def simpleStreamReader(self, schema: StructType) -> "EsriStreamReader":
+        return EsriStreamReader(dict(self.options), schema)
+
+
+class EsriStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch incremental scan of the layer: each batch fetches
+    the next ``page_size`` features past the committed objectid
+    watermark — the streaming twin of the reference's incremental
+    last_edited_date pull (geocode.py:469-488), expressed as a
+    PySpark 4 streaming Python data source.
+
+    The offset is ``{"next": <row offset>}``; ``readBetweenOffsets``
+    replays any (start, end] range deterministically from the paged
+    API, which is what makes the source exactly-once under retries:
+    pages are keyed by offset, not by arrival time."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.options = options
+        self.schema = schema
+        self.page_size = int(options.get("page_size", "2000"))
+        self.mode = options.get("mode", "live")
+
+    def _total(self) -> int:
+        if self.mode == "fake":
+            return _fake_count(self.options)
+        from .esri_http import EsriClient  # pragma: no cover - network
+
+        return EsriClient(
+            layer_url=self.options["layer_url"],
+            token_url=self.options.get("token_url"),
+            username=self.options.get("username", ""),
+            password=self.options.get("password", ""),
+        ).count(self.options.get("where", "1=1"))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict) -> tuple:
+        lo = int(start["next"])
+        hi = min(lo + self.page_size, self._total())
+        if hi <= lo:
+            return iter(()), {"next": lo}
+        return iter(self._rows(lo, hi)), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(int(start["next"]), int(end["next"])))
+
+    def _rows(self, lo: int, hi: int) -> list[tuple]:
+        if self.mode == "fake":
+            return _fake_page(lo, hi - lo, _fake_count(self.options))
+        from .esri_http import EsriClient  # pragma: no cover - network
+
+        client = EsriClient(
+            layer_url=self.options["layer_url"],
+            token_url=self.options.get("token_url"),
+            username=self.options.get("username", ""),
+            password=self.options.get("password", ""),
+        )
+        fields = [f.name for f in self.schema.fields]
+        out = []
+        for feat in client.fetch_page(
+            lo, hi - lo, where=self.options.get("where", "1=1"), out_fields=fields
+        ):
+            attrs = feat.get("attributes", {})
+            geom = feat.get("geometry", {})
+            out.append(
+                tuple(geom.get(f) if f in ("x", "y") else attrs.get(f) for f in fields)
+            )
+        return out

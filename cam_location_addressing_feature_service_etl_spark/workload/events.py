@@ -698,3 +698,47 @@ def ev_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'avg_value', avg_value) AS (metric, metric_value)"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix
+# ---------------------------------------------------------------------------
+
+_WEEK_MS = 604_800_000
+
+
+@register(
+    "ev_retention_cohorts",
+    oracle=f"""
+WITH wk AS (
+  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) // {_WEEK_MS} AS wk
+  FROM events
+),
+first_wk AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wk GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, wk FROM wk)
+SELECT f.cohort_wk,
+       CAST(a.wk - f.cohort_wk AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN first_wk f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen epoch week,
+    counted distinct per week offset — the canonical product-analytics
+    rollup. Exact integer weeks (epoch-ms div), no calendar functions,
+    so both engines agree bit-for-bit. Scale: one shuffle on user_id
+    for the first-seen aggregate, one distinct on (user, week) that
+    AQE coalesces, and the final count-distinct keyed on the (small)
+    cohort grid."""
+    events = _events(spark, sf_dir)
+    wk = events.select(
+        "user_id", (F.unix_millis("ts") / F.lit(_WEEK_MS)).cast("long").alias("wk")
+    )
+    first_wk = wk.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    activity = wk.distinct()
+    return (
+        activity.join(first_wk, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )

@@ -166,6 +166,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, id_col="doc_id", num_hashes=_MH_HASHES, bands=_MH_BANDS)
 
 
+_MH_NEW_LO = 400
+
+
+def _minhash_incremental_oracle() -> str:
+    base = _minhash_oracle()
+    # same signature/band CTEs; restrict the join to (existing, new)
+    # cross-boundary pairs only
+    return base.replace(
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n"
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id",
+        f"""SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < {_MH_NEW_LO} AND b.doc_id >= {_MH_NEW_LO}""",
+    )
+
+
+@register("dedup_incremental_minhash", oracle=_minhash_incremental_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-shaped dedup: an incoming batch (doc_id >= {lo})
+    checked against the existing corpus index (doc_id < {lo}) — only
+    cross-boundary band collisions become candidates, the shape every
+    continuously-ingesting pipeline runs (the full-corpus self-join
+    happens once; every day after is this query). At 100 TB the
+    existing side is the persisted band index (bucket-partitioned);
+    the new batch's bands hash-join into it, shuffle ∝ batch size,
+    not corpus size."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        documents, id_col="doc_id", text_col="text",
+        num_hashes=_MH_HASHES, shingle_n=_MH_SHINGLE_N,
+    )
+    pairs = lsh_candidate_pairs(sigs, id_col="doc_id", num_hashes=_MH_HASHES, bands=_MH_BANDS)
+    return pairs.filter(
+        (F.col("id_a") < _MH_NEW_LO) & (F.col("id_b") >= _MH_NEW_LO)
+    )
+
+
+dedup_incremental_minhash.__doc__ = dedup_incremental_minhash.__doc__.format(lo=_MH_NEW_LO)
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard exact near-dup pairs
 # ---------------------------------------------------------------------------

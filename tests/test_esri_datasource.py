@@ -82,3 +82,49 @@ def test_composes_with_engine_operators(registered):
     )
     got = {r["code"]: r["n"] for r in out.collect()}
     assert len(got) == 7 and sum(got.values()) == 1000
+
+
+def test_esri_stream_reader_incremental_batches(spark):
+    """The streaming twin: availableNow drains the fake layer in
+    page-size micro-batches; rows and ids must match the batch scan."""
+    import tempfile
+
+    spark.dataSource.register(EsriDataSource)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            spark.readStream.format("esri")
+            .option("mode", "fake")
+            .option("fake_count", "250")
+            .option("page_size", "100")
+            .load()
+            .writeStream.format("memory")
+            .queryName("esri_stream_t")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        # drain: the fake layer is finite, so "no new data" == all
+        # 3 micro-batches (100+100+50) committed
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql("SELECT objectid FROM esri_stream_t").collect()
+    assert len(got) == 250
+    assert {r["objectid"] for r in got} == set(range(250))
+
+
+def test_esri_stream_reader_replay_between_offsets(spark):
+    """readBetweenOffsets must replay any committed range identically —
+    the exactly-once contract under retry."""
+    from pyspark.sql.types import StructType
+
+    from cam_location_addressing_feature_service_etl_spark.sources.esri_datasource import (
+        EsriStreamReader,
+    )
+
+    r = EsriStreamReader({"mode": "fake", "fake_count": "50", "page_size": "20"}, StructType())
+    it, off1 = r.read({"next": 0})
+    first = list(it)
+    assert off1 == {"next": 20} and len(first) == 20
+    assert list(r.readBetweenOffsets({"next": 0}, {"next": 20})) == first
+    # drained layer: empty batch, offset unchanged
+    it3, off3 = r.read({"next": 60})
+    assert list(it3) == [] and off3 == {"next": 60}
