@@ -28,37 +28,42 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _COMPUTE_HEAVY = {"documents", "embeddings"}
 
 
-def _widen_narrow_scan(df: DataFrame) -> DataFrame:
-    """Repartition a scan UP to the session's parallelism when the
-    file layout gives fewer tasks than cores.
-
-    Parquet splits at row-group granularity, so a small single-file
-    table (one row group) is one task no matter how many cores exist —
-    and the expensive per-row work downstream (regex tokenization,
-    shingling, embedding arithmetic) runs single-threaded. Measured at
-    sf0.1/local[32]: shingle-postings materialization 2.8s → sub-second
-    after widening a 1-partition documents scan.
-
-    Scale behavior: at 100 TB the scan already has thousands of
-    splits, the partition count exceeds ``defaultParallelism``, and
-    this is a no-op — no extra shuffle on the big-data path. Catalyst
-    still pushes filters and prunes columns through Repartition, so
-    scan pushdown is unaffected.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+#: Widening rationale: parquet splits at row-group granularity, so a
+#: small single-file table (one row group) is ONE task no matter how
+#: many cores exist — the expensive per-row work downstream (regex
+#: tokenization, shingling, embedding arithmetic) would run
+#: single-threaded (measured at sf0.1/local[32]: shingle-postings
+#: materialization 2.8s → sub-second after widening). At 100 TB the
+#: scan already has thousands of splits, the probe returns False, and
+#: no extra shuffle is added. Catalyst pushes filters and prunes
+#: columns through Repartition, so scan pushdown is unaffected.
+#:
+#: per-(sf_dir, table) memo of (schema, needs_widening): the parquet
+#: footer and the physical-plan probe are metadata work that is
+#: IDENTICAL for every query over the same static testdata file —
+#: re-deriving them per query added ~10s across a 118-query bench run.
+_SCAN_MEMO: dict[tuple[str, str], tuple] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table. Never caches: each query should form a
-    single scan-to-result plan so pushdown happens per-query."""
+    """Load one testdata table. Never caches DATA: each query still
+    forms a single scan-to-result plan so pushdown happens per-query;
+    only scan METADATA (schema, parallelism probe) is memoized."""
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name in _COMPUTE_HEAVY:
-        df = _widen_narrow_scan(df)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    memo = _SCAN_MEMO.get((sf_dir, name))
+    if memo is None:
+        df = spark.read.parquet(path)
+        widen = name in _COMPUTE_HEAVY and (
+            df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+        )
+        _SCAN_MEMO[(sf_dir, name)] = (df.schema, widen)
+    else:
+        schema, widen = memo
+        df = spark.read.schema(schema).parquet(path)
+    if widen:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     if name == "events":
         # ts arrives either as parquet TIMESTAMP(NANOS) read as long
         # (nanosAsLong — integer-divide to µs; double division would
