@@ -46,6 +46,7 @@ _PRIORITY = [
     "sample_temperature_mix",
     "dedup_incremental_minhash",
     "ev_retention_cohorts",
+    "text_shingle_containment",
     "dedup_ngram_jaccard_prefix",
     "geo_gridcell_agg",
     "geo_nearest_within_radius",

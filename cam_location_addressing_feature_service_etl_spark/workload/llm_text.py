@@ -260,6 +260,62 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CT_THRESHOLD = 0.8
+
+
+_CT_ORACLE = f"""
+WITH {_shingle_cte(_NJ_SHINGLE_N)},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM shingle a JOIN shingle b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(inter / sa.sz, 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+WHERE inter / sa.sz >= {_CT_THRESHOLD}
+"""
+
+
+@register("text_shingle_containment", oracle=_CT_ORACLE)
+def text_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: containment C(A→B) = |A∩B|/|A| ≥ {t} —
+    the measure for "A is substantially inside B" (benchmark
+    contamination, quote/clone detection), which Jaccard misses when
+    |B| ≫ |A|. Same inverted-index count-intersection plan as the
+    Jaccard family (one self-join shuffle, partial-aggregatable), but
+    DIRECTED pairs: both (A,B) and (B,A) are scored, each against its
+    own left size. The ratio is one exact-integer division (IEEE
+    correctly rounded, identical across engines) rounded at the output
+    edge."""
+    from ..operators.dedup import shingle_postings
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sh = shingle_postings(documents, "doc_id", "text", _NJ_SHINGLE_N).localCheckpoint(
+        eager=False
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), "sz"), "id_a")
+        .withColumn("containment", F.round(F.col("inter") / F.col("sz"), 6))
+        .filter(F.col("inter") / F.col("sz") >= _CT_THRESHOLD)
+        .select("id_a", "id_b", "containment")
+    )
+
+
+text_shingle_containment.__doc__ = text_shingle_containment.__doc__.format(t=_CT_THRESHOLD)
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup (small-data verifier; banded variants are the scale path)
 # ---------------------------------------------------------------------------

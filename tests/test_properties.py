@@ -395,3 +395,53 @@ def test_star_cc_equals_union_find(spark, edges):
         comps.setdefault(find(n), []).append(n)
     expect = {(n, min(members)) for members in comps.values() for n in members}
     assert got == expect
+
+
+_vec4 = st.lists(
+    st.floats(min_value=-4, max_value=4, allow_nan=False, allow_infinity=False, width=32),
+    min_size=4,
+    max_size=4,
+)
+
+
+@given(vecs=st.lists(_vec4, min_size=3, max_size=10))
+@_SET
+def test_pq_codes_equal_bruteforce_argmin(spark, vecs):
+    """pq_codes must agree with a Python brute-force argmin over the
+    same micro-unit integer metric (ties to the smaller code) for
+    arbitrary float vectors."""
+    import math
+
+    from cam_location_addressing_feature_service_etl_spark.operators.factorization import (
+        micro_components,
+        pq_codes,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    x = micro_components(df, "vec_id", "embedding")
+    got = {
+        (r["vec_id"], r["subspace"]): (r["code"], r["dist_sq"])
+        for r in pq_codes(x, codebook_ids=2, sub_dims=2).collect()
+    }
+
+    def micro(v):
+        # float32 storage then float64 widening, same as the engine
+        import struct
+
+        return [
+            math.floor(struct.unpack("f", struct.pack("f", c))[0] * 1_000_000 + 0.5)
+            for c in v
+        ]
+
+    mvecs = {i: micro(v) for i, v in rows}
+    for i, _ in rows:
+        for s in (0, 1):
+            dists = []
+            for code in (0, 1):
+                d = sum(
+                    (mvecs[i][k] - mvecs[code][k]) ** 2 for k in (2 * s, 2 * s + 1)
+                )
+                dists.append((d, code))
+            want = min(dists)
+            assert got[(i, s)] == (want[1], want[0])
