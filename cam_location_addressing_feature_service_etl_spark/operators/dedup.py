@@ -463,8 +463,16 @@ def ngram_jaccard_pairs_prefix(
     sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sset"))
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b"))
+    # The candidate pair set is the small-by-design side of the verify
+    # join (that is the entire point of prefix filtering) — broadcast
+    # it EXPLICITLY. Left to AQE, the per-doc set frame sits near the
+    # broadcast threshold and the plan flips between broadcast and
+    # sort-merge run to run (observed as 3.7s vs 8.4s bimodal bench
+    # times). If a corpus ever defeats the prefix economics, remove
+    # the hint rather than broadcast an unbounded candidate set.
     return (
-        cand.join(sa, "id_a")
+        F.broadcast(cand)
+        .join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")).cast("long"))
         .withColumn(
