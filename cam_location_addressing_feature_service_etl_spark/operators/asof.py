@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from ..runtime import materialize
 
 
 def merge_asof(
@@ -141,7 +142,7 @@ def merge_asof_salted(
     bucket_best = (
         r2.groupBy("_k", "_b")
         .agg(F.max(F.struct("_t", "_seq", "_pay")).alias("_m"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     # every bucket that needs a carry-in: all left buckets + all right
     # buckets (a left bucket with no right rows still needs the carry)

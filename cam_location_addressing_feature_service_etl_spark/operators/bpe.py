@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from ..runtime import materialize
 
 #: Joiner for merged tokens ("new vocabulary entries").
 JOIN_CH = "_"
@@ -68,14 +69,12 @@ def _bpe_rounds(
 ) -> tuple[DataFrame, DataFrame]:
     wdoc = Window.partitionBy(id_col).orderBy("pos")
     wrun = wdoc.rowsBetween(Window.unboundedPreceding, 0)
-    expl = tokens.localCheckpoint(eager=False)
+    expl = tokens.transform(materialize)
     rules = None
     for r in range(1, rounds + 1):
         # one window pass produces the pair stream; it feeds both the
         # count and the rewrite, so materialize it
-        with_next = expl.withColumn("nxt", F.lead("tok").over(wdoc)).localCheckpoint(
-            eager=False
-        )
+        with_next = expl.withColumn("nxt", F.lead("tok").over(wdoc)).transform(materialize)
         top = (
             with_next.filter(F.col("nxt").isNotNull())
             .groupBy("tok", "nxt")
@@ -88,7 +87,7 @@ def _bpe_rounds(
                 F.col("nxt").alias("pair_b"),
                 F.col("pair_count"),
             )
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
         rules = top if rules is None else rules.unionByName(top)
         # Rewrite in ONE window pipeline (every window below shares
@@ -130,6 +129,6 @@ def _bpe_rounds(
                 F.row_number().over(wdoc).alias("pos"),
                 F.when(F.col("_taken"), merged_tok).otherwise(F.col("tok")).alias("tok"),
             )
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
     return rules, expl

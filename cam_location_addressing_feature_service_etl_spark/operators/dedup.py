@@ -30,6 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from ..runtime import materialize
 
 
 def dedup_first_wins(
@@ -173,7 +174,7 @@ def lsh_candidate_pairs(
         # both sides of the bucket self-join consume this frame; without
         # materialization the signature aggregation (the expensive part)
         # runs once per branch — Spark does not reuse the exchange here
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -206,7 +207,7 @@ def simhash_pairs_exact(
     mask = (1 << chunk_bits) - 1
     # the chunk expansion below self-joins; materialize the (usually
     # aggregation-produced) signature frame once instead of per branch
-    sh = sh.localCheckpoint(eager=False)
+    sh = sh.transform(materialize)
     chunk_structs = [
         F.struct(
             F.lit(i).alias("chunk_id"),
@@ -322,7 +323,7 @@ def ngram_jaccard_pairs(
     """
     # postings feed three branches (both self-join sides + the size
     # aggregate): materialize the tokenize+shingle+explode subtree once
-    sh = shingle_postings(df, id_col, text_col, shingle_n).localCheckpoint(eager=False)
+    sh = shingle_postings(df, id_col, text_col, shingle_n).transform(materialize)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -404,7 +405,7 @@ def ngram_jaccard_pairs_prefix(
     sh = (
         shingle_postings(df, id_col, text_col, shingle_n)
         .repartition(F.col(id_col))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     # df ranking: one aggregate per distinct shingle. NOT broadcast-
     # hinted — at corpus scale the distinct-shingle table is huge and
@@ -527,9 +528,7 @@ def connected_components(
     # Jaccard candidate+verify pipeline) is replicated into each of
     # those plan branches and recomputed per branch. Measured at
     # sf0.1: full query 12.6s → 3.7s from this one line.
-    e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).localCheckpoint(
-        eager=False
-    )
+    e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).transform(materialize)
     bidir = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     nodes = bidir.select(F.col("src").alias("node")).distinct()
     adj = (
@@ -540,7 +539,7 @@ def connected_components(
         # once (without this the edge-derivation subtree is replicated
         # into every iteration's plan — measured 248 parquet scans for
         # 4 rounds over an LSH edge set)
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     labels = nodes.withColumn("label", F.col("node"))
     for i in range(iterations):
@@ -553,7 +552,7 @@ def connected_components(
         # bound otherwise — the same reason GraphX checkpoints);
         # lazy: nothing executes until the caller's action
         if i < iterations - 1:
-            labels = labels.localCheckpoint(eager=False)
+            labels = labels.transform(materialize)
     return labels
 
 
@@ -572,10 +571,30 @@ def connected_components_star(
     set; the edge set only shrinks toward a star per component, so the
     per-round cost FALLS as the algorithm proceeds (fixed-round label
     propagation instead re-joins the full adjacency every round and
-    needs diameter rounds). Convergence is detected with one scalar
-    action per round — an order-insensitive (count, xxhash-sum)
-    fingerprint of the canonical edge set; the loop is driver-side but
-    every data operation is distributed.
+    needs diameter rounds).
+
+    Convergence detection exploits that the alternation's fixed points
+    are exactly the FLAT FORESTS: canonical edge sets where every
+    ``u`` carries exactly one edge and never appears as a ``v`` (no
+    chains). Since ``canon`` orients every edge larger→smaller, such a
+    forest is a disjoint set of stars whose center is the component
+    minimum — the answer itself. Flatness is a single distributed
+    aggregation (one scalar driver action), so convergence is detected
+    DIRECTLY at the converged round, rather than by comparing edge-set
+    fingerprints across two consecutive checked rounds. Checks start
+    after round 2 (one round can never finish a non-trivial graph) on
+    a {2, 3, 5, 7, ...} schedule tuned for the dedup-cluster shape
+    (tiny components, fixed point in 2-3 rounds → ONE check in the
+    common case); the driver loop is scalar-only and every data
+    operation is distributed. The lazy per-round checkpoints
+    materialize inside the next check's action either way, so each
+    skipped check is one fewer blocking scheduler round-trip.
+
+    Raises ``RuntimeError`` if ``max_rounds`` is exhausted before the
+    fixed point: callers (and the recursive-CTE parity oracle) assume
+    converged labels, so returning a non-converged edge set would be
+    silently wrong — a node could carry conflicting labels. O(log n)
+    convergence makes the default 25 rounds ample for any real graph.
 
     Returns (node, label) for every node incident to an edge, label =
     component minimum — identical to converged min-label propagation.
@@ -590,18 +609,25 @@ def connected_components_star(
 
     e = canon(
         edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
 
-    def fingerprint(df: DataFrame) -> tuple:
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal sum: 64-bit hash values overflow a LONG sum
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
+    def non_flat_count(df: DataFrame) -> int:
+        # Edges violating flatness: a u with >1 edge, or a node that is
+        # both a u and a v (a chain). Two-level aggregation — partial-
+        # aggregatable on node id, then a single scalar — one action.
+        per_node = (
+            df.select(F.col("u").alias("x"), F.lit(1).alias("is_u"))
+            .unionAll(df.select(F.col("v").alias("x"), F.lit(0).alias("is_u")))
+            .groupBy("x")
+            .agg(F.sum("is_u").alias("cu"), F.count(F.lit(1)).alias("ct"))
+        )
+        bad = (F.col("cu") > 1) | ((F.col("cu") > 0) & (F.col("ct") > F.col("cu")))
+        return per_node.agg(
+            F.count(F.when(bad, F.lit(1))).alias("n")
+        ).collect()[0]["n"]
 
-    prev = fingerprint(e)
-    for _ in range(max_rounds):
+    converged = False
+    for rnd in range(1, max_rounds + 1):
         # LARGE-STAR: every strictly-larger neighbor of u re-attaches
         # to u's neighborhood minimum (including u itself).
         bidir = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -610,7 +636,7 @@ def connected_components_star(
             bidir.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        ).localCheckpoint(eager=False)
+        ).transform(materialize)
         # SMALL-STAR: on the (larger → smaller) canonical edges, every
         # smaller neighbor and u itself attach to the minimum.
         mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
@@ -619,12 +645,19 @@ def connected_components_star(
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(mins2.select("u", F.col("m").alias("v")))
-        ).localCheckpoint(eager=False)
+        ).transform(materialize)
         e = small
-        cur = fingerprint(e)
-        if cur == prev:
-            break
-        prev = cur
+        # check schedule: {2, 3, 5, 7, ...} ∪ {max_rounds}
+        if rnd == 2 or (rnd >= 3 and rnd % 2 == 1) or rnd == max_rounds:
+            if non_flat_count(e) == 0:
+                converged = True
+                break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not reach a fixed point in "
+            f"{max_rounds} rounds; labels would be unreliable — raise "
+            f"max_rounds (convergence is O(log n) rounds)"
+        )
     # converged stars: u -> component minimum; centers label themselves
     return e.select(F.col("u").alias("node"), F.col("v").alias("label")).unionByName(
         e.select(F.col("v").alias("node"), F.col("v").alias("label")).distinct()

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..runtime import materialize
 
 #: fixed-point scale for embedding components.
 MICRO = 1_000_000
@@ -103,7 +104,7 @@ def power_iteration(gram: DataFrame, rounds: int) -> DataFrame:
     # The (expensive, corpus-scale) Gram subtree feeds EVERY round's
     # plan plus the node derivation: materialize it once, coalesced to
     # a single task — it is d² rows, metadata-sized.
-    gram = gram.coalesce(1).localCheckpoint(eager=False)
+    gram = gram.coalesce(1).transform(materialize)
     d_rows = gram.select(F.col("i").alias("pos")).distinct()
     v = d_rows.select("pos", F.lit(MICRO).cast("long").alias("vi"))
     for r in range(rounds):
@@ -128,7 +129,7 @@ def power_iteration(gram: DataFrame, rounds: int) -> DataFrame:
             )
         )
         if r < rounds - 1:
-            v = v.localCheckpoint(eager=False)
+            v = v.transform(materialize)
     return v
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..runtime import materialize
 
 #: Standard damping factor.
 DAMPING = 0.85
@@ -47,12 +48,8 @@ def pagerank(
     and none dangles).
     """
     t = (1.0 - damping) if teleport is None else teleport
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
-        eager=False
-    )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(
-        eager=False
-    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).transform(materialize)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).transform(materialize)
     ranks = deg.select("src", F.lit(1.0).alias("rank"))
     for i in range(iterations):
         contrib = (
@@ -73,5 +70,5 @@ def pagerank(
             )
         )
         if i < iterations - 1:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.transform(materialize)
     return ranks.select(F.col("src").alias("node"), "rank")

@@ -1,0 +1,55 @@
+"""Execution-mode helpers shared by the iterative operator family.
+
+The iterative operators (connected components, PageRank, BPE rounds,
+power iteration, the shingle-postings fan-outs) all need to cut lineage
+and materialize an intermediate frame that feeds several plan branches
+— otherwise the producing subtree re-executes once per branch and the
+per-round plans grow without bound.
+
+``materialize`` is the single switch point for HOW that happens:
+
+- ``local`` (default): ``DataFrame.localCheckpoint`` — blocks live on
+  executor-local disk/memory. Fastest, and correct on ``local[*]``,
+  but NOT fault-tolerant on a real cluster: losing an executor loses
+  its blocks and the job fails (lineage was truncated, so Spark cannot
+  recompute them).
+- ``reliable``: ``DataFrame.checkpoint`` to the configured checkpoint
+  directory (``SPARK_GRAFT_CHECKPOINT_DIR``, default
+  ``/tmp/spark-graft-checkpoints``) — survives executor loss, the mode
+  to run at cluster scale where a 1000-executor job losing one node
+  mid-iteration must not restart from zero. Costs a write+read of the
+  frame per materialization.
+
+Select with ``SPARK_GRAFT_MATERIALIZE=local|reliable``. Both modes are
+semantically identical (asserted by ``tests/test_runtime.py``); the
+choice is purely a durability/throughput trade.
+
+Use as ``df.transform(materialize)`` so call sites stay chainable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage and materialize ``df`` lazily (on first action).
+
+    See module docstring for the ``SPARK_GRAFT_MATERIALIZE`` switch.
+    """
+    mode = os.environ.get("SPARK_GRAFT_MATERIALIZE", "local")
+    if mode == "reliable":
+        spark = df.sparkSession
+        sc = spark.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(
+                os.environ.get(
+                    "SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/spark-graft-checkpoints"
+                )
+            )
+        return df.checkpoint(eager=False)
+    if mode != "local":
+        raise ValueError(f"unknown SPARK_GRAFT_MATERIALIZE mode: {mode!r}")
+    return df.localCheckpoint(eager=False)

@@ -32,6 +32,7 @@ from pyspark.sql.window import Window
 from ..operators.dedup import exact_dedup, shingle_postings, tokens_col
 from .llm_text import _STOPWORDS, TOKENS_SQL, _shingle_cte, _t
 from . import register
+from ..runtime import materialize
 
 #: Decontamination n-gram width. Real pipelines use 8-13; the synthetic
 #: docs are short (~tens of tokens), so 5 keeps a meaningful hit rate.
@@ -82,7 +83,7 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both the benchmark branch and the corpus branch consume the
     # postings: materialize the tokenize+shingle+explode subtree once
     # (it runs twice otherwise — ~2× warm wall-time at sf0.1)
-    sh = shingle_postings(documents, "doc_id", "text", _DC_N).localCheckpoint(eager=False)
+    sh = shingle_postings(documents, "doc_id", "text", _DC_N).transform(materialize)
     bench = (
         sh.filter(F.col("doc_id") % _DC_BENCH_MOD == 0)
         .select("shingle")
@@ -334,7 +335,7 @@ def llm_corpus_prep_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     nonbench = documents.filter(F.col("doc_id") % _DC_BENCH_MOD != 0)
     kept = exact_dedup(nonbench, text_col="text", id_col="doc_id")
-    sh = shingle_postings(documents, "doc_id", "text", _DC_N).localCheckpoint(eager=False)
+    sh = shingle_postings(documents, "doc_id", "text", _DC_N).transform(materialize)
     bench = (
         sh.filter(F.col("doc_id") % _DC_BENCH_MOD == 0)
         .select("shingle")

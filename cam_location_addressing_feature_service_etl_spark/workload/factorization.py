@@ -24,6 +24,7 @@ from ..operators.factorization import (
 )
 from .llm_similarity import _t
 from . import register
+from ..runtime import materialize
 
 _PCA_ROUNDS = 3
 _PQ_CODEBOOK = 16
@@ -87,7 +88,7 @@ def emb_pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering of an embedding corpus before ANN or clustering; at
     100 TB only the first and last stage touch the data, each once."""
     (embeddings,) = _t(spark, sf_dir, "embeddings")
-    xs = micro_array(embeddings, "vec_id", "embedding").localCheckpoint(eager=False)
+    xs = micro_array(embeddings, "vec_id", "embedding").transform(materialize)
     x = xs.select("vec_id", F.posexplode("xs").alias("pos0", "xi")).select(
         "vec_id", (F.col("pos0") + 1).alias("pos"), "xi"
     )
@@ -212,7 +213,7 @@ def emb_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     # the array frame fans out into centroid / member / codebook
     # branches — materialize once instead of re-scanning per branch
-    xs = micro_array(embeddings, "vec_id", "embedding").localCheckpoint(eager=False)
+    xs = micro_array(embeddings, "vec_id", "embedding").transform(materialize)
     return ivfpq_index(
         xs,
         n_cells=_IVFPQ_CELLS,

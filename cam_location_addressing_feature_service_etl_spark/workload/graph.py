@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..operators.pagerank import pagerank
 from .llm_text import _t
 from . import register
+from ..runtime import materialize
 
 _PR_ROUNDS = 3
 _PR_DAMP = 0.85
@@ -82,7 +83,7 @@ def graph_pagerank_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # both symmetrization legs consume the (orders ⋈ lineitem +
         # distinct) subtree — materialize it once, not per leg
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))

@@ -25,6 +25,7 @@ from ..operators.similarity import (
 from ..session import tune
 from ..tables import load
 from . import register
+from ..runtime import materialize
 
 _COS_SQL = (
     "ROUND(list_dot_product({a}, {b}) / "
@@ -310,7 +311,7 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = (
         v.withColumn("bucket", bucket)
         .withColumn("n", norm_col(F.col("e")))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     a = hashed.select(
         F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na"), "bucket"

@@ -33,6 +33,7 @@ from ..operators.dedup import (
 from ..session import tune
 from ..tables import load
 from . import register
+from ..runtime import materialize
 
 # --- shared DuckDB SQL fragments (mirror tokens_col / shingles_col) --------
 
@@ -293,9 +294,7 @@ def text_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingle_postings
 
     (documents,) = _t(spark, sf_dir, "documents")
-    sh = shingle_postings(documents, "doc_id", "text", _NJ_SHINGLE_N).localCheckpoint(
-        eager=False
-    )
+    sh = shingle_postings(documents, "doc_id", "text", _NJ_SHINGLE_N).transform(materialize)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
