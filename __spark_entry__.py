@@ -32,83 +32,132 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: The driver samples a 50-query prefix of this ordering each round.
-#: Round 5 leads with the queries new this round (PCA power iteration,
-#: PQ codes, vocab coverage, temperature mix) so they get driver
-#: CORRECTNESS rows immediately, then the reworked prefix-Jaccard and
-#: the rest of the iterative/heavy family.
+#: Round 6 rotates to STALENESS order (judge advice #3): queries whose
+#: most recent green driver CORRECTNESS row is oldest come first (the
+#: r02-era relational/scalar family, then r03/r04, then the r05-fresh
+#: set). Queries never driver-sampled (newly added) sort first.
 #: scripts/check_parity.py (committed as PARITY_r{N}.txt) proves the
 #: full registry every round regardless.
 _PRIORITY = [
-    "emb_pca_power_projection",
-    "emb_pq_codes",
-    "emb_ivfpq_index",
-    "text_vocab_coverage",
-    "sample_temperature_mix",
-    "dedup_incremental_minhash",
-    "ev_retention_cohorts",
-    "text_shingle_containment",
-    "dedup_ngram_jaccard_prefix",
-    "geo_gridcell_agg",
-    "geo_nearest_within_radius",
-    "text_pack_sequences",
-    "text_contamination_ngram",
-    "text_train_order_interleave",
-    "text_length_quantiles",
-    "sample_quality_weighted",
-    "graph_pagerank_3round",
-    "text_bpe_merge_rules",
-    "text_bpe_encode",
-    "llm_corpus_prep_composite",
-    "flagship_current_address",
-    "text_langid",
-    "text_quality_score",
-    "text_token_counts",
-    "dedup_connected_components",
-    "dedup_cc_star_converged",
-    "text_winnow_fingerprint",
-    "pii_redact_props",
-    "text_bpe_pair_stats",
-    "text_chunk_for_training",
-    "text_tfidf_topk",
-    "text_unigram_logprob",
-    "sample_stratified_hash",
-    "text_postings_index",
-    "text_repetition_ratio",
-    "sim_cosine_topk_bruteforce",
-    "sim_ann_ivf_bucketed",
-    "sim_kmeans_assignments",
-    "sim_embedding_neardup",
-    "sim_lsh_hyperplane",
-    "sim_embedding_quantize_int8",
-    "dedup_semantic_embedding",
-    "mm_decode_image_meta",
-    "mm_phash_near_dup",
-    "mm_frame_sample",
-    "mm_resize_plan",
-    "mm_audio_frame_plan",
-    "ev_sessionize_gap30",
-    "ev_tumbling_window_hourly",
-    "ev_user_running_total",
+    "a1_grouped_max_latest",
+    "a1_latest_row_window",
+    "a2_count_with_predicate",
+    "a4_rowcount_delta",
+    "agg_rollup_region_nation",
+    "d1_distinct_projection",
+    "d2_first_wins_dedup",
+    "d3_distinct_keys_sorted",
+    "d4_distinct_values_pushdown",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "f11_prefix_ops",
+    "f12_validation_checks",
+    "f1_f2_synthetic_keys",
+    "f3_conditional_rewrite",
+    "f5_vocab_lookup",
+    "f6_normalize_initialism",
+    "f7_string_casts",
+    "f8_f9_f10_time_suite",
+    "f_json_extract_props",
+    "j10_cache_merge_fetched_wins",
+    "j1_multiway_equijoin",
+    "j2_optional_left_join",
+    "j3_values_batch_semijoin",
+    "j5_left_join_unmapped",
+    "j6_prune_keep_semi",
+    "j7_anti_union_newkeys",
+    "j8_update_join_enrich",
+    "j9_lookup_join_miss_skip",
+    "m1_upsert_last_write_wins",
+    "m2_upsert_reset_column",
+    "m3_stable_surrogate_ids",
+    "o1_latest_snapshot_top1",
+    "o2_limit_guard",
+    "p1_column_projection",
+    "p2_computed_projection",
+    "p3_typed_literal_filter",
+    "p4_anti_join_open_lifecycle",
+    "p5_incremental_predicate",
+    "p7_notnull_filter",
+    "p8_debug_subset_semijoin",
+    "pipeline_prune_enrich_composite",
+    "text_fingerprint",
+    "u1_union_distinct",
+    "u2_carry_forward_reshape",
+    "u3_intersect_nations",
+    "u4_except_nations",
+    "agg_grouping_sets",
+    "ev_asof_salted",
+    "ev_sessionize_salted",
+    "ev_sliding_value_30min",
+    "ev_unpivot_metrics",
+    "geo_bbox_filter",
+    "geo_haversine_within",
+    "u5_snapshot_diff",
+    "a5_approx_distinct_check",
+    "a6_approx_percentile_check",
+    "agg_cube_order_status",
     "agg_top_revenue_segments",
     "ev_agg_pricing_summary",
     "ev_asof_last_purchase",
+    "ev_event_transitions",
+    "ev_funnel_conversion",
     "ev_latency_percentiles",
-    "ev_value_band_join",
-    "agg_cube_order_status",
     "ev_pivot_type_counts",
     "ev_user_value_quartiles",
-    "a5_approx_distinct_check",
-    "a6_approx_percentile_check",
-    "ev_funnel_conversion",
-    "ev_event_transitions",
-    "ev_sessionize_salted",
-    "ev_asof_salted",
-    "u5_snapshot_diff",
-    "agg_grouping_sets",
-    "ev_sliding_value_30min",
-    "ev_unpivot_metrics",
-    "geo_haversine_within",
-    "geo_bbox_filter",
+    "ev_value_band_join",
+    "dedup_cc_star_converged",
+    "dedup_connected_components",
+    "dedup_incremental_minhash",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_semantic_embedding",
+    "emb_ivfpq_index",
+    "emb_pca_power_projection",
+    "emb_pq_codes",
+    "ev_retention_cohorts",
+    "ev_sessionize_gap30",
+    "ev_tumbling_window_hourly",
+    "ev_user_running_total",
+    "flagship_current_address",
+    "geo_gridcell_agg",
+    "geo_nearest_within_radius",
+    "graph_pagerank_3round",
+    "llm_corpus_prep_composite",
+    "mm_audio_frame_plan",
+    "mm_decode_image_meta",
+    "mm_frame_sample",
+    "mm_phash_near_dup",
+    "mm_resize_plan",
+    "pii_redact_props",
+    "sample_quality_weighted",
+    "sample_stratified_hash",
+    "sample_temperature_mix",
+    "sim_ann_ivf_bucketed",
+    "sim_cosine_topk_bruteforce",
+    "sim_embedding_neardup",
+    "sim_embedding_quantize_int8",
+    "sim_kmeans_assignments",
+    "sim_lsh_hyperplane",
+    "text_bpe_encode",
+    "text_bpe_merge_rules",
+    "text_bpe_pair_stats",
+    "text_chunk_for_training",
+    "text_contamination_ngram",
+    "text_langid",
+    "text_length_quantiles",
+    "text_pack_sequences",
+    "text_postings_index",
+    "text_quality_score",
+    "text_repetition_ratio",
+    "text_shingle_containment",
+    "text_tfidf_topk",
+    "text_token_counts",
+    "text_train_order_interleave",
+    "text_unigram_logprob",
+    "text_vocab_coverage",
+    "text_winnow_fingerprint",
 ]
 
 
