@@ -97,9 +97,22 @@ def _bpe_rounds(
         # the running run-start -> a merged position's successor drops.
         merged_tok = F.concat(F.col("pair_a"), F.lit(JOIN_CH), F.col("pair_b"))
         stage = (
-            with_next.crossJoin(F.broadcast(top.select("pair_a", "pair_b")))
+            # LEFT join, not crossJoin: when a round finds no adjacent
+            # pair anywhere (every doc is a single token), ``top`` is
+            # EMPTY and a cross join would annihilate the stream; the
+            # left join keeps every row with a null pair, _m coalesces
+            # to false, and the round is a no-op — encode returns the
+            # stream unchanged. With the usual 1-row top the plans are
+            # identical (broadcast nested loop over one row).
+            with_next.join(
+                F.broadcast(top.select("pair_a", "pair_b")), F.lit(True), "left"
+            )
             .withColumn(
-                "_m", (F.col("tok") == F.col("pair_a")) & (F.col("nxt") == F.col("pair_b"))
+                "_m",
+                F.coalesce(
+                    (F.col("tok") == F.col("pair_a")) & (F.col("nxt") == F.col("pair_b")),
+                    F.lit(False),
+                ),
             )
             .withColumn(
                 "_newrun",

@@ -123,8 +123,16 @@ def power_iteration(gram: DataFrame, rounds: int) -> DataFrame:
             .select(
                 "pos",
                 (
+                    # nullif + coalesce: a degenerate all-zero corpus
+                    # makes max|u| = 0 (then every u = 0 too) — define
+                    # the result as the zero vector instead of an ANSI
+                    # division-by-zero error; the DuckDB oracle carries
+                    # the same NULLIF so both engines agree.
                     F.signum(F.col("u")).cast("long")
-                    * F.expr(f"CAST((abs(u) * {MICRO}) DIV m AS BIGINT)")
+                    * F.coalesce(
+                        F.expr(f"CAST((abs(u) * {MICRO}) DIV nullif(m, 0) AS BIGINT)"),
+                        F.lit(0).cast("long"),
+                    )
                 ).alias("vi"),
             )
         )

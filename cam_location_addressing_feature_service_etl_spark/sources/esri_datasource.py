@@ -137,7 +137,14 @@ class EsriReader(DataSourceReader):
         )
         fields = [f.name for f in self.schema.fields]
         for feat in client.fetch_page(
-            partition.offset, partition.count, where=self.where, out_fields=fields
+            partition.offset,
+            partition.count,
+            where=self.where,
+            out_fields=fields,
+            # pinned order: parallel partitions page the same layer at
+            # different times; without orderByFields the server may
+            # return overlapping/missing rows across page boundaries
+            order_by=self.options.get("order_by", "objectid"),
         ):
             attrs = feat.get("attributes", {})
             geom = feat.get("geometry", {})
@@ -171,9 +178,16 @@ class EsriStreamReader(SimpleDataSourceStreamReader):
     PySpark 4 streaming Python data source.
 
     The offset is ``{"next": <row offset>}``; ``readBetweenOffsets``
-    replays any (start, end] range deterministically from the paged
-    API, which is what makes the source exactly-once under retries:
-    pages are keyed by offset, not by arrival time."""
+    replays any (start, end] range from the paged API with
+    ``orderByFields=<order_by>`` (default ``objectid``) pinning a total
+    order — ESRI row order without an explicit order is not
+    contractual, so unordered offset pages could replay different rows
+    than originally committed. With the order pinned, replay is
+    exact for STATIC or APPEND-ONLY layers (new features get higher
+    objectids and land past the watermark). A live layer that DELETES
+    features can still shift rows below the watermark between read and
+    replay — offset-based paging cannot be exactly-once there; freeze
+    mutable layers with a ``where`` snapshot predicate instead."""
 
     def __init__(self, options: dict, schema: StructType):
         self.options = options
@@ -220,7 +234,11 @@ class EsriStreamReader(SimpleDataSourceStreamReader):
         fields = [f.name for f in self.schema.fields]
         out = []
         for feat in client.fetch_page(
-            lo, hi - lo, where=self.options.get("where", "1=1"), out_fields=fields
+            lo,
+            hi - lo,
+            where=self.options.get("where", "1=1"),
+            out_fields=fields,
+            order_by=self.options.get("order_by", "objectid"),
         ):
             attrs = feat.get("attributes", {})
             geom = feat.get("geometry", {})

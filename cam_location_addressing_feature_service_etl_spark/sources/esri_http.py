@@ -125,17 +125,25 @@ class EsriClient:
         where: str = "1=1",
         out_fields: list[str] | None = None,
         return_geometry: bool = True,
+        order_by: str | None = None,
     ) -> list[dict]:
-        """S5: one page of features (geocode.py:398-427)."""
-        resp = self._request(
-            {
-                "where": where,
-                "resultOffset": str(offset),
-                "resultRecordCount": str(record_count),
-                "outFields": ",".join(out_fields) if out_fields else "*",
-                "returnGeometry": "true" if return_geometry else "false",
-            }
-        )
+        """S5: one page of features (geocode.py:398-427).
+
+        ``order_by`` sends ``orderByFields``: ESRI row order without an
+        explicit order is NOT contractual, so any caller that pages by
+        resultOffset and needs the same rows on replay (the streaming
+        reader's exactly-once contract) must pin a total order.
+        """
+        params = {
+            "where": where,
+            "resultOffset": str(offset),
+            "resultRecordCount": str(record_count),
+            "outFields": ",".join(out_fields) if out_fields else "*",
+            "returnGeometry": "true" if return_geometry else "false",
+        }
+        if order_by:
+            params["orderByFields"] = order_by
+        resp = self._request(params)
         return resp.get("features", [])
 
     def distinct_values(self, fld: str, where: str = "1=1") -> list:

@@ -64,7 +64,7 @@ u{r} AS (
 m{r} AS (SELECT MAX(ABS(u)) AS m FROM u{r}),
 v{r} AS (
   SELECT pos,
-         CAST(SIGN(u) AS HUGEINT) * ((ABS(u) * {MICRO}) // m) AS vi
+         CAST(SIGN(u) AS HUGEINT) * COALESCE((ABS(u) * {MICRO}) // NULLIF(m, 0), 0) AS vi
   FROM u{r}, m{r}
 )"""
         )

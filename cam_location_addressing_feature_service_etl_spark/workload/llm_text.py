@@ -174,13 +174,19 @@ def _minhash_incremental_oracle() -> str:
     base = _minhash_oracle()
     # same signature/band CTEs; restrict the join to (existing, new)
     # cross-boundary pairs only
-    return base.replace(
+    out = base.replace(
         "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n"
         "FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id",
         f"""SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
 WHERE a.doc_id < {_MH_NEW_LO} AND b.doc_id >= {_MH_NEW_LO}""",
     )
+    # If the base oracle's final SELECT is ever reworded, replace()
+    # silently no-ops and this oracle reverts to full-pair semantics —
+    # fail loudly at import time instead of as a confusing parity
+    # mismatch.
+    assert out != base, "incremental minhash oracle patch did not apply"
+    return out
 
 
 @register("dedup_incremental_minhash", oracle=_minhash_incremental_oracle())

@@ -66,3 +66,22 @@ def test_bpe_apply_rewrites_stream(spark):
     assert got[(2, 1)] == "a_b" and got[(2, 2)] == "x"
     # dense renumbering: doc 1 has exactly 3 positions
     assert {p for d, p in got if d == 1} == {1, 2, 3}
+
+
+def test_bpe_apply_no_pairs_returns_stream_unchanged(spark):
+    # Every doc is a single token: no adjacent pair exists anywhere, so
+    # each round must be a no-op. The old crossJoin(empty top) form
+    # annihilated the stream to zero rows here.
+    from cam_location_addressing_feature_service_etl_spark.operators.bpe import (
+        bpe_apply,
+    )
+
+    docs = [["alpha"], ["beta"], ["gamma"]]
+    out = bpe_apply(_tokens(spark, docs), rounds=2).orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["pos"], r["tok"]) for r in out] == [
+        (0, 1, "alpha"),
+        (1, 1, "beta"),
+        (2, 1, "gamma"),
+    ]
+    # and rules for those rounds are empty
+    assert bpe_merge_rules(_tokens(spark, docs), rounds=2).count() == 0

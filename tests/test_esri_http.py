@@ -93,6 +93,15 @@ def test_paged_fetch_and_out_fields():
     u, d = t.calls[-1]
     assert d["outFields"] == "objectid,pid"
     assert d["resultOffset"] == "4000"
+    assert "orderByFields" not in d  # opt-in only
+
+
+def test_paged_fetch_pins_order_when_asked():
+    t = FakeTransport()
+    c = _client(t)
+    c.fetch_page(0, 100, order_by="objectid")
+    u, d = t.calls[-1]
+    assert d["orderByFields"] == "objectid"
 
 
 def test_distinct_and_layer_fields():

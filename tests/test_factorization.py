@@ -133,3 +133,20 @@ def test_ivfpq_residual_encoding(spark):
     assert got[2] == (0, 2, 0)  # codebook member encodes itself
     assert got[3] == (1, 3, 0)
     assert got[4] == (0, 2, 0)  # same residual -> same code, exact
+
+
+def test_power_iteration_zero_gram_returns_zero_vector(spark):
+    # Degenerate but valid input: an all-zero Gram matrix makes
+    # u = G.v = 0 and max|u| = 0; the result is DEFINED as the zero
+    # vector (nullif-guarded integer division) rather than an ANSI
+    # division-by-zero error.
+    from cam_location_addressing_feature_service_etl_spark.operators.factorization import (
+        power_iteration,
+    )
+
+    from decimal import Decimal
+
+    rows = [(i, j, Decimal(0)) for i in range(3) for j in range(3)]
+    gram = spark.createDataFrame(rows, "i int, j int, g decimal(38,0)")
+    out = power_iteration(gram, rounds=2).orderBy("pos").collect()
+    assert [(r["pos"], r["vi"]) for r in out] == [(0, 0), (1, 0), (2, 0)]
