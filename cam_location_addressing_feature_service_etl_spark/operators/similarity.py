@@ -116,6 +116,76 @@ def ivf_assign(
     )
 
 
+def ivf_search(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF ANN search: each query probes its ``nprobe`` nearest cells
+    and is scored exactly against only those cells' members.
+
+    Guarantee (the property the recall test asserts): the result is
+    EXACT top-k over the probed candidate set, so any true global
+    neighbor whose cell is probed is always returned, and recall is
+    monotonically non-decreasing in ``nprobe`` (a superset candidate
+    pool can only keep more of the true top-k). At scale the member
+    side is stored bucketed by ``centroid_id`` and the probe join
+    touches only those buckets' partitions; centroids broadcast.
+    """
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col, round_digits)
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), as_double_array(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm_col(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", norm_col(F.col("qv")))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            "centroid_id",
+            F.round(
+                dot_col(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                round_digits,
+            ).alias("pcos"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "qn", "centroid_id")
+    )
+    members = vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("nv")
+    ).withColumn("nn", norm_col(F.col("nv")))
+    cand = (
+        assigned.withColumnRenamed(id_col, "neighbor_id")
+        .join(probes, "centroid_id")
+        .join(members, "neighbor_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_col(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")),
+                round_digits,
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def normalized_col(a: Column) -> Column:
     """Unit-normalize: each element divided by the fold-left L2 norm.
     Same op order as the DuckDB oracle's list_transform, so the bits

@@ -445,3 +445,126 @@ def test_pq_codes_equal_bruteforce_argmin(spark, vecs):
                 dists.append((d, code))
             want = min(dists)
             assert got[(i, s)] == (want[1], want[0])
+
+
+@given(
+    data=st.lists(
+        st.lists(st.integers(min_value=-5, max_value=5), min_size=4, max_size=4),
+        min_size=14,
+        max_size=26,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_ivf_recall_contains_probed_true_neighbors(spark, data):
+    """ivf_search is EXACT over the probed candidate set: every true
+    (brute-force) top-k neighbor whose cell is probed must be returned,
+    and recall is monotonically non-decreasing in nprobe (a superset
+    candidate pool can only retain more of the true top-k)."""
+    from cam_location_addressing_feature_service_etl_spark.operators.similarity import (
+        as_double_array,
+        brute_force_topk,
+        dot_col,
+        ivf_assign,
+        ivf_search,
+        norm_col,
+    )
+
+    vecs = [(i, [float(x) for x in v]) for i, v in enumerate(data) if any(v)]
+    if len(vecs) < 10:
+        return
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    n_cent, k = 3, 3
+    ids = sorted(i for i, _ in vecs)
+    cent_ids, member_ids = set(ids[:n_cent]), ids[n_cent:]
+    centroids = df.filter(F.col("vec_id").isin(list(cent_ids)))
+    members = df.filter(~F.col("vec_id").isin(list(cent_ids)))
+    queries = df.filter(F.col("vec_id").isin(member_ids[:3]))
+
+    true_k = {}
+    for r in brute_force_topk(members, queries, k).collect():
+        true_k.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    cells = {
+        r["vec_id"]: r["centroid_id"] for r in ivf_assign(members, centroids).collect()
+    }
+    # probe ranking, same expressions as ivf_search
+    c = centroids.select(
+        F.col("vec_id").alias("centroid_id"), as_double_array(F.col("embedding")).alias("cv")
+    ).withColumn("cn", norm_col(F.col("cv")))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), as_double_array(F.col("embedding")).alias("qv")
+    ).withColumn("qn", norm_col(F.col("qv")))
+    from pyspark.sql.window import Window as W
+
+    pw = W.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("centroid_id"))
+    probe_rows = (
+        q.crossJoin(F.broadcast(c))
+        .select(
+            "query_id",
+            "centroid_id",
+            F.round(
+                dot_col(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("pcos"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .collect()
+    )
+    probes = {}
+    for r in probe_rows:
+        probes.setdefault(r["query_id"], {})[r["rn"]] = r["centroid_id"]
+
+    recalls = {}
+    for nprobe in (1, 2):
+        got = {}
+        for r in ivf_search(members, centroids, queries, k, nprobe=nprobe).collect():
+            got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        for qid, truth in true_k.items():
+            probed = {probes[qid][rn] for rn in range(1, nprobe + 1) if rn in probes[qid]}
+            reachable = [n for n in truth if cells.get(n) in probed]
+            missing = set(reachable) - set(got.get(qid, []))
+            assert missing == set(), (
+                f"nprobe={nprobe}: true neighbors {missing} of query {qid} live "
+                f"in probed cells but were not returned"
+            )
+        recalls[nprobe] = {
+            qid: len(set(truth) & set(got.get(qid, []))) / len(truth)
+            for qid, truth in true_k.items()
+            if truth
+        }
+    for qid in recalls[1]:
+        assert recalls[2][qid] >= recalls[1][qid], (
+            f"recall regressed with more probes for query {qid}: "
+            f"{recalls[1][qid]} -> {recalls[2][qid]}"
+        )
+
+
+def test_ivf_recall_rate_report(spark):
+    """Deterministic recall measurement on the sf0.001 embeddings:
+    nprobe=2 recall must be >= nprobe=1 recall (reported in the assert
+    message for the record)."""
+    from cam_location_addressing_feature_service_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_search,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = df.filter(F.col("vec_id") < 8)
+    members = df.filter(F.col("vec_id") >= 8)
+    queries = members.filter(F.col("vec_id") < 24)
+    k = 5
+    truth = {}
+    for r in brute_force_topk(members, queries, k).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rates = {}
+    for nprobe in (1, 2):
+        got = {}
+        for r in ivf_search(members, centroids, queries, k, nprobe=nprobe).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        rates[nprobe] = hits / sum(len(v) for v in truth.values())
+    assert rates[2] >= rates[1], rates
+    assert rates[2] > 0, rates
+    print(f"IVF recall@{k}: nprobe=1 {rates[1]:.3f}, nprobe=2 {rates[2]:.3f}")
