@@ -39,6 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: scripts/check_parity.py (committed as PARITY_r{N}.txt) proves the
 #: full registry every round regardless.
 _PRIORITY = [
+    "dedup_jaccard_boiler_naive",
+    "dedup_jaccard_boiler_prefix",
     "sim_ann_ivf_nprobe2",
     "a1_grouped_max_latest",
     "a1_latest_row_window",

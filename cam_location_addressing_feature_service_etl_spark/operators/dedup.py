@@ -388,16 +388,30 @@ def ngram_jaccard_pairs_prefix(
     and ``array_intersect``-ed it per pair — the set-aggregation pass
     plus array building cost more than this join-count form.
 
-    Measured at sf0.1 (5000 docs, t=0.6, interleaved 6-rep trimmed
-    means on local[32]): this form 2.55s vs naive index 2.85s — the
-    crossover the prefix economics promise is now at or below sf0.1;
-    at sf0.1 the win is modest because stage-scheduling latency (~9
-    stages vs the naive's ~5) nearly offsets the 1.27M → 69k candidate
-    collapse, and the gap widens with corpus size as hot-shingle df²
-    grows superlinearly. A semi-join pre-filter of the b-side postings
-    by candidate ids was measured SLOWER at sf0.1 (3.23s — one more
-    stage boundary than it saves); re-evaluate it at cluster scale
-    where shuffle volume, not stage count, dominates.
+    WHEN EACH VARIANT WINS — measured, not assumed. On the synthetic
+    sf0.1 corpus (5000 all-distinct docs, NO repeated boilerplate,
+    t=0.6) the naive index wins at every measured size: min-of-3 warm
+    times 1.04/0.93/1.21s (naive) vs 1.30/1.33/1.90s (prefix) at
+    1250/2500/5000 docs, because collisions (76k → 315k → 1.27M,
+    exactly ×4 per doubling) stay cheap for the partial-aggregated
+    count-join while the prefix pipeline pays ~4 extra serial stage
+    boundaries plus an |A|-rows-per-candidate verify. That corpus is
+    the skew-free best case for naive. Add ONE boilerplate footer
+    line to every doc — the shape of every real web/document corpus —
+    and naive's collisions jump to 164M at the same 5000 docs (each
+    footer shingle has df = N and emits N²/2 pairs); measured: naive
+    4.6s vs prefix 3.0s, and the naive side grows ∝ N² per hot
+    shingle while prefix candidates barely move (hot shingles sort
+    last in df order and fall out of every prefix). The registry pins
+    this comparison as dedup_jaccard_boiler_{naive,prefix} so the
+    bench records it every round. At 100 TB the boilerplate regime is
+    the only regime; a df=10⁸ shingle is 5·10¹⁵ emitted pairs — the
+    naive plan does not complete, prefix does not notice.
+
+    A semi-join pre-filter of the b-side postings by candidate ids was
+    measured SLOWER at sf0.1 (one more stage boundary than it saves);
+    re-evaluate at cluster scale where shuffle volume, not stage
+    count, dominates.
     """
     # The postings feed three plan branches (rank/size pass, set agg,
     # frequency agg); materialize the tokenize+shingle+explode subtree
