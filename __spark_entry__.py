@@ -39,6 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: scripts/check_parity.py (committed as PARITY_r{N}.txt) proves the
 #: full registry every round regardless.
 _PRIORITY = [
+    "graph_triangle_counts",
+    "emb_matryoshka_recall",
+    "text_bigram_logprob",
     "dedup_jaccard_boiler_naive",
     "dedup_jaccard_boiler_prefix",
     "sim_ann_ivf_nprobe2",

@@ -96,3 +96,94 @@ def graph_pagerank_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_pagerank_3round.__doc__ = graph_pagerank_3round.__doc__.format(
     n=_PR_ROUNDS, d=_PR_DAMP
 )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered) on the supplier co-purchase graph
+# ---------------------------------------------------------------------------
+
+#: suppliers are connected when they supply >= this many common parts
+_TRI_MIN_SHARED = 22
+_TRI_TOP = 20
+
+
+@register(
+    "graph_triangle_counts",
+    oracle=f"""
+WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (
+  SELECT a.s AS u, b.s AS v
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_MIN_SHARED}
+),
+deg AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+  GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.u < e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e.u < e.v) THEN e.v ELSE e.u END AS dst
+  FROM edges e JOIN deg da ON da.n = e.u JOIN deg db ON db.n = e.v
+),
+wedges AS (
+  SELECT a.src AS apex, a.dst AS x, b.dst AS y
+  FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst
+),
+tri AS (
+  SELECT w.apex, w.x, w.y
+  FROM wedges w JOIN edges e ON e.u = w.x AND e.v = w.y
+),
+pn AS (
+  SELECT unnest([apex, x, y]) AS node, 1 AS one FROM tri
+),
+counts AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM pn GROUP BY node
+)
+SELECT node, triangles, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT node, triangles,
+         ROW_NUMBER() OVER (ORDER BY triangles DESC, node ASC) AS rnk
+  FROM counts
+) WHERE rnk <= {_TRI_TOP}
+""",
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{top} suppliers by triangle participation in the supplier
+    co-purchase graph (edge when two suppliers supply ≥ {k} common
+    parts). Degree-ordered orientation (operators/triangles.py) keeps
+    the wedge join bounded by Σ min-deg² — the "last reducer" fix for
+    hub skew; the co-occurrence edge build is one self-join on the
+    part key whose fan-out is bounded by per-part supplier counts (at
+    web scale, cap per-part fan-out or raise the threshold — the
+    HAVING pushes into the partial aggregate either way)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.triangles import triangle_counts_per_node
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    ps = lineitem.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    edges = (
+        ps.alias("a")
+        .join(
+            ps.alias("b"),
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("id_a"), F.col("b.s").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _TRI_MIN_SHARED)
+        .select("id_a", "id_b")
+    )
+    counts = triangle_counts_per_node(edges)
+    w = Window.orderBy(F.desc("triangles"), F.asc("node"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TRI_TOP)
+        .select("node", "triangles", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+graph_triangle_counts.__doc__ = graph_triangle_counts.__doc__.format(
+    top=_TRI_TOP, k=_TRI_MIN_SHARED
+)

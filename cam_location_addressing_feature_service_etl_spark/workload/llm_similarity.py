@@ -533,3 +533,77 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cos_to_canonical") >= _SEM_THRESHOLD)
         ).alias("pruned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation: how much ANN recall survives at half dims
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = 32  # keep the first 32 of 64 dims ("matryoshka" prefix)
+_MRL_K = 5
+_MRL_QUERIES = 10
+
+
+@register(
+    "emb_matryoshka_recall",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+h AS (SELECT vec_id, e[1:{_MRL_DIMS}] AS e FROM v),
+qf AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {_MRL_QUERIES}),
+qh AS (SELECT vec_id AS query_id, e AS qe FROM h WHERE vec_id < {_MRL_QUERIES}),
+topf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS_SQL.format(a="q.qe", b="n.e")} DESC,
+                                       n.vec_id ASC) AS rnk
+    FROM qf q CROSS JOIN v n WHERE n.vec_id <> q.query_id
+  ) WHERE rnk <= {_MRL_K}
+),
+toph AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS_SQL.format(a="q.qe", b="n.e")} DESC,
+                                       n.vec_id ASC) AS rnk
+    FROM qh q CROSS JOIN h n WHERE n.vec_id <> q.query_id
+  ) WHERE rnk <= {_MRL_K}
+)
+SELECT f.query_id, CAST(COUNT(h.neighbor_id) AS BIGINT) AS n_overlap
+FROM topf f LEFT JOIN toph h
+  ON h.query_id = f.query_id AND h.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+""",
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation check: per query, how many of the
+    full-dimension top-{k} cosine neighbors survive when vectors are
+    truncated to their first {d} of 64 dims. The practical question
+    behind every MRL deployment — how much cheaper storage/compute can
+    get before recall breaks — answered with the same brute-force
+    scoring plan twice (broadcast queries, one corpus scan each) and a
+    per-query overlap count."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    half = embeddings.select(
+        "vec_id", F.slice(F.col("embedding"), 1, _MRL_DIMS).alias("embedding")
+    )
+    qf = embeddings.filter(F.col("vec_id") < _MRL_QUERIES)
+    qh = half.filter(F.col("vec_id") < _MRL_QUERIES)
+    topf = brute_force_topk(embeddings, qf, k=_MRL_K).select("query_id", "neighbor_id")
+    toph = brute_force_topk(half, qh, k=_MRL_K).select(
+        F.col("query_id").alias("hq"), F.col("neighbor_id").alias("hn")
+    )
+    return (
+        topf.join(
+            toph,
+            (F.col("hq") == F.col("query_id")) & (F.col("hn") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.col("hn")).alias("n_overlap"))
+    )
+
+
+emb_matryoshka_recall.__doc__ = emb_matryoshka_recall.__doc__.format(
+    k=_MRL_K, d=_MRL_DIMS
+)

@@ -1318,3 +1318,73 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_repetition_ratio.__doc__ = text_repetition_ratio.__doc__.format(
     dup=_REP_DUP_MAX, dis=_REP_DISTINCT_MIN
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram log-probability (the stronger perplexity proxy)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+WITH tokl AS (SELECT doc_id, {TOKENS_SQL.format(col="text")} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM tokl),
+bg AS (
+  SELECT doc_id, prev, tok FROM (
+    SELECT doc_id, tok,
+           LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM tok
+  ) WHERE prev IS NOT NULL
+),
+cb AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2),
+cc AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS cc FROM bg GROUP BY 1),
+vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tok)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(ln((f.cb + 1.0) / (c.cc + vocab.v))), 6) AS avg_logprob
+FROM bg b
+JOIN cb f ON f.prev = b.prev AND f.tok = b.tok
+JOIN cc c ON c.prev = b.prev
+CROSS JOIN vocab
+GROUP BY b.doc_id
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under an add-one-smoothed
+    corpus BIGRAM model — the stronger perplexity proxy (catches
+    scrambled word order that the unigram score cannot). One token
+    pass builds the bigram stream via a doc-partitioned lag window;
+    bigram and context counts are partial-aggregatable groupBys; the
+    per-doc score joins the bigram stream back to the (vocabulary-
+    sized, AQE-broadcast) count tables. Same determinism discipline
+    as text_unigram_logprob: exact-integer count ratios inside ln,
+    one rounded AVG at the output edge."""
+    from pyspark.sql.window import Window
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.withColumn("prev", F.lag("tok").over(wdoc))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "tok")
+        # feeds the two count aggregations AND the scoring join
+        .transform(materialize)
+    )
+    cb = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cb"))
+    cc = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("cc"))
+    vocab = tok.agg(F.countDistinct("tok").alias("v"))
+    return (
+        bg.join(cb, ["prev", "tok"])
+        .join(cc, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("cb") + F.lit(1.0)) / (F.col("cc") + F.col("v")))), 6
+            ).alias("avg_logprob"),
+        )
+    )

@@ -29,6 +29,8 @@ CARTESIAN_ALLOWED = {
     "sim_cosine_topk_bruteforce",
     "sim_ann_ivf_bucketed",
     "sim_ann_ivf_nprobe2",
+    "emb_matryoshka_recall",        # brute-force scoring twice (full/half dims)
+    "text_bigram_logprob",          # 1-row broadcast vocabulary size
     "sim_kmeans_assignments",
     "emb_ivfpq_index",
     # 1-row broadcast scalar aggregates
