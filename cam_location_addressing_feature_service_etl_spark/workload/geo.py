@@ -162,3 +162,68 @@ def geo_gridcell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("lat") * 10).cast("long").alias("cell_lat"),
         F.floor(F.col("lon") * 10).cast("long").alias("cell_lon"),
     ).agg(F.count(F.lit(1)).alias("n_points"))
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout key — the data-skipping clustering story
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10          # 1024×1024 grid over the point box
+_Z_BUCKET_SHIFT = 14  # bucket = top 6 bits of the 20-bit z-key
+
+
+def _z_interleave_sql(gx: str, gy: str) -> str:
+    """Morton interleave as pure integer SQL (identical in both
+    engines): bit i of gx -> bit 2i, bit i of gy -> bit 2i+1."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({gx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({gy} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "geo_zorder_layout",
+    oracle=f"""
+WITH pts AS ({_POINTS_SQL}),
+g AS (
+  SELECT point_id,
+         CAST(FLOOR((lat + 29.0) / 20.0 * 1024) AS BIGINT) AS gx,
+         CAST(FLOOR((lon - 138.0) / 16.0 * 1024) AS BIGINT) AS gy
+  FROM pts
+),
+z AS (SELECT point_id, {_z_interleave_sql("gx", "gy")} AS zkey FROM g)
+SELECT CAST(zkey >> {_Z_BUCKET_SHIFT} AS BIGINT) AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(zkey) AS BIGINT) AS zmin,
+       CAST(MAX(zkey) AS BIGINT) AS zmax
+FROM z GROUP BY 1
+""",
+)
+def geo_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key per point and the resulting
+    layout buckets (count + zkey range per bucket). Writing a table
+    sorted by zkey makes each file's (lat, lon) min/max statistics
+    TIGHT in both dimensions, so 2-D range predicates prune files the
+    way 1-D sort keys never can — the standard lakehouse layout
+    optimization (Delta/Iceberg Z-ORDER). The key is pure integer bit
+    interleaving (exact in any engine); at scale this column feeds
+    ``df.repartitionByRange(zkey).sortWithinPartitions(zkey)`` ahead
+    of the partitioned write."""
+    pts = _points(spark, sf_dir)
+    g = pts.select(
+        "point_id",
+        F.floor((F.col("lat") + 29.0) / 20.0 * 1024).cast("long").alias("gx"),
+        F.floor((F.col("lon") - 138.0) / 16.0 * 1024).cast("long").alias("gy"),
+    )
+    z = g.select("point_id", F.expr(_z_interleave_sql("gx", "gy")).alias("zkey"))
+    return (
+        z.groupBy(
+            F.shiftright(F.col("zkey"), _Z_BUCKET_SHIFT).cast("long").alias("zbucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("zkey").cast("long").alias("zmin"),
+            F.max("zkey").cast("long").alias("zmax"),
+        )
+    )

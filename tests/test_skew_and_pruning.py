@@ -49,3 +49,23 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # pruned scan reads only the matching partition's rows
     expected = orders.filter(F.col("o_orderstatus") == "O").count()
     assert df.count() == expected
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """DPP: a selective dim-side filter must prune the partitioned fact
+    scan AT RUNTIME via a dynamicpruning subquery — at 100 TB this is
+    the difference between scanning one nation's partition and scanning
+    the whole fact table when the filter is on the dim, not the fact."""
+    customer = load(spark, SF_SMOKE, "customer")
+    nation = load(spark, SF_SMOKE, "nation")
+    out = str(tmp_path / "cust_by_nation")
+    customer.write.partitionBy("c_nationkey").mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = nation.filter(F.col("n_name") == "NATION_7")
+    joined = fact.join(dim, fact["c_nationkey"] == dim["n_nationkey"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    expected = (
+        customer.join(dim, customer["c_nationkey"] == dim["n_nationkey"]).count()
+    )
+    assert joined.count() == expected > 0
