@@ -161,9 +161,14 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.triangles import triangle_counts_per_node
 
     (lineitem,) = _t(spark, sf_dir, "lineitem")
-    ps = lineitem.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    # both sides of the co-occurrence self-join consume the distinct
+    # (part, supplier) projection — materialize it once (Spark does not
+    # reuse exchanges across self-join branches)
+    ps = (
+        lineitem.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .transform(materialize)
+    )
     edges = (
         ps.alias("a")
         .join(

@@ -128,3 +128,32 @@ def test_esri_stream_reader_replay_between_offsets(spark):
     # drained layer: empty batch, offset unchanged
     it3, off3 = r.read({"next": 60})
     assert list(it3) == [] and off3 == {"next": 60}
+
+
+def test_stream_reader_pins_fetch_order(monkeypatch):
+    """The replay contract needs a pinned server-side order: _rows must
+    pass order_by (default objectid) through to EsriClient.fetch_page."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from cam_location_addressing_feature_service_etl_spark.sources import (
+        esri_datasource,
+        esri_http,
+    )
+
+    calls = {}
+
+    class FakeClient:
+        def __init__(self, **kw):
+            pass
+
+        def fetch_page(self, offset, count, where="1=1", out_fields=None, order_by=None):
+            calls["order_by"] = order_by
+            return []
+
+    monkeypatch.setattr(esri_http, "EsriClient", FakeClient)
+    reader = esri_datasource.EsriStreamReader(
+        {"layer_url": "http://x", "mode": "live"},
+        StructType([StructField("objectid", LongType(), True)]),
+    )
+    reader._rows(0, 10)
+    assert calls["order_by"] == "objectid"
