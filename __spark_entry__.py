@@ -39,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: scripts/check_parity.py (committed as PARITY_r{N}.txt) proves the
 #: full registry every round regardless.
 _PRIORITY = [
+    "a7_sketch_union_reaggregate",
     "geo_zorder_layout",
     "graph_triangle_counts",
     "emb_matryoshka_recall",

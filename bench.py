@@ -30,6 +30,11 @@ SKIP: set[str] = set()
 
 
 def main() -> None:
+    # The periodic-GC timer's System.gc() lands at an arbitrary point
+    # and was observed adding ~10s of full-GC pause INTO one query's
+    # timed window. Disarm the timer for the bench process and GC
+    # explicitly between queries instead (see the per-query loop).
+    os.environ.setdefault("SPARK_GRAFT_PERIODIC_GC", "60min")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -107,9 +112,14 @@ def main() -> None:
             # object dies and the JVM ContextCleaner notices. With a
             # large heap the JVM may not GC for many queries, so blocks
             # pile up and later queries absorb erratic GC pauses —
-            # measured as ±2s per-query noise across bench runs.
+            # measured as ±2s per-query noise across bench runs. The
+            # explicit JVM System.gc() moves full-GC pauses BETWEEN
+            # timed windows (the periodic-GC timer is disarmed above)
+            # and lets the ContextCleaner free dead checkpoint blocks
+            # promptly.
             del df
             gc.collect()
+            spark._jvm.System.gc()
     finally:
         sys.stdout.flush()
         os.dup2(real_stdout_fd, 1)

@@ -32,7 +32,14 @@ _BUILDER_CONF = {
     # JVM GC proves the RDD unreachable; with a large heap full GCs are
     # rare and dead blocks accumulate across a long session (the bench
     # runs 100+ queries in one JVM). Periodic GC keeps cleanup timely.
-    "spark.cleaner.periodicGC.interval": "2min",
+    # Overridable because the timer's System.gc() lands at an arbitrary
+    # point — the bench was observed absorbing a ~10s full-GC pause
+    # INTO one query's wall time (a 3.9s query read as 15.5s); bench.py
+    # raises the interval and instead triggers GC explicitly BETWEEN
+    # timed queries.
+    "spark.cleaner.periodicGC.interval": os.environ.get(
+        "SPARK_GRAFT_PERIODIC_GC", "2min"
+    ),
 }
 
 #: conf safe to (re)apply on any session at runtime, including one the

@@ -742,3 +742,40 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
         .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
     )
+
+
+@register(
+    "a7_sketch_union_reaggregate",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS sketch_within_5pct
+FROM events GROUP BY event_type
+""",
+)
+def a7_sketch_union_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch re-aggregation (Apache DataSketches HLL): build
+    one sketch per (event_type, day) — the shape a 100 TB pipeline
+    persists as a daily rollup — then hll_union_agg the per-day
+    sketches up to per-type distinct-user estimates WITHOUT touching
+    raw data again. Self-verified like a5: the exact distinct count is
+    hash-checked against the oracle and the unioned estimate must land
+    within 5%. This is the pattern that turns a petabyte re-scan into
+    a kilobyte merge: sketches are fixed-size, associative state."""
+    events = _events(spark, sf_dir)
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("sk"))
+    unioned = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(unioned, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users")) <= 0.05 * F.col("exact_users")
+        ).alias("sketch_within_5pct"),
+    )

@@ -48,6 +48,7 @@ def main() -> None:
             print("[%d] %-40s %.3fs" % (r, name, dt), file=sys.stderr)
             del df
             gc.collect()
+            spark._jvm.System.gc()
 
 
 if __name__ == "__main__":

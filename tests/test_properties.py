@@ -568,3 +568,42 @@ def test_ivf_recall_rate_report(spark):
     assert rates[2] >= rates[1], rates
     assert rates[2] > 0, rates
     print(f"IVF recall@{k}: nprobe=1 {rates[1]:.3f}, nprobe=2 {rates[2]:.3f}")
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=12),
+                  st.integers(min_value=0, max_value=12)),
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Degree-ordered triangle counting equals brute-force enumeration
+    on arbitrary graphs (self-loops and duplicate/reversed edges
+    tolerated)."""
+    from itertools import combinations
+
+    from cam_location_addressing_feature_service_etl_spark.operators.triangles import (
+        triangle_counts_per_node,
+    )
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    expected: dict[int, int] = {}
+    nodes = {n for e in canon for n in e}
+    for u, v, w in combinations(sorted(nodes), 3):
+        if {(u, v), (u, w), (v, w)} <= canon:
+            for n in (u, v, w):
+                expected[n] = expected.get(n, 0) + 1
+
+    df = spark.createDataFrame(
+        list(edges) or [(None, None)], "id_a long, id_b long"
+    ).filter(F.col("id_a").isNotNull())
+    got = {
+        r["node"]: r["triangles"] for r in triangle_counts_per_node(df).collect()
+    }
+    assert got == expected
