@@ -676,3 +676,70 @@ def connected_components_star(
     return e.select(F.col("u").alias("node"), F.col("v").alias("label")).unionByName(
         e.select(F.col("v").alias("node"), F.col("v").alias("label")).distinct()
     )
+
+
+def duplicated_token_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Exact substring-span dedup detection (the suffix-array dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", re-expressed as a k-gram-run scan): for every document,
+    the maximal token spans of length >= k in which EVERY k-token gram
+    occurs more than once in the corpus (cross-doc or repeated
+    in-doc). A duplicated substring of length L >= k contributes
+    exactly L - k + 1 duplicated grams at consecutive start positions,
+    so maximal runs of duplicated-gram starts are exactly the maximal
+    duplicated spans — no suffix array needed, one groupBy + one
+    window.
+
+    Returns (id, span_start, span_end, span_tokens), token positions
+    1-based inclusive. Downstream removal is a slice of the token
+    array per doc (map-only).
+
+    Scale: one shuffle counts gram multiplicity (key = md5(gram), so
+    the exchange carries 32-byte keys, not 8-token strings; at 100 TB
+    swap xxhash64 and replace the count>1 set with a broadcast Bloom
+    filter of duplicated grams), one shuffle joins hits back, and the
+    run-merge window partitions by doc — never wider than one
+    document's gram list. No O(n^2) stage, no suffix sort.
+    """
+    toks = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= k)
+    # sequence(1, n) DESCENDS for n < 1 — guarded by the size filter.
+    idx = F.sequence(F.lit(1), F.size("_toks") - (k - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(F.col("_toks"), (i + j).cast("int"))
+                        for j in range(k)
+                    ],
+                )
+            ).alias("gh"),
+        ),
+    )
+    grams = toks.select(F.col(id_col), F.explode(gram).alias("g")).select(
+        F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh")
+    )
+    grams = materialize(grams)
+    dup = grams.groupBy("gh").count().filter(F.col("count") > 1).select("gh")
+    hits = grams.join(dup, "gh", "leftsemi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    # spans [prev, prev+k-1] and [pos, pos+k-1] merge iff pos <= prev+k
+    brk = F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0)
+    islands = hits.withColumn("_isl", F.sum(brk).over(w))
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            (F.max("pos") + k - F.min("pos")).alias("span_tokens"),
+        )
+        .drop("_isl")
+    )

@@ -1388,3 +1388,54 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. suffix-array dedup, k-gram form)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+
+_SPAN_ORACLE = f"""
+WITH tokl AS (
+  SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM documents
+),
+gram AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+         array_to_string(toks[p:p + {_SPAN_K - 1}], ' ') AS gram
+  FROM tokl, UNNEST(generate_series(1, len(toks) - {_SPAN_K - 1})) AS t(p)
+  WHERE len(toks) >= {_SPAN_K}
+),
+dup AS (SELECT gram FROM gram GROUP BY gram HAVING COUNT(*) > 1),
+hit AS (SELECT g.doc_id, g.pos FROM gram g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_K} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM hit
+  )
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + {_SPAN_K - 1} AS span_end,
+       MAX(pos) + {_SPAN_K} - MIN(pos) AS span_tokens
+FROM isl
+GROUP BY doc_id, island
+"""
+
+
+@register("dedup_exact_substring_spans", oracle=_SPAN_ORACLE)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans (>= 8 tokens) per document — the
+    exact-substring dedup of Lee et al. 2022, re-expressed as maximal
+    runs of duplicated 8-gram start positions (operators/dedup.py
+    duplicated_token_spans). The oracle reproduces the identical
+    gram/run algebra over raw gram strings; the engine shuffles
+    md5(gram) instead, so the exchange never carries full n-grams."""
+    from ..operators.dedup import duplicated_token_spans
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return duplicated_token_spans(documents, "doc_id", "text", k=_SPAN_K)
