@@ -581,11 +581,11 @@ def connected_components_star(
     the O(log n)-round scale path that ``connected_components``'s
     docstring promises for 100 TB graphs, run to convergence.
 
-    Each round is two map-combinable groupBy/join passes over the edge
-    set; the edge set only shrinks toward a star per component, so the
-    per-round cost FALLS as the algorithm proceeds (fixed-round label
-    propagation instead re-joins the full adjacency every round and
-    needs diameter rounds).
+    Each round is two window-min passes (one exchange each) plus one
+    dedup exchange over the edge set; the edge set only shrinks toward
+    a star per component, so the per-round cost FALLS as the algorithm
+    proceeds (fixed-round label propagation instead re-joins the full
+    adjacency every round and needs diameter rounds).
 
     Convergence detection exploits that the alternation's fixed points
     are exactly the FLAT FORESTS: canonical edge sets where every
@@ -640,26 +640,42 @@ def connected_components_star(
             F.count(F.when(bad, F.lit(1))).alias("n")
         ).collect()[0]["n"]
 
+    wu = Window.partitionBy("u")
     converged = False
     for rnd in range(1, max_rounds + 1):
         # LARGE-STAR: every strictly-larger neighbor of u re-attaches
-        # to u's neighborhood minimum (including u itself).
+        # to u's neighborhood minimum (including u itself). The
+        # neighborhood minimum is a partition-wide window min — ONE
+        # exchange on u — instead of the groupBy + join-back
+        # formulation (two exchanges plus a join build per round).
         bidir = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = bidir.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-        large = canon(
-            bidir.join(mins, "u")
+        large = (
+            bidir.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        ).transform(materialize)
-        # SMALL-STAR: on the (larger → smaller) canonical edges, every
-        # smaller neighbor and u itself attach to the minimum.
-        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = canon(
-            large.join(mins2, "u")
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(mins2.select("u", F.col("m").alias("v")))
-        ).transform(materialize)
+        )
+        # large-star output is already canonically oriented (v > u >= m
+        # implies new-u > new-v), and cross-source duplicate edges are
+        # tolerated undeduplicated: the small-star window min is
+        # duplicate-insensitive, so the round's single distinct lands
+        # AFTER small-star — one exchange instead of two.
+        #
+        # SMALL-STAR: every strictly-smaller neighbor of u, and u
+        # itself, attach to u's minimum neighbor. Each input row (u, v)
+        # emits exactly one edge — (u, m) when v is the minimum, (v, m)
+        # otherwise — so the union-with-centers branch collapses into a
+        # conditional projection over the same window pass.
+        small = (
+            large.withColumn("m", F.min("v").over(wu))
+            .select(
+                F.when(F.col("v") == F.col("m"), F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("u"),
+                F.col("m").alias("v"),
+            )
+            .distinct()
+            .transform(materialize)
+        )
         e = small
         # check schedule: {2, 3, 5, 7, ...} ∪ {max_rounds}
         if rnd == 2 or (rnd >= 3 and rnd % 2 == 1) or rnd == max_rounds:
