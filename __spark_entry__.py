@@ -39,6 +39,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: scripts/check_parity.py (committed as PARITY_r{N}.txt) proves the
 #: full registry every round regardless.
 _PRIORITY = [
+    "dedup_exact_substring_spans",
+    "ev_scd2_state_intervals",
+    "graph_kcore_peel3",
+    "text_pmi_collocations",
+    "j11_fuzzy_blocked_match",
     "a7_sketch_union_reaggregate",
     "geo_zorder_layout",
     "graph_triangle_counts",

@@ -779,3 +779,93 @@ def a7_sketch_union_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est") - F.col("exact_users")) <= 0.05 * F.col("exact_users")
         ).alias("sketch_within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 state-interval history (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN prev_type IS NULL OR prev_type <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM ordered
+),
+islands AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, island,
+         MIN(event_type) AS state,
+         MIN(ts) AS from_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM islands
+  GROUP BY user_id, island
+)
+SELECT user_id, state,
+       STRFTIME(from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       STRFTIME(LEAD(from_ts) OVER (PARTITION BY user_id ORDER BY island),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       LEAD(from_ts) OVER (PARTITION BY user_id ORDER BY island) IS NULL
+         AS is_current,
+       n_events
+FROM runs
+"""
+
+
+@register("ev_scd2_state_intervals", oracle=_SCD2_ORACLE)
+def ev_scd2_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from an event
+    log — the interval form of the reference's address-lifecycle
+    carry-forward (SURVEY §2.8 U2 / §2.9 M1: previous-snapshot rows
+    stay valid until a newer row supersedes them,
+    main_pls.py:123-133): collapse each user's consecutive runs of
+    the same state into one row with [valid_from, valid_to) validity,
+    valid_to = next run's start, NULL while current.
+
+    Gaps-and-islands: change flag via lag, island id via running sum,
+    one groupBy per run, then a lead window over the (already tiny)
+    per-user run list for the closing bound. Every window and the
+    aggregate partition on user_id — one shuffle total, no global
+    ordering; at 100 TB this is the standard "rebuild dimension
+    history from CDC log" shape, partitioned by entity key."""
+    events = _events(spark, sf_dir)
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    islands = (
+        events.withColumn("prev_type", F.lag("event_type").over(w_ord))
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("chg").over(w_run))
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("from_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_isl = Window.partitionBy("user_id").orderBy("island")
+    nxt = F.lead("from_ts").over(w_isl)
+    return runs.select(
+        "user_id",
+        "state",
+        F.date_format("from_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "n_events",
+    )

@@ -192,3 +192,82 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_triangle_counts.__doc__ = graph_triangle_counts.__doc__.format(
     top=_TRI_TOP, k=_TRI_MIN_SHARED
 )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling on the repeat-trading graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+#: an edge requires this many distinct orders between the pair
+_KCORE_MIN_ORDERS = 2
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    parts = [
+        f"""
+WITH e0 AS (
+  SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS u,
+         's:' || CAST(l.l_suppkey AS VARCHAR) AS v
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2 HAVING COUNT(DISTINCT o.o_orderkey) >= {_KCORE_MIN_ORDERS}
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT u AS n FROM e{i - 1} UNION ALL SELECT v AS n FROM e{i - 1})
+  GROUP BY n
+),
+k{i} AS (SELECT n FROM d{i} WHERE d >= {k}),
+e{i} AS (
+  SELECT u, v FROM e{i - 1}
+  JOIN k{i} a ON e{i - 1}.u = a.n JOIN k{i} b ON e{i - 1}.v = b.n
+)"""
+        )
+    parts.append(
+        f""",
+df AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT u AS n FROM e{rounds} UNION ALL SELECT v AS n FROM e{rounds})
+  GROUP BY n
+)
+SELECT n AS node, CAST(d AS BIGINT) AS degree FROM df"""
+    )
+    return "".join(parts)
+
+
+@register("graph_kcore_peel3", oracle=_kcore_oracle())
+def graph_kcore_peel3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core peeling ({r} fixed rounds) of the repeat-trading graph
+    (customer—supplier edge when the pair traded >= {m} distinct
+    orders): iteratively drop nodes with degree < {k}, cascading —
+    the standard dense-subgraph refinement that separates habitual
+    trading cores from one-off pairs, and (over similarity edge sets)
+    dense near-dup clusters from pendant chains. Fixed rounds keep
+    the result oracle-checkable whether or not the peel has converged
+    (operators/kcore.py); the oracle unrolls the identical peels as
+    chained CTEs. Scale: the edge set only shrinks; each round is one
+    partial-aggregatable degree groupBy + two endpoint semi-joins."""
+    from ..operators.kcore import kcore_peel
+
+    (orders, lineitem) = _t(spark, sf_dir, "orders", "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("id_a"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("id_b"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= _KCORE_MIN_ORDERS)
+        .select("id_a", "id_b")
+    )
+    return kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+graph_kcore_peel3.__doc__ = graph_kcore_peel3.__doc__.format(
+    k=_KCORE_K, r=_KCORE_ROUNDS, m=_KCORE_MIN_ORDERS
+)

@@ -1439,3 +1439,100 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = _t(spark, sf_dir, "documents")
     return duplicated_token_spans(documents, "doc_id", "text", k=_SPAN_K)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining (corpus bigram association)
+# ---------------------------------------------------------------------------
+
+#: a bigram must occur at least this often to be scored (also the
+#: integer-only filter — no float ever decides membership)
+_PMI_MIN_COUNT = 40
+
+_PMI_ORACLE = f"""
+WITH tokl AS (SELECT doc_id, {TOKENS_SQL.format(col="text")} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM tokl),
+bg AS (
+  SELECT prev, tok FROM (
+    SELECT tok, LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM tok
+  ) WHERE prev IS NOT NULL
+),
+cab AS (
+  SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+),
+uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+tot AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tok) AS u,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bg) AS n
+)
+SELECT cab.prev, cab.tok, cab.pair_count,
+       ROUND(LN(((cab.pair_count * 1.0 * tot.u) / tot.n)
+                * (tot.u * 1.0 / ca.c) / cb.c), 6) AS pmi
+FROM cab
+JOIN uni ca ON ca.tok = cab.prev
+JOIN uni cb ON cb.tok = cab.tok
+CROSS JOIN tot
+"""
+
+
+@register("text_pmi_collocations", oracle=_PMI_ORACLE)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent-token bigrams occurring
+    >= {m} times — collocation mining, the association score behind
+    phrase vocabularies (word2vec phrases, tokenizer merge seeding).
+    PMI = ln(p(ab) / (p(a)p(b))) with p(ab) over the bigram total and
+    p(·) over the token total.
+
+    Determinism discipline: membership is decided by the INTEGER
+    pair count alone; the float PMI is computed by the same literal
+    expression tree in both engines from exact integer counts and
+    ROUNDed once at the output edge — no float ranking, no float AVG.
+    Scale: two partial-aggregatable counts over one token pass (the
+    lag window partitions by doc); the surviving bigram table is
+    vocabulary-sized, its unigram joins AQE-broadcast; the 1-row
+    totals frame is an explicit broadcast."""
+    from pyspark.sql.window import Window
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
+    ).transform(materialize)
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.withColumn("prev", F.lag("tok").over(wdoc))
+        .filter(F.col("prev").isNotNull())
+        .select("prev", "tok")
+        .transform(materialize)
+    )
+    cab = (
+        bg.groupBy("prev", "tok")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= _PMI_MIN_COUNT)
+    )
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("u")).crossJoin(
+        bg.agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        cab.join(uni.select(F.col("tok").alias("prev"), F.col("c").alias("ca")), "prev")
+        .join(uni.select("tok", F.col("c").alias("cb")), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev",
+            "tok",
+            "pair_count",
+            F.round(
+                F.log(
+                    ((F.col("pair_count") * 1.0 * F.col("u")) / F.col("n"))
+                    * (F.col("u") * 1.0 / F.col("ca"))
+                    / F.col("cb")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+text_pmi_collocations.__doc__ = text_pmi_collocations.__doc__.format(m=_PMI_MIN_COUNT)

@@ -45,6 +45,7 @@ from ..operators.upsert import upsert_by_key, upsert_with_reset
 from ..operators.dedup import dedup_first_wins, merge_fetched_wins
 from ..operators.id_map import assign_surrogate_ids
 from . import register
+from ..runtime import materialize
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
@@ -1036,3 +1037,84 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     """)
+
+
+# ---------------------------------------------------------------------------
+# J11: blocked fuzzy matching (entity resolution by edit distance)
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 3
+
+
+@register(
+    "j11_fuzzy_blocked_match",
+    oracle=f"""
+WITH names AS (
+  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts FROM part GROUP BY p_name
+),
+b AS (
+  SELECT p_name, n_parts, split_part(p_name, ' ', 2) AS blk,
+         LENGTH(p_name) AS ln
+  FROM names
+)
+SELECT a.p_name AS name_a, c.p_name AS name_b,
+       CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS dist,
+       a.n_parts AS n_parts_a, c.n_parts AS n_parts_b
+FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+WHERE ABS(a.ln - c.ln) <= {_FUZZY_MAX_DIST}
+  AND levenshtein(a.p_name, c.p_name) BETWEEN 1 AND {_FUZZY_MAX_DIST}
+""",
+)
+def j11_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 (extension): blocked fuzzy entity matching — the
+    record-linkage shape of the reference's locality/alias
+    reconciliation (SURVEY §2.4 J5 find-unmapped + §2.7 F6 initialism
+    fallback chains, which are exact-key fallbacks; this is the fuzzy
+    tier a matcher adds when exact keys run out): candidate pairs are
+    generated ONLY within a blocking key (here the head noun of the
+    part name), pruned by the length-difference lower bound
+    |len(a)-len(b)| <= d (an edit-distance admissible bound, applied
+    before the quadratic comparator), then verified with
+    levenshtein <= {d} — JVM whole-stage codegen, no UDF.
+
+    Matching runs at the distinct-name level (names repeat across
+    parts; comparing carriers would square the duplicate factor) and
+    carries per-name part counts back as aggregates. Scale: one
+    distinct + one blocking-key shuffle; within-block pairing is
+    quadratic in BLOCK size only — the blocking key bounds it, hot
+    blocks get AQE skew-split, and a production matcher would salt or
+    sub-block (add a length band to the key) before relaxing the
+    block."""
+    (part,) = _t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    b = names.select(
+        "p_name",
+        "n_parts",
+        F.element_at(F.split("p_name", " "), 2).alias("blk"),
+        F.length("p_name").alias("ln"),
+    ).transform(materialize)
+    a, c = b.alias("a"), b.alias("c")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("c.p_name"))
+    return (
+        a.join(
+            c,
+            (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("a.p_name") < F.col("c.p_name")),
+        )
+        .filter(
+            (F.abs(F.col("a.ln") - F.col("c.ln")) <= _FUZZY_MAX_DIST)
+            & dist.between(1, _FUZZY_MAX_DIST)
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("c.p_name").alias("name_b"),
+            dist.cast("long").alias("dist"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("c.n_parts").alias("n_parts_b"),
+        )
+    )
+
+
+j11_fuzzy_blocked_match.__doc__ = j11_fuzzy_blocked_match.__doc__.format(
+    d=_FUZZY_MAX_DIST
+)

@@ -41,6 +41,7 @@ CARTESIAN_ALLOWED = {
     "emb_pca_power_projection",     # per-round max|u| renormalizer
     "sample_temperature_mix",       # total source weight
     "text_vocab_coverage",          # corpus token total
+    "text_pmi_collocations",        # 1-row token/bigram totals
     # inequality join against a 3-row literal dimension
     "ev_value_band_join",
 }
