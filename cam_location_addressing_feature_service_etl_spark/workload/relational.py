@@ -1118,3 +1118,70 @@ def j11_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 j11_fuzzy_blocked_match.__doc__ = j11_fuzzy_blocked_match.__doc__.format(
     d=_FUZZY_MAX_DIST
 )
+
+
+# ---------------------------------------------------------------------------
+# A9: join-key skew profile (the pre-join diagnostic)
+# ---------------------------------------------------------------------------
+
+_SKEW_TOP = 20
+
+
+@register(
+    "a9_key_skew_profile",
+    oracle=f"""
+WITH freq AS (
+  SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_suppkey
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k FROM freq
+)
+SELECT f.key, f.cnt,
+       CAST((f.cnt * 1000000) // tot.n AS BIGINT) AS share_ppm,
+       CAST((f.cnt * tot.k * 100) // tot.n AS BIGINT) AS pct_of_mean,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT key, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS rnk
+  FROM freq
+) f CROSS JOIN tot
+WHERE rnk <= {_SKEW_TOP}
+""",
+)
+def a9_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (extension): hot-key profile of a join key before the join —
+    the diagnostic every skew mitigation (salting, AQE skew-split,
+    broadcast fallback) starts from. Top-{t} keys by frequency with
+    exact integer share (ppm of all rows) and percent-of-mean-key
+    load; a key at pct_of_mean >> 100 is the straggler-task signal.
+
+    All arithmetic is exact integers (floor division of non-negative
+    counts — identical semantics in both engines); ranking orders by
+    the integer count with the key as tiebreak. One partial-
+    aggregatable groupBy + a 1-row broadcast total; the top-k window
+    runs on the (already key-cardinality-sized) frequency table."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    freq = lineitem.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).transform(materialize)
+    tot = freq.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SKEW_TOP)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            ((F.col("cnt") * 1000000) / F.col("n")).cast("long").alias("share_ppm"),
+            ((F.col("cnt") * F.col("k") * 100) / F.col("n"))
+            .cast("long")
+            .alias("pct_of_mean"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+a9_key_skew_profile.__doc__ = a9_key_skew_profile.__doc__.format(t=_SKEW_TOP)

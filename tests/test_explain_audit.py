@@ -42,6 +42,7 @@ CARTESIAN_ALLOWED = {
     "sample_temperature_mix",       # total source weight
     "text_vocab_coverage",          # corpus token total
     "text_pmi_collocations",        # 1-row token/bigram totals
+    "a9_key_skew_profile",          # 1-row total/cardinality frame
     # inequality join against a 3-row literal dimension
     "ev_value_band_join",
 }
