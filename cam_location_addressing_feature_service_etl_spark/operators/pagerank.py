@@ -50,11 +50,15 @@ def pagerank(
     t = (1.0 - damping) if teleport is None else teleport
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).transform(materialize)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).transform(materialize)
+    # Join outdeg onto the edges ONCE, outside the loop: every round
+    # then does a single edges ⋈ ranks join instead of edges ⋈ ranks ⋈
+    # deg (one edge-sized join per round saved; the division stays
+    # rank/outdeg, the exact float expression the SQL oracle computes).
+    ew = e.join(deg, "src").select("src", "dst", "outdeg").transform(materialize)
     ranks = deg.select("src", F.lit(1.0).alias("rank"))
     for i in range(iterations):
         contrib = (
-            e.join(ranks, "src")
-            .join(deg, "src")
+            ew.join(ranks, "src")
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
         )
         ranks = (
