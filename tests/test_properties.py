@@ -607,3 +607,43 @@ def test_triangle_counts_match_bruteforce(spark, edges):
         r["node"]: r["triangles"] for r in triangle_counts_per_node(df).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# k-core peel vs a pure-Python reference peel
+# ---------------------------------------------------------------------------
+
+_kcore_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=0, max_size=40
+)
+
+
+def _py_kcore(pairs, k, rounds):
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    for _ in range(rounds):
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        edges = {(u, v) for u, v in edges if u in keep and v in keep}
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return deg
+
+
+@given(pairs=_kcore_edges, k=st.integers(1, 4))
+@_SET
+def test_kcore_peel_matches_python_reference(spark, pairs, k):
+    from cam_location_addressing_feature_service_etl_spark.operators.kcore import (
+        kcore_peel,
+    )
+
+    rounds = 3
+    df = spark.createDataFrame(
+        pairs or [(None, None)], "id_a int, id_b int"
+    ).filter(F.col("id_a").isNotNull())
+    got = {r["node"]: r["degree"] for r in kcore_peel(df, k, rounds).collect()}
+    assert got == _py_kcore(pairs, k, rounds)
