@@ -40,6 +40,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: full registry every round regardless.
 _PRIORITY = [
     "dedup_exact_substring_spans",
+    "text_bm25_topk",
+    "sample_importance_dsir",
     "a8_incremental_agg_merge",
     "a9_key_skew_profile",
     "ev_scd2_state_intervals",

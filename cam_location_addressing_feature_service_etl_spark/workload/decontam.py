@@ -388,3 +388,132 @@ def llm_corpus_prep_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (target-domain unigram log-ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_LANG = "zh"
+_DSIR_TOP = 100
+
+_DSIR_ORACLE = f"""
+WITH tokl AS (
+  SELECT doc_id, lang, {TOKENS_SQL.format(col="text")} AS t FROM documents
+),
+tok AS (SELECT doc_id, lang, unnest(t) AS tok FROM tokl),
+corpus AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+target AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tc FROM tok
+  WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY 1
+),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tok) AS c_tot,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM tok
+            WHERE lang = '{_DSIR_TARGET_LANG}') AS t_tot,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS v
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(FLOOR(
+           LN(((COALESCE(g.tc, 0) + 1) * 1.0 / (s.t_tot + s.v))
+              * ((s.c_tot + s.v) * 1.0 / (c.c + 1)))
+           * 1000000 + 0.5) AS BIGINT) AS lr_micro
+  FROM tok t
+  JOIN corpus c ON c.tok = t.tok
+  LEFT JOIN target g ON g.tok = t.tok
+  CROSS JOIN stats s
+),
+perdoc AS (
+  SELECT doc_id, CAST(SUM(lr_micro) AS BIGINT) AS sum_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(sum_micro / (n_tokens * 1000000.0), 6) AS avg_logratio,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT doc_id, n_tokens, sum_micro,
+         ROW_NUMBER() OVER (ORDER BY sum_micro * 1.0 / n_tokens DESC, doc_id ASC)
+           AS rnk
+  FROM perdoc
+) WHERE rnk <= {_DSIR_TOP}
+"""
+
+
+@register("sample_importance_dsir", oracle=_DSIR_ORACLE)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by the mean per-token log-ratio of an add-one-
+    smoothed TARGET unigram LM (docs with lang='{lang}') against the
+    corpus LM, and keep the top {top} — the "select corpus data that
+    looks like the target domain" primitive behind domain-tuned
+    pretraining mixes.
+
+    Determinism discipline: each token's log-ratio is fixed-pointed
+    to integer micro-units (FLOOR(x*1e6 + 0.5) — half-up, identical
+    in both engines since FLOOR yields an integral double); per-doc
+    totals are exact BIGINT sums, ranking compares the single-IEEE-op
+    quotient sum_micro/n with doc_id tiebreak, and the only output
+    float is one final ROUND. Scale: both LM count tables are
+    vocabulary-sized broadcasts joined onto one token pass; the rank
+    window sees one row per doc."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id", "lang", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).transform(materialize)
+    corpus = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    target = (
+        tok.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    stats = (
+        tok.agg(F.count(F.lit(1)).alias("c_tot"))
+        .crossJoin(
+            tok.filter(F.col("lang") == _DSIR_TARGET_LANG).agg(
+                F.count(F.lit(1)).alias("t_tot")
+            )
+        )
+        .crossJoin(corpus.agg(F.count(F.lit(1)).alias("v")))
+    )
+    lr_micro = F.floor(
+        F.log(
+            ((F.coalesce(F.col("tc"), F.lit(0)) + 1) * 1.0 / (F.col("t_tot") + F.col("v")))
+            * ((F.col("c_tot") + F.col("v")) * 1.0 / (F.col("c") + 1))
+        )
+        * 1000000
+        + 0.5
+    ).cast("long")
+    perdoc = (
+        tok.join(F.broadcast(corpus), "tok")
+        .join(F.broadcast(target), "tok", "left")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", lr_micro.alias("lr_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lr_micro").alias("sum_micro"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy(
+        F.desc(F.col("sum_micro") * 1.0 / F.col("n_tokens")), F.asc("doc_id")
+    )
+    return (
+        perdoc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _DSIR_TOP)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("sum_micro") / (F.col("n_tokens") * 1000000.0), 6).alias(
+                "avg_logratio"
+            ),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+sample_importance_dsir.__doc__ = sample_importance_dsir.__doc__.format(
+    lang=_DSIR_TARGET_LANG, top=_DSIR_TOP
+)

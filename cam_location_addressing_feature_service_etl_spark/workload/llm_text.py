@@ -1536,3 +1536,124 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_pmi_collocations.__doc__ = text_pmi_collocations.__doc__.format(m=_PMI_MIN_COUNT)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval over the corpus
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+_BM25_TOP = 25
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_BM25_ORACLE = f"""
+WITH tokl AS (SELECT doc_id, {TOKENS_SQL.format(col="text")} AS t FROM documents),
+lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tokl),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS BIGINT) AS tot
+  FROM lens
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM tokl)
+  WHERE tok IN ({_BM25_TERMS_SQL})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           LN((CAST(s.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1)
+           * (tf.tf * ({_BM25_K1} + 1))
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+              + {_BM25_B} * l.dl / (s.tot * 1.0 / s.n))), 6)
+         AS DECIMAL(18,6)) AS term_score
+  FROM tf
+  JOIN dfreq d ON d.tok = tf.tok
+  JOIN lens l ON l.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+total AS (
+  SELECT doc_id, SUM(term_score) AS score_d FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(score_d AS DOUBLE) AS score, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT doc_id, score_d,
+         ROW_NUMBER() OVER (ORDER BY score_d DESC, doc_id ASC) AS rnk
+  FROM total
+) WHERE rnk <= {_BM25_TOP}
+"""
+
+
+@register("text_bm25_topk", oracle=_BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1={k1}, b={b}) for the fixed query
+    {terms}, top {top} documents — the scoring function behind every
+    inverted-index search tier (and the retrieval leg of RAG corpus
+    tooling), over the same token pass as text_postings_index.
+
+    Determinism discipline: each (doc, term) partial score is ROUNDed
+    to 6 digits and summed as exact DECIMAL, so the per-doc total
+    never depends on float summation order; ranking orders by the
+    exact DECIMAL total with doc_id tiebreak. Scale: term filter
+    pushes into the token explode (only query-term postings survive
+    the shuffle); df and the corpus stats are 1-row / vocabulary-
+    sized broadcasts; the rank window sees only matching docs."""
+    from pyspark.sql.window import Window
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    tokl = documents.select(
+        "doc_id", tokens_col(F.col("text")).alias("t")
+    ).transform(materialize)
+    lens = tokl.select("doc_id", F.size("t").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot")
+    )
+    tf = (
+        tokl.select("doc_id", F.explode("t").alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(materialize)
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    term_score = F.round(
+        F.log(
+            (F.col("n").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+        )
+        * (F.col("tf") * (F.expr(k1) + 1))
+        / (
+            F.col("tf")
+            + F.expr(k1)
+            * (1 - F.expr(b) + F.expr(b) * F.col("dl") / (F.col("tot") * 1.0 / F.col("n")))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    total = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score_d"))
+    )
+    w = Window.orderBy(F.desc("score_d"), F.asc("doc_id"))
+    return (
+        total.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _BM25_TOP)
+        .select(
+            "doc_id",
+            F.col("score_d").cast("double").alias("score"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+text_bm25_topk.__doc__ = text_bm25_topk.__doc__.format(
+    k1=_BM25_K1, b=_BM25_B, terms=_BM25_TERMS, top=_BM25_TOP
+)

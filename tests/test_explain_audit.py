@@ -43,6 +43,8 @@ CARTESIAN_ALLOWED = {
     "text_vocab_coverage",          # corpus token total
     "text_pmi_collocations",        # 1-row token/bigram totals
     "a9_key_skew_profile",          # 1-row total/cardinality frame
+    "text_bm25_topk",               # 1-row corpus stats frame
+    "sample_importance_dsir",       # 1-row LM totals frame
     # inequality join against a 3-row literal dimension
     "ev_value_band_join",
 }
