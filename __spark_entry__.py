@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: full registry every round regardless.
 _PRIORITY = [
     "dedup_exact_substring_spans",
+    "m7_cdc_apply_tombstones",
     "text_bm25_topk",
     "sample_importance_dsir",
     "a8_incremental_agg_merge",

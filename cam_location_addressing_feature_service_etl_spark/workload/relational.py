@@ -1185,3 +1185,101 @@ def a9_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 a9_key_skew_profile.__doc__ = a9_key_skew_profile.__doc__.format(t=_SKEW_TOP)
+
+
+# ---------------------------------------------------------------------------
+# M7: CDC apply with tombstones (I/U/D log → snapshot)
+# ---------------------------------------------------------------------------
+
+@register(
+    "m7_cdc_apply_tombstones",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0
+),
+log AS (
+  SELECT o_orderkey, 1 AS seq, 'I' AS op, ROUND(o_totalprice * 2, 2) AS price
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, 1, 'U', ROUND(o_totalprice * 1.1, 2)
+  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey, 2, 'D', NULL
+  FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 10 <> 0
+),
+last AS (
+  SELECT o_orderkey, op, price FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+    FROM log
+  ) WHERE rn = 1
+)
+SELECT COALESCE(b.o_orderkey, l.o_orderkey) AS o_orderkey,
+       ROUND(CASE WHEN l.op IN ('I', 'U') THEN l.price
+                  ELSE b.o_totalprice END, 2) AS o_totalprice
+FROM base b FULL OUTER JOIN last l ON l.o_orderkey = b.o_orderkey
+WHERE COALESCE(l.op, '') <> 'D'
+""",
+)
+def m7_cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 (extension): apply a CDC log with INSERT / UPDATE / DELETE
+    tombstones to a snapshot — the general form of the reference's M1
+    upsert (address_iri_pid_map.py:121-137), which never deletes; a
+    feed with retractions needs the tombstone leg. The log is
+    deterministic here (derived from orders by key residue, one key —
+    %91 — carrying both a U and a later D to prove last-write-wins by
+    sequence number).
+
+    Per key: latest op by seq wins (one partition-key window over the
+    log, which is delta-sized, not snapshot-sized); D removes, I/U
+    set the value, untouched base rows carry forward. One full-outer
+    join on the pk — at 100 TB both sides bucketed by pk make it
+    co-located, the same layout M1 assumes."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.filter(k % 10 != 0).select("o_orderkey", "o_totalprice")
+    log = (
+        orders.filter(k % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit(1).alias("seq"),
+            F.lit("I").alias("op"),
+            F.round(F.col("o_totalprice") * 2, 2).alias("price"),
+        )
+        .unionByName(
+            orders.filter((k % 7 == 0) & (k % 10 != 0)).select(
+                "o_orderkey",
+                F.lit(1).alias("seq"),
+                F.lit("U").alias("op"),
+                F.round(F.col("o_totalprice") * 1.1, 2).alias("price"),
+            )
+        )
+        .unionByName(
+            orders.filter((k % 13 == 0) & (k % 10 != 0)).select(
+                "o_orderkey",
+                F.lit(2).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("price"),
+            )
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    last = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "op", "price")
+    )
+    b, l = base.alias("b"), last.alias("l")
+    joined = b.join(l, F.col("l.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    return (
+        joined.filter(F.coalesce(F.col("l.op"), F.lit("")) != "D")
+        .select(
+            F.coalesce(F.col("b.o_orderkey"), F.col("l.o_orderkey")).alias("o_orderkey"),
+            F.round(
+                F.when(F.col("l.op").isin("I", "U"), F.col("l.price")).otherwise(
+                    F.col("b.o_totalprice")
+                ),
+                2,
+            ).alias("o_totalprice"),
+        )
+    )

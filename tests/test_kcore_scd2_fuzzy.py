@@ -87,3 +87,29 @@ def test_pmi_membership_is_integer_gated(spark):
     out = QUERIES["text_pmi_collocations"](spark, SF_SMOKE)
     pdf = out.toPandas()
     assert (pdf["pair_count"] >= 40).all() or pdf.empty
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Snapshot generations gain columns over time (the reference's
+    layer-schema probe S6 handles the source side; this covers the
+    lake side): mergeSchema reads both generations, nulling the new
+    column for old files — the contract an evolving 100 TB snapshot
+    store depends on."""
+    gen1 = tmp_path / "snap"
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        str(gen1), mode="overwrite"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(str(gen1), mode="append")
+    got = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(str(gen1))
+        .orderBy("id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [(1, "a", None), (2, "b", 9.5)]
+    # projection of the evolved column alone still prunes correctly
+    assert spark.read.option("mergeSchema", "true").parquet(str(gen1)).select(
+        "score"
+    ).count() == 2
