@@ -41,6 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     "dedup_exact_substring_spans",
     "m7_cdc_apply_tombstones",
+    "graph_copurchase_cosine",
     "text_bm25_topk",
     "sample_importance_dsir",
     "a8_incremental_agg_merge",

@@ -271,3 +271,79 @@ def graph_kcore_peel3(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_kcore_peel3.__doc__ = graph_kcore_peel3.__doc__.format(
     k=_KCORE_K, r=_KCORE_ROUNDS, m=_KCORE_MIN_ORDERS
 )
+
+
+# ---------------------------------------------------------------------------
+# Item-item co-purchase cosine similarity (market-basket / DIMSUM shape)
+# ---------------------------------------------------------------------------
+
+_COSIM_MIN_COOC = 3
+
+
+@register(
+    "graph_copurchase_cosine",
+    oracle=f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM cp GROUP BY p),
+pairs AS (
+  SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS cooc
+  FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_COSIM_MIN_COOC}
+)
+SELECT pr.u, pr.v, pr.cooc,
+       ROUND(pr.cooc / SQRT(da.d * 1.0 * db.d), 6) AS cosine
+FROM pairs pr JOIN deg da ON da.p = pr.u JOIN deg db ON db.p = pr.v
+""",
+)
+def graph_copurchase_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity over customer co-purchase baskets
+    (parts bought by >= {t} common customers) — the "customers who
+    bought X also bought Y" similarity join, the implicit-feedback
+    sibling of the embedding near-dup family.
+
+    Shape: the basket self-join on the customer key is bounded by
+    Σ basket-size² (never all item pairs); the count aggregate is
+    partial (map-side combine collapses each customer's pair list
+    before the shuffle) and the integer HAVING prunes before the
+    degree joins, which are item-cardinality-sized and AQE-broadcast.
+    At web scale this is exactly where DIMSUM (Zadeh & Carlsson)
+    sampling slots in — sample each basket ∝ 1/√deg before pairing to
+    bound hub baskets; the exact form here IS the correctness oracle
+    such a sampler is validated against. Membership is gated on the
+    integer co-occurrence count; the cosine is one mirrored
+    sqrt-divide ROUNDed at the output edge."""
+    (orders, lineitem) = _t(spark, sf_dir, "orders", "lineitem")
+    cp = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .transform(materialize)
+    )
+    deg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    a, b = cp.alias("a"), cp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .filter(F.col("cooc") >= _COSIM_MIN_COOC)
+    )
+    return (
+        pairs.join(deg.select(F.col("p").alias("u"), F.col("d").alias("da")), "u")
+        .join(deg.select(F.col("p").alias("v"), F.col("d").alias("db")), "v")
+        .select(
+            "u",
+            "v",
+            "cooc",
+            F.round(
+                F.col("cooc") / F.sqrt(F.col("da") * 1.0 * F.col("db")), 6
+            ).alias("cosine"),
+        )
+    )
+
+
+graph_copurchase_cosine.__doc__ = graph_copurchase_cosine.__doc__.format(
+    t=_COSIM_MIN_COOC
+)
