@@ -19,6 +19,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Disarm the periodic-GC timer BEFORE importing session.py: its builder
+# conf reads this env var at module import time, so setting it inside
+# main() (after the import) would silently keep the 2min default and the
+# timer's System.gc() could land a multi-second full-GC pause inside one
+# query's timed window. GC runs explicitly between queries instead.
+os.environ.setdefault("SPARK_GRAFT_PERIODIC_GC", "60min")
+
 from cam_location_addressing_feature_service_etl_spark.session import get_spark
 from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
 
@@ -30,11 +37,6 @@ SKIP: set[str] = set()
 
 
 def main() -> None:
-    # The periodic-GC timer's System.gc() lands at an arbitrary point
-    # and was observed adding ~10s of full-GC pause INTO one query's
-    # timed window. Disarm the timer for the bench process and GC
-    # explicitly between queries instead (see the per-query loop).
-    os.environ.setdefault("SPARK_GRAFT_PERIODIC_GC", "60min")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None

@@ -144,7 +144,7 @@ class EsriReader(DataSourceReader):
             # pinned order: parallel partitions page the same layer at
             # different times; without orderByFields the server may
             # return overlapping/missing rows across page boundaries
-            order_by=self.options.get("order_by", "objectid"),
+            order_by=_resolve_order_by(self.options, self.schema),
         ):
             attrs = feat.get("attributes", {})
             geom = feat.get("geometry", {})
@@ -168,6 +168,19 @@ class EsriDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> "EsriStreamReader":
         return EsriStreamReader(dict(self.options), schema)
+
+
+
+def _resolve_order_by(options: dict, schema) -> str:
+    """Order field for paged reads: an explicit ``order_by`` option wins
+    (empty string disables ordering for servers that reject it); else
+    ``objectid`` when the schema carries one; else the schema's FIRST
+    field — a layer whose OID is named differently (FID, OBJECTID_1)
+    must not be sent a field the server will reject."""
+    if "order_by" in options:
+        return options["order_by"]
+    names = [f.name for f in schema.fields]
+    return "objectid" if "objectid" in names else names[0]
 
 
 class EsriStreamReader(SimpleDataSourceStreamReader):
@@ -238,7 +251,7 @@ class EsriStreamReader(SimpleDataSourceStreamReader):
             hi - lo,
             where=self.options.get("where", "1=1"),
             out_fields=fields,
-            order_by=self.options.get("order_by", "objectid"),
+            order_by=_resolve_order_by(self.options, self.schema),
         ):
             attrs = feat.get("attributes", {})
             geom = feat.get("geometry", {})

@@ -793,14 +793,14 @@ WITH ordered AS (
   FROM events
 ),
 flagged AS (
-  SELECT user_id, event_type, ts,
+  SELECT user_id, event_type, ts, event_id,
          CASE WHEN prev_type IS NULL OR prev_type <> event_type
               THEN 1 ELSE 0 END AS chg
   FROM ordered
 ),
 islands AS (
   SELECT user_id, event_type, ts,
-         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS island
   FROM flagged
 ),

@@ -1362,9 +1362,11 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     (documents,) = _t(spark, sf_dir, "documents")
+    # the token pass feeds the bigram subtree AND the vocab count —
+    # materialize it or the corpus-wide tokenize+explode runs twice
     tok = documents.select(
         "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
-    )
+    ).transform(materialize)
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
     bg = (
         tok.withColumn("prev", F.lag("tok").over(wdoc))

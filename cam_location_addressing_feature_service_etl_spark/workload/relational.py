@@ -1090,7 +1090,10 @@ def j11_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = names.select(
         "p_name",
         "n_parts",
-        F.element_at(F.split("p_name", " "), 2).alias("blk"),
+        # coalesce to '' for single-word names: DuckDB's split_part
+        # yields '' where Spark's element_at yields NULL, and a NULL
+        # block silently drops rows from the equi-join
+        F.coalesce(F.element_at(F.split("p_name", " "), 2), F.lit("")).alias("blk"),
         F.length("p_name").alias("ln"),
     ).transform(materialize)
     a, c = b.alias("a"), b.alias("c")
@@ -1175,10 +1178,10 @@ def a9_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "key",
             "cnt",
-            ((F.col("cnt") * 1000000) / F.col("n")).cast("long").alias("share_ppm"),
-            ((F.col("cnt") * F.col("k") * 100) / F.col("n"))
-            .cast("long")
-            .alias("pct_of_mean"),
+            # integral `div`, matching the oracle's exact `//` — a
+            # double-divide + cast would round the product at 2^53
+            F.expr("(cnt * 1000000L) div n").alias("share_ppm"),
+            F.expr("(cnt * k * 100L) div n").alias("pct_of_mean"),
             F.col("rnk").cast("long").alias("rnk"),
         )
     )

@@ -14,6 +14,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# must precede the session import: the builder conf reads this env var
+# at module import time (same timer-disarm rationale as bench.py — the
+# periodic System.gc() must not land inside a timed window)
+os.environ.setdefault("SPARK_GRAFT_PERIODIC_GC", "60min")
+
 from cam_location_addressing_feature_service_etl_spark.session import get_spark
 from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
 

@@ -157,3 +157,18 @@ def test_stream_reader_pins_fetch_order(monkeypatch):
     )
     reader._rows(0, 10)
     assert calls["order_by"] == "objectid"
+
+
+def test_resolve_order_by_falls_back_to_first_field():
+    from pyspark.sql.types import StructType
+
+    from cam_location_addressing_feature_service_etl_spark.sources.esri_datasource import (
+        _resolve_order_by,
+    )
+
+    oid = StructType.fromDDL("objectid bigint, pid string")
+    fid = StructType.fromDDL("fid bigint, pid string")
+    assert _resolve_order_by({}, oid) == "objectid"
+    assert _resolve_order_by({}, fid) == "fid"
+    assert _resolve_order_by({"order_by": ""}, oid) == ""
+    assert _resolve_order_by({"order_by": "pid"}, fid) == "pid"
