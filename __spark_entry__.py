@@ -42,6 +42,7 @@ _PRIORITY = [
     "dedup_exact_substring_spans",
     "m7_cdc_apply_tombstones",
     "graph_copurchase_cosine",
+    "ev_window_rank_suite",
     "text_bm25_topk",
     "sample_importance_dsir",
     "a8_incremental_agg_merge",

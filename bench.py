@@ -52,76 +52,17 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
 
         timings: dict[str, float] = {}
-        # Warm session infrastructure so the first measured queries don't
-        # absorb one-time costs that aren't query work: JVM/codegen
-        # (range), parquet listing + vectorized reader (smallest table),
-        # and the Python worker pool (trivial mapInPandas).
-        spark.range(1).count()
-        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-        spark.range(8).mapInPandas(lambda it: it, "id long").count()
-        # generic whole-stage-codegen warmup (explode + window + join +
-        # aggregate on a tiny frame): without it the alphabetically
-        # first query of each expression family absorbs several seconds
-        # of one-time JIT that is not that query's work
-        from pyspark.sql import functions as F
-        from pyspark.sql.window import Window
-
-        _w = spark.range(100).select(
-            (F.col("id") % 7).alias("k"), F.explode(F.array(F.lit("a"), F.lit("b"))).alias("t")
-        )
-        _w.withColumn("rn", F.row_number().over(Window.partitionBy("k").orderBy("t"))).join(
-            _w.groupBy("k").agg(F.count(F.lit(1)).alias("c")), "k"
-        ).groupBy("t").agg(F.sum("c")).count()
-        # second warmup family: array transform + nested posexplode +
-        # decimal aggregate + set ops (the shapes the embedding
-        # linear-algebra and shingle-set queries compile to)
-        _a = spark.range(50).select(
-            "id", F.transform(F.sequence(F.lit(1), F.lit(4)), lambda i: i * F.col("id")).alias("xs")
-        )
-        _e = _a.select("id", F.posexplode("xs").alias("i", "x"), F.col("xs").alias("ys"))
-        _e.select("id", "i", "x", F.posexplode("ys").alias("j", "y")).groupBy("i", "j").agg(
-            F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("g")
-        ).count()
-        _a.select(F.size(F.array_intersect("xs", "xs")).alias("s")).groupBy("s").agg(
-            F.collect_set("s")
-        ).count()
-        # third warmup family: the tokenize/shingle pipeline (regex
-        # clean + split + filter + n-gram transform + explode) that
-        # every dedup/text query compiles to — otherwise the
-        # alphabetically first of that family pays its JIT
-        from cam_location_addressing_feature_service_etl_spark.operators.dedup import (
-            shingle_postings,
+        from cam_location_addressing_feature_service_etl_spark.benchwarm import (
+            timed_noop_run,
+            warm_session,
         )
 
-        _docs = spark.createDataFrame(
-            [(i, "warm up the shingle code path, not a benchmark row %d" % i) for i in range(8)],
-            "doc_id long, text string",
-        )
-        shingle_postings(_docs, "doc_id", "text", 3).groupBy("shingle").count().count()
-
-        import gc
+        warm_session(spark, sf_dir)
 
         for name in sorted(QUERIES):
             if name in SKIP:
                 continue
-            t0 = time.perf_counter()
-            df = QUERIES[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            # Drop the query's DataFrame refs and collect NOW: the
-            # iterative operators localCheckpoint intermediate RDDs,
-            # whose storage blocks are only unpersisted once the Python
-            # object dies and the JVM ContextCleaner notices. With a
-            # large heap the JVM may not GC for many queries, so blocks
-            # pile up and later queries absorb erratic GC pauses —
-            # measured as ±2s per-query noise across bench runs. The
-            # explicit JVM System.gc() moves full-GC pauses BETWEEN
-            # timed windows (the periodic-GC timer is disarmed above)
-            # and lets the ContextCleaner free dead checkpoint blocks
-            # promptly.
-            del df
-            gc.collect()
-            spark._jvm.System.gc()
+            timings[name] = round(timed_noop_run(spark, QUERIES[name], sf_dir), 3)
     finally:
         sys.stdout.flush()
         os.dup2(real_stdout_fd, 1)

@@ -938,3 +938,49 @@ def a8_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("total_value") == F.col("v_full"))
         ).alias("merge_matches_full"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-window completeness suite
+# ---------------------------------------------------------------------------
+
+_WRANK_ORACLE = """
+SELECT user_id, event_id,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       ROUND(FIRST_VALUE(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING), 2) AS first_v,
+       ROUND(LAST_VALUE(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING), 2) AS last_v,
+       ROUND(NTH_VALUE(value, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING), 2) AS second_v
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+"""
+
+
+@register("ev_window_rank_suite", oracle=_WRANK_ORACLE)
+def ev_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window completeness: percent_rank, cume_dist, ntile,
+    and first/last/nth value over an unbounded frame, all on one
+    (user, value)-ordered window — the remainder of the SQL window
+    surface the other event queries don't already exercise. The
+    ordering key (value, event_id) is total, so every rank function
+    is deterministic; percent_rank/cume_dist are single-IEEE-op
+    rationals, ROUNDed the same on both engines. One shuffle on
+    user_id shared by every function in the suite (a single Window
+    exec, not one per function)."""
+    events = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("value"), F.asc("event_id"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.first("value").over(wf), 2).alias("first_v"),
+        F.round(F.last("value").over(wf), 2).alias("last_v"),
+        F.round(F.nth_value("value", 2).over(wf), 2).alias("second_v"),
+    )
