@@ -647,3 +647,58 @@ def test_kcore_peel_matches_python_reference(spark, pairs, k):
     ).filter(F.col("id_a").isNotNull())
     got = {r["node"]: r["degree"] for r in kcore_peel(df, k, rounds).collect()}
     assert got == _py_kcore(pairs, k, rounds)
+
+
+# ---------------------------------------------------------------------------
+# duplicated_token_spans vs a pure-Python k-gram-run reference
+# ---------------------------------------------------------------------------
+
+_span_docs = st.lists(
+    st.lists(st.sampled_from("abc"), min_size=0, max_size=14),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _py_spans(docs, k):
+    grams = {}
+    for did, toks in enumerate(docs):
+        for p in range(len(toks) - k + 1):
+            grams.setdefault(tuple(toks[p : p + k]), []).append((did, p + 1))
+    dup = {g for g, occ in grams.items() if len(occ) > 1}
+    out = set()
+    for did, toks in enumerate(docs):
+        starts = [
+            p + 1
+            for p in range(len(toks) - k + 1)
+            if tuple(toks[p : p + k]) in dup
+        ]
+        run = []
+        for s in starts:
+            if run and s - run[-1] <= k:
+                run.append(s)
+            else:
+                if run:
+                    out.add((did, run[0], run[-1] + k - 1, run[-1] + k - run[0]))
+                run = [s]
+        if run:
+            out.add((did, run[0], run[-1] + k - 1, run[-1] + k - run[0]))
+    return out
+
+
+@given(docs=_span_docs, k=st.integers(2, 4))
+@_SET
+def test_duplicated_token_spans_matches_python_reference(spark, docs, k):
+    from cam_location_addressing_feature_service_etl_spark.operators.dedup import (
+        duplicated_token_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicated_token_spans(df, "doc_id", "text", k=k).collect()
+    }
+    assert got == _py_spans(docs, k)
