@@ -43,6 +43,7 @@ _PRIORITY = [
     "m7_cdc_apply_tombstones",
     "graph_copurchase_cosine",
     "ev_window_rank_suite",
+    "dedup_minhash_estimate",
     "text_bm25_topk",
     "sample_importance_dsir",
     "a8_incremental_agg_merge",

@@ -1659,3 +1659,133 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_bm25_topk.__doc__ = text_bm25_topk.__doc__.format(
     k1=_BM25_K1, b=_BM25_B, terms=_BM25_TERMS, top=_BM25_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# MinHash Jaccard-estimator quality (estimate vs exact per candidate)
+# ---------------------------------------------------------------------------
+
+def _minhash_estimate_oracle() -> str:
+    from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    mins = ",\n         ".join(
+        f"MIN(({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(_MH_HASHES)
+    )
+    rpb = _MH_HASHES // _MH_BANDS
+    band_selects = []
+    for b in range(_MH_BANDS):
+        cols = " || '|' || ".join(
+            f"CAST(h{b * rpb + k} AS VARCHAR)" for k in range(rpb)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {cols} AS bucket FROM sigs"
+        )
+    bands = "\n  UNION ALL\n  ".join(band_selects)
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(_MH_HASHES)
+    )
+    return f"""
+WITH {_shingle_cte(_MH_SHINGLE_N)},
+hx AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x FROM shingle
+),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN shingle p ON p.doc_id = c.id_a
+  JOIN shingle q ON q.doc_id = c.id_b AND q.shingle = p.shingle
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       ROUND(({agree}) / {_MH_HASHES}.0, 6) AS est_jaccard,
+       ROUND(COALESCE(i.i, 0) * 1.0
+             / (za.sz + zb.sz - COALESCE(i.i, 0)), 6) AS exact_jaccard
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.id_a
+JOIN sigs sb ON sb.doc_id = c.id_b
+JOIN sz za ON za.doc_id = c.id_a
+JOIN sz zb ON zb.doc_id = c.id_b
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+"""
+
+
+@register("dedup_minhash_estimate", oracle=_minhash_estimate_oracle())
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the MinHash family: for every LSH
+    candidate pair, the signature-agreement Jaccard estimate
+    (matching perms / {k}) next to the EXACT shingle-set Jaccard —
+    the per-pair audit that validates signature length and band
+    geometry before committing a threshold at corpus scale (the
+    sketch-vs-exact discipline of a5/a7, applied to MinHash). Both
+    columns are exact integer ratios rounded once; the exact side
+    reuses the postings count-intersection (inner-join counts,
+    missing pair = empty intersection via COALESCE 0). Scale: the
+    signature/candidate legs are the linear LSH path; the exact leg
+    touches only candidate pairs — never all pairs."""
+    from ..operators.dedup import shingle_postings
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        documents, id_col="doc_id", text_col="text",
+        num_hashes=_MH_HASHES, shingle_n=_MH_SHINGLE_N,
+    ).transform(materialize)
+    cand = lsh_candidate_pairs(
+        sigs, id_col="doc_id", num_hashes=_MH_HASHES, bands=_MH_BANDS
+    ).transform(materialize)
+    sh = shingle_postings(
+        documents, "doc_id", "text", _MH_SHINGLE_N
+    ).transform(materialize)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    pb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        pa.join(F.broadcast(cand), "id_a")
+        .join(pb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_MH_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_MH_HASHES)],
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(_MH_HASHES)
+    )
+    ii = F.coalesce(F.col("i"), F.lit(0))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(sz.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("za")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("zb")), "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / float(_MH_HASHES), 6).alias("est_jaccard"),
+            F.round(ii * 1.0 / (F.col("za") + F.col("zb") - ii), 6).alias(
+                "exact_jaccard"
+            ),
+        )
+    )
+
+
+dedup_minhash_estimate.__doc__ = dedup_minhash_estimate.__doc__.format(k=_MH_HASHES)

@@ -113,3 +113,20 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert spark.read.option("mergeSchema", "true").parquet(str(gen1)).select(
         "score"
     ).count() == 2
+
+
+def test_results_identical_with_aqe_disabled(spark):
+    """AQE re-plans at runtime (coalesced partitions, skew splits,
+    runtime join strategy) — none of which may change RESULTS. Pin the
+    heaviest shuffle/join queries to identical output with AQE off."""
+    names = ["dedup_minhash_lsh", "dedup_cc_star_converged", "ev_sessionize_gap30"]
+    base = {
+        n: sorted(map(tuple, QUERIES[n](spark, SF_SMOKE).collect())) for n in names
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for n in names:
+            got = sorted(map(tuple, QUERIES[n](spark, SF_SMOKE).collect()))
+            assert got == base[n], f"{n} changed results under AQE=off"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
