@@ -44,6 +44,7 @@ _PRIORITY = [
     "graph_copurchase_cosine",
     "ev_window_rank_suite",
     "dedup_minhash_estimate",
+    "text_shard_manifest",
     "text_bm25_topk",
     "sample_importance_dsir",
     "a8_incremental_agg_merge",

@@ -1789,3 +1789,67 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dedup_minhash_estimate.__doc__ = dedup_minhash_estimate.__doc__.format(k=_MH_HASHES)
+
+
+# ---------------------------------------------------------------------------
+# Training-shard manifest (deterministic hash sharding)
+# ---------------------------------------------------------------------------
+
+_SHARD_N = 16
+
+_SHARD_ORACLE = f"""
+WITH tokl AS (
+  SELECT doc_id, source,
+         CAST(len({TOKENS_SQL.format(col="text")}) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {_SHARD_N} AS shard
+  FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY CAST(doc_id AS VARCHAR)))
+         AS member_fingerprint
+FROM tokl
+GROUP BY shard
+"""
+
+
+@register("text_shard_manifest", oracle=_SHARD_ORACLE)
+def text_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard manifest: every doc is assigned to
+    one of {n} shards by a seedless content-independent hash of its id
+    (stable across runs and cluster sizes — re-running the pipeline
+    reproduces byte-identical shards), with per-shard doc/token/source
+    tallies and an order-insensitive membership fingerprint (md5 over
+    the id list sorted per shard). This is the manifest a trainer's
+    data loader consumes; the balance check (n_docs, total_tokens per
+    shard) is what you inspect before burning GPU-hours on a skewed
+    split. One partial-aggregatable groupBy on the shard key; at
+    100 TB the same expression IS the partitionBy column of the
+    shard write."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _SHARD_N
+    )
+    toks = documents.select(
+        "doc_id",
+        "source",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        shard.alias("shard"),
+    )
+    return toks.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), ",")
+        ).alias("member_fingerprint"),
+    )
+
+
+text_shard_manifest.__doc__ = text_shard_manifest.__doc__.format(n=_SHARD_N)
