@@ -131,15 +131,27 @@ MINHASH_B = [
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature via universal hashing: the shingle is
     md5'd ONCE (its first 32 bits become x), then each permutation is
     h_i = (A[i]*x + B[i]) mod P — integer ops instead of ``num_hashes``
     md5 calls per shingle (~3× faster end-to-end at sf0.1), with the
     identical algebra expressible in the ANSI-SQL oracle.
+
+    Pass ``postings`` (an (id, shingle) frame, e.g. an already-
+    materialized ``shingle_postings``) when the caller also needs the
+    postings for other legs — the tokenize+shingle scan is the
+    dominant cost and must not run twice.
     """
-    sh = shingle_postings(df, id_col, text_col, shingle_n)
+    sh = postings if postings is not None else shingle_postings(
+        df, id_col, text_col, shingle_n
+    )
     x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
     withx = sh.select(F.col(id_col), x.alias("x"))
     aggs = [

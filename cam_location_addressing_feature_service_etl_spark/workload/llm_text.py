@@ -118,7 +118,11 @@ _MH_BANDS = 4
 _MH_SHINGLE_N = 2
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """Shared CTE prefix (shingle → hx → sigs → bands) used by EVERY
+    MinHash oracle — the signature algebra and band geometry must be
+    defined exactly once, or dedup_minhash_lsh and its derivatives
+    could silently test different LSH definitions."""
     from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
 
     mins = ",\n         ".join(
@@ -147,7 +151,11 @@ sigs AS (
 ),
 bands AS (
   {bands}
-)
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""{_minhash_ctes()}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
@@ -1666,38 +1674,10 @@ text_bm25_topk.__doc__ = text_bm25_topk.__doc__.format(
 # ---------------------------------------------------------------------------
 
 def _minhash_estimate_oracle() -> str:
-    from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
-
-    mins = ",\n         ".join(
-        f"MIN(({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
-        for i in range(_MH_HASHES)
-    )
-    rpb = _MH_HASHES // _MH_BANDS
-    band_selects = []
-    for b in range(_MH_BANDS):
-        cols = " || '|' || ".join(
-            f"CAST(h{b * rpb + k} AS VARCHAR)" for k in range(rpb)
-        )
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, {cols} AS bucket FROM sigs"
-        )
-    bands = "\n  UNION ALL\n  ".join(band_selects)
     agree = " + ".join(
         f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(_MH_HASHES)
     )
-    return f"""
-WITH {_shingle_cte(_MH_SHINGLE_N)},
-hx AS (
-  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x FROM shingle
-),
-sigs AS (
-  SELECT doc_id,
-         {mins}
-  FROM hx GROUP BY doc_id
-),
-bands AS (
-  {bands}
-),
+    return f"""{_minhash_ctes()},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
@@ -1740,15 +1720,17 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingle_postings
 
     (documents,) = _t(spark, sf_dir, "documents")
+    # one tokenize+shingle scan feeds BOTH the signature leg and the
+    # exact-Jaccard postings leg (the scan is the dominant cost)
+    sh = shingle_postings(
+        documents, "doc_id", "text", _MH_SHINGLE_N
+    ).transform(materialize)
     sigs = minhash_signatures(
         documents, id_col="doc_id", text_col="text",
-        num_hashes=_MH_HASHES, shingle_n=_MH_SHINGLE_N,
+        num_hashes=_MH_HASHES, shingle_n=_MH_SHINGLE_N, postings=sh,
     ).transform(materialize)
     cand = lsh_candidate_pairs(
         sigs, id_col="doc_id", num_hashes=_MH_HASHES, bands=_MH_BANDS
-    ).transform(materialize)
-    sh = shingle_postings(
-        documents, "doc_id", "text", _MH_SHINGLE_N
     ).transform(materialize)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     pa = sh.select(F.col("doc_id").alias("id_a"), "shingle")

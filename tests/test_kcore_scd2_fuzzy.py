@@ -123,10 +123,11 @@ def test_results_identical_with_aqe_disabled(spark):
     base = {
         n: sorted(map(tuple, QUERIES[n](spark, SF_SMOKE).collect())) for n in names
     }
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for n in names:
             got = sorted(map(tuple, QUERIES[n](spark, SF_SMOKE).collect()))
             assert got == base[n], f"{n} changed results under AQE=off"
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
