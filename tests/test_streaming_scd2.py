@@ -75,3 +75,55 @@ def test_streaming_scd2_reconciles_to_batch(spark, tmp_path):
     got = emitted.sort_values(["user_id", "valid_from"]).reset_index(drop=True)
     cols = ["user_id", "state", "valid_from", "valid_to", "is_current", "n_events"]
     assert got[cols].values.tolist() == expect[cols].values.tolist()
+
+
+def test_streaming_scd2_sorts_within_batch(spark, tmp_path):
+    """Rows arrive unordered WITHIN a micro-batch (parquet row order is
+    not time order): the operator must sort by (ts, event_id) before
+    folding runs — a single shuffled batch must reconcile to the batch
+    query exactly."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    batch_events = load(spark, SF_SMOKE, "events")
+    out = tmp_path / "shuffled"
+    # scramble physical order deterministically
+    batch_events.orderBy(F.md5(F.col("event_id").cast("string"))).coalesce(
+        1
+    ).write.parquet(str(out))
+    (part,) = glob.glob(str(out / "part-*.parquet"))
+    shutil.copy(part, d / "all.parquet")
+
+    raw = (
+        spark.readStream.schema(batch_events.schema)
+        .format("parquet")
+        .load(str(d))
+    )
+    q = (
+        scd2_state_intervals_stream(raw)
+        .writeStream.format("memory")
+        .queryName("scd2_shuffled")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = (
+        spark.table("scd2_shuffled")
+        .toPandas()
+        .sort_values(["user_id", "valid_from"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        QUERIES["ev_scd2_state_intervals"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["user_id", "valid_from"])
+        .reset_index(drop=True)
+    )
+    cols = ["user_id", "state", "valid_from", "valid_to", "is_current", "n_events"]
+    assert got[cols].values.tolist() == expect[cols].values.tolist()
