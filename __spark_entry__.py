@@ -45,6 +45,7 @@ _PRIORITY = [
     "ev_window_rank_suite",
     "dedup_minhash_estimate",
     "text_shard_manifest",
+    "dedup_remove_spans",
     "text_bm25_topk",
     "sample_importance_dsir",
     "a8_incremental_agg_merge",

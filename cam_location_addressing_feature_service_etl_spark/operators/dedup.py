@@ -771,3 +771,55 @@ def duplicated_token_spans(
         )
         .drop("_isl")
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """The APPLY step of exact substring-span dedup (Lee et al.): cut
+    every maximal duplicated span found by ``duplicated_token_spans``
+    out of each document and return per-doc removal accounting plus a
+    hash of the cleaned token stream (the cleaned text itself is a
+    map-side ``array_join`` away — hashed here to keep the result
+    frame narrow).
+
+    Scale: the span frame is tiny (spans, not tokens); the anti-join
+    tests each token position against its OWN doc's spans only (equi
+    on the doc id, range on the position), so the join fan-out is
+    bounded by spans-per-doc. The rebuild groups by doc id — the same
+    single-doc-width partitioning the detection pass used.
+    """
+    spans = duplicated_token_spans(df, id_col, text_col, k).transform(materialize)
+    toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_toks"))
+    pos = toks.select(
+        F.col(id_col), F.posexplode("_toks").alias("p0", "tok")
+    ).select(F.col(id_col), (F.col("p0") + 1).alias("pos"), "tok")
+    t, s = pos.alias("t"), spans.alias("s")
+    kept = t.join(
+        s,
+        (F.col(f"t.{id_col}") == F.col(f"s.{id_col}"))
+        & F.col("t.pos").between(F.col("s.span_start"), F.col("s.span_end")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda r: r["tok"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_hash"),
+    )
+    base = toks.select(F.col(id_col), F.size("_toks").cast("long").alias("n_tokens"))
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("kept_tokens"), F.lit(0))).alias(
+            "removed_tokens"
+        ),
+        F.coalesce(F.col("cleaned_hash"), F.md5(F.lit(""))).alias("cleaned_hash"),
+    )

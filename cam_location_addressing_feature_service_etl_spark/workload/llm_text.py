@@ -1406,7 +1406,9 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_K = 8
 
-_SPAN_ORACLE = f"""
+#: shared CTE chain (tokl → gram → dup → hit → isl → spans): the span
+#: algebra is defined once for both the span query and its removal twin
+_SPAN_CTES = f"""
 WITH tokl AS (
   SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM documents
 ),
@@ -1427,13 +1429,18 @@ isl AS (
            lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
     FROM hit
   )
-)
-SELECT doc_id,
-       MIN(pos) AS span_start,
-       MAX(pos) + {_SPAN_K - 1} AS span_end,
-       MAX(pos) + {_SPAN_K} - MIN(pos) AS span_tokens
-FROM isl
-GROUP BY doc_id, island
+),
+spans AS (
+  SELECT doc_id,
+         MIN(pos) AS span_start,
+         MAX(pos) + {_SPAN_K - 1} AS span_end,
+         MAX(pos) + {_SPAN_K} - MIN(pos) AS span_tokens
+  FROM isl
+  GROUP BY doc_id, island
+)"""
+
+_SPAN_ORACLE = f"""{_SPAN_CTES}
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
 """
 
 
@@ -1835,3 +1842,47 @@ def text_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_shard_manifest.__doc__ = text_shard_manifest.__doc__.format(n=_SHARD_N)
+
+
+_SPAN_REMOVE_ORACLE = f"""{_SPAN_CTES},
+tokpos AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos, toks[p] AS tok
+  FROM tokl, UNNEST(generate_series(1, len(toks))) AS t(p)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tokpos t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end
+  )
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_hash
+  FROM kept GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CAST(len(l.toks) AS BIGINT) AS n_tokens,
+       COALESCE(a.kept_tokens, 0) AS kept_tokens,
+       CAST(len(l.toks) AS BIGINT) - COALESCE(a.kept_tokens, 0) AS removed_tokens,
+       COALESCE(a.cleaned_hash, md5('')) AS cleaned_hash
+FROM tokl l LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("dedup_remove_spans", oracle=_SPAN_REMOVE_ORACLE)
+def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of exact substring-span dedup: cut every maximal
+    duplicated span (>= {k} tokens, from dedup_exact_substring_spans'
+    algebra) out of each document; per-doc token accounting plus an
+    order-exact hash of the cleaned token stream proves the rebuild is
+    byte-identical between engines (operators/dedup.py
+    remove_duplicated_spans). The span side of the anti-join is
+    span-cardinality-sized; the rebuild partitions by doc."""
+    from ..operators.dedup import remove_duplicated_spans
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return remove_duplicated_spans(documents, "doc_id", "text", k=_SPAN_K)
+
+
+dedup_remove_spans.__doc__ = dedup_remove_spans.__doc__.format(k=_SPAN_K)
