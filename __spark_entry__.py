@@ -46,6 +46,7 @@ _PRIORITY = [
     "dedup_minhash_estimate",
     "text_shard_manifest",
     "dedup_remove_spans",
+    "dedup_cluster_canonical",
     "text_bm25_topk",
     "sample_importance_dsir",
     "a8_incremental_agg_merge",

@@ -565,7 +565,10 @@ _CC_THRESHOLD = 0.5
 _CC_ITERATIONS = 4
 
 
-def _cc_oracle() -> str:
+def _cc_ctes() -> tuple[str, str]:
+    """Shared CTE chain (shingle → jaccard pairs → e → l0 → lN) for the
+    min-label component family; returns (chain, final_label_cte_name)
+    so derivatives (canonical selection) extend the SAME algebra."""
     rounds = []
     prev = "l0"
     for i in range(1, _CC_ITERATIONS + 1):
@@ -580,7 +583,7 @@ def _cc_oracle() -> str:
         )
         prev = f"l{i}"
     rounds_sql = ",\n".join(rounds)
-    return f"""
+    chain = f"""
 WITH {_shingle_cte(_NJ_SHINGLE_N)},
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shingle GROUP BY doc_id),
 inter AS (
@@ -596,7 +599,13 @@ pairs AS (
 ),
 e AS (SELECT id_a AS s, id_b AS d FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
 l0 AS (SELECT DISTINCT s AS node, s AS label FROM e),
-{rounds_sql}
+{rounds_sql}"""
+    return chain, prev
+
+
+def _cc_oracle() -> str:
+    chain, prev = _cc_ctes()
+    return f"""{chain}
 SELECT node AS doc_id, label AS component_id FROM {prev}
 """
 
@@ -1886,3 +1895,85 @@ def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dedup_remove_spans.__doc__ = dedup_remove_spans.__doc__.format(k=_SPAN_K)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy-dedup apply: canonical survivor per near-dup cluster
+# ---------------------------------------------------------------------------
+
+def _cluster_canonical_oracle() -> str:
+    chain, prev = _cc_ctes()
+    return f"""{chain},
+docs AS (
+  SELECT doc_id, CAST(len({TOKENS_SQL.format(col='text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+labeled AS (
+  SELECT d.doc_id, d.n_tokens, COALESCE(l.label, d.doc_id) AS component_id
+  FROM docs d LEFT JOIN {prev} l ON l.node = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, n_tokens, component_id,
+         ROW_NUMBER() OVER (PARTITION BY component_id
+                            ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+         FIRST_VALUE(doc_id) OVER (PARTITION BY component_id
+                                   ORDER BY n_tokens DESC, doc_id ASC)
+           AS canonical_id
+  FROM labeled
+)
+SELECT doc_id, component_id, canonical_id, n_tokens,
+       rn = 1 AS kept
+FROM ranked
+"""
+
+
+@register("dedup_cluster_canonical", oracle=_cluster_canonical_oracle())
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of fuzzy dedup: every document mapped to its
+    near-dup component (the SAME {n}-round min-label algebra as
+    dedup_connected_components; singletons label themselves) and the
+    per-component CANONICAL survivor chosen longest-doc-first (doc_id
+    tiebreak) — the keep-one policy of MinHashLSH dedup pipelines
+    (keep the most complete copy, drop the rest). `kept` is the
+    corpus keep-list a downstream writer filters on.
+
+    Scale: component labels come from the iterative operator (edge-
+    bounded shuffles); the canonical choice is one window over the
+    doc-per-component frame, partitioned on the component key."""
+    from ..operators.dedup import connected_components
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents, id_col="doc_id", text_col="text",
+        threshold=_CC_THRESHOLD, shingle_n=_NJ_SHINGLE_N,
+    )
+    labels = connected_components(pairs, iterations=_CC_ITERATIONS)
+    from pyspark.sql.window import Window
+
+    docs = documents.select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    labeled = docs.join(
+        labels.select(F.col("node").alias("doc_id"), "label"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("component_id"),
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return labeled.select(
+        "doc_id",
+        "component_id",
+        F.first("doc_id").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("canonical_id"),
+        "n_tokens",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
+
+
+dedup_cluster_canonical.__doc__ = dedup_cluster_canonical.__doc__.format(
+    n=_CC_ITERATIONS
+)
