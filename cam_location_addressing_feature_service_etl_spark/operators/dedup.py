@@ -790,7 +790,12 @@ def remove_duplicated_spans(
     single-doc-width partitioning the detection pass used.
     """
     spans = duplicated_token_spans(df, id_col, text_col, k).transform(materialize)
-    toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_toks"))
+    # the tokenized frame feeds BOTH the position explode and the
+    # n_tokens base — materialize it or the corpus tokenize runs once
+    # per branch (the repo-wide shared-subtree rule)
+    toks = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    ).transform(materialize)
     pos = toks.select(
         F.col(id_col), F.posexplode("_toks").alias("p0", "tok")
     ).select(F.col(id_col), (F.col("p0") + 1).alias("pos"), "tok")

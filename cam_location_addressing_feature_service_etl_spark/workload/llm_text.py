@@ -243,7 +243,7 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE inter / (sa.sz + sb.sz - inter) >= {_NJ_THRESHOLD}
+WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {_NJ_THRESHOLD}
 """
 
 
@@ -595,7 +595,7 @@ pairs AS (
   SELECT id_a, id_b FROM inter
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
-  WHERE inter / (sa.sz + sb.sz - inter) >= {_CC_THRESHOLD}
+  WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {_CC_THRESHOLD}
 ),
 e AS (SELECT id_a AS s, id_b AS d FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
 l0 AS (SELECT DISTINCT s AS node, s AS label FROM e),
@@ -652,7 +652,7 @@ pairs AS (
   SELECT id_a, id_b FROM inter
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
-  WHERE inter / (sa.sz + sb.sz - inter) >= {_CC_THRESHOLD}
+  WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {_CC_THRESHOLD}
 ),
 e AS (SELECT id_a AS s, id_b AS d FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
 cc(node, label) AS (

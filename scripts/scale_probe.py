@@ -65,10 +65,13 @@ def main() -> None:
 
     def op_minhash(d):
         sh = shingle_postings(d, "doc_id", "text", 2).localCheckpoint()
-        sigs = minhash_signatures(
-            d, "doc_id", "text", num_hashes=16, shingle_n=2, postings=sh
-        )
-        return lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, bands=4).count()
+        try:
+            sigs = minhash_signatures(
+                d, "doc_id", "text", num_hashes=16, shingle_n=2, postings=sh
+            )
+            return lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, bands=4).count()
+        finally:
+            sh.unpersist()
 
     def op_spans(d):
         return duplicated_token_spans(d, "doc_id", "text", k=8).count()
@@ -80,17 +83,23 @@ def main() -> None:
 
     ops = {"minhash_lsh": op_minhash, "substring_spans": op_spans, "ngram_jaccard": op_jaccard}
 
-    for name, fn in ops.items():
-        prev = None
-        for copies in (1, 2, 4):
-            d = scaled_docs(base, copies)
+    # scale-outer loop: each scaled corpus is checkpointed ONCE, shared
+    # by every operator at that scale, and unpersisted before the next
+    # scale — otherwise 9 corpus copies pile up in executor storage and
+    # the later operators are timed under accumulated memory pressure.
+    prev_dt = {name: None for name in ops}
+    for copies in (1, 2, 4):
+        d = scaled_docs(base, copies)
+        for name, fn in ops.items():
             fn(d)  # warm (plan + JIT)
             t0 = time.perf_counter()
             rows = fn(d)
             dt = time.perf_counter() - t0
-            factor = "" if prev is None else f"  x{dt / prev:.2f} per doubling" if copies == 2 else f"  x{(dt / prev):.2f}"
+            p = prev_dt[name]
+            factor = "" if p is None else f"  x{dt / p:.2f} per doubling"
             print(f"{name:16s} {copies}x  rows={rows:>9}  {dt:6.2f}s{factor}")
-            prev = dt
+            prev_dt[name] = dt
+        d.unpersist()
         print()
 
 
