@@ -702,3 +702,114 @@ def test_duplicated_token_spans_matches_python_reference(spark, docs, k):
         for r in duplicated_token_spans(df, "doc_id", "text", k=k).collect()
     }
     assert got == _py_spans(docs, k)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer equivalence: tokens_col vs the DuckDB TOKENS_SQL fragment
+# ---------------------------------------------------------------------------
+
+_texts = st.lists(
+    st.text(
+        alphabet="abcXYZ019 .,;:!?'\"-_/\\\n\téÆ中",
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=_texts)
+@_SET
+def test_tokenizer_matches_duckdb_fragment(spark, texts):
+    """tokens_col and TOKENS_SQL are THE shared primitive of the whole
+    text family — every oracle assumes they agree bit-for-bit on
+    arbitrary input (punctuation runs, unicode, tabs, empties)."""
+    import duckdb
+
+    from cam_location_addressing_feature_service_etl_spark.operators.dedup import (
+        tokens_col,
+    )
+    from cam_location_addressing_feature_service_etl_spark.workload.llm_text import (
+        TOKENS_SQL,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in df.select("doc_id", tokens_col(F.col("text")).alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    frag = TOKENS_SQL.format(col="?")
+    want = {
+        i: con.execute(f"SELECT {frag.replace('?', '$1')} ", [t]).fetchone()[0]
+        for i, t in enumerate(texts)
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SCD2 oracle/engine agreement under (user_id, ts) ties
+# ---------------------------------------------------------------------------
+
+_tie_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),            # user_id
+        st.integers(0, 3),            # ts offset minutes (DUPLICATES likely)
+        st.sampled_from(["view", "click", "error"]),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=_tie_events)
+@_SET
+def test_scd2_engine_matches_oracle_under_ts_ties(spark, rows, tmp_path_factory):
+    """Events sharing an identical (user_id, ts) must still produce
+    identical SCD2 intervals in both engines: every window orders by
+    (ts, event_id) on both sides (the round-6 oracle tie fix)."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from cam_location_addressing_feature_service_etl_spark.workload.events import (
+        _SCD2_ORACLE,
+        ev_scd2_state_intervals,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (eid, t0 + dt.timedelta(minutes=off), uid, et, 1.0, "{}")
+        for eid, (uid, off, et) in enumerate(rows)
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    sf = str(tmp_path_factory.mktemp("scd2ties"))
+    spark.createDataFrame(data, cols).write.parquet(f"{sf}/events.parquet")
+
+    got = ev_scd2_state_intervals(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(data, columns=cols))
+    want = con.execute(_SCD2_ORACLE).fetchdf()
+
+    # compare full-row MULTISETS: under ts ties two runs can share
+    # (user, state, valid_from, n_events) and differ only in valid_to,
+    # so any column-wise compare after an under-specified sort is
+    # nondeterministic even when the engines agree
+    def rows_of(pdf):
+        return sorted(
+            (
+                int(r.user_id),
+                r.state,
+                r.valid_from,
+                r.valid_to if isinstance(r.valid_to, str) else "",
+                bool(r.is_current),
+                int(r.n_events),
+            )
+            for r in pdf.itertuples()
+        )
+
+    assert rows_of(got) == rows_of(want)
