@@ -71,10 +71,17 @@ def kcore_peel(
         )
 
     for _ in range(rounds):
-        keep = degrees(e).filter(F.col("degree") >= k).select("node")
+        # anti-join against the PEELED set, not semi-join against the
+        # survivors: the peeled set is the small side (after round 1 it
+        # is just the cascade frontier), so AQE turns both endpoint
+        # filters into broadcast joins — no shuffle of the edge set.
+        # The first peel of a mostly-dying graph is the one case where
+        # the peeled side is large; AQE falls back to a shuffled join
+        # there on its own.
+        peeled = degrees(e).filter(F.col("degree") < k).select("node")
         e = (
-            e.join(keep.withColumnRenamed("node", "u"), "u", "leftsemi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "leftsemi")
+            e.join(peeled.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(peeled.withColumnRenamed("node", "v"), "v", "left_anti")
             .select("u", "v")
             .transform(materialize)
         )
