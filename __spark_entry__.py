@@ -47,6 +47,7 @@ _PRIORITY = [
     "text_shard_manifest",
     "dedup_remove_spans",
     "dedup_cluster_canonical",
+    "ev_anomaly_mad_flags",
     "text_bm25_topk",
     "sample_importance_dsir",
     "a8_incremental_agg_merge",

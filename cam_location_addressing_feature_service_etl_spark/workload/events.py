@@ -984,3 +984,70 @@ def ev_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("value").over(wf), 2).alias("last_v"),
         F.round(F.nth_value("value", 2).over(wf), 2).alias("second_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly flags: median absolute deviation per event type
+# ---------------------------------------------------------------------------
+
+_MAD_SIGMA = 3.0
+
+_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m ON m.event_type = e.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type,
+       ROUND(d.value, 4) AS value,
+       ROUND(d.med, 4) AS type_median,
+       ROUND(m.mad, 4) AS type_mad,
+       d.adev > {_MAD_SIGMA!r} * m.mad AS flagged
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+"""
+
+
+@register("ev_anomaly_mad_flags", oracle=_MAD_ORACLE)
+def ev_anomaly_mad_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type anomaly flags: |value - median| > {s}·MAD
+    (median absolute deviation) — the outlier rule that survives the
+    skewed value distributions a mean/stddev z-score breaks on. Two
+    grouped EXACT percentiles (same `percentile` ≡ `quantile_cont`
+    equivalence as ev_latency_percentiles) joined back per type; the
+    flag compares identically-derived doubles (single IEEE ops,
+    mirrored), display columns are ROUNDed at the edge. Scale: two
+    partial-aggregatable grouped medians over the type key (a handful
+    of groups — the join back is an AQE broadcast); at 100 TB swap
+    `approx_percentile` for the grouped median, same shape."""
+    events = _events(spark, sf_dir)
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round("med", 4).alias("type_median"),
+        F.round("mad", 4).alias("type_mad"),
+        (F.col("adev") > F.lit(_MAD_SIGMA) * F.col("mad")).alias("flagged"),
+    )
+
+
+ev_anomaly_mad_flags.__doc__ = ev_anomaly_mad_flags.__doc__.format(s=_MAD_SIGMA)
