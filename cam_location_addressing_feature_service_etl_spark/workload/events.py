@@ -1030,13 +1030,17 @@ def ev_anomaly_mad_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = events.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )
+    from ..runtime import materialize
+
+    # dev feeds BOTH the MAD aggregate and the final flag join —
+    # materialize it or the events scan + median join run per branch
     dev = events.join(F.broadcast(med), "event_type").select(
         "event_id",
         "event_type",
         "value",
         "med",
         F.abs(F.col("value") - F.col("med")).alias("adev"),
-    )
+    ).transform(materialize)
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(adev, 0.5)").alias("mad")
     )
