@@ -463,21 +463,21 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = documents.select(
         "doc_id", "lang", F.explode(tokens_col(F.col("text"))).alias("tok")
     ).transform(materialize)
-    corpus = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # corpus counts feed the scoring join AND the vocab-size aggregate —
+    # materialize the (vocabulary-sized) table instead of re-aggregating
+    # the token pass per branch
+    corpus = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).transform(materialize)
     target = (
         tok.filter(F.col("lang") == _DSIR_TARGET_LANG)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("tc"))
     )
-    stats = (
-        tok.agg(F.count(F.lit(1)).alias("c_tot"))
-        .crossJoin(
-            tok.filter(F.col("lang") == _DSIR_TARGET_LANG).agg(
-                F.count(F.lit(1)).alias("t_tot")
-            )
-        )
-        .crossJoin(corpus.agg(F.count(F.lit(1)).alias("v")))
-    )
+    # both scalar totals in ONE pass over the token frame (conditional
+    # count), not two separate aggregations
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("c_tot"),
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, F.lit(1))).alias("t_tot"),
+    ).crossJoin(corpus.agg(F.count(F.lit(1)).alias("v")))
     lr_micro = F.floor(
         F.log(
             ((F.coalesce(F.col("tc"), F.lit(0)) + 1) * 1.0 / (F.col("t_tot") + F.col("v")))
