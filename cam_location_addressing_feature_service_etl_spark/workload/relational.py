@@ -1241,30 +1241,34 @@ def m7_cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     base = orders.filter(k % 10 != 0).select("o_orderkey", "o_totalprice")
+    # derive all three op kinds from ONE scan (conditional structs +
+    # explode, null entries dropped) instead of three filtered branches
+    # each re-scanning the orders fact
+    op_struct = lambda seq, op, price: F.struct(  # noqa: E731
+        F.lit(seq).alias("seq"), F.lit(op).alias("op"), price.alias("price")
+    )
     log = (
-        orders.filter(k % 10 == 0)
-        .select(
+        orders.select(
             "o_orderkey",
-            F.lit(1).alias("seq"),
-            F.lit("I").alias("op"),
-            F.round(F.col("o_totalprice") * 2, 2).alias("price"),
+            F.explode(
+                F.array(
+                    F.when(
+                        k % 10 == 0,
+                        op_struct(1, "I", F.round(F.col("o_totalprice") * 2, 2)),
+                    ),
+                    F.when(
+                        (k % 7 == 0) & (k % 10 != 0),
+                        op_struct(1, "U", F.round(F.col("o_totalprice") * 1.1, 2)),
+                    ),
+                    F.when(
+                        (k % 13 == 0) & (k % 10 != 0),
+                        op_struct(2, "D", F.lit(None).cast("double")),
+                    ),
+                )
+            ).alias("o"),
         )
-        .unionByName(
-            orders.filter((k % 7 == 0) & (k % 10 != 0)).select(
-                "o_orderkey",
-                F.lit(1).alias("seq"),
-                F.lit("U").alias("op"),
-                F.round(F.col("o_totalprice") * 1.1, 2).alias("price"),
-            )
-        )
-        .unionByName(
-            orders.filter((k % 13 == 0) & (k % 10 != 0)).select(
-                "o_orderkey",
-                F.lit(2).alias("seq"),
-                F.lit("D").alias("op"),
-                F.lit(None).cast("double").alias("price"),
-            )
-        )
+        .filter(F.col("o").isNotNull())
+        .select("o_orderkey", "o.seq", "o.op", "o.price")
     )
     w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
     last = (
