@@ -559,11 +559,17 @@ def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     all three stages share the user_id shuffle partitioning, so AQE
     plans one exchange, and the stage frontiers are tiny relative to
     the raw stream."""
+    from ..runtime import materialize
+
     events = _events(spark, sf_dir)
+    # each stage frontier feeds BOTH the next stage and its own count —
+    # materialize the (tiny, per-user) frontiers or the filtered events
+    # scan re-runs per branch (6 scans -> 3)
     v = (
         events.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .transform(materialize)
     )
     c = (
         events.filter(F.col("event_type") == "click")
@@ -571,6 +577,7 @@ def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .transform(materialize)
     )
     p = (
         events.filter(F.col("event_type") == "purchase")
