@@ -17,10 +17,11 @@ fed to ``connected_components``.
 
 Scale: the edge set is materialized once and only SHRINKS; each round
 is one degree aggregation (partial-aggregatable on node id) plus two
-semi-joins that filter edges to surviving endpoints — all key-hashed
-shuffles, no global stage. At 100 TB the surviving-node set after the
-first peel is typically a small fraction of nodes; AQE converts the
-semi-joins to broadcasts as soon as it fits.
+ANTI-joins that drop edges touching peeled endpoints. The peeled set
+is the small side (after round 1 it is just the cascade frontier), so
+AQE turns both endpoint filters into broadcast joins — the edge set
+never reshuffles for them; a first peel that kills most of a graph is
+the one case AQE falls back to a shuffled join.
 """
 
 from __future__ import annotations
@@ -42,12 +43,14 @@ def kcore_peel(
     return the surviving nodes with their residual degrees.
 
     Each round: degree per node over the current edge set (one
-    union-both-directions groupBy), keep nodes with degree >= k, then
-    semi-join the edge set to the kept nodes on BOTH endpoints. The
+    union-both-directions groupBy), then anti-join the edge set
+    against the degree-< k PEELED nodes on BOTH endpoints (equivalent
+    to semi-joining the survivors — every edge endpoint appears in the
+    degree table — but with the SMALL side as the build side). The
     result after N rounds is a pure function of the edge set, so the
     oracle unrolls the identical algebra. Lineage is truncated per
     round (``materialize``) — without it the shrinking edge frame
-    fans out into the degree aggregation and both semi-join branches
+    fans out into the degree aggregation and both anti-join branches
     and the whole prefix replays per round.
 
     Returns (node, degree) for nodes alive after the final peel, with

@@ -251,7 +251,7 @@ def graph_kcore_peel3(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result oracle-checkable whether or not the peel has converged
     (operators/kcore.py); the oracle unrolls the identical peels as
     chained CTEs. Scale: the edge set only shrinks; each round is one
-    partial-aggregatable degree groupBy + two endpoint semi-joins."""
+    partial-aggregatable degree groupBy + two broadcast anti-joins on the peeled frontier."""
     from ..operators.kcore import kcore_peel
 
     (orders, lineitem) = _t(spark, sf_dir, "orders", "lineitem")
