@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..runtime import materialize
 from ..session import tune
 from ..tables import load
 from . import register
@@ -559,8 +560,6 @@ def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     all three stages share the user_id shuffle partitioning, so AQE
     plans one exchange, and the stage frontiers are tiny relative to
     the raw stream."""
-    from ..runtime import materialize
-
     events = _events(spark, sf_dir)
     # each stage frontier feeds BOTH the next stage and its own count —
     # materialize the (tiny, per-user) frontiers or the filtered events
@@ -1037,8 +1036,6 @@ def ev_anomaly_mad_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = events.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )
-    from ..runtime import materialize
-
     # dev feeds BOTH the MAD aggregate and the final flag join —
     # materialize it or the events scan + median join run per branch
     dev = events.join(F.broadcast(med), "event_type").select(

@@ -45,7 +45,13 @@ def scaled_docs(base: DataFrame, copies: int) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.repartition(32).localCheckpoint()
+    # persist (NOT localCheckpoint): Dataset.unpersist only releases
+    # CacheManager entries, so a checkpointed corpus would stay pinned
+    # in executor storage for the whole run and later scales would be
+    # timed under accumulated memory pressure
+    out = out.repartition(32).persist()
+    out.count()
+    return out
 
 
 def main() -> None:
@@ -64,14 +70,10 @@ def main() -> None:
     )
 
     def op_minhash(d):
-        sh = shingle_postings(d, "doc_id", "text", 2).localCheckpoint()
-        try:
-            sigs = minhash_signatures(
-                d, "doc_id", "text", num_hashes=16, shingle_n=2, postings=sh
-            )
-            return lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, bands=4).count()
-        finally:
-            sh.unpersist()
+        # postings feed ONLY the signature leg here (unlike the real
+        # dedup_minhash_estimate query) — no checkpoint needed
+        sigs = minhash_signatures(d, "doc_id", "text", num_hashes=16, shingle_n=2)
+        return lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, bands=4).count()
 
     def op_spans(d):
         return duplicated_token_spans(d, "doc_id", "text", k=8).count()
@@ -99,7 +101,8 @@ def main() -> None:
             factor = "" if p is None else f"  x{dt / p:.2f} per doubling"
             print(f"{name:16s} {copies}x  rows={rows:>9}  {dt:6.2f}s{factor}")
             prev_dt[name] = dt
-        d.unpersist()
+        d.unpersist(blocking=True)
+        spark._jvm.System.gc()
         print()
 
 
