@@ -220,3 +220,14 @@ def upsert_snapshot_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enriched_event_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the event
+    stream is joined against a STATIC dimension (here any (user_id,
+    ...) frame — segment tables, account metadata). Spark re-plans the
+    static side per batch, so a small dimension is broadcast every
+    batch with no state store involved — the cheapest join a stream
+    can do, and the first choice before reaching for stream-stream
+    joins. Left join keeps events with no dimension row (label NULL)."""
+    return events.join(dim, "user_id", "left")

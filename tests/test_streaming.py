@@ -159,3 +159,49 @@ def test_foreach_batch_upsert_sink(spark, tmp_path):
     recovered = {r["k"]: r["v"] for r in spark.read.parquet(snap).collect()}
     assert recovered[4] == "d" and recovered[1] == "a" and recovered[3] == "c"
     assert not os.path.isdir(snap + ".bak")
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cam_location_addressing_feature_service_etl_spark.streaming.events import (
+        enriched_event_stream,
+    )
+    from cam_location_addressing_feature_service_etl_spark.tables import load
+    from tests.conftest import SF_SMOKE
+
+    d = tmp_path / "in"
+    d.mkdir()
+    batch = load(spark, SF_SMOKE, "events")
+    batch.coalesce(1).write.parquet(str(tmp_path / "flat"))
+    import glob
+
+    (part,) = glob.glob(str(tmp_path / "flat" / "part-*.parquet"))
+    shutil.copy(part, d / "a.parquet")
+
+    dim = batch.select("user_id").distinct().withColumn(
+        "segment",
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"),
+    ).filter(F.col("user_id") % 3 != 0)  # leave some users unmatched
+
+    stream = spark.readStream.schema(batch.schema).format("parquet").load(str(d))
+    q = (
+        enriched_event_stream(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("enriched")
+    assert got.count() == batch.count()  # left join keeps all events
+    matched = got.filter(F.col("segment").isNotNull()).select("user_id").distinct()
+    assert matched.filter(F.col("user_id") % 3 == 0).count() == 0
+    # enrichment values correct per parity with the batch join
+    batch_join = batch.join(dim, "user_id", "left")
+    assert sorted(map(tuple, got.select("event_id", "segment").collect())) == sorted(
+        map(tuple, batch_join.select("event_id", "segment").collect())
+    )
