@@ -131,3 +131,27 @@ def test_results_identical_with_aqe_disabled(spark):
             assert got == base[n], f"{n} changed results under AQE=off"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", saved)
+
+
+def test_results_invariant_to_shuffle_partition_count(spark):
+    """Results must be a pure function of the data, not of parallelism:
+    re-running order-sensitive queries (windows, collect_list
+    fingerprints, iterative labels) with a different
+    spark.sql.shuffle.partitions must be byte-identical."""
+    names = [
+        "text_shard_manifest",        # collect_list fingerprint
+        "ev_sessionize_gap30",        # windows + session numbering
+        "dedup_cc_star_converged",    # iterative labels
+        "text_bm25_topk",             # global rank window
+    ]
+    base = {
+        n: sorted(map(tuple, QUERIES[n](spark, SF_SMOKE).collect())) for n in names
+    }
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        for n in names:
+            got = sorted(map(tuple, QUERIES[n](spark, SF_SMOKE).collect()))
+            assert got == base[n], f"{n} changed results with 7 shuffle partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
