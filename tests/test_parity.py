@@ -36,3 +36,18 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert len(df.columns) == 5
+
+
+def test_priority_list_names_are_valid_and_unique():
+    """__spark_entry__._PRIORITY drives the driver's 50-query sampling
+    prefix: a typo'd or stale name silently shrinks driver coverage."""
+    import __spark_entry__ as e
+
+    names = e._PRIORITY
+    assert len(names) == len(set(names)), "duplicate names in _PRIORITY"
+    unknown = [n for n in names if n not in e.queries()]
+    assert unknown == [], f"_PRIORITY names not in registry: {unknown}"
+    # every oracle key is a registered query, and ordering round-trips
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)
+    assert list(o) == [n for n in q if n in o]
