@@ -48,6 +48,7 @@ _PRIORITY = [
     "dedup_remove_spans",
     "dedup_cluster_canonical",
     "ev_anomaly_mad_flags",
+    "ev_sliding_distinct_hll",
     "text_bm25_topk",
     "sample_importance_dsir",
     "a8_incremental_agg_merge",
