@@ -32,63 +32,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: The driver samples a 50-query prefix of this ordering each round.
-#: Round 6 rotates to STALENESS order (judge advice #3): queries whose
-#: most recent green driver CORRECTNESS row is oldest come first (the
-#: r02-era relational/scalar family, then r03/r04, then the r05-fresh
-#: set). Queries never driver-sampled (newly added) sort first.
-#: scripts/check_parity.py (committed as PARITY_r{N}.txt) proves the
-#: full registry every round regardless.
+#: STALENESS order (kept since round 6): (1) queries that are NEW or
+#: whose plan/code changed this round (they need a fresh driver row),
+#: (2) the r02-era tail the r06 sample did not reach — after this
+#: round every registry query has a driver row from r05+ — then
+#: (3) the r03/r04-era set, then the freshest. scripts/check_parity.py
+#: (committed as PARITY_r{N}.txt) proves the full registry every round
+#: regardless.
 _PRIORITY = [
-    "dedup_exact_substring_spans",
-    "m7_cdc_apply_tombstones",
-    "graph_copurchase_cosine",
-    "ev_window_rank_suite",
-    "dedup_minhash_estimate",
-    "text_shard_manifest",
-    "dedup_remove_spans",
-    "dedup_cluster_canonical",
-    "ev_anomaly_mad_flags",
+    # --- new / plan-changed in round 7 ---
+    "graph_copurchase_cosine_dimsum",
     "ev_sliding_distinct_hll",
     "text_bm25_topk",
-    "sample_importance_dsir",
-    "a8_incremental_agg_merge",
-    "a9_key_skew_profile",
-    "ev_scd2_state_intervals",
-    "graph_kcore_peel3",
-    "text_pmi_collocations",
-    "j11_fuzzy_blocked_match",
-    "a7_sketch_union_reaggregate",
-    "geo_zorder_layout",
     "graph_triangle_counts",
-    "emb_matryoshka_recall",
-    "text_bigram_logprob",
-    "dedup_jaccard_boiler_naive",
-    "dedup_jaccard_boiler_prefix",
-    "sim_ann_ivf_nprobe2",
-    "a1_grouped_max_latest",
-    "a1_latest_row_window",
-    "a2_count_with_predicate",
-    "a4_rowcount_delta",
-    "agg_rollup_region_nation",
-    "d1_distinct_projection",
-    "d2_first_wins_dedup",
-    "d3_distinct_keys_sorted",
-    "d4_distinct_values_pushdown",
-    "dedup_exact_hash",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "f11_prefix_ops",
-    "f12_validation_checks",
-    "f1_f2_synthetic_keys",
-    "f3_conditional_rewrite",
-    "f5_vocab_lookup",
-    "f6_normalize_initialism",
-    "f7_string_casts",
-    "f8_f9_f10_time_suite",
-    "f_json_extract_props",
-    "j10_cache_merge_fetched_wins",
-    "j1_multiway_equijoin",
+    "a9_key_skew_profile",
+    "sample_importance_dsir",
+    "sim_kmeans_assignments",
+    "text_vocab_coverage",
+    "m3_stable_surrogate_ids",
+    "dedup_cc_star_converged",
+    # --- r02-era driver rows (the staleness tail) ---
     "j2_optional_left_join",
     "j3_values_batch_semijoin",
     "j5_left_join_unmapped",
@@ -98,7 +61,6 @@ _PRIORITY = [
     "j9_lookup_join_miss_skip",
     "m1_upsert_last_write_wins",
     "m2_upsert_reset_column",
-    "m3_stable_surrogate_ids",
     "o1_latest_snapshot_top1",
     "o2_limit_guard",
     "p1_column_projection",
@@ -114,6 +76,7 @@ _PRIORITY = [
     "u2_carry_forward_reshape",
     "u3_intersect_nations",
     "u4_except_nations",
+    # --- r03/r04-era next-stalest ---
     "agg_grouping_sets",
     "ev_asof_salted",
     "ev_sessionize_salted",
@@ -122,6 +85,7 @@ _PRIORITY = [
     "geo_bbox_filter",
     "geo_haversine_within",
     "u5_snapshot_diff",
+    # --- r04-era ---
     "a5_approx_distinct_check",
     "a6_approx_percentile_check",
     "agg_cube_order_status",
@@ -134,7 +98,6 @@ _PRIORITY = [
     "ev_pivot_type_counts",
     "ev_user_value_quartiles",
     "ev_value_band_join",
-    "dedup_cc_star_converged",
     "dedup_connected_components",
     "dedup_incremental_minhash",
     "dedup_ngram_jaccard_prefix",
@@ -164,7 +127,6 @@ _PRIORITY = [
     "sim_cosine_topk_bruteforce",
     "sim_embedding_neardup",
     "sim_embedding_quantize_int8",
-    "sim_kmeans_assignments",
     "sim_lsh_hyperplane",
     "text_bpe_encode",
     "text_bpe_merge_rules",
@@ -182,8 +144,52 @@ _PRIORITY = [
     "text_token_counts",
     "text_train_order_interleave",
     "text_unigram_logprob",
-    "text_vocab_coverage",
     "text_winnow_fingerprint",
+    "j1_multiway_equijoin",
+    "j10_cache_merge_fetched_wins",
+    "a1_grouped_max_latest",
+    "a1_latest_row_window",
+    "a2_count_with_predicate",
+    "a4_rowcount_delta",
+    "d1_distinct_projection",
+    "d2_first_wins_dedup",
+    "d3_distinct_keys_sorted",
+    "d4_distinct_values_pushdown",
+    "f12_validation_checks",
+    "agg_rollup_region_nation",
+    "j11_fuzzy_blocked_match",
+    "m7_cdc_apply_tombstones",
+    "f1_f2_synthetic_keys",
+    "f3_conditional_rewrite",
+    "f5_vocab_lookup",
+    "f6_normalize_initialism",
+    "f7_string_casts",
+    "f8_f9_f10_time_suite",
+    "f11_prefix_ops",
+    "f_json_extract_props",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_boiler_naive",
+    "dedup_jaccard_boiler_prefix",
+    "dedup_simhash",
+    "text_bigram_logprob",
+    "dedup_exact_substring_spans",
+    "text_pmi_collocations",
+    "dedup_minhash_estimate",
+    "text_shard_manifest",
+    "dedup_remove_spans",
+    "dedup_cluster_canonical",
+    "graph_kcore_peel3",
+    "graph_copurchase_cosine",
+    "sim_ann_ivf_nprobe2",
+    "emb_matryoshka_recall",
+    "a7_sketch_union_reaggregate",
+    "ev_scd2_state_intervals",
+    "a8_incremental_agg_merge",
+    "ev_window_rank_suite",
+    "ev_anomaly_mad_flags",
+    "geo_zorder_layout",
 ]
 
 

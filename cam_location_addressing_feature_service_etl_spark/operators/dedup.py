@@ -712,13 +712,15 @@ def duplicated_token_spans(
     """Exact substring-span dedup detection (the suffix-array dedup of
     Lee et al., "Deduplicating Training Data Makes Language Models
     Better", re-expressed as a k-gram-run scan): for every document,
-    the maximal token spans of length >= k in which EVERY k-token gram
-    occurs more than once in the corpus (cross-doc or repeated
-    in-doc). A duplicated substring of length L >= k contributes
-    exactly L - k + 1 duplicated grams at consecutive start positions,
-    so maximal runs of duplicated-gram starts are exactly the maximal
-    duplicated spans — no suffix array needed, one groupBy + one
-    window.
+    the maximal contiguous token intervals covered by duplicated
+    k-grams (grams occurring more than once in the corpus, cross-doc
+    or repeated in-doc). A duplicated substring of length L >= k
+    contributes exactly L - k + 1 duplicated grams at consecutive
+    start positions, and the run merge unions gram coverage whose
+    starts are <= k-1 apart — so overlapping or adjacent duplicated
+    substrings coalesce into ONE reported interval (their union), not
+    one interval per substring. No suffix array needed, one groupBy +
+    one window.
 
     Returns (id, span_start, span_end, span_tokens), token positions
     1-based inclusive. Downstream removal is a slice of the token

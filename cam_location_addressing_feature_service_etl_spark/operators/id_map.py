@@ -14,9 +14,10 @@ Spark-first design:
   deterministic, dense, stable. ``monotonically_increasing_id`` is
   explicitly avoided: it is neither dense nor stable across runs.
 
-Scale: the global ``row_number`` over new keys is a single-partition
-sort, but ONLY over the *new* keys of one increment (small by
-definition in an incremental ETL). For a bulk first load at 100 TB use
+Scale: the incremental numbering ranks ONLY the *new* keys of one
+increment (small by definition in an incremental ETL) on a single
+reducer — via the windowless sorted-array rank of ``operators/topk``,
+which does not spill. For a bulk first load at 100 TB use
 ``zipWithIndex``-free two-phase numbering: per-partition counts →
 offsets broadcast → partition-local row_number + offset. Implemented
 here as ``assign_surrogate_ids_bulk``.
@@ -27,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from .topk import ASC, rank_small_frame
 
 
 def assign_surrogate_ids(keys: DataFrame, existing_map: DataFrame, key_col: str = "iri") -> DataFrame:
@@ -39,11 +42,15 @@ def assign_surrogate_ids(keys: DataFrame, existing_map: DataFrame, key_col: str 
     distinct_keys = keys.select(key_col).distinct()
     new_keys = distinct_keys.join(existing_map.select(key_col), key_col, "left_anti")
     start = existing_map.agg(F.coalesce(F.max("id"), F.lit(0)).alias("start"))
-    w = Window.orderBy(key_col)
+    # one increment's NEW keys only (small by definition — the bulk
+    # variant below is the corpus-sized path, and unlike this
+    # sorted-array rank it also spills): numbered windowless via
+    # operators/topk.rank_small_frame, so no single-partition
+    # WindowExec appears anywhere in an incremental run's plan.
     numbered = (
-        new_keys.crossJoin(F.broadcast(start))
-        .withColumn("id", (F.col("start") + F.row_number().over(w)).cast("long"))
-        .select(key_col, "id")
+        rank_small_frame(new_keys, [(F.col(key_col), ASC)], [key_col], rank_name="_rn")
+        .crossJoin(F.broadcast(start))
+        .select(key_col, (F.col("start") + F.col("_rn")).cast("long").alias("id"))
     )
     return existing_map.select(key_col, "id").unionByName(numbered)
 
@@ -71,10 +78,25 @@ def assign_surrogate_ids_bulk(
     # a window per partition id with a precomputed offset join.
     with_pid = new_keys.withColumn("_pid", F.spark_partition_id())
     counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))).select(
-        "_pid", "_off"
+    # Prefix-sum the per-partition counts into offsets WITHOUT a window
+    # (the offsets frame is numPartitions rows; an empty-partition-spec
+    # window would still plan as the warned single-partition
+    # WindowExec): sorted-array aggregate + per-element prefix slice.
+    # O(P²) scalar adds inside one row — fine to ~10k partitions; for
+    # extreme partition counts do this prefix sum driver-side (the
+    # zipWithIndex approach).
+    arr = counts.agg(
+        F.array_sort(F.collect_list(F.struct("_pid", "_cnt"))).alias("_a")
     )
+    offsets = arr.select(
+        F.explode(
+            F.expr(
+                "transform(_a, (x, i) -> struct(x._pid AS _pid, "
+                "aggregate(slice(_a, 1, i), 0L, (acc, y) -> acc + y._cnt)"
+                " AS _off))"
+            )
+        ).alias("r")
+    ).select("r._pid", "r._off")
     w_local = Window.partitionBy("_pid").orderBy(key_col)
     numbered = (
         with_pid.join(F.broadcast(offsets), "_pid")

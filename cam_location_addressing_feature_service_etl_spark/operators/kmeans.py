@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .topk import ASC, global_topk_ranked
+
 
 def _sq_dist(a, b):
     return F.aggregate(
@@ -86,11 +88,15 @@ def lloyd(
     v = vectors.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    w = Window.orderBy("vec_id")
-    centroids = (
-        v.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select((F.col("rn") - 1).alias("cluster"), F.col("v").alias("c"))
+    # Init = the k lowest vec_ids. global_topk_ranked plans the take as
+    # a distributed TakeOrderedAndProject (per-partition top-k, merge
+    # k*P rows on one reducer) — the unpartitioned row_number() it
+    # replaces sorted the ENTIRE vector corpus into a single partition
+    # — and numbers the k survivors windowless (sorted-array aggregate).
+    centroids = global_topk_ranked(
+        v, [(F.col("vec_id"), ASC)], k, ["v"], rank_name="rn"
+    ).select(
+        (F.col("rn") - 1).cast("int").alias("cluster"), F.col("v").alias("c")
     )
     assignments = None
     for it in range(iterations):

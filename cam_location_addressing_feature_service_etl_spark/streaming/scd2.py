@@ -62,6 +62,15 @@ SCD2_STATE_SCHEMA = StructType(
 
 
 def _fmt_us(us: int | None) -> str | None:
+    """Whole-second interval boundaries — the output contract shared
+    with the batch twin (ev_scd2_state_intervals truncates identically,
+    so streaming-vs-batch reconciliation is exact). Consequence: two
+    state runs of one user starting within the same second emit the
+    SAME valid_from, so (user_id, valid_from) is NOT an interval key —
+    consumers must key by (user_id, valid_from, state), and a feed with
+    sub-second A→B→A flips of one entity needs this widened to
+    microseconds (both twins + the oracle together, keeping them
+    bit-identical)."""
     if us is None:
         return None
     return pd.Timestamp(us, unit="us").strftime("%Y-%m-%d %H:%M:%S")

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.topk import ASC, DESC, global_topk_ranked
+
 from ..operators.dedup import exact_dedup, shingle_postings, tokens_col
 from .llm_text import _STOPWORDS, TOKENS_SQL, _shingle_cte, _t
 from . import register
@@ -497,20 +499,23 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
-    w = Window.orderBy(
-        F.desc(F.col("sum_micro") * 1.0 / F.col("n_tokens")), F.asc("doc_id")
-    )
-    return (
-        perdoc.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _DSIR_TOP)
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.round(F.col("sum_micro") / (F.col("n_tokens") * 1000000.0), 6).alias(
-                "avg_logratio"
-            ),
-            F.col("rnk").cast("long").alias("rnk"),
-        )
+    # Global top-N via TakeOrderedAndProject on the materialized ratio
+    # column (distributed per-partition heaps; the per-doc frame is
+    # never globally sorted), then the windowless N-row rank of
+    # operators/topk.py.
+    ratio = (F.col("sum_micro") * 1.0 / F.col("n_tokens")).alias("_ratio")
+    return global_topk_ranked(
+        perdoc.select("*", ratio),
+        [(F.col("_ratio"), DESC), (F.col("doc_id"), ASC)],
+        _DSIR_TOP,
+        ["doc_id", "n_tokens", "sum_micro"],
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("sum_micro") / (F.col("n_tokens") * 1000000.0), 6).alias(
+            "avg_logratio"
+        ),
+        "rnk",
     )
 
 

@@ -1085,6 +1085,48 @@ FROM contrib GROUP BY wb
 """
 
 
+def sliding_distinct_hll(
+    events: DataFrame, bucket_ms: int = _SLD_BUCKET_MS, span: int = _SLD_SPAN
+) -> DataFrame:
+    """Core of ``ev_sliding_distinct_hll`` over any (user_id, ts)
+    frame — factored out so the bucket-boundary property test
+    (tests/test_properties.py) can fuzz timestamps across bucket
+    edges against a pure-Python reference. Returns
+    (window_bucket, exact_users, sketch_within_5pct)."""
+    b = (F.unix_millis("ts") / bucket_ms).cast("long")
+    be = events.select("user_id", b.alias("b")).transform(materialize)
+    sk = be.groupBy("b").agg(F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("sk"))
+    buckets = be.select("b").distinct()
+    # Explode each bucket sketch to the span windows it covers and
+    # equi-join/groupBy — a sketch row is kilobytes, so replicating it
+    # span x is free and the O(buckets^2) range join (which Spark can
+    # only plan as a BroadcastNestedLoopJoin) becomes O(buckets * span),
+    # the same shape as the exact leg below.
+    est = (
+        sk.select(
+            "sk",
+            F.explode(F.sequence(F.col("b"), F.col("b") + (span - 1))).alias("wb"),
+        )
+        .join(buckets.select(F.col("b").alias("wb")), "wb", "leftsemi")
+        .groupBy(F.col("wb").alias("window_bucket"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    contrib = be.select(
+        "user_id",
+        F.explode(F.sequence(F.col("b"), F.col("b") + (span - 1))).alias("wb"),
+    ).join(buckets.select(F.col("b").alias("wb")), "wb", "leftsemi")
+    exact = contrib.groupBy(F.col("wb").alias("window_bucket")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(est, "window_bucket").select(
+        "window_bucket",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users")) <= 0.05 * F.col("exact_users")
+        ).alias("sketch_within_5pct"),
+    )
+
+
 @register("ev_sliding_distinct_hll", oracle=_SLD_ORACLE)
 def ev_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per trailing {n}-bucket sliding window ({m}-min
@@ -1099,36 +1141,7 @@ def ev_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: bucket sketches are a tiny aggregate; the window-assign
     explode multiplies events by {n} only in the EXACT verification
     leg, which a production pipeline drops."""
-    events = _events(spark, sf_dir)
-    b = (F.unix_millis("ts") / _SLD_BUCKET_MS).cast("long")
-    be = events.select("user_id", b.alias("b")).transform(materialize)
-    sk = be.groupBy("b").agg(F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("sk"))
-    buckets = be.select("b").distinct()
-    est = (
-        buckets.alias("w")
-        .join(
-            sk.alias("s"),
-            F.col("s.b").between(F.col("w.b") - (_SLD_SPAN - 1), F.col("w.b")),
-        )
-        .groupBy(F.col("w.b").alias("window_bucket"))
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
-    )
-    contrib = be.select(
-        "user_id",
-        F.explode(
-            F.sequence(F.col("b"), F.col("b") + (_SLD_SPAN - 1))
-        ).alias("wb"),
-    ).join(buckets.select(F.col("b").alias("wb")), "wb", "leftsemi")
-    exact = contrib.groupBy(F.col("wb").alias("window_bucket")).agg(
-        F.countDistinct("user_id").alias("exact_users")
-    )
-    return exact.join(est, "window_bucket").select(
-        "window_bucket",
-        "exact_users",
-        (
-            F.abs(F.col("est") - F.col("exact_users")) <= 0.05 * F.col("exact_users")
-        ).alias("sketch_within_5pct"),
-    )
+    return sliding_distinct_hll(_events(spark, sf_dir))
 
 
 ev_sliding_distinct_hll.__doc__ = ev_sliding_distinct_hll.__doc__.format(

@@ -156,8 +156,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part key whose fan-out is bounded by per-part supplier counts (at
     web scale, cap per-part fan-out or raise the threshold — the
     HAVING pushes into the partial aggregate either way)."""
-    from pyspark.sql.window import Window
-
+    from ..operators.topk import ASC, DESC, global_topk_ranked
     from ..operators.triangles import triangle_counts_per_node
 
     (lineitem,) = _t(spark, sf_dir, "lineitem")
@@ -181,11 +180,14 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     counts = triangle_counts_per_node(edges)
-    w = Window.orderBy(F.desc("triangles"), F.asc("node"))
-    return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TRI_TOP)
-        .select("node", "triangles", F.col("rnk").cast("long").alias("rnk"))
+    # top-k via TakeOrderedAndProject (distributed per-partition heaps;
+    # the node-count frame is never globally sorted), then the
+    # windowless k-row rank of operators/topk.py.
+    return global_topk_ranked(
+        counts,
+        [(F.col("triangles"), DESC), (F.col("node"), ASC)],
+        _TRI_TOP,
+        ["node", "triangles"],
     )
 
 
@@ -346,4 +348,144 @@ def graph_copurchase_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 graph_copurchase_cosine.__doc__ = graph_copurchase_cosine.__doc__.format(
     t=_COSIM_MIN_COOC
+)
+
+
+#: DIMSUM sampling: keep a basket entry of item p with probability
+#: min(1, GAMMA/sqrt(deg(p))) — hub items contribute ~GAMMA*sqrt(d)
+#: surviving instances instead of d, so the pair join's fan-out is
+#: bounded. Probabilities are exact integer ppm and the coin is a
+#: seeded md5 (both engines replicate it bit-for-bit).
+_DIMSUM_GAMMA = "3.0"
+_DIMSUM_SEED = "dimsum7"
+_DIMSUM_MIN_SAMPLED = 2
+
+
+@register(
+    "graph_copurchase_cosine_dimsum",
+    oracle=f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM cp GROUP BY p),
+keep AS (
+  SELECT p, d,
+         LEAST(1000000, CAST(FLOOR({_DIMSUM_GAMMA} * 1000000.0 / SQRT(d)) AS BIGINT)) AS ppm
+  FROM deg
+),
+s AS (
+  SELECT cp.c, cp.p, k.d, k.ppm
+  FROM cp JOIN keep k ON k.p = cp.p
+  WHERE ('0x' || substr(md5('{_DIMSUM_SEED}:' || CAST(cp.c AS VARCHAR) || ':' || CAST(cp.p AS VARCHAR)), 1, 8))::BIGINT
+        % 1000000 < k.ppm
+),
+pairs AS (
+  SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS cooc_s,
+         MIN(a.d) AS du, MIN(b.d) AS dv, MIN(a.ppm) AS pu, MIN(b.ppm) AS pv
+  FROM s a JOIN s b ON a.c = b.c AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_DIMSUM_MIN_SAMPLED}
+)
+SELECT u, v, cooc_s,
+       ROUND(cooc_s * 1000000000000.0 / (pu * pv) / SQRT(du * 1.0 * dv), 6) AS cosine_est
+FROM pairs
+""",
+)
+def graph_copurchase_cosine_dimsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMSUM-sampled twin of ``graph_copurchase_cosine`` (Zadeh &
+    Carlsson, "Dimension Independent Similarity Computation"): each
+    basket entry of item p survives with probability
+    min(1, {g}/sqrt(deg(p))), so a hub item's expected surviving
+    instances are {g}*sqrt(d) — SUBLINEAR in its degree — and the
+    customer-key self-join's fan-out is bounded before pairing, which
+    is the hub-basket scale dial the exact form cannot offer. The
+    Horvitz-Thompson estimate cosine_est = cooc_s/(p_u*p_v)/sqrt(du*dv)
+    is unbiased for the exact cosine.
+
+    Determinism/oracle: the sampling coin is a seeded md5 over
+    (customer, item) reduced mod 1e6 against an exact integer-ppm
+    threshold — both engines flip identical coins, so the ENTIRE
+    sampled pipeline (not just its expectation) is oracle-checked.
+    Estimator quality vs the exact query (recall of strong pairs +
+    mean squared error) is pinned by a property test
+    (tests/test_properties.py::test_dimsum_estimator_quality); the
+    exact query IS the oracle the sampler is validated against.
+
+    Scale: deg is a partial-aggregatable groupBy broadcast onto the
+    basket frame (item-cardinality-sized); the sample filter is a pure
+    column predicate applied BEFORE the self-join shuffle; everything
+    downstream matches the exact twin's bounded-pair shape."""
+    (orders, lineitem) = _t(spark, sf_dir, "orders", "lineitem")
+    cp = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .transform(materialize)
+    )
+    deg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    keep = deg.select(
+        "p",
+        "d",
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.floor(F.lit(float(_DIMSUM_GAMMA)) * 1000000.0 / F.sqrt(F.col("d"))),
+        ).alias("ppm"),
+    )
+    coin = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(_DIMSUM_SEED + ":"),
+                    F.col("c").cast("string"),
+                    F.lit(":"),
+                    F.col("p").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % 1000000
+    s = cp.join(keep, "p").filter(coin < F.col("ppm"))
+    sa = s.select(
+        "c",
+        F.col("p").alias("u"),
+        F.col("d").alias("_du"),
+        F.col("ppm").alias("_pu"),
+    )
+    sb = s.select(
+        "c",
+        F.col("p").alias("v"),
+        F.col("d").alias("_dv"),
+        F.col("ppm").alias("_pv"),
+    )
+    pairs = (
+        sa.join(sb, (sa["c"] == sb["c"]) & (sa["u"] < sb["v"]))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("cooc_s"),
+            F.min("_du").alias("du"),
+            F.min("_dv").alias("dv"),
+            F.min("_pu").alias("pu"),
+            F.min("_pv").alias("pv"),
+        )
+        .filter(F.col("cooc_s") >= _DIMSUM_MIN_SAMPLED)
+    )
+    return pairs.select(
+        "u",
+        "v",
+        "cooc_s",
+        F.round(
+            F.col("cooc_s")
+            * 1000000000000.0
+            / (F.col("pu") * F.col("pv"))
+            / F.sqrt(F.col("du") * 1.0 * F.col("dv")),
+            6,
+        ).alias("cosine_est"),
+    )
+
+
+graph_copurchase_cosine_dimsum.__doc__ = graph_copurchase_cosine_dimsum.__doc__.format(
+    g=_DIMSUM_GAMMA
 )

@@ -30,6 +30,7 @@ from ..operators.dedup import (
     simhash_pairs_exact,
     tokens_col,
 )
+from ..operators.topk import ASC, DESC, global_topk_ranked
 from ..session import tune
 from ..tables import load
 from . import register
@@ -1628,9 +1629,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact DECIMAL total with doc_id tiebreak. Scale: term filter
     pushes into the token explode (only query-term postings survive
     the shuffle); df and the corpus stats are 1-row / vocabulary-
-    sized broadcasts; the rank window sees only matching docs."""
-    from pyspark.sql.window import Window
-
+    sized broadcasts; the top-k is TakeOrderedAndProject + the
+    windowless k-row rank (operators/topk.py)."""
     (documents,) = _t(spark, sf_dir, "documents")
     tokl = documents.select(
         "doc_id", tokens_col(F.col("text")).alias("t")
@@ -1668,15 +1668,19 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("term_score").alias("score_d"))
     )
-    w = Window.orderBy(F.desc("score_d"), F.asc("doc_id"))
-    return (
-        total.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _BM25_TOP)
-        .select(
-            "doc_id",
-            F.col("score_d").cast("double").alias("score"),
-            F.col("rnk").cast("long").alias("rnk"),
-        )
+    # Global top-k the distributed way: TakeOrderedAndProject (per-
+    # partition bounded heaps, merge k*P rows — the corpus is never
+    # globally sorted), then the windowless k-row rank of
+    # operators/topk.py (no unpartitioned WindowExec anywhere).
+    return global_topk_ranked(
+        total,
+        [(F.col("score_d"), DESC), (F.col("doc_id"), ASC)],
+        _BM25_TOP,
+        ["doc_id", "score_d"],
+    ).select(
+        "doc_id",
+        F.col("score_d").cast("double").alias("score"),
+        "rnk",
     )
 
 

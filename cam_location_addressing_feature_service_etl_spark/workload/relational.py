@@ -43,7 +43,8 @@ from ..session import tune
 from ..tables import load
 from ..operators.upsert import upsert_by_key, upsert_with_reset
 from ..operators.dedup import dedup_first_wins, merge_fetched_wins
-from ..operators.id_map import assign_surrogate_ids
+from ..operators.id_map import assign_surrogate_ids_bulk
+from ..operators.topk import ASC as TOPK_ASC, DESC as TOPK_DESC, global_topk_ranked, rank_small_frame
 from . import register
 from ..runtime import materialize
 
@@ -740,13 +741,18 @@ def m3_stable_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "p_name",
     )
-    w = Window.orderBy("iri")
-    seeded = (
-        iris.filter(F.col("p_partkey") <= 100)
-        .select("iri")
-        .withColumn("id", F.row_number().over(w).cast("long"))
+    # seed frame is 100 rows by the filter — ranked windowless
+    # (operators/topk.py sorted-array aggregate). The corpus-sized leg
+    # (numbering every unseen iri) uses the BULK variant — range-
+    # partitioned two-phase numbering, no global window — which
+    # assigns the exact same deterministic ids.
+    seeded = rank_small_frame(
+        iris.filter(F.col("p_partkey") <= 100).select("iri"),
+        [(F.col("iri"), TOPK_ASC)],
+        ["iri"],
+        rank_name="id",
     )
-    full_map = assign_surrogate_ids(iris.select("iri"), seeded, key_col="iri")
+    full_map = assign_surrogate_ids_bulk(iris.select("iri"), seeded, key_col="iri")
     return iris.join(full_map, "iri").select(
         F.col("id").alias("part_id"), F.col("p_name").alias("part_name")
     )
@@ -1170,10 +1176,17 @@ def a9_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = freq.agg(
         F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("k")
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    # top-k via TakeOrderedAndProject (distributed — the frequency table
+    # is key-cardinality-sized: millions of suppliers at 100x, and is
+    # never globally sorted), then the windowless k-row rank of
+    # operators/topk.py.
     return (
-        freq.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _SKEW_TOP)
+        global_topk_ranked(
+            freq,
+            [(F.col("cnt"), TOPK_DESC), (F.col("key"), TOPK_ASC)],
+            _SKEW_TOP,
+            ["key", "cnt"],
+        )
         .crossJoin(F.broadcast(tot))
         .select(
             "key",

@@ -147,23 +147,38 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one token-count aggregation (map-side combinable),
     a global top-k that Spark executes as TakeOrderedAndProject (never
-    a full sort), a single-row total broadcast, and a window over just
-    the {k} surviving rows — the only single-partition step touches
-    {k} rows, not the corpus."""
-    from pyspark.sql.window import Window
-
+    a full sort), a single-row total broadcast, and a windowless
+    sorted-array cumulative over just the {k} surviving rows — the
+    only single-reducer step touches {k} rows, not the corpus."""
     (documents,) = _t(spark, sf_dir, "documents")
     toks = documents.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     tot = cnt.agg(F.sum("cnt").alias("total"))
     top = cnt.orderBy(F.col("cnt").desc(), F.col("tok")).limit(_COV_TOP)
-    w = (
-        Window.orderBy(F.col("cnt").desc(), F.col("tok"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Cumulative sum over the k survivors WITHOUT a window (an empty-
+    # partition-spec window — even over k rows — plans as the warned
+    # single-partition WindowExec): collect the k rows into one sorted
+    # array via a global aggregate (partial-agg path) and compute each
+    # row's running total from its array prefix — O(k²) scalar adds on
+    # k rows, free.
+    arr = top.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct((-F.col("cnt")).alias("_s0"), F.col("tok"), F.col("cnt"))
+            )
+        ).alias("_a")
     )
+    cum = arr.select(
+        F.explode(
+            F.expr(
+                "transform(_a, (x, i) -> struct(x.tok AS tok, x.cnt AS cnt, "
+                "aggregate(slice(_a, 1, i + 1), 0L, (acc, y) -> acc + y.cnt)"
+                " AS cum_count))"
+            )
+        ).alias("r")
+    ).select("r.tok", "r.cnt", "r.cum_count")
     return (
-        top.withColumn("cum_count", F.sum("cnt").over(w).cast("long"))
-        .crossJoin(F.broadcast(tot))
+        cum.crossJoin(F.broadcast(tot))
         .select(
             "tok",
             "cnt",

@@ -85,7 +85,7 @@ def main() -> None:
 
     ops = {"minhash_lsh": op_minhash, "substring_spans": op_spans, "ngram_jaccard": op_jaccard}
 
-    # scale-outer loop: each scaled corpus is checkpointed ONCE, shared
+    # scale-outer loop: each scaled corpus is persisted ONCE, shared
     # by every operator at that scale, and unpersisted before the next
     # scale — otherwise 9 corpus copies pile up in executor storage and
     # the later operators are timed under accumulated memory pressure.

@@ -1,0 +1,109 @@
+"""Estimator-quality pins for the two sketch/sampling twins added in
+rounds 6-7: the DIMSUM-sampled co-purchase cosine must stay close to
+its exact oracle twin, and the HLL sliding-distinct window must hold
+its 5% contract under timestamps fuzzed across bucket boundaries
+(where the tumbling-bucket decomposition is easiest to get wrong)."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+from cam_location_addressing_feature_service_etl_spark.workload.events import (
+    sliding_distinct_hll,
+)
+from tests.conftest import SF_SMOKE
+
+_SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def test_dimsum_estimator_quality(spark):
+    """The deterministic-seed DIMSUM sample is FIXED, so its quality vs
+    the exact query is a stable measurement, pinned here the same way
+    the MinHash estimator audit pins Jaccard estimates: strong pairs
+    (exact cosine >= 0.4) must be recalled at >= 90%, and the
+    Horvitz-Thompson estimate must track the exact cosine (MSE and
+    conditioned bias bounds measured at gamma=3 with ~25% headroom)."""
+    exact = QUERIES["graph_copurchase_cosine"](spark, SF_SMOKE).toPandas()
+    est = QUERIES["graph_copurchase_cosine_dimsum"](spark, SF_SMOKE).toPandas()
+    m = exact.merge(est[["u", "v", "cosine_est"]], on=["u", "v"], how="left")
+
+    strong = m[m.cosine >= 0.4]
+    assert len(strong) >= 20, "threshold no longer selects a meaningful set"
+    recall = strong.cosine_est.notna().mean()
+    assert recall >= 0.90, f"strong-pair recall {recall:.3f} < 0.90"
+
+    both = m[m.cosine_est.notna()]
+    assert len(both) >= 1000
+    err = both.cosine_est - both.cosine
+    mse = float((err**2).mean())
+    bias = float(err.mean())
+    # measured at sf0.001, gamma=3: MSE 0.0147, bias +0.075 (the
+    # min-sampled-cooc>=2 gate conditions on upward fluctuations)
+    assert mse <= 0.03, f"estimator MSE {mse:.4f} > 0.03"
+    assert abs(bias) <= 0.15, f"estimator bias {bias:.4f} outside ±0.15"
+
+
+@given(
+    # per-user event offsets in ms, deliberately clustered around the
+    # 1000 ms bucket edges (0, ±1, ±2 around multiples of the bucket)
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),          # user_id
+            st.integers(min_value=0, max_value=6),          # bucket index
+            st.sampled_from([-2, -1, 0, 1, 2, 499, 500]),   # edge jitter ms
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SET
+def test_hll_sliding_window_shifted_buckets(spark, data):
+    """Fuzz event timestamps across tumbling-bucket edges: the exact
+    leg must equal a pure-Python sliding-distinct reference (an event
+    at bucket b counts toward windows b..b+span-1 that actually
+    exist), and the sketch leg must satisfy the query's own 5%
+    contract — at these cardinalities the HLL(14) estimate is exact,
+    so the flag must be True for every window."""
+    bucket_ms, span = 1000, 3
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = []
+    for uid, bidx, jit in data:
+        ms = max(0, bidx * bucket_ms + jit)
+        rows.append((uid, base + datetime.timedelta(milliseconds=ms)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    out = {
+        r["window_bucket"]: (r["exact_users"], r["sketch_within_5pct"])
+        for r in sliding_distinct_hll(df, bucket_ms=bucket_ms, span=span).collect()
+    }
+
+    # pure-Python reference on the same (floor-div) bucket assignment
+    base_ms = int(base.timestamp() * 1000)
+    by_bucket: dict[int, set[int]] = {}
+    for (uid, bidx, jit) in data:
+        ms = base_ms + max(0, bidx * bucket_ms + jit)
+        by_bucket.setdefault(ms // bucket_ms, set()).add(uid)
+    expect = {}
+    observed = set(by_bucket)
+    for wb in observed:
+        users: set[int] = set()
+        for b in range(wb - span + 1, wb + 1):
+            users |= by_bucket.get(b, set())
+        expect[wb] = len(users)
+    # windows = every bucket reachable from an observed bucket that is
+    # itself observed... the query emits one row per observed bucket
+    # PLUS buckets covered by the explode that exist in the data; its
+    # semi-join restricts to observed buckets exactly:
+    assert set(out) == observed
+    for wb in observed:
+        exact_users, within = out[wb]
+        assert exact_users == expect[wb], (wb, exact_users, expect[wb])
+        assert within is True

@@ -34,7 +34,6 @@ CARTESIAN_ALLOWED = {
     "sim_kmeans_assignments",
     "emb_ivfpq_index",
     # 1-row broadcast scalar aggregates
-    "m3_stable_surrogate_ids",      # max-id row
     "text_tfidf_topk",              # corpus doc count
     "text_unigram_logprob",         # corpus token total
     "ev_funnel_conversion",         # three stage counts in one row
@@ -72,21 +71,50 @@ PUSHDOWN_REQUIRED = {
 
 CARTESIAN = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
 
+#: Queries allowed to keep a Window with an EMPTY partition spec — the
+#: single-partition sort WindowExec warns about. Every entry must prove
+#: the window's input frame is bounded (≤ top-k rows) — e.g. it sits
+#: above an orderBy().limit(k). Unbounded frames must use the
+#: windowless sorted-array rank in operators/topk.py instead. Keep
+#: EMPTY if at all possible.
+UNPARTITIONED_WINDOW_ALLOWED: dict[str, str] = {}
+
+
+def _empty_partition_windows(logical_plan) -> list[str]:
+    """Walk a logical plan (py4j) and return the simpleString of every
+    Window node whose partitionSpec is empty. Windows hidden behind a
+    materialize() boundary (LogicalRDD) are invisible here — same
+    caveat as the cartesian audit above."""
+    found: list[str] = []
+    stack = [logical_plan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            found.append(node.simpleString(200))
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return found
+
 
 @pytest.fixture(scope="module")
 def plans(spark):
     out = {}
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     for name, fn in QUERIES.items():
-        out[name] = fn(spark, SF_DIR)._jdf.queryExecution().explainString(mode)
+        qe = fn(spark, SF_DIR)._jdf.queryExecution()
+        out[name] = {
+            "plan": qe.explainString(mode),
+            "empty_windows": _empty_partition_windows(qe.optimizedPlan()),
+        }
     return out
 
 
 def test_no_unexpected_cartesian(plans):
     offenders = sorted(
         name
-        for name, plan in plans.items()
-        if CARTESIAN.search(plan) and name not in CARTESIAN_ALLOWED
+        for name, info in plans.items()
+        if CARTESIAN.search(info["plan"]) and name not in CARTESIAN_ALLOWED
     )
     assert offenders == [], (
         f"non-allowlisted cartesian/BNLJ in: {offenders} — either fix the "
@@ -97,7 +125,7 @@ def test_no_unexpected_cartesian(plans):
 def test_cartesian_allowlist_minimal(plans):
     stale = sorted(
         name for name in CARTESIAN_ALLOWED
-        if name in plans and not CARTESIAN.search(plans[name])
+        if name in plans and not CARTESIAN.search(plans[name]["plan"])
     )
     assert stale == [], (
         f"allowlist entries whose plans no longer contain a cartesian: "
@@ -108,6 +136,35 @@ def test_cartesian_allowlist_minimal(plans):
 def test_pushdown_reaches_scan(plans):
     missing = sorted(
         name for name, pat in PUSHDOWN_REQUIRED.items()
-        if name in plans and not pat.search(plans[name])
+        if name in plans and not pat.search(plans[name]["plan"])
     )
     assert missing == [], f"expected pushed filters not in scan for: {missing}"
+
+
+def test_no_unpartitioned_window(plans):
+    """No registry query may plan a Window with an empty partition spec
+    — the single-partition sort that WindowExec warns about and that
+    becomes THE job at 100 TB. Global top-k/rank shapes must go through
+    operators/topk.py (TakeOrderedAndProject + windowless array rank)."""
+    offenders = {
+        name: info["empty_windows"]
+        for name, info in plans.items()
+        if info["empty_windows"] and name not in UNPARTITIONED_WINDOW_ALLOWED
+    }
+    assert offenders == {}, (
+        f"unpartitioned Window in optimized plans: {offenders} — rewrite "
+        f"with operators/topk.py (orderBy().limit(k) + sorted-array rank) "
+        f"or, for a frame PROVEN <= top-k rows, add a justified "
+        f"UNPARTITIONED_WINDOW_ALLOWED entry"
+    )
+
+
+def test_unpartitioned_window_allowlist_minimal(plans):
+    stale = sorted(
+        name for name in UNPARTITIONED_WINDOW_ALLOWED
+        if name in plans and not plans[name]["empty_windows"]
+    )
+    assert stale == [], (
+        f"UNPARTITIONED_WINDOW_ALLOWED entries whose plans no longer "
+        f"contain an unpartitioned window: {stale} — prune them"
+    )

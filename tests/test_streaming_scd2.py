@@ -59,20 +59,23 @@ def test_streaming_scd2_reconciles_to_batch(spark, tmp_path):
     q.awaitTermination(180)
 
     emitted = spark.table("scd2_stream").toPandas()
-    # reconcile: per (user, valid_from) the closed row (or the largest
-    # open emission) is final; closed beats open on equal n_events
+    # reconcile: per interval the closed row (or the largest open
+    # emission) is final; closed beats open on equal n_events. Keyed by
+    # (user, valid_from, state) — NOT (user, valid_from) — because the
+    # whole-second boundary format means two runs of one user starting
+    # in the same second share valid_from (see scd2._fmt_us).
     emitted = emitted.sort_values(
-        ["user_id", "valid_from", "n_events", "is_current"],
-        ascending=[True, True, False, True],
-    ).drop_duplicates(["user_id", "valid_from"], keep="first")
+        ["user_id", "valid_from", "state", "n_events", "is_current"],
+        ascending=[True, True, True, False, True],
+    ).drop_duplicates(["user_id", "valid_from", "state"], keep="first")
 
     expect = (
         QUERIES["ev_scd2_state_intervals"](spark, SF_SMOKE)
         .toPandas()
-        .sort_values(["user_id", "valid_from"])
+        .sort_values(["user_id", "valid_from", "state"])
         .reset_index(drop=True)
     )
-    got = emitted.sort_values(["user_id", "valid_from"]).reset_index(drop=True)
+    got = emitted.sort_values(["user_id", "valid_from", "state"]).reset_index(drop=True)
     cols = ["user_id", "state", "valid_from", "valid_to", "is_current", "n_events"]
     assert got[cols].values.tolist() == expect[cols].values.tolist()
 
@@ -116,13 +119,13 @@ def test_streaming_scd2_sorts_within_batch(spark, tmp_path):
     got = (
         spark.table("scd2_shuffled")
         .toPandas()
-        .sort_values(["user_id", "valid_from"])
+        .sort_values(["user_id", "valid_from", "state"])
         .reset_index(drop=True)
     )
     expect = (
         QUERIES["ev_scd2_state_intervals"](spark, SF_SMOKE)
         .toPandas()
-        .sort_values(["user_id", "valid_from"])
+        .sort_values(["user_id", "valid_from", "state"])
         .reset_index(drop=True)
     )
     cols = ["user_id", "state", "valid_from", "valid_to", "is_current", "n_events"]
