@@ -42,6 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # --- new / plan-changed in round 7 ---
     "graph_copurchase_cosine_dimsum",
+    "sample_weighted_reservoir",
+    "sample_split_leakfree",
+    "ev_decayed_engagement",
     "ev_sliding_distinct_hll",
     "text_bm25_topk",
     "graph_triangle_counts",

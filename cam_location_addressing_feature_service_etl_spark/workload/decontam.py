@@ -522,3 +522,77 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 sample_importance_dsir.__doc__ = sample_importance_dsir.__doc__.format(
     lang=_DSIR_TARGET_LANG, top=_DSIR_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sample (Efraimidis–Spirakis A-ES, deterministic)
+# ---------------------------------------------------------------------------
+
+_RES_K = 100
+_RES_SEED = "res7"
+
+_RES_ORACLE = f"""
+WITH tokl AS (SELECT doc_id, {TOKENS_SQL.format(col="text")} AS toks FROM documents),
+keyed AS (
+  SELECT doc_id,
+         CAST(GREATEST(len(toks), 1) AS BIGINT) AS w,
+         ROUND(
+           -LN((('0x' || substr(md5('{_RES_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+               / 4294967296.0)
+           / GREATEST(len(toks), 1), 9) AS res_key
+  FROM tokl
+)
+SELECT doc_id, w, res_key, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT doc_id, w, res_key,
+         ROW_NUMBER() OVER (ORDER BY res_key ASC, doc_id ASC) AS rnk
+  FROM keyed
+) WHERE rnk <= {_RES_K}
+"""
+
+
+@register("sample_weighted_reservoir", oracle=_RES_ORACLE)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of {k} docs, weight =
+    token count, via the Efraimidis–Spirakis A-ES reduction: give each
+    doc the exponential race key -ln(u)/w (u uniform in (0,1]) and
+    take the k SMALLEST keys — P(doc in sample) is then proportional
+    to its weight, the one-pass distributed form of weighted
+    reservoir sampling (used for corpus subsampling where long docs
+    should be proportionally represented).
+
+    Determinism: u is a seeded md5 of the doc id mapped to (0,1], the
+    key is rounded to 9 digits before ranking (the kmeans
+    round-digits discipline — both engines rank identical values;
+    doc_id breaks ties), so the "random" sample is reproducible and
+    fully oracle-checked. Scale: map-only key computation, then the
+    distributed top-k of operators/topk.py (TakeOrderedAndProject +
+    windowless k-row rank) — the corpus is never globally sorted."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select("doc_id", tokens_col(F.col("text")).alias("_toks"))
+    w = F.greatest(F.size("_toks").cast("long"), F.lit(1).cast("long"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_RES_SEED + ":"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / 4294967296.0
+    keyed = toks.select(
+        "doc_id",
+        w.alias("w"),
+        F.round(-F.log(u) / w, 9).alias("res_key"),
+    )
+    return global_topk_ranked(
+        keyed,
+        [(F.col("res_key"), ASC), (F.col("doc_id"), ASC)],
+        _RES_K,
+        ["doc_id", "w", "res_key"],
+    )
+
+
+sample_weighted_reservoir.__doc__ = sample_weighted_reservoir.__doc__.format(k=_RES_K)

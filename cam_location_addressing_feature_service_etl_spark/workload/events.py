@@ -1147,3 +1147,70 @@ def ev_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 ev_sliding_distinct_hll.__doc__ = ev_sliding_distinct_hll.__doc__.format(
     n=_SLD_SPAN, m=_SLD_BUCKET_MS // 60000
 )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-decayed engagement score (recency-weighted user value)
+# ---------------------------------------------------------------------------
+
+#: half-life of the decay, in milliseconds (6 hours)
+_DECAY_HL_MS = 6 * 3600 * 1000
+
+_DECAY_ORACLE = f"""
+WITH mx AS (SELECT MAX(epoch_ms(ts)) AS max_ms FROM events),
+term AS (
+  SELECT user_id,
+         CAST(FLOOR(value * POWER(2.0, -((mx.max_ms - epoch_ms(ts)) / {_DECAY_HL_MS}.0))
+                    * 1000000 + 0.5) AS HUGEINT) AS t_micro
+  FROM events CROSS JOIN mx
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(t_micro) AS BIGINT) AS decayed_micro
+FROM term GROUP BY user_id
+"""
+
+
+@register("ev_decayed_engagement", oracle=_DECAY_ORACLE)
+def ev_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement per user: each event contributes
+    value * 2^(-age/half_life) with age measured from the corpus max
+    timestamp and a {h}-hour half-life — the recommender/abuse-scoring
+    primitive where yesterday's click outweighs last month's.
+
+    Determinism discipline (the DSIR/fixed-point pattern): the decay
+    term is computed from exact integer milliseconds, floored into
+    integer micro-units PER EVENT, and summed exactly (DECIMAL(38,0)
+    here, HUGEINT in the oracle) — one float POWER per event, zero
+    float aggregation, so engines agree bit-for-bit.
+
+    Scale: the max-timestamp frame is a 1-row broadcast (allowlisted
+    cross); the decay term is map-side scalar math; the per-user sum
+    is one partial-aggregatable groupBy. An incremental deployment
+    re-anchors by multiplying a stored score by 2^(-delta/hl) — the
+    decay law's semigroup property — rather than rescanning history."""
+    events = _events(spark, sf_dir)
+    mx = events.agg(F.max(F.unix_millis("ts")).alias("max_ms"))
+    t_micro = F.floor(
+        F.col("value")
+        * F.pow(
+            F.lit(2.0),
+            -((F.col("max_ms") - F.unix_millis("ts")) / F.lit(float(_DECAY_HL_MS))),
+        )
+        * 1000000
+        + 0.5
+    ).cast("decimal(38,0)")
+    return (
+        events.crossJoin(F.broadcast(mx))
+        .select("user_id", t_micro.alias("t_micro"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("t_micro").cast("long").alias("decayed_micro"),
+        )
+    )
+
+
+ev_decayed_engagement.__doc__ = ev_decayed_engagement.__doc__.format(
+    h=_DECAY_HL_MS // 3600000
+)

@@ -636,13 +636,12 @@ dedup_connected_components.__doc__ = dedup_connected_components.__doc__.format(
 )
 
 
-def _cc_star_oracle() -> str:
-    """Converged-components oracle: recursive label reachability (every
-    node collects all labels reachable over the symmetric edge set;
-    the MIN is the component minimum). Round-count independent, so it
-    checks the large-star/small-star variant's fixed point."""
-    return f"""
-WITH RECURSIVE {_shingle_cte(_NJ_SHINGLE_N)},
+def _cc_star_cte() -> str:
+    """Shared WITH-body: recursive label reachability over the trigram
+    Jaccard near-dup edge set (every node collects all labels
+    reachable over the symmetric edges; the MIN is the component
+    minimum). Round-count independent."""
+    return f"""WITH RECURSIVE {_shingle_cte(_NJ_SHINGLE_N)},
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shingle GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
@@ -660,7 +659,14 @@ cc(node, label) AS (
   SELECT s, s FROM e
   UNION
   SELECT e.d, cc.label FROM cc JOIN e ON e.s = cc.node
-)
+)"""
+
+
+def _cc_star_oracle() -> str:
+    """Converged-components oracle: checks the large-star/small-star
+    variant's fixed point via :func:`_cc_star_cte`."""
+    return f"""
+{_cc_star_cte()}
 SELECT node AS doc_id, MIN(label) AS component_id FROM cc GROUP BY node
 """
 
@@ -673,7 +679,18 @@ def dedup_cc_star_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds and re-joins the full adjacency each round; star rounds
     shrink the edge set toward per-component stars). The oracle is a
     recursive reachability CTE, so it checks the true fixed point
-    rather than any particular round count."""
+    rather than any particular round count.
+
+    Measured regimes (scripts/cc_star_regimes.py, quiet local[32],
+    best-of-3): on THIS dedup edge set at sf0.1 — diameter ~2, where a
+    fixed 3 rounds happens to suffice — cc_star 2.17s vs fixed-3 cc
+    2.54s: convergence detection is no longer a premium even in the
+    fixed-round variant's best regime. On a diameter-63 chain graph
+    (2000 chains x 64 nodes) cc_star converges in 5.66s while
+    fixed-round propagation needs 63 rounds = 26.2s to be CORRECT
+    (3 rounds returns wrong labels in 2.8s). Fixed-round stays
+    registered because its round-unrolled oracle checks a different
+    property (exact per-round semantics vs converged fixed point)."""
     from ..operators.dedup import connected_components_star
 
     (documents,) = _t(spark, sf_dir, "documents")
@@ -685,6 +702,92 @@ def dedup_cc_star_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free train/heldout split (near-dup-cluster-aware)
+# ---------------------------------------------------------------------------
+
+_SPLIT_SEED = "split7"
+_SPLIT_TRAIN_PCT = 80
+
+
+def _split_oracle() -> str:
+    return f"""
+{_cc_star_cte()},
+lab AS (SELECT node AS doc_id, MIN(label) AS group_id FROM cc GROUP BY node),
+g AS (
+  SELECT d.doc_id, COALESCE(l.group_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+)
+SELECT doc_id, group_id,
+       CASE WHEN ('0x' || substr(md5('{_SPLIT_SEED}:' || CAST(group_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 100 < {_SPLIT_TRAIN_PCT} THEN 'train' ELSE 'heldout' END AS split
+FROM g
+"""
+
+
+@register("sample_split_leakfree", oracle=_split_oracle())
+def sample_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/heldout split: the split coin is
+    flipped per NEAR-DUP CLUSTER (converged components of the trigram
+    Jaccard graph, singletons = the doc itself), not per document —
+    so a heldout doc can never have a near-duplicate in train, the
+    group-aware-split requirement every eval-integrity audit starts
+    from (naive per-doc splits leak {t}-Jaccard neighbors across the
+    boundary). ~{p}% of GROUPS land in train via a seeded md5 coin.
+
+    Determinism/oracle: cluster labels come from the converged
+    large-star fixed point (checked by the same recursive CTE as
+    ``dedup_cc_star_converged``), the coin is the seeded-hash idiom —
+    the whole split is reproducible and fully oracle-checked; the
+    no-straddle invariant is additionally asserted over the actual
+    near-dup pair list in tests/test_dimsum_hll_properties.py.
+
+    Scale: the Jaccard candidate pipeline and star rounds are the
+    banded/shrinking shapes of their parent queries; the split coin
+    is a map-only projection on the component label."""
+    from ..operators.dedup import connected_components_star
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents, id_col="doc_id", text_col="text",
+        threshold=_CC_THRESHOLD, shingle_n=_NJ_SHINGLE_N,
+    )
+    labels = connected_components_star(pairs)
+    g = (
+        documents.select("doc_id")
+        .join(labels, documents["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id", F.coalesce(F.col("label"), F.col("doc_id")).alias("group_id")
+        )
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(_SPLIT_SEED + ":"), F.col("group_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return g.select(
+        "doc_id",
+        "group_id",
+        F.when(coin < _SPLIT_TRAIN_PCT, F.lit("train"))
+        .otherwise(F.lit("heldout"))
+        .alias("split"),
+    )
+
+
+sample_split_leakfree.__doc__ = sample_split_leakfree.__doc__.format(
+    t=_CC_THRESHOLD, p=_SPLIT_TRAIN_PCT
+)
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,39 @@ def test_dimsum_estimator_quality(spark):
     assert abs(bias) <= 0.15, f"estimator bias {bias:.4f} outside ±0.15"
 
 
+def test_split_leakfree_no_straddle(spark):
+    """The group-aware split's whole point: no near-dup pair may
+    straddle train/heldout. Checked over the ACTUAL Jaccard pair list
+    (not just the group labels), plus both splits must be non-empty
+    so the coin threshold stays meaningful."""
+    from cam_location_addressing_feature_service_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from cam_location_addressing_feature_service_etl_spark.workload.llm_text import (
+        _CC_THRESHOLD,
+        _NJ_SHINGLE_N,
+        _t,
+    )
+
+    split = QUERIES["sample_split_leakfree"](spark, SF_SMOKE).toPandas()
+    assert (split.groupby("group_id")["split"].nunique() <= 1).all()
+    assert set(split["split"]) == {"train", "heldout"}
+
+    (documents,) = _t(spark, SF_SMOKE, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents,
+        id_col="doc_id",
+        text_col="text",
+        threshold=_CC_THRESHOLD,
+        shingle_n=_NJ_SHINGLE_N,
+    ).toPandas()
+    side = dict(zip(split.doc_id, split["split"]))
+    straddle = [
+        (a, b) for a, b in zip(pairs.id_a, pairs.id_b) if side[a] != side[b]
+    ]
+    assert straddle == [], f"near-dup pairs crossing the split: {straddle[:5]}"
+
+
 @given(
     # per-user event offsets in ms, deliberately clustered around the
     # 1000 ms bucket edges (0, ±1, ±2 around multiples of the bucket)

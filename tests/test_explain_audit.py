@@ -37,6 +37,7 @@ CARTESIAN_ALLOWED = {
     "text_tfidf_topk",              # corpus doc count
     "text_unigram_logprob",         # corpus token total
     "ev_funnel_conversion",         # three stage counts in one row
+    "ev_decayed_engagement",        # 1-row max-timestamp anchor frame
     "emb_pca_power_projection",     # per-round max|u| renormalizer
     "sample_temperature_mix",       # total source weight
     "text_vocab_coverage",          # corpus token total
