@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .topk import ASC, rank_small_frame
+from .topk import ASC, prefix_sum_small_frame, rank_small_frame
 
 
 def assign_surrogate_ids(keys: DataFrame, existing_map: DataFrame, key_col: str = "iri") -> DataFrame:
@@ -38,6 +38,12 @@ def assign_surrogate_ids(keys: DataFrame, existing_map: DataFrame, key_col: str 
     ``existing_map`` has columns (key_col, id: long). ``keys`` is the
     (possibly duplicated) key universe; only unseen keys get new ids,
     numbered max(id)+1.. in deterministic ``key_col`` order.
+
+    INCREMENT-SIZED ONLY: the new keys are ranked via a sorted-array
+    aggregate that holds one increment's new keys in a single in-memory
+    array (it does not spill). A first/bulk load — where EVERY key is
+    new — must use :func:`assign_surrogate_ids_bulk` (identical ids,
+    distributed numbering); ``plans/pipeline.surrogate_id_pass`` does.
     """
     distinct_keys = keys.select(key_col).distinct()
     new_keys = distinct_keys.join(existing_map.select(key_col), key_col, "left_anti")
@@ -72,7 +78,10 @@ def assign_surrogate_ids_bulk(
         .repartitionByRange(F.col(key_col))
         .sortWithinPartitions(key_col)
     )
-    base = existing_map.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
+    # Lazy 1-row start frame (broadcast below) — a driver-side
+    # collect() here would execute real jobs at PLAN-BUILD time, making
+    # explain/plan-audit consumers pay full compute before any action.
+    start = existing_map.agg(F.coalesce(F.max("id"), F.lit(0)).alias("_start"))
 
     # spark_partition_id is stable for a materialized partitioning; use
     # a window per partition id with a precomputed offset join.
@@ -81,26 +90,26 @@ def assign_surrogate_ids_bulk(
     # Prefix-sum the per-partition counts into offsets WITHOUT a window
     # (the offsets frame is numPartitions rows; an empty-partition-spec
     # window would still plan as the warned single-partition
-    # WindowExec): sorted-array aggregate + per-element prefix slice.
-    # O(P²) scalar adds inside one row — fine to ~10k partitions; for
-    # extreme partition counts do this prefix sum driver-side (the
-    # zipWithIndex approach).
-    arr = counts.agg(
-        F.array_sort(F.collect_list(F.struct("_pid", "_cnt"))).alias("_a")
+    # WindowExec): operators/topk.py's sorted-array prefix sum. O(P²)
+    # scalar adds inside one row — fine to ~10k partitions; for extreme
+    # partition counts do this prefix sum driver-side (the zipWithIndex
+    # approach).
+    offsets = prefix_sum_small_frame(
+        counts,
+        [(F.col("_pid"), ASC)],
+        ["_pid"],
+        sum_col="_cnt",
+        sum_name="_off",
+        inclusive=False,
     )
-    offsets = arr.select(
-        F.explode(
-            F.expr(
-                "transform(_a, (x, i) -> struct(x._pid AS _pid, "
-                "aggregate(slice(_a, 1, i), 0L, (acc, y) -> acc + y._cnt)"
-                " AS _off))"
-            )
-        ).alias("r")
-    ).select("r._pid", "r._off")
     w_local = Window.partitionBy("_pid").orderBy(key_col)
     numbered = (
         with_pid.join(F.broadcast(offsets), "_pid")
-        .withColumn("id", (F.lit(base) + F.col("_off") + F.row_number().over(w_local)).cast("long"))
+        .crossJoin(F.broadcast(start))
+        .withColumn(
+            "id",
+            (F.col("_start") + F.col("_off") + F.row_number().over(w_local)).cast("long"),
+        )
         .select(key_col, "id")
     )
     return existing_map.select(key_col, "id").unionByName(numbered)

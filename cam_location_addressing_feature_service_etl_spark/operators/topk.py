@@ -68,6 +68,43 @@ def rank_small_frame(
     )
 
 
+def prefix_sum_small_frame(
+    df: DataFrame,
+    keys: list[tuple[Column, str]],
+    cols: list[str],
+    sum_col: str,
+    sum_name: str,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Running total of ``sum_col`` (a BIGINT column) over a SMALL
+    frame ordered by ``keys``, without a window: the same sorted-array
+    aggregate as :func:`rank_small_frame`, with each row's total
+    computed from its array prefix (``inclusive`` chooses whether the
+    row's own value is counted). O(k²) scalar adds on k rows. Output
+    columns: ``cols`` + ``sum_name``."""
+    sort_fields = [
+        ((-c) if d == DESC else c).alias(f"_s{i}") for i, (c, d) in enumerate(keys)
+    ]
+    carried = list(dict.fromkeys([*cols, sum_col]))
+    payload = [F.col(c).alias(c) for c in carried]
+    arr = F.array_sort(F.collect_list(F.struct(*sort_fields, *payload)))
+    inner = ", ".join(f"x.{c} AS {c}" for c in cols)
+    off = 1 if inclusive else 0
+    return (
+        df.agg(arr.alias("_a"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(_a, (x, i) -> struct({inner}, "
+                    f"aggregate(slice(_a, 1, i + {off}), 0L, "
+                    f"(acc, y) -> acc + y.{sum_col}) AS {sum_name}))"
+                )
+            ).alias("_r")
+        )
+        .select(*[F.col(f"_r.{c}").alias(c) for c in cols], f"_r.{sum_name}")
+    )
+
+
 def global_topk_ranked(
     df: DataFrame,
     keys: list[tuple[Column, str]],

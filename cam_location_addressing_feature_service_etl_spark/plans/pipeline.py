@@ -17,7 +17,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.id_map import assign_surrogate_ids, rewrite_pk_to_id
+from ..operators.id_map import assign_surrogate_ids_bulk, rewrite_pk_to_id
 from ..operators.upsert import upsert_by_key
 
 
@@ -90,7 +90,12 @@ def surrogate_id_pass(
     unseen keys (stable dense ids), then rewrite the text PK to the
     integer id (``id_map.py:8-84``; invoked for five tables at
     ``pls/tables.py:934-938``)."""
-    full_map = assign_surrogate_ids(table.select(F.col(pk_col).alias("iri")), existing_map)
+    # the BULK numbering: on a first run (empty carried-forward map)
+    # every key of the table is "new", so this path must be the
+    # spill-safe distributed form, not the small-increment array rank
+    full_map = assign_surrogate_ids_bulk(
+        table.select(F.col(pk_col).alias("iri")), existing_map
+    )
     rewritten = rewrite_pk_to_id(table, full_map, pk_col=pk_col)
     return SurrogateIdResult(table=rewritten, id_map=full_map)
 

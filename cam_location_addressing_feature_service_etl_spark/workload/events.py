@@ -1090,10 +1090,14 @@ def sliding_distinct_hll(
 ) -> DataFrame:
     """Core of ``ev_sliding_distinct_hll`` over any (user_id, ts)
     frame — factored out so the bucket-boundary property test
-    (tests/test_properties.py) can fuzz timestamps across bucket
-    edges against a pure-Python reference. Returns
+    (tests/test_dimsum_hll_properties.py) can fuzz timestamps across
+    bucket edges against a pure-Python reference. Returns
     (window_bucket, exact_users, sketch_within_5pct)."""
-    b = (F.unix_millis("ts") / bucket_ms).cast("long")
+    # floor, not cast-truncation: for pre-1970 timestamps (negative
+    # epoch ms) truncation rounds toward zero while the oracle's `//`
+    # and Python's `//` floor — the bucket assignment must agree for
+    # ANY timestamp, not just post-epoch ones.
+    b = F.floor(F.unix_millis("ts") / F.lit(bucket_ms)).cast("long")
     be = events.select("user_id", b.alias("b")).transform(materialize)
     sk = be.groupBy("b").agg(F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("sk"))
     buckets = be.select("b").distinct()

@@ -408,8 +408,8 @@ def graph_copurchase_cosine_dimsum(spark: SparkSession, sf_dir: str) -> DataFram
     sampled pipeline (not just its expectation) is oracle-checked.
     Estimator quality vs the exact query (recall of strong pairs +
     mean squared error) is pinned by a property test
-    (tests/test_properties.py::test_dimsum_estimator_quality); the
-    exact query IS the oracle the sampler is validated against.
+    (tests/test_dimsum_hll_properties.py::test_dimsum_estimator_quality);
+    the exact query IS the oracle the sampler is validated against.
 
     Scale: deg is a partial-aggregatable groupBy broadcast onto the
     basket frame (item-cardinality-sized); the sample filter is a pure

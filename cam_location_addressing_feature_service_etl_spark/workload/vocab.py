@@ -157,26 +157,18 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = cnt.orderBy(F.col("cnt").desc(), F.col("tok")).limit(_COV_TOP)
     # Cumulative sum over the k survivors WITHOUT a window (an empty-
     # partition-spec window — even over k rows — plans as the warned
-    # single-partition WindowExec): collect the k rows into one sorted
-    # array via a global aggregate (partial-agg path) and compute each
-    # row's running total from its array prefix — O(k²) scalar adds on
-    # k rows, free.
-    arr = top.agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct((-F.col("cnt")).alias("_s0"), F.col("tok"), F.col("cnt"))
-            )
-        ).alias("_a")
+    # single-partition WindowExec): operators/topk.py's sorted-array
+    # prefix sum — O(k²) scalar adds on k rows, free.
+    from ..operators.topk import ASC, DESC, prefix_sum_small_frame
+
+    cum = prefix_sum_small_frame(
+        top,
+        [(F.col("cnt"), DESC), (F.col("tok"), ASC)],
+        ["tok", "cnt"],
+        sum_col="cnt",
+        sum_name="cum_count",
+        inclusive=True,
     )
-    cum = arr.select(
-        F.explode(
-            F.expr(
-                "transform(_a, (x, i) -> struct(x.tok AS tok, x.cnt AS cnt, "
-                "aggregate(slice(_a, 1, i + 1), 0L, (acc, y) -> acc + y.cnt)"
-                " AS cum_count))"
-            )
-        ).alias("r")
-    ).select("r.tok", "r.cnt", "r.cum_count")
     return (
         cum.crossJoin(F.broadcast(tot))
         .select(

@@ -95,18 +95,24 @@ def test_split_leakfree_no_straddle(spark):
         ),
         min_size=1,
         max_size=40,
-    )
+    ),
+    pre1970=st.booleans(),
 )
 @_SET
-def test_hll_sliding_window_shifted_buckets(spark, data):
+def test_hll_sliding_window_shifted_buckets(spark, data, pre1970):
     """Fuzz event timestamps across tumbling-bucket edges: the exact
     leg must equal a pure-Python sliding-distinct reference (an event
     at bucket b counts toward windows b..b+span-1 that actually
     exist), and the sketch leg must satisfy the query's own 5%
     contract — at these cardinalities the HLL(14) estimate is exact,
-    so the flag must be True for every window."""
+    so the flag must be True for every window. ``pre1970`` anchors the
+    events just before epoch 0 so NEGATIVE epoch milliseconds cross
+    bucket edges too — floor and truncate-toward-zero disagree there,
+    and the engine must floor like the oracle's ``//``."""
     bucket_ms, span = 1000, 3
-    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    base = datetime.datetime(
+        1969, 12, 31, 23, 59, 57, tzinfo=datetime.timezone.utc
+    ) if pre1970 else datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
     rows = []
     for uid, bidx, jit in data:
         ms = max(0, bidx * bucket_ms + jit)

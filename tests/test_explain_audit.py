@@ -34,6 +34,7 @@ CARTESIAN_ALLOWED = {
     "sim_kmeans_assignments",
     "emb_ivfpq_index",
     # 1-row broadcast scalar aggregates
+    "m3_stable_surrogate_ids",      # lazy 1-row max-id start frame
     "text_tfidf_topk",              # corpus doc count
     "text_unigram_logprob",         # corpus token total
     "ev_funnel_conversion",         # three stage counts in one row

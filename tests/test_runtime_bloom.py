@@ -59,10 +59,14 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     # Bloom pruning is advisory (false positives pass through; the
     # equi-join still decides membership) — results must be identical
     # with the feature fully off.
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    enabled_key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    spark.conf.set(enabled_key, "false")
     try:
         plain_rows = _join(spark).count()
     finally:
-        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        if saved[enabled_key] is None:
+            spark.conf.unset(enabled_key)
+        else:
+            spark.conf.set(enabled_key, saved[enabled_key])
     assert filtered_rows == plain_rows
     assert plain_rows > 0, "fixture filter selects nothing — weaken it"
