@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .topk import ASC, prefix_sum_small_frame, rank_small_frame
+from ..runtime import materialize
 
 
 def assign_surrogate_ids(keys: DataFrame, existing_map: DataFrame, key_col: str = "iri") -> DataFrame:
@@ -73,10 +74,16 @@ def assign_surrogate_ids_bulk(
     partitioning + in-partition sort give a total order by key.
     """
     distinct_keys = keys.select(key_col).distinct()
+    # Materialize the range-partitioned sort ONCE: both the offset
+    # aggregation and the numbering consume it, and lineage-cutting
+    # here both avoids recomputing the subtree per branch and makes
+    # spark_partition_id stability a guarantee rather than a
+    # reuse-the-exchange accident.
     new_keys = (
         distinct_keys.join(existing_map.select(key_col), key_col, "left_anti")
         .repartitionByRange(F.col(key_col))
         .sortWithinPartitions(key_col)
+        .transform(materialize)
     )
     # Lazy 1-row start frame (broadcast below) — a driver-side
     # collect() here would execute real jobs at PLAN-BUILD time, making

@@ -222,6 +222,35 @@ def upsert_snapshot_sink(
     )
 
 
+def tumbling_distinct_sketches(
+    events: DataFrame,
+    bucket: str = "10 minutes",
+    watermark: str = "30 minutes",
+    lgk: int = 14,
+) -> DataFrame:
+    """Streaming leg of the sliding-distinct pattern (the twin of the
+    batch ``ev_sliding_distinct_hll`` query): maintain one MERGEABLE
+    HLL sketch per tumbling bucket — (bucket_start, sk: binary). A
+    sliding window is then a sketch-sized ``hll_union_agg`` over the
+    span's buckets BATCH-side (the dashboard/rollup query), so raw
+    events are aggregated exactly once in the stream and the slide
+    never re-touches them — the production division of labor that a
+    native sliding-window agg (which explodes every event into
+    window/slide copies inside the state store) cannot match.
+
+    HLL sketches are order-insensitive (register maxima), so the
+    streaming result is bit-identical to a batch ``hll_sketch_agg``
+    over the same events — asserted in tests/test_streaming_hll.py.
+    State per bucket is one kilobyte-scale sketch; the watermark
+    bounds how many buckets stay open."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", bucket).alias("w"))
+        .agg(F.hll_sketch_agg(F.col("user_id"), F.lit(lgk)).alias("sk"))
+        .select(F.col("w.start").alias("bucket_start"), "sk")
+    )
+
+
 def enriched_event_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join: each micro-batch of the event
     stream is joined against a STATIC dimension (here any (user_id,
