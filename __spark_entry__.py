@@ -42,6 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # --- new / plan-changed in round 7 ---
     "graph_copurchase_cosine_dimsum",
+    "a10_theta_audience_overlap",
+    "a11_kll_quantile_rollup",
     "sample_weighted_reservoir",
     "sample_split_leakfree",
     "ev_decayed_engagement",

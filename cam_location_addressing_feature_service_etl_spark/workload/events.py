@@ -1218,3 +1218,181 @@ def ev_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
 ev_decayed_engagement.__doc__ = ev_decayed_engagement.__doc__.format(
     h=_DECAY_HL_MS // 3600000
 )
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch audience overlap (mergeable set algebra on user sets)
+# ---------------------------------------------------------------------------
+
+_THETA_TOL = 0.05
+
+_THETA_ORACLE = f"""
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_overlap
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+card AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY 1)
+SELECT p.type_a, p.type_b, p.exact_overlap,
+       ca.n + cb.n - p.exact_overlap AS exact_union,
+       TRUE AS inter_within_tol, TRUE AS union_within_tol
+FROM pairs p JOIN card ca ON ca.event_type = p.type_a
+             JOIN card cb ON cb.event_type = p.type_b
+"""
+
+
+@register("a10_theta_audience_overlap", oracle=_THETA_ORACLE)
+def a10_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap set algebra via theta sketches: |A∩B| and
+    |A∪B| of the per-event-type user sets, estimated from one
+    mergeable theta sketch per type — the sketch family that (unlike
+    HLL) supports INTERSECTION and DIFFERENCE, so cross-segment
+    overlap questions never rescan raw events. Self-verified like
+    a5/a7: exact overlap/union are hash-checked against the oracle
+    and the sketch estimates must land within {t:.0%}.
+
+    Determinism: a theta sketch retains the hashes below its theta
+    threshold (the k-th smallest) — an order-insensitive function of
+    the input SET, so estimates are reproducible across partitionings.
+    Scale: one partial-aggregatable sketch per type (kilobytes); the
+    pair algebra runs on the T-row sketch frame (T = event types, a
+    broadcast self-join), never on raw data. The exact legs exist
+    only to verify and drop out of a production plan."""
+    events = _events(spark, sf_dir)
+    tu = events.select("event_type", "user_id").distinct().transform(materialize)
+    sk = tu.groupBy("event_type").agg(
+        F.theta_sketch_agg(F.col("user_id")).alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sa = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("ska"),
+        F.col("n").alias("na"),
+    )
+    sb = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("skb"),
+        F.col("n").alias("nb"),
+    )
+    est = (
+        sa.join(F.broadcast(sb), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a", "type_b", "na", "nb",
+            F.theta_sketch_estimate(
+                F.theta_intersection("ska", "skb")
+            ).alias("est_inter"),
+            F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias("est_union"),
+        )
+    )
+    exact = (
+        tu.alias("a")
+        .join(
+            tu.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return exact.join(est, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_overlap",
+        (F.col("na") + F.col("nb") - F.col("exact_overlap")).alias("exact_union"),
+        (
+            F.abs(F.col("est_inter") - F.col("exact_overlap"))
+            <= _THETA_TOL * F.col("exact_overlap")
+        ).alias("inter_within_tol"),
+        (
+            F.abs(F.col("est_union") - (F.col("na") + F.col("nb") - F.col("exact_overlap")))
+            <= _THETA_TOL * (F.col("na") + F.col("nb") - F.col("exact_overlap"))
+        ).alias("union_within_tol"),
+    )
+
+
+a10_theta_audience_overlap.__doc__ = a10_theta_audience_overlap.__doc__.format(
+    t=_THETA_TOL
+)
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile-sketch rollup (mergeable percentiles, daily -> overall)
+# ---------------------------------------------------------------------------
+
+_KLL_QS = [0.25, 0.5, 0.75, 0.9]
+#: rank tolerance for the sketch check: the sketch's value-at-rank-q
+#: must fall between the EXACT percentiles at q±_KLL_RANK_TOL (KLL
+#: k=200 guarantees ~1.65% rank error at 99% confidence — 5% is ~3x
+#: that bound, so the flag is deterministically true in practice)
+_KLL_RANK_TOL = 0.05
+
+_KLL_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT {q} AS q, ROUND(quantile_cont(value, {q}), 4) AS exact_value, "
+    f"TRUE AS within_rank_tol FROM events"
+    for q in _KLL_QS
+)
+
+
+@register("a11_kll_quantile_rollup", oracle=_KLL_ORACLE)
+def a11_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles: one KLL sketch of event value PER DAY,
+    folded into an overall sketch — the percentile rollup that (unlike
+    exact percentile or approx_percentile's per-query scan) lets a
+    dashboard re-aggregate daily summaries into any date range without
+    touching raw events (the a7 HLL rollup pattern, for quantiles).
+    Self-verified: the exact percentiles are hash-checked against the
+    oracle, and the merged sketch's value-at-rank-q must land between
+    the exact percentiles at q±{t:.0%} (a rank-space tolerance, robust
+    to value-space scale).
+
+    Scale: daily sketches are a partial-aggregatable groupBy producing
+    kilobyte states; the fold is a tiny array aggregate over
+    days-count sketches; the exact leg exists only to verify and drops
+    out of a production plan."""
+    events = _events(spark, sf_dir)
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.kll_sketch_agg_double(F.col("value"), F.lit(200)).alias("sk")
+    )
+    merged = daily.agg(F.collect_list("sk").alias("sks")).select(
+        F.expr(
+            "aggregate(slice(sks, 2, size(sks) - 1), sks[1], "
+            "(acc, x) -> kll_sketch_merge_double(acc, x)) AS mk"
+        )
+    )
+    lo_hi = [
+        expr
+        for q in _KLL_QS
+        for expr in (
+            F.expr(f"percentile(value, {q})").alias(f"ex_{int(q * 100)}"),
+            F.expr(f"percentile(value, {q - _KLL_RANK_TOL})").alias(
+                f"lo_{int(q * 100)}"
+            ),
+            F.expr(f"percentile(value, {q + _KLL_RANK_TOL})").alias(
+                f"hi_{int(q * 100)}"
+            ),
+        )
+    ]
+    exact = events.agg(*lo_hi)
+    rows = [
+        F.struct(
+            F.lit(q).alias("q"),
+            F.round(F.col(f"ex_{int(q * 100)}"), 4).alias("exact_value"),
+            F.expr(f"kll_sketch_get_quantile_double(mk, {q}d)")
+            .between(F.col(f"lo_{int(q * 100)}"), F.col(f"hi_{int(q * 100)}"))
+            .alias("within_rank_tol"),
+        )
+        for q in _KLL_QS
+    ]
+    return (
+        merged.crossJoin(F.broadcast(exact))
+        .select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.q", "r.exact_value", "r.within_rank_tol")
+    )
+
+
+a11_kll_quantile_rollup.__doc__ = a11_kll_quantile_rollup.__doc__.format(
+    t=_KLL_RANK_TOL
+)
