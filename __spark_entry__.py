@@ -44,6 +44,7 @@ _PRIORITY = [
     "graph_copurchase_cosine_dimsum",
     "a10_theta_audience_overlap",
     "a11_kll_quantile_rollup",
+    "ev_sessionize_native_window",
     "sample_weighted_reservoir",
     "sample_split_leakfree",
     "ev_decayed_engagement",

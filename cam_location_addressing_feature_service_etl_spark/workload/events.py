@@ -103,6 +103,75 @@ def ev_sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_agg(numbered)
 
 
+_SESSIONIZE_NATIVE_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_ms(ts) - epoch_ms(prev_ts) > {_GAP_MIN} * 60000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(CAST(value AS DECIMAL(18,8))), 4)::DOUBLE AS total_value
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
+@register("ev_sessionize_native_window", oracle=_SESSIONIZE_NATIVE_ORACLE)
+def ev_sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's BUILT-IN ``session_window`` — the
+    third implementation of the same {g}-min-gap contract
+    (lag/cumsum ``ev_sessionize_gap30``, skew-salted
+    ``ev_sessionize_salted``), checked against the same gaps-and-
+    islands oracle. An event extends a session when its gap from the
+    session end is <= the window gap (verified: exact-boundary events
+    MERGE, matching the oracle's strict-``>`` new-session rule).
+
+    Why it earns a slot: ``session_window`` is the form that carries
+    unchanged to Structured Streaming (state-store-backed session
+    merges with watermark eviction) — the batch query IS the
+    streaming query. Scale: one shuffle on user_id; per-group sorted
+    merge inside the aggregate, no window-function pass at all."""
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy(
+            "user_id",
+            F.session_window("ts", f"{_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,8)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+ev_sessionize_native_window.__doc__ = ev_sessionize_native_window.__doc__.format(
+    g=_GAP_MIN
+)
+
+
 @register("ev_sessionize_salted", oracle=_SESSIONIZE_ORACLE)
 def ev_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-hardened sessionization path (operators/sessionize.py:

@@ -92,3 +92,68 @@ def test_streaming_bucket_sketches_union_to_sliding_windows(spark, tmp_path):
     assert set(got) == set(exact)
     for wb, e in exact.items():
         assert abs(got[wb] - e) <= 0.05 * e, (wb, got[wb], e)
+
+
+def test_streaming_session_window_reconciles_to_batch(spark, tmp_path):
+    """The native session_window aggregation runs UNCHANGED as a
+    streaming query (state-store session merges) — replaying the
+    events as two micro-batches must produce exactly the batch
+    query's sessions."""
+    from cam_location_addressing_feature_service_etl_spark.workload.events import (
+        _GAP_MIN,
+    )
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    batch_events = load(spark, SF_SMOKE, "events")
+    mid = batch_events.approxQuantile("event_id", [0.5], 0.0)[0]
+    for name, pred in [
+        ("a", F.col("event_id") <= mid),
+        ("b", F.col("event_id") > mid),
+    ]:
+        out = tmp_path / f"half_{name}"
+        batch_events.filter(pred).coalesce(1).write.parquet(str(out))
+        (part,) = glob.glob(str(out / "part-*.parquet"))
+        shutil.copy(part, d / f"{name}.parquet")
+
+    raw = read_event_stream(spark, str(d)).withWatermark("ts", "1 hour")
+    stream = (
+        raw.groupBy(
+            "user_id", F.session_window("ts", f"{_GAP_MIN} minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,8)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("native_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = (
+        spark.table("native_sessions")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        QUERIES["ev_sessionize_native_window"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    cols = ["user_id", "session_start", "n_events", "total_value"]
+    assert got[cols].values.tolist() == expect[cols].values.tolist()
