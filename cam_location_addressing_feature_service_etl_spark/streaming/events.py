@@ -42,15 +42,23 @@ EVENTS_FILE_SCHEMA = StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream of events, schema-adaptive on ts like
     tables.load: nanos-as-long footers get the ns→µs conversion,
     native timestamp footers stream as-is. A streaming source needs
     the schema up front, so probe it with a batch footer read (driver
-    metadata only — no data scan)."""
+    metadata only — no data scan). ``max_files_per_trigger`` caps each
+    micro-batch (tests use 1 so a multi-file replay actually crosses
+    micro-batch boundaries — availableNow would otherwise drain every
+    file in one batch and never exercise cross-batch state)."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     ts_type = spark.read.parquet(path).schema["ts"].dataType
     if isinstance(ts_type, LongType):
-        raw = spark.readStream.schema(EVENTS_FILE_SCHEMA).format("parquet").load(path)
+        raw = reader.schema(EVENTS_FILE_SCHEMA).format("parquet").load(path)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     schema = StructType(
         [
@@ -58,7 +66,7 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
             for f in EVENTS_FILE_SCHEMA.fields
         ]
     )
-    raw = spark.readStream.schema(schema).format("parquet").load(path)
+    raw = reader.schema(schema).format("parquet").load(path)
     # session tz is pinned UTC, so NTZ→LTZ keeps the same instant;
     # watermarks and window() need the LTZ type.
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -31,14 +31,19 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events")
 
 
-_SESSIONIZE_ORACLE = f"""
+#: Shared gaps-and-islands CTE body for the sessionize oracle family.
+#: Both windows order by (ts, event_id) — the running sum MUST carry
+#: the same tiebreak as the LAG, or two same-timestamp events at a
+#: session boundary could be numbered in a different order than they
+#: were flagged and land in the wrong session nondeterministically.
+_SESSIONIZE_CTE = f"""
 WITH ordered AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 ),
 flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          CASE WHEN prev_ts IS NULL
                    OR epoch_ms(ts) - epoch_ms(prev_ts) > {_GAP_MIN} * 60000
               THEN 1 ELSE 0 END AS new_session
@@ -46,10 +51,13 @@ flagged AS (
 ),
 numbered AS (
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM flagged
-)
+)"""
+
+_SESSIONIZE_ORACLE = f"""
+{_SESSIONIZE_CTE}
 SELECT CAST(user_id AS VARCHAR) || '-' || CAST(session_idx AS VARCHAR) AS session_id,
        user_id,
        STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -104,24 +112,7 @@ def ev_sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SESSIONIZE_NATIVE_ORACLE = f"""
-WITH ordered AS (
-  SELECT user_id, ts, value,
-         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-  FROM events
-),
-flagged AS (
-  SELECT user_id, ts, value,
-         CASE WHEN prev_ts IS NULL
-                   OR epoch_ms(ts) - epoch_ms(prev_ts) > {_GAP_MIN} * 60000
-              THEN 1 ELSE 0 END AS new_session
-  FROM ordered
-),
-numbered AS (
-  SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS session_idx
-  FROM flagged
-)
+{_SESSIONIZE_CTE}
 SELECT user_id,
        STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -1322,6 +1313,16 @@ def a10_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a5/a7: exact overlap/union are hash-checked against the oracle
     and the sketch estimates must land within {t:.0%}.
 
+    Tolerance backing (the a11 discipline — a bound, not a hope):
+    theta intersection relative error scales like
+    sqrt(|A∪B| / |A∩B|) / sqrt(k), so with lgNomEntries=16 (k=65536)
+    the {t:.0%} contract holds while the union/overlap ratio stays
+    under ~k*tol² ≈ 160 — far beyond this workload's shapes — and the
+    sketches stay EXACT (zero error) until a type's audience exceeds
+    64k users. At default k=4096 the flag would start flipping as
+    soon as audiences left exact mode; k is the dial to turn with
+    corpus scale, at 8 bytes per retained hash.
+
     Determinism: a theta sketch retains the hashes below its theta
     threshold (the k-th smallest) — an order-insensitive function of
     the input SET, so estimates are reproducible across partitionings.
@@ -1332,7 +1333,7 @@ def a10_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _events(spark, sf_dir)
     tu = events.select("event_type", "user_id").distinct().transform(materialize)
     sk = tu.groupBy("event_type").agg(
-        F.theta_sketch_agg(F.col("user_id")).alias("sk"),
+        F.theta_sketch_agg(F.col("user_id"), lgNomEntries=16).alias("sk"),
         F.count(F.lit(1)).alias("n"),
     )
     sa = sk.select(

@@ -17,6 +17,7 @@ from ..operators.bpe import JOIN_CH, bpe_apply, bpe_merge_rules
 from ..operators.dedup import tokens_col
 from .llm_text import TOKENS_SQL, _t
 from . import register
+from ..operators.topk import ASC, DESC, prefix_sum_small_frame
 
 _BPE_ROUNDS = 3
 
@@ -159,8 +160,6 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition-spec window — even over k rows — plans as the warned
     # single-partition WindowExec): operators/topk.py's sorted-array
     # prefix sum — O(k²) scalar adds on k rows, free.
-    from ..operators.topk import ASC, DESC, prefix_sum_small_frame
-
     cum = prefix_sum_small_frame(
         top,
         [(F.col("cnt"), DESC), (F.col("tok"), ASC)],

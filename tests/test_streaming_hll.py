@@ -42,7 +42,7 @@ def test_streaming_bucket_sketches_union_to_sliding_windows(spark, tmp_path):
         (part,) = glob.glob(str(out / "part-*.parquet"))
         shutil.copy(part, d / f"{name}.parquet")
 
-    raw = read_event_stream(spark, str(d))
+    raw = read_event_stream(spark, str(d), max_files_per_trigger=1)
     bucket_str = f"{_SLD_BUCKET_MS // 60000} minutes"
     q = (
         tumbling_distinct_sketches(raw, bucket=bucket_str)
@@ -116,7 +116,9 @@ def test_streaming_session_window_reconciles_to_batch(spark, tmp_path):
         (part,) = glob.glob(str(out / "part-*.parquet"))
         shutil.copy(part, d / f"{name}.parquet")
 
-    raw = read_event_stream(spark, str(d)).withWatermark("ts", "1 hour")
+    raw = read_event_stream(spark, str(d), max_files_per_trigger=1).withWatermark(
+        "ts", "1 hour"
+    )
     stream = (
         raw.groupBy(
             "user_id", F.session_window("ts", f"{_GAP_MIN} minutes").alias("w")
