@@ -39,6 +39,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cam_location_addressing_feature_service_etl_spark.session import get_spark
 from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
 
+
+def _empty_partition_windows(plan) -> int:
+    """Count Window nodes with an EMPTY partition spec in a logical
+    plan (py4j walk) — the single-partition sort WindowExec warns
+    about; tests/test_explain_audit.py fails the suite on any hit."""
+    n, stack = 0, [plan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            n += 1
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return n
+
 CHECKS = {
     "pushed_filters": re.compile(r"PushedFilters: \[([^\]]+)\]"),
     "read_schema": re.compile(r"ReadSchema: (\S+)"),
@@ -59,8 +74,10 @@ def main() -> None:
     for name in sorted(QUERIES):
         if filters and not any(f in name for f in filters):
             continue
-        plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().explainString(mode)
-        facts = []
+        qe = QUERIES[name](spark, sf_dir)._jdf.queryExecution()
+        plan = qe.explainString(mode)
+        unpart = _empty_partition_windows(qe.optimizedPlan())
+        facts = [f"UNPARTITIONED_WINDOW×{unpart}"] if unpart else []
         for label, pat in CHECKS.items():
             hits = pat.findall(plan)
             if hits:
@@ -68,6 +85,7 @@ def main() -> None:
                 sample = hits[0][:60] if isinstance(hits[0], str) else ""
                 facts.append(f"{label}×{n}" + (f"({sample})" if label in ("pushed_filters",) else ""))
         flag = "  !! CARTESIAN !!" if CHECKS["CARTESIAN"].search(plan) else ""
+        flag += "  !! UNPARTITIONED WINDOW !!" if unpart else ""
         print(f"{name:36s} {'; '.join(facts)}{flag}")
 
 
