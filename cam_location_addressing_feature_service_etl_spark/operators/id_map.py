@@ -33,18 +33,33 @@ from .topk import ASC, prefix_sum_small_frame, rank_small_frame
 from ..runtime import materialize
 
 
-def assign_surrogate_ids(keys: DataFrame, existing_map: DataFrame, key_col: str = "iri") -> DataFrame:
+#: hard cap on new keys per increment for :func:`assign_surrogate_ids`
+#: — the sorted-array rank holds the increment's new keys in ONE
+#: in-memory array (no spill), so an unbounded caller must fail with a
+#: clear message instead of an executor OOM.
+MAX_INCREMENT_NEW_KEYS = 5_000_000
+
+
+def assign_surrogate_ids(
+    keys: DataFrame,
+    existing_map: DataFrame,
+    key_col: str = "iri",
+    max_new_keys: int = MAX_INCREMENT_NEW_KEYS,
+) -> DataFrame:
     """Return the full map (key_col, id) = existing ∪ newly-numbered keys.
 
     ``existing_map`` has columns (key_col, id: long). ``keys`` is the
     (possibly duplicated) key universe; only unseen keys get new ids,
     numbered max(id)+1.. in deterministic ``key_col`` order.
 
-    INCREMENT-SIZED ONLY: the new keys are ranked via a sorted-array
-    aggregate that holds one increment's new keys in a single in-memory
-    array (it does not spill). A first/bulk load — where EVERY key is
-    new — must use :func:`assign_surrogate_ids_bulk` (identical ids,
-    distributed numbering); ``plans/pipeline.surrogate_id_pass`` does.
+    INCREMENT-SIZED ONLY — enforced, not just documented: the new keys
+    are ranked via a sorted-array aggregate that holds one increment's
+    new keys in a single in-memory array (it does not spill), so the
+    plan raises a clear error (lazily, at execution — plan build stays
+    job-free) if the increment exceeds ``max_new_keys``. A first/bulk
+    load — where EVERY key is new — must use
+    :func:`assign_surrogate_ids_bulk` (identical ids, distributed
+    spill-safe numbering); ``plans/pipeline.surrogate_id_pass`` does.
     """
     distinct_keys = keys.select(key_col).distinct()
     new_keys = distinct_keys.join(existing_map.select(key_col), key_col, "left_anti")
@@ -54,10 +69,33 @@ def assign_surrogate_ids(keys: DataFrame, existing_map: DataFrame, key_col: str 
     # sorted-array rank it also spills): numbered windowless via
     # operators/topk.rank_small_frame, so no single-partition
     # WindowExec appears anywhere in an incremental run's plan.
+    # Enforcement: limit(cap+1) BEFORE the rank bounds the collected
+    # array itself (an after-the-fact count would OOM inside
+    # collect_list before any check ran), then a rank at cap+1 proves
+    # the increment overflowed and raises through the id expression —
+    # woven in, not a droppable side column that pruning would remove.
+    guard = F.when(
+        F.col("_rn") > F.lit(max_new_keys),
+        F.raise_error(
+            F.lit(
+                f"assign_surrogate_ids: increment has more than {max_new_keys} "
+                "new keys; route bulk/first loads through "
+                "assign_surrogate_ids_bulk (distributed, spill-safe numbering)"
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
     numbered = (
-        rank_small_frame(new_keys, [(F.col(key_col), ASC)], [key_col], rank_name="_rn")
+        rank_small_frame(
+            new_keys.limit(max_new_keys + 1),
+            [(F.col(key_col), ASC)],
+            [key_col],
+            rank_name="_rn",
+        )
         .crossJoin(F.broadcast(start))
-        .select(key_col, (F.col("start") + F.col("_rn")).cast("long").alias("id"))
+        .select(
+            key_col,
+            (F.col("start") + F.col("_rn") + guard).cast("long").alias("id"),
+        )
     )
     return existing_map.select(key_col, "id").unionByName(numbered)
 

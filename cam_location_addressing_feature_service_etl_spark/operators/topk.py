@@ -33,10 +33,29 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 #: sort-key direction markers for :func:`global_topk_ranked`
 ASC = "asc"
 DESC = "desc"
+
+
+def _check_desc_keys_numeric(df: DataFrame, keys: list[tuple[Column, str]]) -> None:
+    """DESC keys are implemented by unary negation inside the sorted
+    struct; negating a non-numeric column would silently cast to double
+    (all-null) and produce an arbitrary order, so fail loudly instead.
+    Analysis-only (``df.select(...).schema``) — no job is triggered."""
+    desc_keys = [c for c, d in keys if d == DESC]
+    if not desc_keys:
+        return
+    schema = df.select(*[c.alias(f"_k{i}") for i, c in enumerate(desc_keys)]).schema
+    for field, col in zip(schema.fields, desc_keys):
+        if not isinstance(field.dataType, NumericType):
+            raise TypeError(
+                f"DESC sort key {col} has non-numeric type {field.dataType}; "
+                "negation-based DESC would silently cast it to double (nulls). "
+                "Cast the key to a numeric ordinal first."
+            )
 
 
 def rank_small_frame(
@@ -50,9 +69,11 @@ def rank_small_frame(
 
     ``keys`` is ``[(column, ASC|DESC), ...]``; DESC keys must be
     numeric (they are negated to reuse ``array_sort``'s ascending
-    struct comparison). ``cols`` are the payload columns to keep, in
-    output order. No window is used — see module docstring.
+    struct comparison — enforced, not just documented). ``cols`` are
+    the payload columns to keep, in output order. No window is used —
+    see module docstring.
     """
+    _check_desc_keys_numeric(df, keys)
     sort_fields = [
         ((-c) if d == DESC else c).alias(f"_s{i}") for i, (c, d) in enumerate(keys)
     ]
@@ -81,7 +102,9 @@ def prefix_sum_small_frame(
     aggregate as :func:`rank_small_frame`, with each row's total
     computed from its array prefix (``inclusive`` chooses whether the
     row's own value is counted). O(k²) scalar adds on k rows. Output
-    columns: ``cols`` + ``sum_name``."""
+    columns: ``cols`` + ``sum_name``. DESC keys must be numeric
+    (enforced, same negation caveat as :func:`rank_small_frame`)."""
+    _check_desc_keys_numeric(df, keys)
     sort_fields = [
         ((-c) if d == DESC else c).alias(f"_s{i}") for i, (c, d) in enumerate(keys)
     ]

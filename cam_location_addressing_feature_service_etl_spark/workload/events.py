@@ -1246,7 +1246,14 @@ def ev_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     term is computed from exact integer milliseconds, floored into
     integer micro-units PER EVENT, and summed exactly (DECIMAL(38,0)
     here, HUGEINT in the oracle) — one float POWER per event, zero
-    float aggregation, so engines agree bit-for-bit.
+    float aggregation. Caveat (not bit-for-bit in the absolute): the
+    single per-event POWER still depends on the engines' pow/libm
+    agreeing to the last ulp before the FLOOR(x*1e6 + 0.5); a term
+    landing within one ulp of a .5 micro-unit boundary could flip one
+    micro-unit between platforms. No boundary case exists in this
+    corpus (parity is clean), but a platform migration should expect
+    a ±1-micro-unit-per-event tolerance, like the sketch queries'
+    bounded flags.
 
     Scale: the max-timestamp frame is a 1-row broadcast (allowlisted
     cross); the decay term is map-side scalar math; the per-user sum
@@ -1426,10 +1433,15 @@ def a11_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(F.to_date("ts").alias("d")).agg(
         F.kll_sketch_agg_double(F.col("value"), F.lit(200)).alias("sk")
     )
+    # Empty-frame guard: with zero daily sketches, slice's length arg
+    # would be -1 (a runtime error) and sks[1] out-of-bounds — return a
+    # NULL merged sketch instead so the query yields rows with null
+    # flags rather than crashing on an empty events frame.
     merged = daily.agg(F.collect_list("sk").alias("sks")).select(
         F.expr(
-            "aggregate(slice(sks, 2, size(sks) - 1), sks[1], "
-            "(acc, x) -> kll_sketch_merge_double(acc, x)) AS mk"
+            "CASE WHEN size(sks) = 0 THEN NULL ELSE "
+            "aggregate(slice(sks, 2, greatest(size(sks) - 1, 0)), sks[1], "
+            "(acc, x) -> kll_sketch_merge_double(acc, x)) END AS mk"
         )
     )
     lo_hi = [

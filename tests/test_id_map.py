@@ -92,3 +92,19 @@ def test_new_key_filter_tolerates_converted_ids(spark):
     )
     new = new_key_filter(table, id_map, pk_col="pk")
     assert [r["pk"] for r in new.collect()] == ["iri-new"]
+
+
+def test_oversized_increment_fails_with_clear_error(spark):
+    """The INCREMENT-SIZED ONLY contract is enforced: an increment with
+    more new keys than the cap raises a clear routing error instead of
+    building an unbounded in-memory array (the limit(cap+1) bound means
+    collect_list never sees more than cap+1 rows)."""
+    import pytest
+
+    keys = spark.createDataFrame([(i,) for i in PARCEL_IRIS], "iri string")
+    full_map = assign_surrogate_ids(keys, _empty_map(spark), max_new_keys=3)
+    with pytest.raises(Exception, match="assign_surrogate_ids_bulk"):
+        full_map.collect()
+    # at/under the cap the same plan succeeds with identical ids
+    ok = assign_surrogate_ids(keys, _empty_map(spark), max_new_keys=10)
+    assert sorted(r["id"] for r in ok.collect()) == list(range(1, 11))

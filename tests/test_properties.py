@@ -813,3 +813,22 @@ def test_scd2_engine_matches_oracle_under_ts_ties(spark, rows, tmp_path_factory)
         )
 
     assert rows_of(got) == rows_of(want)
+
+
+def test_desc_topk_key_must_be_numeric(spark):
+    """ADVICE r07: a DESC key of non-numeric type would be silently
+    negated-to-double (all null) — the guard raises instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cam_location_addressing_feature_service_etl_spark.operators.topk import (
+        DESC,
+        global_topk_ranked,
+    )
+
+    df = spark.createDataFrame([("b", 1), ("a", 2)], "s string, v int")
+    with pytest.raises(TypeError, match="non-numeric"):
+        global_topk_ranked(df, [(F.col("s"), DESC)], 2, ["s", "v"])
+    # numeric DESC still works
+    got = global_topk_ranked(df, [(F.col("v"), DESC)], 2, ["s", "v"]).collect()
+    assert [r["s"] for r in sorted(got, key=lambda r: r["rnk"])] == ["a", "b"]
