@@ -223,17 +223,38 @@ def ivfpq_index(
     shuffles are the two partial-aggregatable groupBys of the PQ
     argmin, exactly as :func:`pq_codes`. Returns
     (id, centroid_id, subspace, code, dist_sq)."""
-    cents = xs.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("centroid_id"), F.col("xs").alias("cs")
-    )
-    members = xs.filter(F.col(id_col) >= n_cells)
-    sq_l2 = lambda a, b: F.aggregate(  # noqa: E731
+    _, _, codes = _ivfpq_parts(xs, n_cells, codebook_ids, sub_dims, id_col)
+    return codes
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between two micro-unit arrays, as a
+    JVM zip_with/aggregate fold — no explode, no shuffle."""
+    return F.aggregate(
         F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
         F.lit(0).cast("long"),
         lambda acc, y: acc + y,
     )
+
+
+def _ivfpq_parts(
+    xs: DataFrame,
+    n_cells: int,
+    codebook_ids: int,
+    sub_dims: int,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared IVF-PQ build pieces: returns ``(cents, cb, codes)`` —
+    cell centroids (centroid_id, cs), the residual codebook
+    (code, subspace, pos, bi), and the code table
+    (id, centroid_id, subspace, code, dist_sq). :func:`ivfpq_index`
+    returns ``codes``; :func:`ivfpq_adc_search` consumes all three."""
+    cents = xs.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("centroid_id"), F.col("xs").alias("cs")
+    )
+    members = xs.filter(F.col(id_col) >= n_cells)
     scored = members.crossJoin(F.broadcast(cents)).select(
-        id_col, "centroid_id", "xs", sq_l2(F.col("xs"), F.col("cs")).alias("d")
+        id_col, "centroid_id", "xs", _sq_l2(F.col("xs"), F.col("cs")).alias("d")
     )
     assigned = (
         scored.groupBy(id_col)
@@ -268,7 +289,7 @@ def ivfpq_index(
         .groupBy(id_col, "centroid_id", "subspace", "code")
         .agg(F.sum((F.col("ri") - F.col("bi")) * (F.col("ri") - F.col("bi"))).alias("dist_sq"))
     )
-    return (
+    codes = (
         per.groupBy(id_col, "centroid_id", "subspace")
         .agg(F.min(F.struct("dist_sq", "code")).alias("b"))
         .select(
@@ -278,4 +299,152 @@ def ivfpq_index(
             F.col("b.code").alias("code"),
             F.col("b.dist_sq").alias("dist_sq"),
         )
+    )
+    return cents, cb, codes
+
+
+def ivfpq_adc_search(
+    xs: DataFrame,
+    queries: DataFrame,
+    n_cells: int,
+    codebook_ids: int,
+    sub_dims: int,
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC (asymmetric-distance) search over the IVF-PQ index — the
+    query path that makes :func:`ivfpq_index` worth building: neighbors
+    are ranked from their PQ CODES alone, never their raw vectors, so
+    at 100 TB the scan side is the byte-sized code table (RAM-resident
+    per executor) while full vectors stay cold.
+
+    Per query: (1) probe the ``nprobe`` nearest cells by exact squared
+    L2 against the broadcast centroids; (2) form the query residual
+    per probed cell and build the m×k distance TABLE — the exact
+    squared L2 from the residual's each-subspace slice to every
+    codebook entry (Q·nprobe·m·k rows total, broadcast); (3) score
+    each member of a probed cell as Σ_subspace dt[cell, s, code[s]] —
+    a broadcast-hash join of the code table against the distance
+    table plus one partial-aggregatable sum; (4) rank top-``k`` per
+    query (window PARTITIONED by query — never global).
+
+    All arithmetic is exact micro-unit integers, so the ADC distances
+    and ranks hash-match the SQL oracle (ties break by neighbor id).
+    In a deployment where the code table is written partitioned by
+    ``centroid_id``, step (3)'s cell restriction becomes partition
+    pruning — only nprobe/n_cells of the index is read.
+
+    ``queries`` is a micro-array frame (id_col, xs). Returns
+    (query_id, neighbor_id, adc_dist, rank); self-matches excluded.
+    """
+    from pyspark.sql.window import Window
+
+    cents, cb, codes = _ivfpq_parts(xs, n_cells, codebook_ids, sub_dims, id_col)
+    qscored = queries.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col).alias("query_id"),
+        "centroid_id",
+        "xs",
+        "cs",
+        _sq_l2(F.col("xs"), F.col("cs")).alias("d"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("centroid_id"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            "query_id",
+            "centroid_id",
+            F.zip_with("xs", "cs", lambda a, b: a - b).alias("rq"),
+        )
+    )
+    rq = probes.select(
+        "query_id",
+        "centroid_id",
+        F.posexplode("rq").alias("pos0", "rqi"),
+    ).select(
+        "query_id",
+        "centroid_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (F.col("pos0") / sub_dims).cast("long").alias("subspace"),
+        "rqi",
+    )
+    dt = (
+        rq.join(F.broadcast(cb), ["subspace", "pos"])
+        .groupBy("query_id", "centroid_id", "subspace", "code")
+        .agg(
+            F.sum((F.col("rqi") - F.col("bi")) * (F.col("rqi") - F.col("bi"))).alias(
+                "dt"
+            )
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(dt), ["centroid_id", "subspace", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("dt").cast("long").alias("adc_dist"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ivfpq_adc_rerank(
+    xs: DataFrame,
+    queries: DataFrame,
+    n_cells: int,
+    codebook_ids: int,
+    sub_dims: int,
+    k: int,
+    nprobe: int,
+    shortlist: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage IVF-PQ search — the production FAISS deployment shape:
+    stage 1 shortlists the ADC top-``shortlist`` per query from codes
+    alone (:func:`ivfpq_adc_search`), stage 2 re-scores ONLY those
+    Q×shortlist candidates against their raw vectors with the exact
+    integer squared L2 and returns the top-``k``.
+
+    This is the recall repair for PQ quantization loss: ADC ranks from
+    a 16-entry-per-subspace approximation, so its top-k can miss true
+    neighbors that ARE in its top-R; the exact rerank recovers every
+    true neighbor the shortlist contains, at the cost of fetching
+    shortlist raw vectors per query (a broadcast semi-join against the
+    vector table — one columnar scan in Spark; point lookups in a
+    serving deployment). Recall regimes are pinned in
+    tests/test_factorization.py: adc ≤ rerank ≤ probed-cell ceiling.
+
+    Returns (query_id, neighbor_id, dist_sq, rank), exact integers.
+    """
+    from pyspark.sql.window import Window
+
+    short = ivfpq_adc_search(
+        xs, queries, n_cells, codebook_ids, sub_dims,
+        k=shortlist, nprobe=nprobe, id_col=id_col,
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col("xs").alias("qxs"))
+    nv = xs.select(F.col(id_col).alias("neighbor_id"), F.col("xs").alias("nxs"))
+    exact = (
+        F.broadcast(short.select("query_id", "neighbor_id"))
+        .join(nv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sq_l2(F.col("qxs"), F.col("nxs")).alias("dist_sq"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_sq"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist_sq", F.col("rank").cast("long").alias("rank"))
     )

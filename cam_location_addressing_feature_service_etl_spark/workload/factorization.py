@@ -152,8 +152,9 @@ emb_pq_codes.__doc__ = emb_pq_codes.__doc__.format(m=_PQ_SUB_DIMS, k=_PQ_CODEBOO
 _IVFPQ_CELLS = 8
 _IVFPQ_CODEBOOK = 16
 
-_IVFPQ_ORACLE = f"""
-WITH {_COMP_CTE},
+#: shared CTE chain of the IVF-PQ build — reused verbatim by the index
+#: oracle and the ADC-search oracle so both express the SAME index.
+_IVFPQ_CTES = f"""{_COMP_CTE},
 cent AS (SELECT vec_id AS centroid_id, pos, xi AS ci FROM comp WHERE vec_id < {_IVFPQ_CELLS}),
 mem AS (SELECT * FROM comp WHERE vec_id >= {_IVFPQ_CELLS}),
 ad AS (
@@ -191,7 +192,10 @@ best AS (
          ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
                             ORDER BY dist_sq, code) AS rn
   FROM per
-)
+)"""
+
+_IVFPQ_ORACLE = f"""
+WITH {_IVFPQ_CTES}
 SELECT vec_id, centroid_id, CAST(subspace AS BIGINT) AS subspace, code,
        CAST(dist_sq AS BIGINT) AS dist_sq
 FROM best WHERE rn = 1
@@ -226,3 +230,174 @@ def emb_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code",
         F.col("dist_sq").cast("long"),
     )
+
+
+_ADC_QUERY_LO, _ADC_QUERY_HI = 8, 18
+_ADC_NPROBE = 2
+_ADC_K = 3
+
+#: CTE chain through the ADC ranking — shared by the pure-ADC search
+#: oracle and the two-stage rerank oracle.
+_IVFPQ_SEARCH_CTES = f"""{_IVFPQ_CTES},
+q AS (
+  SELECT vec_id AS query_id, pos, xi FROM comp
+  WHERE vec_id >= {_ADC_QUERY_LO} AND vec_id < {_ADC_QUERY_HI}
+),
+qd AS (
+  SELECT q.query_id, c.centroid_id, SUM((q.xi - c.ci) * (q.xi - c.ci)) AS d
+  FROM q JOIN cent c USING (pos)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT query_id, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY d, centroid_id) AS rn
+    FROM qd
+  ) WHERE rn <= {_ADC_NPROBE}
+),
+rq AS (
+  SELECT p.query_id, p.centroid_id, q.pos,
+         (q.pos - 1) // {_PQ_SUB_DIMS} AS subspace,
+         q.xi - c.ci AS rqi
+  FROM probes p
+  JOIN q ON q.query_id = p.query_id
+  JOIN cent c ON c.centroid_id = p.centroid_id AND c.pos = q.pos
+),
+dt AS (
+  SELECT r.query_id, r.centroid_id, r.subspace, c.code,
+         SUM((r.rqi - c.bi) * (r.rqi - c.bi)) AS dt
+  FROM rq r JOIN cb c ON c.subspace = r.subspace AND c.pos = r.pos
+  GROUP BY 1, 2, 3, 4
+),
+codes AS (
+  SELECT vec_id, centroid_id, subspace, code FROM best WHERE rn = 1
+),
+adc AS (
+  SELECT d.query_id, k.vec_id AS neighbor_id, SUM(d.dt) AS adc_dist
+  FROM codes k
+  JOIN dt d ON d.centroid_id = k.centroid_id
+           AND d.subspace = k.subspace AND d.code = k.code
+  WHERE k.vec_id <> d.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc
+)
+"""
+
+_IVFPQ_SEARCH_ORACLE = f"""
+WITH {_IVFPQ_SEARCH_CTES}
+SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_ADC_K}
+"""
+
+
+@register("sim_ann_ivfpq_search", oracle=_IVFPQ_SEARCH_ORACLE)
+def sim_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-{k} over the IVF-PQ index emb_ivfpq_index builds — the
+    search path that turns the index from an artifact into the 100 TB
+    ANN answer: each query probes its {p} nearest cells, builds the
+    m×k table of exact integer residual-to-codebook distances, and
+    ranks neighbors from their PQ CODES alone (Σ_subspace table
+    lookups) — the raw vectors are never read on the scan side.
+
+    Plan: centroids/codebook/distance-tables are broadcast; the scan
+    side is the code table restricted to probed cells via a broadcast
+    hash join (partition pruning when the index is written partitioned
+    by centroid_id); one partial-aggregatable sum per (query,
+    neighbor); ranking is a query-PARTITIONED window. All integer
+    micro-unit arithmetic — ADC distances hash-match the oracle.
+    Recall-vs-exact is pinned in tests/test_factorization.py (the
+    sim_ann_ivf_nprobe2 property-test pattern)."""
+    from ..operators.factorization import ivfpq_adc_search
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    xs = micro_array(embeddings, "vec_id", "embedding").transform(materialize)
+    queries = xs.filter(
+        (F.col("vec_id") >= _ADC_QUERY_LO) & (F.col("vec_id") < _ADC_QUERY_HI)
+    )
+    return ivfpq_adc_search(
+        xs,
+        queries,
+        n_cells=_IVFPQ_CELLS,
+        codebook_ids=_IVFPQ_CODEBOOK,
+        sub_dims=_PQ_SUB_DIMS,
+        k=_ADC_K,
+        nprobe=_ADC_NPROBE,
+    )
+
+
+sim_ann_ivfpq_search.__doc__ = sim_ann_ivfpq_search.__doc__.format(
+    k=_ADC_K, p=_ADC_NPROBE
+)
+
+
+_RERANK_SHORTLIST = 50
+
+_IVFPQ_RERANK_ORACLE = f"""
+WITH {_IVFPQ_SEARCH_CTES},
+short AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE rank <= {_RERANK_SHORTLIST}
+),
+ex AS (
+  SELECT s.query_id, s.neighbor_id,
+         SUM((q.xi - m.xi) * (q.xi - m.xi)) AS dist_sq
+  FROM short s
+  JOIN comp q ON q.vec_id = s.query_id
+  JOIN comp m ON m.vec_id = s.neighbor_id AND m.pos = q.pos
+  GROUP BY 1, 2
+),
+rr AS (
+  SELECT query_id, neighbor_id, dist_sq,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist_sq, neighbor_id) AS rank
+  FROM ex
+)
+SELECT query_id, neighbor_id, CAST(dist_sq AS BIGINT) AS dist_sq,
+       CAST(rank AS BIGINT) AS rank
+FROM rr WHERE rank <= {_ADC_K}
+"""
+
+
+@register("sim_ann_ivfpq_rerank", oracle=_IVFPQ_RERANK_ORACLE)
+def sim_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ search (the production FAISS shape): ADC
+    shortlists the top-{r} per query from PQ codes alone, then ONLY
+    those Q×{r} candidates are re-scored against raw vectors (exact
+    integer squared L2) for the final top-{k}. Repairs PQ quantization
+    loss while touching {r} raw vectors per query instead of a cell's
+    whole membership — at 100 TB the code table is the scan, the
+    vector table is a broadcast-semi-join point fetch, and {r} is the
+    recall/fetch dial. Measured regimes at sf0.001 (random-vector
+    corpus — PQ's WORST case, no cluster structure for the residual
+    codebook to exploit): recall@3 = 0.167 pure-ADC -> 0.500 reranked,
+    vs 0.533 probed-cell ceiling (nprobe=2 of 8 cells) — the rerank
+    recovers 15 of the 16 reachable true neighbors. Pinned in
+    tests/test_factorization.py (adc <= rerank <= ceiling)."""
+    from ..operators.factorization import ivfpq_adc_rerank
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    xs = micro_array(embeddings, "vec_id", "embedding").transform(materialize)
+    queries = xs.filter(
+        (F.col("vec_id") >= _ADC_QUERY_LO) & (F.col("vec_id") < _ADC_QUERY_HI)
+    )
+    return ivfpq_adc_rerank(
+        xs,
+        queries,
+        n_cells=_IVFPQ_CELLS,
+        codebook_ids=_IVFPQ_CODEBOOK,
+        sub_dims=_PQ_SUB_DIMS,
+        k=_ADC_K,
+        nprobe=_ADC_NPROBE,
+        shortlist=_RERANK_SHORTLIST,
+    )
+
+
+sim_ann_ivfpq_rerank.__doc__ = sim_ann_ivfpq_rerank.__doc__.format(
+    k=_ADC_K, r=_RERANK_SHORTLIST
+)

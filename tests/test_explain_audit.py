@@ -33,6 +33,8 @@ CARTESIAN_ALLOWED = {
     "text_bigram_logprob",          # 1-row broadcast vocabulary size
     "sim_kmeans_assignments",
     "emb_ivfpq_index",
+    "sim_ann_ivfpq_search",         # queries/members scored vs broadcast centroids
+    "sim_ann_ivfpq_rerank",         # same ADC stage feeding the exact rerank
     # 1-row broadcast scalar aggregates
     "m3_stable_surrogate_ids",      # lazy 1-row max-id start frame
     "text_tfidf_topk",              # corpus doc count
