@@ -1478,3 +1478,179 @@ def a11_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 a11_kll_quantile_rollup.__doc__ = a11_kll_quantile_rollup.__doc__.format(
     t=_KLL_RANK_TOL
 )
+
+
+# ---------------------------------------------------------------------------
+# Count-min heavy hitters (mergeable frequency sketch, daily -> overall)
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 5
+_CMS_WIDTH = 256
+_CMS_SEED = "cms-r8"
+_CMS_TOPK = 10
+#: e to the double closest to Euler's constant — both engines multiply
+#: the SAME literal, so the derived bound is bit-identical.
+_CMS_E = "2.718281828459045"
+
+_CMS_BUCKET_SQL = (
+    f"('0x' || substr(md5('{_CMS_SEED}:' || CAST({{key}} AS VARCHAR) || ':' "
+    f"|| CAST({{row}} AS VARCHAR)), 1, 15))::BIGINT % {_CMS_WIDTH}"
+)
+
+_CMS_ORACLE = f"""
+WITH per_day AS (
+  SELECT CAST(ts AS DATE) AS d, user_id, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT d, user_id, cnt, r.row
+  FROM per_day CROSS JOIN (SELECT unnest(range(0, {_CMS_DEPTH})) AS row) r
+),
+daily_cms AS (
+  SELECT d, row, {_CMS_BUCKET_SQL.format(key="user_id", row="row")} AS bucket,
+         SUM(cnt) AS c
+  FROM rows_ GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT row, bucket, SUM(c) AS c FROM daily_cms GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM events GROUP BY 1
+),
+heavy AS (
+  SELECT user_id, exact_cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, user_id) AS BIGINT) AS rnk
+  FROM exact QUALIFY rnk <= {_CMS_TOPK}
+),
+probes AS (
+  SELECT h.user_id, h.exact_cnt, h.rnk, r.row,
+         {_CMS_BUCKET_SQL.format(key="h.user_id", row="r.row")} AS bucket
+  FROM heavy h CROSS JOIN (SELECT unnest(range(0, {_CMS_DEPTH})) AS row) r
+),
+est AS (
+  SELECT p.user_id, p.exact_cnt, p.rnk, CAST(MIN(m.c) AS BIGINT) AS est_cnt
+  FROM probes p JOIN merged m ON m.row = p.row AND m.bucket = p.bucket
+  GROUP BY 1, 2, 3
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events)
+SELECT e.user_id, e.rnk, e.exact_cnt, e.est_cnt,
+       e.est_cnt - e.exact_cnt AS overestimate,
+       e.est_cnt >= e.exact_cnt AS never_underestimates,
+       (e.est_cnt - e.exact_cnt) * 1000000
+         <= FLOOR({_CMS_E} * CAST(n.total AS DOUBLE) * 1000000.0 / {_CMS_WIDTH})
+         AS within_bound
+FROM est e CROSS JOIN n
+"""
+
+
+def _cms_bucket(key, row, width: int = _CMS_WIDTH):
+    """Row-seeded md5 bucket (the DIMSUM-coin pattern): 15 hex chars =
+    60 bits, always positive, identical in DuckDB as
+    ('0x' || substr(md5(seed:key:row), 1, 15))::BIGINT % width."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(_CMS_SEED + ":"),
+                        key.cast("string"),
+                        F.lit(":"),
+                        row.cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+@register("a12_cms_heavy_hitters", oracle=_CMS_ORACLE)
+def a12_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter frequency rollup via a count-min sketch expressed
+    as a pure DataFrame — one (depth × width) counter matrix PER DAY,
+    merged into an overall sketch by cellwise SUM (count-min's merge IS
+    addition), completing the mergeable-sketch family: HLL (a5/a7,
+    distinct), theta (a10, set algebra), KLL (a11, quantiles), CMS
+    (a12, frequencies — the streaming complement of
+    a9_key_skew_profile).
+
+    ε/δ arithmetic (the a10/a11 bound-not-hope discipline): depth d={d}
+    rows × width w={w} buckets give ε = e/w ≈ {eps:.4f} and
+    δ = e^-d ≈ {delta:.4f} — for any key, est ≥ true ALWAYS (checked
+    as never_underestimates) and est ≤ true + ε·N with probability
+    1−δ ≈ {conf:.1%} over hash seeds (checked as within_bound with the
+    exact FLOOR(e·N·1e6/w) micro-unit bound). The hash rows are seeded
+    md5 (the DIMSUM-coin pattern), so the whole sketch — estimates
+    included — is a deterministic function of the data and
+    hash-matches the oracle bit-for-bit, no tolerance column needed.
+
+    Scale: per-(day,key) counts are partial-aggregated BEFORE the
+    depth-explode (the explode touches keys×days rows, never raw
+    events); daily states are d·w integers; the rollup merge is a
+    kilobyte-frame groupBy; estimation probes d cells per candidate
+    key against the broadcast merged sketch. The exact leg exists only
+    to verify and drops out of a production plan."""
+    from ..operators.topk import ASC, DESC, global_topk_ranked
+
+    events = _events(spark, sf_dir)
+    bucket = _cms_bucket
+    depth_rows = F.explode(F.array(*[F.lit(i).cast("long") for i in range(_CMS_DEPTH)]))
+    per_day = events.groupBy(F.to_date("ts").alias("d"), "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    daily_cms = (
+        per_day.select("d", "user_id", "cnt", depth_rows.alias("row"))
+        .groupBy("d", "row", bucket(F.col("user_id"), F.col("row")).alias("bucket"))
+        .agg(F.sum("cnt").alias("c"))
+    )
+    merged = daily_cms.groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    heavy = global_topk_ranked(
+        exact,
+        [(F.col("exact_cnt"), DESC), (F.col("user_id"), ASC)],
+        _CMS_TOPK,
+        ["user_id", "exact_cnt"],
+        rank_name="rnk",
+    )
+    probes = heavy.select(
+        "user_id", "exact_cnt", "rnk", depth_rows.alias("row")
+    ).withColumn("bucket", bucket(F.col("user_id"), F.col("row")))
+    est = (
+        probes.join(F.broadcast(merged), ["row", "bucket"])
+        .groupBy("user_id", "exact_cnt", "rnk")
+        .agg(F.min("c").cast("long").alias("est_cnt"))
+    )
+    n = events.agg(F.count(F.lit(1)).alias("total"))
+    bound_micro = F.floor(
+        F.lit(float(_CMS_E))
+        * F.col("total").cast("double")
+        * F.lit(1000000.0)
+        / F.lit(float(_CMS_WIDTH))
+    )
+    return est.crossJoin(F.broadcast(n)).select(
+        "user_id",
+        "rnk",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("overestimate"),
+        (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_underestimates"),
+        (
+            (F.col("est_cnt") - F.col("exact_cnt")) * F.lit(1000000)
+            <= bound_micro
+        ).alias("within_bound"),
+    )
+
+
+import math as _math  # noqa: E402
+
+a12_cms_heavy_hitters.__doc__ = a12_cms_heavy_hitters.__doc__.format(
+    d=_CMS_DEPTH,
+    w=_CMS_WIDTH,
+    eps=float(_CMS_E) / _CMS_WIDTH,
+    delta=_math.exp(-_CMS_DEPTH),
+    conf=1 - _math.exp(-_CMS_DEPTH),
+)

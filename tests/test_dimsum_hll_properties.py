@@ -146,3 +146,62 @@ def test_hll_sliding_window_shifted_buckets(spark, data, pre1970):
         exact_users, within = out[wb]
         assert exact_users == expect[wb], (wb, exact_users, expect[wb])
         assert within is True
+
+
+def test_cms_forced_collisions_never_underestimate(spark):
+    """Count-min property check with a width small enough (4) to FORCE
+    collisions, which the registry corpus doesn't produce at width 256:
+    every estimate must be >= the true count (the one-sided CMS
+    guarantee), estimates must equal the Python-recomputed
+    min-over-depth of the same seeded-md5 bucket sums, and any key
+    whose buckets all collide shows a strictly positive overestimate."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from cam_location_addressing_feature_service_etl_spark.workload.events import (
+        _CMS_SEED,
+        _cms_bucket,
+    )
+
+    width, depth = 4, 3
+    counts = {"a": 50, "b": 30, "c": 20, "d": 7, "e": 1}
+    rows = [(k,) for k, n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "k string")
+
+    def py_bucket(key, row):
+        h = hashlib.md5(f"{_CMS_SEED}:{key}:{row}".encode()).hexdigest()
+        return int(h[:15], 16) % width
+
+    # expected sketch + estimates in plain Python
+    cells = {}
+    for k, n in counts.items():
+        for r in range(depth):
+            cells[(r, py_bucket(k, r))] = cells.get((r, py_bucket(k, r)), 0) + n
+    expected_est = {
+        k: min(cells[(r, py_bucket(k, r))] for r in range(depth)) for k in counts
+    }
+    assert any(expected_est[k] > counts[k] for k in counts), (
+        "width 4 over 5 keys must collide somewhere — test setup broken"
+    )
+
+    depth_rows = F.explode(F.array(*[F.lit(i).cast("long") for i in range(depth)]))
+    per_key = df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    cms = (
+        per_key.select("k", "cnt", depth_rows.alias("row"))
+        .groupBy("row", _cms_bucket(F.col("k"), F.col("row"), width).alias("bucket"))
+        .agg(F.sum("cnt").alias("c"))
+    )
+    probes = per_key.select("k", "cnt", depth_rows.alias("row")).withColumn(
+        "bucket", _cms_bucket(F.col("k"), F.col("row"), width)
+    )
+    est = (
+        probes.join(F.broadcast(cms), ["row", "bucket"])
+        .groupBy("k", "cnt")
+        .agg(F.min("c").alias("est"))
+    )
+    got = {r["k"]: (r["cnt"], r["est"]) for r in est.collect()}
+    for k, n in counts.items():
+        assert got[k][0] == n
+        assert got[k][1] == expected_est[k], (k, got[k], expected_est[k])
+        assert got[k][1] >= n
