@@ -268,3 +268,48 @@ def enriched_event_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     can do, and the first choice before reaching for stream-stream
     joins. Left join keeps events with no dimension row (label NULL)."""
     return events.join(dim, "user_id", "left")
+
+
+def streaming_type_theta_sketches(events: DataFrame, lgk: int = 16) -> DataFrame:
+    """Streaming leg of ``a10_theta_audience_overlap``: one mergeable
+    theta sketch per event type, maintained incrementally across
+    micro-batches (complete-mode global aggregate — state is T
+    sketches, kilobytes). The pair algebra (intersection/union
+    estimates) stays a batch rollup over this T-row state frame,
+    exactly as the batch query does it.
+
+    A theta sketch retains the k smallest hashes of the input SET —
+    an order-insensitive, duplicate-insensitive function — so the
+    streaming state is bit-identical to a batch ``theta_sketch_agg``
+    over the same events no matter where micro-batch boundaries fall
+    (asserted in tests/test_streaming_hll.py), and updating on RAW
+    events equals the batch build over distinct (type, user) pairs."""
+    return events.groupBy("event_type").agg(
+        F.theta_sketch_agg(F.col("user_id"), lgNomEntries=lgk).alias("sk")
+    )
+
+
+def tumbling_value_quantile_sketches(
+    events: DataFrame,
+    bucket: str = "1 day",
+    watermark: str = "1 day",
+    k: int = 200,
+) -> DataFrame:
+    """Streaming leg of ``a11_kll_quantile_rollup``: one KLL sketch of
+    event value per tumbling day, maintained incrementally; the fold
+    into an overall sketch (``kll_sketch_merge_double``) stays a
+    batch-side rollup over the days-count state frame.
+
+    Unlike HLL/theta, KLL compaction IS order-sensitive — a different
+    micro-batch split can yield a byte-different sketch — so the
+    split-insensitive contract is rank-space, not bit-space: the
+    retained-count n is always exact, and value-at-rank-q of the
+    folded sketch lands within the same q±tol band the batch query
+    verifies against its oracle (asserted in
+    tests/test_streaming_hll.py). Watermark bounds open-bucket state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", bucket).alias("w"))
+        .agg(F.kll_sketch_agg_double(F.col("value"), F.lit(k)).alias("sk"))
+        .select(F.col("w.start").alias("bucket_start"), "sk")
+    )

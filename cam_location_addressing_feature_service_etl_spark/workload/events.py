@@ -1408,7 +1408,7 @@ _KLL_RANK_TOL = 0.05
 
 _KLL_ORACLE = "\nUNION ALL\n".join(
     f"SELECT {q} AS q, ROUND(quantile_cont(value, {q}), 4) AS exact_value, "
-    f"TRUE AS within_rank_tol FROM events"
+    f"TRUE AS within_rank_tol, TRUE AS merged_n_exact FROM events"
     for q in _KLL_QS
 )
 
@@ -1434,17 +1434,23 @@ def a11_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_agg_double(F.col("value"), F.lit(200)).alias("sk")
     )
     # Empty-frame guard: with zero daily sketches, slice's length arg
-    # would be -1 (a runtime error) and sks[1] out-of-bounds — return a
-    # NULL merged sketch instead so the query yields rows with null
+    # would be -1 (a runtime error) and the seed out-of-bounds — return
+    # a NULL merged sketch instead so the query yields rows with null
     # flags rather than crashing on an empty events frame.
+    # Seed is sks[0]: Spark bracket subscripts are 0-BASED while
+    # slice() is 1-based, so the fold is seed=element#1 over
+    # elements#2..end — seeding with sks[1] (as r07 shipped) dropped
+    # the first daily sketch and double-counted the second; caught by
+    # the streaming leg's exact-n reconciliation, which the 5% rank
+    # band had masked.
     merged = daily.agg(F.collect_list("sk").alias("sks")).select(
         F.expr(
             "CASE WHEN size(sks) = 0 THEN NULL ELSE "
-            "aggregate(slice(sks, 2, greatest(size(sks) - 1, 0)), sks[1], "
+            "aggregate(slice(sks, 2, greatest(size(sks) - 1, 0)), sks[0], "
             "(acc, x) -> kll_sketch_merge_double(acc, x)) END AS mk"
         )
     )
-    lo_hi = [
+    lo_hi = [F.count(F.lit(1)).alias("n_total")] + [
         expr
         for q in _KLL_QS
         for expr in (
@@ -1465,13 +1471,22 @@ def a11_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"kll_sketch_get_quantile_double(mk, {q}d)")
             .between(F.col(f"lo_{int(q * 100)}"), F.col(f"hi_{int(q * 100)}"))
             .alias("within_rank_tol"),
+            # exact-count reconciliation: KLL merge is n-ADDITIVE, so
+            # the folded sketch must have seen exactly count(*) values
+            # — this is the flag that catches a dropped/double-counted
+            # daily sketch (the r07 0-based-seed bug) that the rank
+            # band alone masks.
+            (
+                F.expr("kll_sketch_get_n_double(mk)")
+                == F.col("n_total")
+            ).alias("merged_n_exact"),
         )
         for q in _KLL_QS
     ]
     return (
         merged.crossJoin(F.broadcast(exact))
         .select(F.explode(F.array(*rows)).alias("r"))
-        .select("r.q", "r.exact_value", "r.within_rank_tol")
+        .select("r.q", "r.exact_value", "r.within_rank_tol", "r.merged_n_exact")
     )
 
 

@@ -26,6 +26,25 @@ from cam_location_addressing_feature_service_etl_spark.workload.events import (
 from tests.conftest import SF_SMOKE
 
 
+
+def _split_replay_dir(spark, tmp_path, batch_events):
+    """Write the events as TWO parquet files split at the median
+    event_id; with maxFilesPerTrigger=1 the replay crosses a real
+    micro-batch boundary, so cross-batch state merging is exercised."""
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    mid = batch_events.approxQuantile("event_id", [0.5], 0.0)[0]
+    for name, pred in [
+        ("a", F.col("event_id") <= mid),
+        ("b", F.col("event_id") > mid),
+    ]:
+        out = tmp_path / f"half_{name}"
+        batch_events.filter(pred).coalesce(1).write.parquet(str(out))
+        (part,) = glob.glob(str(out / "part-*.parquet"))
+        shutil.copy(part, d / f"{name}.parquet")
+    return d
+
+
 def test_streaming_bucket_sketches_union_to_sliding_windows(spark, tmp_path):
     d = tmp_path / "stream_in"
     d.mkdir()
@@ -159,3 +178,147 @@ def test_streaming_session_window_reconciles_to_batch(spark, tmp_path):
     )
     cols = ["user_id", "session_start", "n_events", "total_value"]
     assert got[cols].values.tolist() == expect[cols].values.tolist()
+
+
+def test_streaming_theta_sketches_reconcile_bit_identical(spark, tmp_path):
+    """Theta state maintained across micro-batches must be
+    bit-identical to the batch build (theta retains the k smallest
+    hashes of the input SET — order- and duplicate-insensitive), and
+    the pair algebra over the streamed state must reproduce the batch
+    a10 intersection/union estimates exactly."""
+    from cam_location_addressing_feature_service_etl_spark.streaming.events import (
+        streaming_type_theta_sketches,
+    )
+
+    batch_events = load(spark, SF_SMOKE, "events")
+    d = _split_replay_dir(spark, tmp_path, batch_events)
+    raw = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    q = (
+        streaming_type_theta_sketches(raw)
+        .writeStream.format("memory")
+        .queryName("theta_types")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.table("theta_types")
+
+    batch_sk = batch_events.groupBy("event_type").agg(
+        F.theta_sketch_agg(F.col("user_id"), lgNomEntries=16).alias("sk")
+    )
+    per_type_diff = (
+        streamed.alias("s")
+        .join(batch_sk.alias("t"), "event_type", "full")
+        .filter(
+            F.col("s.sk").isNull()
+            | F.col("t.sk").isNull()
+            | (
+                F.theta_sketch_estimate(F.col("s.sk"))
+                != F.theta_sketch_estimate(F.col("t.sk"))
+            )
+        )
+        .count()
+    )
+    assert per_type_diff == 0, "streamed theta state diverges from batch build"
+
+    def pair_algebra(sk):
+        sa = sk.select(
+            F.col("event_type").alias("ta"), F.col("sk").alias("ska")
+        )
+        sb = sk.select(
+            F.col("event_type").alias("tb"), F.col("sk").alias("skb")
+        )
+        return (
+            sa.join(F.broadcast(sb), F.col("ta") < F.col("tb"))
+            .select(
+                "ta",
+                "tb",
+                F.theta_sketch_estimate(
+                    F.expr("theta_intersection(ska, skb)")
+                ).alias("inter"),
+                F.theta_sketch_estimate(F.expr("theta_union(ska, skb)")).alias(
+                    "uni"
+                ),
+            )
+        )
+
+    got = {
+        (r["ta"], r["tb"]): (r["inter"], r["uni"])
+        for r in pair_algebra(streamed).collect()
+    }
+    expect = {
+        (r["ta"], r["tb"]): (r["inter"], r["uni"])
+        for r in pair_algebra(batch_sk).collect()
+    }
+    assert got == expect
+
+
+def test_streaming_kll_states_fold_within_rank_band(spark, tmp_path):
+    """KLL compaction is order-sensitive, so a micro-batch split may
+    change sketch BYTES — the split-insensitive contract is rank-space:
+    the folded streaming states retain the exact total count n, and
+    value-at-rank-q lands between the exact percentiles at q±tol (the
+    same band the batch a11 query verifies against its oracle)."""
+    from cam_location_addressing_feature_service_etl_spark.streaming.events import (
+        tumbling_value_quantile_sketches,
+    )
+    from cam_location_addressing_feature_service_etl_spark.workload.events import (
+        _KLL_QS,
+        _KLL_RANK_TOL,
+    )
+
+    batch_events = load(spark, SF_SMOKE, "events")
+    d = _split_replay_dir(spark, tmp_path, batch_events)
+    raw = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    q = (
+        tumbling_value_quantile_sketches(raw)
+        .writeStream.format("memory")
+        .queryName("kll_days")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    merged = (
+        spark.table("kll_days")
+        .agg(F.collect_list("sk").alias("sks"))
+        .select(
+            F.expr(
+                "CASE WHEN size(sks) = 0 THEN NULL ELSE "
+                "aggregate(slice(sks, 2, greatest(size(sks) - 1, 0)), sks[0], "
+                "(acc, x) -> kll_sketch_merge_double(acc, x)) END AS mk"
+            )
+        )
+    )
+    row = merged.select(
+        F.expr("kll_sketch_get_n_double(mk)").alias("n"),
+        *[
+            F.expr(f"kll_sketch_get_quantile_double(mk, {q}d)").alias(
+                f"v_{int(q * 100)}"
+            )
+            for q in _KLL_QS
+        ],
+    ).collect()[0]
+    total = batch_events.count()
+    assert row["n"] == total, (row["n"], total)
+
+    bands = batch_events.agg(
+        *[
+            e
+            for q in _KLL_QS
+            for e in (
+                F.expr(f"percentile(value, {q - _KLL_RANK_TOL})").alias(
+                    f"lo_{int(q * 100)}"
+                ),
+                F.expr(f"percentile(value, {q + _KLL_RANK_TOL})").alias(
+                    f"hi_{int(q * 100)}"
+                ),
+            )
+        ]
+    ).collect()[0]
+    for q in _KLL_QS:
+        v = row[f"v_{int(q * 100)}"]
+        lo, hi = bands[f"lo_{int(q * 100)}"], bands[f"hi_{int(q * 100)}"]
+        assert lo <= v <= hi, (q, v, lo, hi)
