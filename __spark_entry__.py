@@ -40,14 +40,31 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (committed as PARITY_r{N}.txt) proves the full registry every round
 #: regardless.
 _PRIORITY = [
-    # --- new / plan-changed in round 7 ---
+    # --- new / plan-changed in round 8 ---
+    "sim_ann_ivfpq_search",
+    "sim_ann_ivfpq_rerank",
+    "a12_cms_heavy_hitters",
+    "a11_kll_quantile_rollup",   # 0-based-seed fold fix + merged_n_exact column
+    "m3_stable_surrogate_ids",   # bounded-increment guard in plan
+    # --- the 10 r03/r04-era driver rows (the last freshness tail;
+    # --- judge-replicated clean in r07, refreshed here) ---
+    "agg_cube_order_status",
+    "agg_top_revenue_segments",
+    "ev_agg_pricing_summary",
+    "ev_asof_last_purchase",
+    "ev_event_transitions",
+    "ev_funnel_conversion",
+    "ev_latency_percentiles",
+    "ev_pivot_type_counts",
+    "ev_user_value_quartiles",
+    "ev_value_band_join",
+    # --- r07-fresh but plan-adjacent (decay docstring, topk guard users) ---
+    "ev_decayed_engagement",
     "graph_copurchase_cosine_dimsum",
     "a10_theta_audience_overlap",
-    "a11_kll_quantile_rollup",
     "ev_sessionize_native_window",
     "sample_weighted_reservoir",
     "sample_split_leakfree",
-    "ev_decayed_engagement",
     "ev_sliding_distinct_hll",
     "text_bm25_topk",
     "graph_triangle_counts",
@@ -55,9 +72,8 @@ _PRIORITY = [
     "sample_importance_dsir",
     "sim_kmeans_assignments",
     "text_vocab_coverage",
-    "m3_stable_surrogate_ids",
     "dedup_cc_star_converged",
-    # --- r02-era driver rows (the staleness tail) ---
+    # --- r02-era driver rows (refreshed r07) ---
     "j2_optional_left_join",
     "j3_values_batch_semijoin",
     "j5_left_join_unmapped",
@@ -94,16 +110,6 @@ _PRIORITY = [
     # --- r04-era ---
     "a5_approx_distinct_check",
     "a6_approx_percentile_check",
-    "agg_cube_order_status",
-    "agg_top_revenue_segments",
-    "ev_agg_pricing_summary",
-    "ev_asof_last_purchase",
-    "ev_event_transitions",
-    "ev_funnel_conversion",
-    "ev_latency_percentiles",
-    "ev_pivot_type_counts",
-    "ev_user_value_quartiles",
-    "ev_value_band_join",
     "dedup_connected_components",
     "dedup_incremental_minhash",
     "dedup_ngram_jaccard_prefix",
