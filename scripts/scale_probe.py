@@ -10,7 +10,13 @@ close to linearly (factor ~2 per doubling, plus collision growth where
 the corpus genuinely contains more near-dups); an accidental all-pairs
 stage would show factor ~4. The committed results live in SCALING.md.
 
-Usage: python scripts/scale_probe.py [sf_dir]
+The graph family is probed too (round-8 addendum): co-purchase
+exact-vs-DIMSUM on a CUSTOMER-replicated basket frame (item degrees
+double per doubling — the hub-growth regime DIMSUM exists for), and
+triangles / cc_star on disjoint self-unioned edge copies (the bound is
+linear; an accidental cross-copy all-pairs stage would show ~x4).
+
+Usage: python scripts/scale_probe.py [sf_dir] [dedup|graph|all]
 """
 
 from __future__ import annotations
@@ -54,11 +60,171 @@ def scaled_docs(base: DataFrame, copies: int) -> DataFrame:
     return out
 
 
+def _timed(ops: dict, d, prev_dt: dict, copies: int) -> None:
+    for name, fn in ops.items():
+        fn(d)  # warm (plan + JIT)
+        t0 = time.perf_counter()
+        rows = fn(d)
+        dt = time.perf_counter() - t0
+        p = prev_dt[name]
+        factor = "" if p is None else f"  x{dt / p:.2f} per doubling"
+        print(f"{name:16s} {copies}x  rows={rows:>9}  {dt:6.2f}s{factor}")
+        prev_dt[name] = dt
+
+
+def graph_probe(spark, sf_dir: str) -> None:
+    from cam_location_addressing_feature_service_etl_spark.operators.dedup import (
+        connected_components_star,
+    )
+    from cam_location_addressing_feature_service_etl_spark.operators.triangles import (
+        triangle_counts_per_node,
+    )
+    from cam_location_addressing_feature_service_etl_spark.workload.graph import (
+        _COSIM_MIN_COOC,
+        _DIMSUM_GAMMA,
+        _DIMSUM_MIN_SAMPLED,
+        _DIMSUM_SEED,
+        _TRI_MIN_SHARED,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    cp_base = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+
+    def scaled_customers(copies: int):
+        """Replicate CUSTOMERS (c offset, item ids unchanged): item
+        degree doubles per doubling — the regime where exact pairing
+        cost doubles but DIMSUM's per-basket keep rate falls by sqrt2,
+        so its pair fan-out stays ~flat (the sampler's whole premise)."""
+        n = cp_base.agg(F.max("c")).collect()[0][0] + 1
+        out = cp_base
+        for i in range(1, copies):
+            out = out.unionByName(
+                cp_base.select((F.col("c") + i * n).alias("c"), "p")
+            )
+        out = out.repartition(32).persist()
+        out.count()
+        return out
+
+    def op_copurchase_exact(cp):
+        a, b = cp.alias("a"), cp.alias("b")
+        return (
+            a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
+            .groupBy(F.col("a.p"), F.col("b.p"))
+            .agg(F.count(F.lit(1)).alias("cooc"))
+            .filter(F.col("cooc") >= _COSIM_MIN_COOC)
+            .count()
+        )
+
+    def op_copurchase_dimsum(cp):
+        deg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.select(
+            "p",
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.floor(F.lit(float(_DIMSUM_GAMMA)) * 1000000.0 / F.sqrt(F.col("d"))),
+            ).alias("ppm"),
+        )
+        coin = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(_DIMSUM_SEED + ":"),
+                        F.col("c").cast("string"),
+                        F.lit(":"),
+                        F.col("p").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") % 1000000
+        s = cp.join(keep, "p").filter(coin < F.col("ppm"))
+        sa = s.select("c", F.col("p").alias("u"))
+        sb = s.select("c", F.col("p").alias("v"))
+        return (
+            sa.join(sb, (sa["c"] == sb["c"]) & (sa["u"] < sb["v"]))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("cooc_s"))
+            .filter(F.col("cooc_s") >= _DIMSUM_MIN_SAMPLED)
+            .count()
+        )
+
+    print("== co-purchase: customer-replicated (degree grows) ==")
+    prev = {"cosim_exact": None, "cosim_dimsum": None}
+    for copies in (1, 2, 4):
+        cp = scaled_customers(copies)
+        _timed(
+            {"cosim_exact": op_copurchase_exact, "cosim_dimsum": op_copurchase_dimsum},
+            cp,
+            prev,
+            copies,
+        )
+        cp.unpersist(blocking=True)
+        print()
+
+    ps = lineitem.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    edges_base = (
+        ps.alias("a")
+        .join(ps.alias("b"), (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("id_a"), F.col("b.s").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _TRI_MIN_SHARED)
+        .select("id_a", "id_b")
+    )
+
+    def scaled_edges(copies: int):
+        """Disjoint copies (both endpoints offset): linear bound; a
+        cross-copy all-pairs stage would show ~x4 per doubling."""
+        n = edges_base.agg(
+            F.greatest(F.max("id_a"), F.max("id_b"))
+        ).collect()[0][0] + 1
+        out = edges_base
+        for i in range(1, copies):
+            out = out.unionByName(
+                edges_base.select(
+                    (F.col("id_a") + i * n).alias("id_a"),
+                    (F.col("id_b") + i * n).alias("id_b"),
+                )
+            )
+        out = out.repartition(32).persist()
+        out.count()
+        return out
+
+    print("== supplier graph: disjoint self-unioned copies ==")
+    prev = {"triangles": None, "cc_star": None}
+    for copies in (1, 2, 4):
+        e = scaled_edges(copies)
+        _timed(
+            {
+                "triangles": lambda d: triangle_counts_per_node(d).count(),
+                "cc_star": lambda d: connected_components_star(d).count(),
+            },
+            e,
+            prev,
+            copies,
+        )
+        e.unpersist(blocking=True)
+        print()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    family = sys.argv[2] if len(sys.argv) > 2 else "all"
     spark = get_spark(app_name="scale-probe")
     tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
+    if family == "graph":
+        graph_probe(spark, sf_dir)
+        return
     base = load(spark, sf_dir, "documents")
 
     from cam_location_addressing_feature_service_etl_spark.operators.dedup import (
@@ -104,6 +270,8 @@ def main() -> None:
         d.unpersist(blocking=True)
         spark._jvm.System.gc()
         print()
+    if family == "all":
+        graph_probe(spark, sf_dir)
 
 
 if __name__ == "__main__":
