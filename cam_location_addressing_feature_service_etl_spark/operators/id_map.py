@@ -72,8 +72,12 @@ def assign_surrogate_ids(
     # Enforcement: limit(cap+1) BEFORE the rank bounds the collected
     # array itself (an after-the-fact count would OOM inside
     # collect_list before any check ran), then a rank at cap+1 proves
-    # the increment overflowed and raises through the id expression —
-    # woven in, not a droppable side column that pruning would remove.
+    # the increment overflowed and raises through a FILTER predicate —
+    # a filter is part of the plan's row semantics, so unlike a guard
+    # woven into a projected column it survives column pruning: even a
+    # downstream count(*) or key-only projection that never evaluates
+    # `id` still trips the error instead of silently seeing a
+    # truncated map (caught by the round-8 review pass).
     guard = F.when(
         F.col("_rn") > F.lit(max_new_keys),
         F.raise_error(
@@ -82,8 +86,8 @@ def assign_surrogate_ids(
                 "new keys; route bulk/first loads through "
                 "assign_surrogate_ids_bulk (distributed, spill-safe numbering)"
             )
-        ).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
     numbered = (
         rank_small_frame(
             new_keys.limit(max_new_keys + 1),
@@ -91,10 +95,11 @@ def assign_surrogate_ids(
             [key_col],
             rank_name="_rn",
         )
+        .filter(guard)
         .crossJoin(F.broadcast(start))
         .select(
             key_col,
-            (F.col("start") + F.col("_rn") + guard).cast("long").alias("id"),
+            (F.col("start") + F.col("_rn")).cast("long").alias("id"),
         )
     )
     return existing_map.select(key_col, "id").unionByName(numbered)

@@ -1450,7 +1450,11 @@ def a11_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(acc, x) -> kll_sketch_merge_double(acc, x)) END AS mk"
         )
     )
-    lo_hi = [F.count(F.lit(1)).alias("n_total")] + [
+    # count("value"), not count(*): the KLL aggregate skips NULL
+    # values, so n must be compared against what the sketch INGESTED —
+    # a NULL-bearing corpus would otherwise flip the flag on a
+    # non-bug (review-pass catch).
+    lo_hi = [F.count("value").alias("n_total")] + [
         expr
         for q in _KLL_QS
         for expr in (

@@ -282,6 +282,81 @@ graph_kcore_peel3.__doc__ = graph_kcore_peel3.__doc__.format(
 _COSIM_MIN_COOC = 3
 
 
+def copurchase_pairs_exact(cp, min_cooc: int):
+    """Exact co-occurrence pairs over a (c, p) basket frame: the
+    Σ basket² bounded self-join on the customer key, partial-agg
+    count, integer HAVING prune. Shared by ``graph_copurchase_cosine``
+    and ``scripts/scale_probe.py`` so the probe times the SHIPPED
+    operator, not a copy."""
+    a, b = cp.alias("a"), cp.alias("b")
+    return (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .filter(F.col("cooc") >= min_cooc)
+    )
+
+
+def copurchase_pairs_dimsum(cp):
+    """DIMSUM-sampled co-occurrence pairs over a (c, p) basket frame:
+    per-item keep rate min(1, γ/√deg) in exact integer ppm, the seeded
+    md5 coin applied BEFORE the pairing shuffle, Horvitz-Thompson
+    ingredients (du/dv/pu/pv) carried through the aggregate. Shared by
+    ``graph_copurchase_cosine_dimsum`` and ``scripts/scale_probe.py``
+    (same single source of truth for the coin layout — a probe-local
+    copy could silently drift from the shipped sampler)."""
+    deg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    keep = deg.select(
+        "p",
+        "d",
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.floor(F.lit(float(_DIMSUM_GAMMA)) * 1000000.0 / F.sqrt(F.col("d"))),
+        ).alias("ppm"),
+    )
+    coin = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(_DIMSUM_SEED + ":"),
+                    F.col("c").cast("string"),
+                    F.lit(":"),
+                    F.col("p").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % 1000000
+    s = cp.join(keep, "p").filter(coin < F.col("ppm"))
+    sa = s.select(
+        "c",
+        F.col("p").alias("u"),
+        F.col("d").alias("_du"),
+        F.col("ppm").alias("_pu"),
+    )
+    sb = s.select(
+        "c",
+        F.col("p").alias("v"),
+        F.col("d").alias("_dv"),
+        F.col("ppm").alias("_pv"),
+    )
+    return (
+        sa.join(sb, (sa["c"] == sb["c"]) & (sa["u"] < sb["v"]))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("cooc_s"),
+            F.min("_du").alias("du"),
+            F.min("_dv").alias("dv"),
+            F.min("_pu").alias("pu"),
+            F.min("_pv").alias("pv"),
+        )
+        .filter(F.col("cooc_s") >= _DIMSUM_MIN_SAMPLED)
+    )
+
+
 @register(
     "graph_copurchase_cosine",
     oracle=f"""
@@ -325,13 +400,7 @@ def graph_copurchase_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(materialize)
     )
     deg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
-    a, b = cp.alias("a"), cp.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .agg(F.count(F.lit(1)).alias("cooc"))
-        .filter(F.col("cooc") >= _COSIM_MIN_COOC)
-    )
+    pairs = copurchase_pairs_exact(cp, _COSIM_MIN_COOC)
     return (
         pairs.join(deg.select(F.col("p").alias("u"), F.col("d").alias("da")), "u")
         .join(deg.select(F.col("p").alias("v"), F.col("d").alias("db")), "v")
@@ -422,56 +491,7 @@ def graph_copurchase_cosine_dimsum(spark: SparkSession, sf_dir: str) -> DataFram
         .distinct()
         .transform(materialize)
     )
-    deg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
-    keep = deg.select(
-        "p",
-        "d",
-        F.least(
-            F.lit(1000000).cast("long"),
-            F.floor(F.lit(float(_DIMSUM_GAMMA)) * 1000000.0 / F.sqrt(F.col("d"))),
-        ).alias("ppm"),
-    )
-    coin = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(_DIMSUM_SEED + ":"),
-                    F.col("c").cast("string"),
-                    F.lit(":"),
-                    F.col("p").cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long") % 1000000
-    s = cp.join(keep, "p").filter(coin < F.col("ppm"))
-    sa = s.select(
-        "c",
-        F.col("p").alias("u"),
-        F.col("d").alias("_du"),
-        F.col("ppm").alias("_pu"),
-    )
-    sb = s.select(
-        "c",
-        F.col("p").alias("v"),
-        F.col("d").alias("_dv"),
-        F.col("ppm").alias("_pv"),
-    )
-    pairs = (
-        sa.join(sb, (sa["c"] == sb["c"]) & (sa["u"] < sb["v"]))
-        .groupBy("u", "v")
-        .agg(
-            F.count(F.lit(1)).alias("cooc_s"),
-            F.min("_du").alias("du"),
-            F.min("_dv").alias("dv"),
-            F.min("_pu").alias("pu"),
-            F.min("_pv").alias("pv"),
-        )
-        .filter(F.col("cooc_s") >= _DIMSUM_MIN_SAMPLED)
-    )
+    pairs = copurchase_pairs_dimsum(cp)
     return pairs.select(
         "u",
         "v",

@@ -81,80 +81,43 @@ def graph_probe(spark, sf_dir: str) -> None:
     )
     from cam_location_addressing_feature_service_etl_spark.workload.graph import (
         _COSIM_MIN_COOC,
-        _DIMSUM_GAMMA,
-        _DIMSUM_MIN_SAMPLED,
-        _DIMSUM_SEED,
         _TRI_MIN_SHARED,
+        copurchase_pairs_dimsum,
+        copurchase_pairs_exact,
     )
 
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
+    # persist the base ONCE: the per-scale replication unions and the
+    # max-id collect would otherwise recompute the join+distinct
+    # subtree ~10 times across the three scales (review-pass catch)
     cp_base = (
         orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
+        .persist()
     )
+    cp_max = cp_base.agg(F.max("c")).collect()[0][0] + 1
 
     def scaled_customers(copies: int):
         """Replicate CUSTOMERS (c offset, item ids unchanged): item
         degree doubles per doubling — the regime where exact pairing
         cost doubles but DIMSUM's per-basket keep rate falls by sqrt2,
         so its pair fan-out stays ~flat (the sampler's whole premise)."""
-        n = cp_base.agg(F.max("c")).collect()[0][0] + 1
         out = cp_base
         for i in range(1, copies):
             out = out.unionByName(
-                cp_base.select((F.col("c") + i * n).alias("c"), "p")
+                cp_base.select((F.col("c") + i * cp_max).alias("c"), "p")
             )
         out = out.repartition(32).persist()
         out.count()
         return out
 
     def op_copurchase_exact(cp):
-        a, b = cp.alias("a"), cp.alias("b")
-        return (
-            a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
-            .groupBy(F.col("a.p"), F.col("b.p"))
-            .agg(F.count(F.lit(1)).alias("cooc"))
-            .filter(F.col("cooc") >= _COSIM_MIN_COOC)
-            .count()
-        )
+        return copurchase_pairs_exact(cp, _COSIM_MIN_COOC).count()
 
     def op_copurchase_dimsum(cp):
-        deg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.select(
-            "p",
-            F.least(
-                F.lit(1000000).cast("long"),
-                F.floor(F.lit(float(_DIMSUM_GAMMA)) * 1000000.0 / F.sqrt(F.col("d"))),
-            ).alias("ppm"),
-        )
-        coin = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(_DIMSUM_SEED + ":"),
-                        F.col("c").cast("string"),
-                        F.lit(":"),
-                        F.col("p").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long") % 1000000
-        s = cp.join(keep, "p").filter(coin < F.col("ppm"))
-        sa = s.select("c", F.col("p").alias("u"))
-        sb = s.select("c", F.col("p").alias("v"))
-        return (
-            sa.join(sb, (sa["c"] == sb["c"]) & (sa["u"] < sb["v"]))
-            .groupBy("u", "v")
-            .agg(F.count(F.lit(1)).alias("cooc_s"))
-            .filter(F.col("cooc_s") >= _DIMSUM_MIN_SAMPLED)
-            .count()
-        )
+        return copurchase_pairs_dimsum(cp).count()
 
     print("== co-purchase: customer-replicated (degree grows) ==")
     prev = {"cosim_exact": None, "cosim_dimsum": None}
@@ -169,6 +132,7 @@ def graph_probe(spark, sf_dir: str) -> None:
         cp.unpersist(blocking=True)
         print()
 
+    cp_base.unpersist(blocking=True)
     ps = lineitem.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
@@ -179,20 +143,21 @@ def graph_probe(spark, sf_dir: str) -> None:
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= _TRI_MIN_SHARED)
         .select("id_a", "id_b")
+        .persist()
     )
+    edge_max = edges_base.agg(
+        F.greatest(F.max("id_a"), F.max("id_b"))
+    ).collect()[0][0] + 1
 
     def scaled_edges(copies: int):
         """Disjoint copies (both endpoints offset): linear bound; a
         cross-copy all-pairs stage would show ~x4 per doubling."""
-        n = edges_base.agg(
-            F.greatest(F.max("id_a"), F.max("id_b"))
-        ).collect()[0][0] + 1
         out = edges_base
         for i in range(1, copies):
             out = out.unionByName(
                 edges_base.select(
-                    (F.col("id_a") + i * n).alias("id_a"),
-                    (F.col("id_b") + i * n).alias("id_b"),
+                    (F.col("id_a") + i * edge_max).alias("id_a"),
+                    (F.col("id_b") + i * edge_max).alias("id_b"),
                 )
             )
         out = out.repartition(32).persist()

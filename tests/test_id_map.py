@@ -105,6 +105,11 @@ def test_oversized_increment_fails_with_clear_error(spark):
     full_map = assign_surrogate_ids(keys, _empty_map(spark), max_new_keys=3)
     with pytest.raises(Exception, match="assign_surrogate_ids_bulk"):
         full_map.collect()
+    # the guard is a FILTER, so it survives column pruning: a key-only
+    # projection or a bare count must also fail loudly, never return a
+    # silently-truncated map (round-8 review-pass reproduction)
+    with pytest.raises(Exception, match="assign_surrogate_ids_bulk"):
+        full_map.select("iri").count()
     # at/under the cap the same plan succeeds with identical ids
     ok = assign_surrogate_ids(keys, _empty_map(spark), max_new_keys=10)
     assert sorted(r["id"] for r in ok.collect()) == list(range(1, 11))

@@ -46,20 +46,8 @@ def _split_replay_dir(spark, tmp_path, batch_events):
 
 
 def test_streaming_bucket_sketches_union_to_sliding_windows(spark, tmp_path):
-    d = tmp_path / "stream_in"
-    d.mkdir()
     batch_events = load(spark, SF_SMOKE, "events")
-    # two micro-batches split at the median event id — sketch merges
-    # must be split-insensitive
-    mid = batch_events.approxQuantile("event_id", [0.5], 0.0)[0]
-    for name, pred in [
-        ("a", F.col("event_id") <= mid),
-        ("b", F.col("event_id") > mid),
-    ]:
-        out = tmp_path / f"half_{name}"
-        batch_events.filter(pred).coalesce(1).write.parquet(str(out))
-        (part,) = glob.glob(str(out / "part-*.parquet"))
-        shutil.copy(part, d / f"{name}.parquet")
+    d = _split_replay_dir(spark, tmp_path, batch_events)
 
     raw = read_event_stream(spark, str(d), max_files_per_trigger=1)
     bucket_str = f"{_SLD_BUCKET_MS // 60000} minutes"
@@ -122,18 +110,8 @@ def test_streaming_session_window_reconciles_to_batch(spark, tmp_path):
         _GAP_MIN,
     )
 
-    d = tmp_path / "stream_in"
-    d.mkdir()
     batch_events = load(spark, SF_SMOKE, "events")
-    mid = batch_events.approxQuantile("event_id", [0.5], 0.0)[0]
-    for name, pred in [
-        ("a", F.col("event_id") <= mid),
-        ("b", F.col("event_id") > mid),
-    ]:
-        out = tmp_path / f"half_{name}"
-        batch_events.filter(pred).coalesce(1).write.parquet(str(out))
-        (part,) = glob.glob(str(out / "part-*.parquet"))
-        shutil.copy(part, d / f"{name}.parquet")
+    d = _split_replay_dir(spark, tmp_path, batch_events)
 
     raw = read_event_stream(spark, str(d), max_files_per_trigger=1).withWatermark(
         "ts", "1 hour"
@@ -213,10 +191,9 @@ def test_streaming_theta_sketches_reconcile_bit_identical(spark, tmp_path):
         .filter(
             F.col("s.sk").isNull()
             | F.col("t.sk").isNull()
-            | (
-                F.theta_sketch_estimate(F.col("s.sk"))
-                != F.theta_sketch_estimate(F.col("t.sk"))
-            )
+            # BYTE equality — the actual bit-identical contract, not
+            # the weaker estimate equality (review-pass catch)
+            | (F.col("s.sk") != F.col("t.sk"))
         )
         .count()
     )
