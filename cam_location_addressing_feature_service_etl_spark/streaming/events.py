@@ -313,3 +313,41 @@ def tumbling_value_quantile_sketches(
         .agg(F.kll_sketch_agg_double(F.col("value"), F.lit(k)).alias("sk"))
         .select(F.col("w.start").alias("bucket_start"), "sk")
     )
+
+
+def tumbling_cms_cells(
+    events: DataFrame,
+    bucket: str = "1 day",
+    watermark: str = "1 day",
+    depth: int = 5,
+    width: int = 256,
+) -> DataFrame:
+    """Streaming leg of ``a12_cms_heavy_hitters`` — completing the
+    four-sketch maintenance family (HLL buckets, theta types, KLL
+    days, CMS cells): maintain the (depth × width) count-min counter
+    matrix PER tumbling bucket as a windowed aggregate over hashed
+    cells. Count-min cells are PLAIN ADDITIVE COUNTERS, so unlike KLL
+    (order-sensitive compaction) and like HLL/theta, the streamed
+    state is EXACTLY the batch state for any micro-batch split — and
+    the rollup merge (cellwise SUM across buckets) plus min-over-depth
+    estimation are ordinary batch aggregates over d·w-row frames.
+    State per bucket is d·w longs (kilobytes); watermark bounds open
+    buckets. Asserted bit-exact against the batch build and the
+    registry query's estimates in tests/test_streaming_hll.py."""
+    from ..workload.events import _cms_bucket
+
+    depth_rows = F.explode(
+        F.array(*[F.lit(i).cast("long") for i in range(depth)])
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", "user_id")
+        .withColumn("row", depth_rows)
+        .groupBy(
+            F.window("ts", bucket).alias("w"),
+            "row",
+            _cms_bucket(F.col("user_id"), F.col("row"), width).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("bucket_start"), "row", "bucket", "c")
+    )

@@ -299,3 +299,75 @@ def test_streaming_kll_states_fold_within_rank_band(spark, tmp_path):
         v = row[f"v_{int(q * 100)}"]
         lo, hi = bands[f"lo_{int(q * 100)}"], bands[f"hi_{int(q * 100)}"]
         assert lo <= v <= hi, (q, v, lo, hi)
+
+
+def test_streaming_cms_cells_reconcile_exactly(spark, tmp_path):
+    """CMS cells are additive counters, so the streamed per-day
+    matrices must be CELL-FOR-CELL equal to the batch build across any
+    micro-batch split, and their cellwise-summed rollup must reproduce
+    the registry query's (est_cnt, exact_cnt) for every heavy key —
+    the strongest (exact, not tolerance) reconciliation in the
+    streaming sketch family."""
+    from cam_location_addressing_feature_service_etl_spark.streaming.events import (
+        tumbling_cms_cells,
+    )
+    from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+    from cam_location_addressing_feature_service_etl_spark.workload.events import (
+        _CMS_DEPTH,
+        _CMS_WIDTH,
+        _cms_bucket,
+    )
+
+    batch_events = load(spark, SF_SMOKE, "events")
+    d = _split_replay_dir(spark, tmp_path, batch_events)
+    raw = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    q = (
+        tumbling_cms_cells(raw)
+        .writeStream.format("memory")
+        .queryName("cms_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.table("cms_cells")
+
+    depth_rows = F.explode(
+        F.array(*[F.lit(i).cast("long") for i in range(_CMS_DEPTH)])
+    )
+    batch_cells = (
+        batch_events.select(F.date_trunc("day", "ts").alias("bucket_start"), "user_id")
+        .withColumn("row", depth_rows)
+        .groupBy(
+            "bucket_start",
+            "row",
+            _cms_bucket(F.col("user_id"), F.col("row"), _CMS_WIDTH).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    keys = ["bucket_start", "row", "bucket"]
+    diff = (
+        streamed.alias("s")
+        .join(batch_cells.alias("t"), keys, "full")
+        .filter(
+            F.col("s.c").isNull()
+            | F.col("t.c").isNull()
+            | (F.col("s.c") != F.col("t.c"))
+        )
+        .count()
+    )
+    assert diff == 0, "streamed CMS cells diverge from the batch build"
+
+    # rollup: cellwise sum across buckets, then min-over-depth per key
+    merged = streamed.groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+    reg = QUERIES["a12_cms_heavy_hitters"](spark, SF_SMOKE)
+    probes = reg.select("user_id", "exact_cnt", "est_cnt").withColumn(
+        "row", depth_rows
+    ).withColumn("bucket", _cms_bucket(F.col("user_id"), F.col("row"), _CMS_WIDTH))
+    est = (
+        probes.join(F.broadcast(merged), ["row", "bucket"])
+        .groupBy("user_id", "exact_cnt", "est_cnt")
+        .agg(F.min("c").cast("long").alias("est_from_stream"))
+    )
+    bad = est.filter(F.col("est_from_stream") != F.col("est_cnt")).count()
+    assert bad == 0, "streamed rollup estimates diverge from the registry query"
