@@ -312,6 +312,7 @@ def ivfpq_adc_search(
     k: int,
     nprobe: int,
     id_col: str = "vec_id",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """ADC (asymmetric-distance) search over the IVF-PQ index — the
     query path that makes :func:`ivfpq_index` worth building: neighbors
@@ -335,12 +336,20 @@ def ivfpq_adc_search(
     ``centroid_id``, step (3)'s cell restriction becomes partition
     pruning — only nprobe/n_cells of the index is read.
 
-    ``queries`` is a micro-array frame (id_col, xs). Returns
+    ``queries`` is a micro-array frame (id_col, xs). ``allowed``
+    (optional, a frame with an ``id_col`` column) PRE-filters the code
+    table with a semi-join before scoring — filtered vector search
+    with the production pre-filter semantics: the top-k is taken AMONG
+    allowed neighbors (a post-filter of an unfiltered top-k can return
+    fewer than k), and the restriction lands on the cheap code-table
+    side of the plan, never the raw vectors. Returns
     (query_id, neighbor_id, adc_dist, rank); self-matches excluded.
     """
     from pyspark.sql.window import Window
 
     cents, cb, codes = _ivfpq_parts(xs, n_cells, codebook_ids, sub_dims, id_col)
+    if allowed is not None:
+        codes = codes.join(allowed.select(id_col), id_col, "leftsemi")
     qscored = queries.crossJoin(F.broadcast(cents)).select(
         F.col(id_col).alias("query_id"),
         "centroid_id",

@@ -401,3 +401,71 @@ def sim_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 sim_ann_ivfpq_rerank.__doc__ = sim_ann_ivfpq_rerank.__doc__.format(
     k=_ADC_K, r=_RERANK_SHORTLIST
 )
+
+
+_FILTER_LANG = "en"
+
+#: the search CTE chain with the code table PRE-filtered by the
+#: metadata predicate — string-derived from _IVFPQ_SEARCH_CTES so the
+#: two oracles can never drift apart structurally.
+_IVFPQ_SEARCH_CTES_FILTERED = _IVFPQ_SEARCH_CTES.replace(
+    """codes AS (
+  SELECT vec_id, centroid_id, subspace, code FROM best WHERE rn = 1
+)""",
+    f"""allowed AS (
+  SELECT doc_id AS vec_id FROM documents WHERE lang = '{_FILTER_LANG}'
+),
+codes AS (
+  SELECT b.vec_id, b.centroid_id, b.subspace, b.code
+  FROM best b JOIN allowed a ON a.vec_id = b.vec_id
+  WHERE b.rn = 1
+)""",
+)
+assert "allowed AS" in _IVFPQ_SEARCH_CTES_FILTERED
+
+_IVFPQ_FILTERED_ORACLE = f"""
+WITH {_IVFPQ_SEARCH_CTES_FILTERED}
+SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_ADC_K}
+"""
+
+
+@register("sim_ann_ivfpq_filtered", oracle=_IVFPQ_FILTERED_ORACLE)
+def sim_ann_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — ADC top-{k} restricted to neighbors
+    whose document metadata passes a predicate (lang = '{lang}'),
+    applied as a PRE-filter semi-join on the code table before
+    scoring. This is the production 'vector search + WHERE clause'
+    shape: post-filtering an unfiltered top-k can return fewer than k
+    (or none) under a selective predicate, while the pre-filter
+    guarantees k among allowed and costs one semi-join on the
+    byte-sized code side — with the index written clustered by the
+    filter column, it becomes row-group pruning. Raw vectors are
+    still never scanned."""
+    from ..operators.factorization import ivfpq_adc_search
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")[0]
+    allowed = docs.filter(F.col("lang") == _FILTER_LANG).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    xs = micro_array(embeddings, "vec_id", "embedding").transform(materialize)
+    queries = xs.filter(
+        (F.col("vec_id") >= _ADC_QUERY_LO) & (F.col("vec_id") < _ADC_QUERY_HI)
+    )
+    return ivfpq_adc_search(
+        xs,
+        queries,
+        n_cells=_IVFPQ_CELLS,
+        codebook_ids=_IVFPQ_CODEBOOK,
+        sub_dims=_PQ_SUB_DIMS,
+        k=_ADC_K,
+        nprobe=_ADC_NPROBE,
+        allowed=allowed,
+    )
+
+
+sim_ann_ivfpq_filtered.__doc__ = sim_ann_ivfpq_filtered.__doc__.format(
+    k=_ADC_K, lang=_FILTER_LANG
+)

@@ -35,6 +35,7 @@ CARTESIAN_ALLOWED = {
     "emb_ivfpq_index",
     "sim_ann_ivfpq_search",         # queries/members scored vs broadcast centroids
     "sim_ann_ivfpq_rerank",         # same ADC stage feeding the exact rerank
+    "sim_ann_ivfpq_filtered",       # same ADC stage with a pre-filtered code table
     # 1-row broadcast scalar aggregates
     "m3_stable_surrogate_ids",      # lazy 1-row max-id start frame
     "text_tfidf_topk",              # corpus doc count
