@@ -263,3 +263,110 @@ def test_ivfpq_code_table_partition_pruning(spark, tmp_path):
         + spark.read.parquet(out + "/centroid_id=5").count()
     )
     assert probed.count() == n_in
+
+
+def test_ivfpq_adc_matches_python_mirror(spark):
+    """Hypothesis check of the whole ADC pipeline against a plain-
+    Python mirror of the same algorithm (cells → residual codebook →
+    codes → probes → distance tables → min-over-depth ADC → ranked
+    top-k with tiebreaks) on small integer vector sets — exercises
+    duplicate vectors, distance ties, and sparse cells that the
+    registry corpus never hits."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cam_location_addressing_feature_service_etl_spark.operators.factorization import (
+        ivfpq_adc_search,
+    )
+
+    n_cells, codebook_ids, sub_dims, k, nprobe = 2, 2, 2, 3, 2
+
+    def python_adc(vecs):
+        ids = sorted(vecs)
+        cells = {i: vecs[i] for i in ids if i < n_cells}
+        members = {i: vecs[i] for i in ids if i >= n_cells}
+        queries = list(members)
+
+        def sq(a, b):
+            return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+        def sub(a, b):
+            return [x - y for x, y in zip(a, b)]
+
+        assigned = {
+            i: min(cells, key=lambda c: (sq(v, cells[c]), c))
+            for i, v in members.items()
+        }
+        resid = {i: sub(members[i], cells[assigned[i]]) for i in members}
+        cb = {i: resid[i] for i in members if i < n_cells + codebook_ids}
+        if not cb:
+            return None
+        d = len(next(iter(vecs.values())))
+        subspaces = [(s, list(range(s * sub_dims, min((s + 1) * sub_dims, d))))
+                     for s in range((d + sub_dims - 1) // sub_dims)]
+        codes = {
+            (i, s): min(
+                cb,
+                key=lambda e: (
+                    sum((resid[i][p] - cb[e][p]) ** 2 for p in ps),
+                    e,
+                ),
+            )
+            for i in members
+            for s, ps in subspaces
+        }
+        out = {}
+        for q in queries:
+            probe = sorted(cells, key=lambda c: (sq(vecs[q], cells[c]), c))[:nprobe]
+            scored = []
+            for i in members:
+                if i == q or assigned[i] not in probe:
+                    continue
+                rq = sub(vecs[q], cells[assigned[i]])
+                dist = sum(
+                    sum((rq[p] - cb[codes[(i, s)]][p]) ** 2 for p in ps)
+                    for s, ps in subspaces
+                )
+                scored.append((dist, i))
+            out[q] = [
+                (i, dist, rank + 1)
+                for rank, (dist, i) in enumerate(sorted(scored)[:k])
+            ]
+        return out
+
+    vec = st.lists(st.integers(-3, 3), min_size=4, max_size=4)
+
+    @given(vs=st.lists(vec, min_size=5, max_size=9))
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    def run(vs):
+        vecs = {i: v for i, v in enumerate(vs)}
+        expected = python_adc(vecs)
+        if expected is None:
+            return
+        xs = spark.createDataFrame(
+            [(i, [x * 1.0 for x in v]) for i, v in vecs.items()],
+            "vec_id long, embedding array<double>",
+        )
+        xsm = micro_array(xs, "vec_id", "embedding")
+        queries = xsm.filter(F.col("vec_id") >= n_cells)
+        got = {}
+        rows = ivfpq_adc_search(
+            xsm, queries, n_cells, codebook_ids, sub_dims, k=k, nprobe=nprobe
+        ).collect()
+        for r in rows:
+            got.setdefault(r["query_id"], []).append(
+                (r["neighbor_id"], r["adc_dist"], r["rank"])
+            )
+        for q, exp in expected.items():
+            exp_scaled = [
+                (i, dist * 1000000 ** 2, rank) for i, dist, rank in exp
+            ]
+            assert sorted(got.get(q, [])) == sorted(exp_scaled), (
+                q, sorted(got.get(q, [])), sorted(exp_scaled)
+            )
+
+    run()
