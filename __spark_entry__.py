@@ -41,6 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: regardless.
 _PRIORITY = [
     # --- new / plan-changed in round 8 ---
+    "sample_cluster_diversity",
     "sim_ann_ivfpq_filtered",
     "sim_ann_ivfpq_search",
     "sim_ann_ivfpq_rerank",

@@ -277,6 +277,59 @@ def sim_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lloyd(embeddings, k=8, iterations=2, round_digits=6)
 
 
+#: docs kept per semantic cluster by the diversity sampler
+_DIVERSITY_PER_CLUSTER = 5
+
+_CLUSTER_DIVERSITY_ORACLE = f"""
+WITH km AS ({_kmeans_oracle(iterations=2)}),
+picked AS (
+  SELECT km.cluster, d.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY km.cluster
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rnk
+  FROM km JOIN documents d ON d.doc_id = km.vec_id
+)
+SELECT cluster, doc_id, n_chars, CAST(rnk AS BIGINT) AS rnk
+FROM picked WHERE rnk <= {_DIVERSITY_PER_CLUSTER}
+"""
+
+
+@register("sample_cluster_diversity", oracle=_CLUSTER_DIVERSITY_ORACLE)
+def sample_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (the SemDeDup/DBSCAN-prune
+    family's selection step): k-means the embedding space into 8
+    semantic clusters, then keep the top-{n} documents PER CLUSTER
+    (longest first, doc_id tiebreak) — caps any one semantic
+    neighborhood's contribution to a training mix, where a global
+    top-N would let one dense cluster dominate.
+
+    Scale: the cluster assignment is the {k}-centroid broadcast argmin
+    of sim_kmeans_assignments (no pairwise stage); the per-cluster
+    top-N is a window PARTITIONED by cluster — k partitions, each
+    ranked independently; the doc join is a broadcast-able
+    id-equijoin. Deterministic end to end (rounded Lloyd + integer
+    keys), so the sample hash-matches the oracle."""
+    from ..operators.kmeans import lloyd
+    from pyspark.sql.window import Window
+
+    embeddings, docs = _t(spark, sf_dir, "embeddings", "documents")
+    assigns = lloyd(embeddings, k=8, iterations=2, round_digits=6)
+    joined = assigns.join(
+        docs.select("doc_id", "n_chars"),
+        assigns["vec_id"] == F.col("doc_id"),
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _DIVERSITY_PER_CLUSTER)
+        .select("cluster", "doc_id", "n_chars", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+sample_cluster_diversity.__doc__ = sample_cluster_diversity.__doc__.format(
+    n=_DIVERSITY_PER_CLUSTER, k=8
+)
+
+
 _NEARDUP_THRESHOLD = 0.4
 
 

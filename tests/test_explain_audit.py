@@ -32,6 +32,7 @@ CARTESIAN_ALLOWED = {
     "emb_matryoshka_recall",        # brute-force scoring twice (full/half dims)
     "text_bigram_logprob",          # 1-row broadcast vocabulary size
     "sim_kmeans_assignments",
+    "sample_cluster_diversity",      # same k-centroid broadcast argmin as kmeans
     "emb_ivfpq_index",
     "sim_ann_ivfpq_search",         # queries/members scored vs broadcast centroids
     "sim_ann_ivfpq_rerank",         # same ADC stage feeding the exact rerank
