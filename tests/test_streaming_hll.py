@@ -371,3 +371,56 @@ def test_streaming_cms_cells_reconcile_exactly(spark, tmp_path):
     )
     bad = est.filter(F.col("est_from_stream") != F.col("est_cnt")).count()
     assert bad == 0, "streamed rollup estimates diverge from the registry query"
+
+
+def test_streaming_decayed_engagement_semigroup_reconciles(spark, tmp_path):
+    """The decay law's semigroup property, proven end-to-end: per-user
+    scores maintained across two micro-batches (one re-anchor multiply
+    per batch, never a history rescan) must — after re-anchoring every
+    user to the corpus max timestamp — match the batch query's
+    decayed_micro within the per-event floor tolerance (the batch
+    floors each term to integer micro-units; the stream keeps floats),
+    with event counts matching exactly."""
+    from cam_location_addressing_feature_service_etl_spark.streaming.stateful import (
+        decayed_engagement_state,
+    )
+    from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+    from cam_location_addressing_feature_service_etl_spark.workload.events import (
+        _DECAY_HL_MS,
+    )
+
+    batch_events = load(spark, SF_SMOKE, "events")
+    d = _split_replay_dir(spark, tmp_path, batch_events)
+    raw = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    q = (
+        decayed_engagement_state(raw)
+        .writeStream.format("memory")
+        .queryName("decay_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # update-mode sink appends a row per (user, batch): keep the last
+    # emission per user (largest n_events — counts only grow)
+    rows = spark.table("decay_state").collect()
+    last = {}
+    for r in rows:
+        if r["user_id"] not in last or r["n_events"] > last[r["user_id"]]["n_events"]:
+            last[r["user_id"]] = r
+    corpus_max = batch_events.agg(F.max(F.unix_millis("ts"))).collect()[0][0]
+
+    expect = {
+        r["user_id"]: (r["n_events"], r["decayed_micro"])
+        for r in QUERIES["ev_decayed_engagement"](spark, SF_SMOKE).collect()
+    }
+    assert set(last) == set(expect)
+    for uid, r in last.items():
+        n_b, micro_b = expect[uid]
+        assert r["n_events"] == n_b, (uid, r["n_events"], n_b)
+        rescored = r["score"] * 2.0 ** (-(corpus_max - r["anchor_ms"]) / _DECAY_HL_MS)
+        tol = 1.0e-6 * n_b + 1e-9 * abs(micro_b / 1e6)
+        assert abs(rescored - micro_b / 1e6) <= tol, (
+            uid, rescored, micro_b / 1e6, tol
+        )
