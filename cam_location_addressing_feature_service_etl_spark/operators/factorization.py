@@ -345,9 +345,31 @@ def ivfpq_adc_search(
     side of the plan, never the raw vectors. Returns
     (query_id, neighbor_id, adc_dist, rank); self-matches excluded.
     """
+    cents, cb, codes = _ivfpq_parts(xs, n_cells, codebook_ids, sub_dims, id_col)
+    return adc_search_on_index(
+        cents, cb, codes, queries, sub_dims, k, nprobe, id_col, allowed
+    )
+
+
+def adc_search_on_index(
+    cents: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    sub_dims: int,
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """The SEARCH stage of :func:`ivfpq_adc_search`, taking a prebuilt
+    index (``cents``/``cb``/``codes`` — e.g. read back from a
+    centroid-partitioned parquet write) — the production split where
+    the build is amortized across many query batches and only this
+    stage runs per request. ``scripts/scale_probe.py ann`` times
+    exactly this stage against brute force on a prebuilt index."""
     from pyspark.sql.window import Window
 
-    cents, cb, codes = _ivfpq_parts(xs, n_cells, codebook_ids, sub_dims, id_col)
     if allowed is not None:
         codes = codes.join(allowed.select(id_col), id_col, "leftsemi")
     qscored = queries.crossJoin(F.broadcast(cents)).select(

@@ -181,6 +181,79 @@ def graph_probe(spark, sf_dir: str) -> None:
         print()
 
 
+def ann_probe(spark) -> None:
+    """Search-stage contrast at meaningful corpus sizes: brute-force
+    exact top-3 (full 64-dim vectors scanned per query) vs ADC top-3
+    over a PREBUILT IVF-PQ index (only the probed cells' byte-sized
+    codes scanned). The corpus is synthetic-deterministic (xxhash64
+    micro-unit components), so runs are reproducible; the build stage
+    is deliberately excluded — production amortizes it across query
+    batches (operators/factorization.adc_search_on_index)."""
+    from pyspark.sql.window import Window
+
+    from cam_location_addressing_feature_service_etl_spark.operators.factorization import (
+        _ivfpq_parts,
+        _sq_l2,
+        adc_search_on_index,
+    )
+
+    dims, n_cells, codebook_ids, sub_dims = 64, 64, 64, 8
+    n_queries, k, nprobe = 50, 3, 8
+
+    def corpus(n: int):
+        comps = F.array(
+            *[
+                (F.xxhash64(F.col("id"), F.lit(j)) % 2000001 - F.lit(1000000)).cast(
+                    "long"
+                )
+                for j in range(dims)
+            ]
+        )
+        return spark.range(n).select(F.col("id").alias("vec_id"), comps.alias("xs"))
+
+    prev = {"ann_brute": None, "ann_adc": None}
+    for n in (100_000, 200_000, 400_000):
+        xs = corpus(n).repartition(32).persist()
+        xs.count()
+        queries = xs.filter(
+            (F.col("vec_id") >= n_cells) & (F.col("vec_id") < n_cells + n_queries)
+        )
+        cents, cb, codes = _ivfpq_parts(xs, n_cells, codebook_ids, sub_dims)
+        cents = cents.persist(); cb = cb.persist(); codes = codes.persist()
+        codes.count()  # build materialized OUTSIDE the timed window
+
+        def op_brute(_):
+            qv = queries.select(
+                F.col("vec_id").alias("query_id"), F.col("xs").alias("qxs")
+            )
+            scored = (
+                xs.crossJoin(F.broadcast(qv))
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    _sq_l2(F.col("xs"), F.col("qxs")).alias("d"),
+                )
+            )
+            w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+            return (
+                scored.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= k)
+                .count()
+            )
+
+        def op_adc(_):
+            return adc_search_on_index(
+                cents, cb, codes, queries, sub_dims, k=k, nprobe=nprobe
+            ).count()
+
+        copies = n // 100_000
+        _timed({"ann_brute": op_brute, "ann_adc": op_adc}, None, prev, copies)
+        for f in (codes, cb, cents, xs):
+            f.unpersist(blocking=True)
+        print()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     family = sys.argv[2] if len(sys.argv) > 2 else "all"
@@ -189,6 +262,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if family == "graph":
         graph_probe(spark, sf_dir)
+        return
+    if family == "ann":
+        ann_probe(spark)
         return
     base = load(spark, sf_dir, "documents")
 
@@ -237,6 +313,7 @@ def main() -> None:
         print()
     if family == "all":
         graph_probe(spark, sf_dir)
+        ann_probe(spark)
 
 
 if __name__ == "__main__":
