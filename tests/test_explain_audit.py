@@ -44,6 +44,7 @@ CARTESIAN_ALLOWED = {
     "ev_funnel_conversion",         # three stage counts in one row
     "ev_decayed_engagement",        # 1-row max-timestamp anchor frame
     "a12_cms_heavy_hitters",        # 1-row total-count frame for the CMS bound
+    "a13_theta_join_cardinality",   # 1-row buyers-sketch frame for the pair algebra
     "a10_theta_audience_overlap",   # T-row (event types) sketch-pair algebra
     "a11_kll_quantile_rollup",      # 1-row merged-sketch x 1-row exact frame
     "emb_pca_power_projection",     # per-round max|u| renormalizer
