@@ -41,6 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: regardless.
 _PRIORITY = [
     # --- new / plan-changed in round 8 ---
+    "emb_ivfpq_incremental",
     "a13_theta_join_cardinality",
     "sample_cluster_diversity",
     "sim_ann_ivfpq_filtered",

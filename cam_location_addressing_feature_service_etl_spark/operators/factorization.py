@@ -284,12 +284,22 @@ def _ivfpq_parts(
     cb = rcomp.filter(F.col(id_col) < n_cells + codebook_ids).select(
         F.col(id_col).alias("code"), "subspace", "pos", F.col("ri").alias("bi")
     )
+    codes = _argmin_codes(rcomp, cb, id_col)
+    return cents, cb, codes
+
+
+def _argmin_codes(rcomp: DataFrame, cb: DataFrame, id_col: str) -> DataFrame:
+    """PQ code assignment over exploded residual components: broadcast
+    codebook join, per-(id, subspace, code) exact distance sum, then
+    the lexicographic struct-MIN argmin — two partial-aggregatable
+    groupBys, no window. Shared by the bulk build and the incremental
+    encode so the two paths cannot drift."""
     per = (
         rcomp.join(F.broadcast(cb), ["subspace", "pos"])
         .groupBy(id_col, "centroid_id", "subspace", "code")
         .agg(F.sum((F.col("ri") - F.col("bi")) * (F.col("ri") - F.col("bi"))).alias("dist_sq"))
     )
-    codes = (
+    return (
         per.groupBy(id_col, "centroid_id", "subspace")
         .agg(F.min(F.struct("dist_sq", "code")).alias("b"))
         .select(
@@ -300,7 +310,59 @@ def _ivfpq_parts(
             F.col("b.dist_sq").alias("dist_sq"),
         )
     )
-    return cents, cb, codes
+
+
+def ivfpq_encode_increment(
+    new_xs: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    sub_dims: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental index maintenance — the FAISS ``add()`` path: encode
+    NEW vectors against a FROZEN index (cells + residual codebook from
+    the base build) without touching existing codes. Each new vector
+    is assigned its nearest frozen cell (broadcast argmin), its
+    residual is coded against the frozen codebook, and the rows union
+    onto the existing code table.
+
+    Stability invariant (the surrogate-id discipline applied to the
+    index): because cells and codebook are deterministic functions of
+    the LOW-id base vectors, base-build ∪ increment-encode is
+    bit-identical to a full rebuild over base+increment — which is
+    exactly how the registry query ``emb_ivfpq_incremental`` is
+    oracle-checked (its oracle IS the full-rebuild SQL). At 100 TB
+    this is the difference between encoding a day's new embeddings
+    (one broadcast pass) and re-clustering the corpus."""
+    scored = new_xs.crossJoin(F.broadcast(cents)).select(
+        id_col, "centroid_id", "xs", _sq_l2(F.col("xs"), F.col("cs")).alias("d")
+    )
+    assigned = (
+        scored.groupBy(id_col)
+        .agg(F.min(F.struct("d", "centroid_id")).alias("b"))
+        .select(id_col, F.col("b.centroid_id").alias("centroid_id"))
+    )
+    resid = (
+        new_xs.join(assigned, id_col)
+        .join(F.broadcast(cents), "centroid_id")
+        .select(
+            id_col,
+            "centroid_id",
+            F.zip_with("xs", "cs", lambda a, b: a - b).alias("rs"),
+        )
+    )
+    rcomp = resid.select(
+        id_col,
+        "centroid_id",
+        F.posexplode("rs").alias("pos0", "ri"),
+    ).select(
+        id_col,
+        "centroid_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (F.col("pos0") / sub_dims).cast("long").alias("subspace"),
+        "ri",
+    )
+    return _argmin_codes(rcomp, cb, id_col)
 
 
 def ivfpq_adc_search(

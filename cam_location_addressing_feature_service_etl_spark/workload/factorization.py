@@ -469,3 +469,46 @@ def sim_ann_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 sim_ann_ivfpq_filtered.__doc__ = sim_ann_ivfpq_filtered.__doc__.format(
     k=_ADC_K, lang=_FILTER_LANG
 )
+
+
+#: base/increment split for the incremental index query: vectors with
+#: id >= _INC_SPLIT arrive "later" and are encoded against the frozen
+#: base index. The split keeps every cell/codebook vector in the base.
+_INC_SPLIT = 400
+
+
+@register("emb_ivfpq_incremental", oracle=_IVFPQ_ORACLE)
+def emb_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ maintenance: build the index over the base
+    vectors (id < {s}), then encode the 'newly arrived' vectors
+    (id >= {s}) against the FROZEN cells + codebook and union the
+    rows — the FAISS add() path. The ORACLE IS THE FULL REBUILD
+    (emb_ivfpq_index's SQL over all vectors): because cells and
+    codebook derive from low-id base vectors, add-then-union must be
+    bit-identical to rebuilding from scratch — the surrogate-id
+    stability discipline applied to index maintenance. At 100 TB this
+    turns daily embedding arrivals into one broadcast encode pass
+    instead of a corpus re-cluster."""
+    from ..operators.factorization import _ivfpq_parts, ivfpq_encode_increment
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    xs = micro_array(embeddings, "vec_id", "embedding").transform(materialize)
+    base = xs.filter(F.col("vec_id") < _INC_SPLIT)
+    new = xs.filter(F.col("vec_id") >= _INC_SPLIT)
+    cents, cb, base_codes = _ivfpq_parts(
+        base, n_cells=_IVFPQ_CELLS, codebook_ids=_IVFPQ_CODEBOOK, sub_dims=_PQ_SUB_DIMS
+    )
+    inc_codes = ivfpq_encode_increment(new, cents, cb, sub_dims=_PQ_SUB_DIMS)
+    return (
+        base_codes.unionByName(inc_codes)
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("subspace").cast("long"),
+            "code",
+            F.col("dist_sq").cast("long"),
+        )
+    )
+
+
+emb_ivfpq_incremental.__doc__ = emb_ivfpq_incremental.__doc__.format(s=_INC_SPLIT)

@@ -34,6 +34,7 @@ CARTESIAN_ALLOWED = {
     "sim_kmeans_assignments",
     "sample_cluster_diversity",      # same k-centroid broadcast argmin as kmeans
     "emb_ivfpq_index",
+    "emb_ivfpq_incremental",        # frozen-centroid broadcast argmin on the add path
     "sim_ann_ivfpq_search",         # queries/members scored vs broadcast centroids
     "sim_ann_ivfpq_rerank",         # same ADC stage feeding the exact rerank
     "sim_ann_ivfpq_filtered",       # same ADC stage with a pre-filtered code table
