@@ -370,3 +370,33 @@ def test_ivfpq_adc_matches_python_mirror(spark):
             )
 
     run()
+
+
+def test_ivfpq_double_increment_equals_rebuild(spark):
+    """Two successive add() passes (400→450, then 450→500) against the
+    same frozen index must equal the single full rebuild row-for-row —
+    incremental maintenance is associative, so daily arrivals can be
+    encoded in any batching without drift."""
+    from cam_location_addressing_feature_service_etl_spark.operators.factorization import (
+        _ivfpq_parts,
+        ivfpq_encode_increment,
+        ivfpq_index,
+    )
+    from cam_location_addressing_feature_service_etl_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    xs = micro_array(emb, "vec_id", "embedding").localCheckpoint(eager=False)
+    base = xs.filter(F.col("vec_id") < 400)
+    inc1 = xs.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    inc2 = xs.filter(F.col("vec_id") >= 450)
+    cents, cb, base_codes = _ivfpq_parts(base, 8, 16, 8)
+    stepped = base_codes.unionByName(
+        ivfpq_encode_increment(inc1, cents, cb, 8)
+    ).unionByName(ivfpq_encode_increment(inc2, cents, cb, 8))
+    rebuilt = ivfpq_index(xs, n_cells=8, codebook_ids=16, sub_dims=8)
+    cols = ["vec_id", "centroid_id", "subspace", "code", "dist_sq"]
+    diff = (
+        stepped.select(cols).exceptAll(rebuilt.select(cols)).count()
+        + rebuilt.select(cols).exceptAll(stepped.select(cols)).count()
+    )
+    assert diff == 0
