@@ -237,6 +237,45 @@ def _sq_l2(a: Column, b: Column) -> Column:
     )
 
 
+def _assign_and_explode(
+    members: DataFrame, cents: DataFrame, sub_dims: int, id_col: str
+) -> DataFrame:
+    """Cell assignment + residual explosion shared by the bulk build
+    and the incremental add path — ONE definition of the broadcast
+    argmin tie-break, the residual arithmetic, and the pos/subspace
+    derivation, so the two paths cannot drift and break the
+    add-equals-rebuild bit-identity the incremental oracle depends
+    on. Returns (id, centroid_id, pos, subspace, ri)."""
+    scored = members.crossJoin(F.broadcast(cents)).select(
+        id_col, "centroid_id", _sq_l2(F.col("xs"), F.col("cs")).alias("d")
+    )
+    assigned = (
+        scored.groupBy(id_col)
+        .agg(F.min(F.struct("d", "centroid_id")).alias("b"))
+        .select(id_col, F.col("b.centroid_id").alias("centroid_id"))
+    )
+    resid = (
+        members.join(assigned, id_col)
+        .join(F.broadcast(cents), "centroid_id")
+        .select(
+            id_col,
+            "centroid_id",
+            F.zip_with("xs", "cs", lambda a, b: a - b).alias("rs"),
+        )
+    )
+    return resid.select(
+        id_col,
+        "centroid_id",
+        F.posexplode("rs").alias("pos0", "ri"),
+    ).select(
+        id_col,
+        "centroid_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (F.col("pos0") / sub_dims).cast("long").alias("subspace"),
+        "ri",
+    )
+
+
 def _ivfpq_parts(
     xs: DataFrame,
     n_cells: int,
@@ -253,34 +292,7 @@ def _ivfpq_parts(
         F.col(id_col).alias("centroid_id"), F.col("xs").alias("cs")
     )
     members = xs.filter(F.col(id_col) >= n_cells)
-    scored = members.crossJoin(F.broadcast(cents)).select(
-        id_col, "centroid_id", "xs", _sq_l2(F.col("xs"), F.col("cs")).alias("d")
-    )
-    assigned = (
-        scored.groupBy(id_col)
-        .agg(F.min(F.struct("d", "centroid_id")).alias("b"))
-        .select(id_col, F.col("b.centroid_id").alias("centroid_id"))
-    )
-    resid = (
-        members.join(assigned, id_col)
-        .join(F.broadcast(cents), "centroid_id")
-        .select(
-            id_col,
-            "centroid_id",
-            F.zip_with("xs", "cs", lambda a, b: a - b).alias("rs"),
-        )
-    )
-    rcomp = resid.select(
-        id_col,
-        "centroid_id",
-        F.posexplode("rs").alias("pos0", "ri"),
-    ).select(
-        id_col,
-        "centroid_id",
-        (F.col("pos0") + 1).alias("pos"),
-        ((F.col("pos0")) / sub_dims).cast("long").alias("subspace"),
-        "ri",
-    )
+    rcomp = _assign_and_explode(members, cents, sub_dims, id_col)
     cb = rcomp.filter(F.col(id_col) < n_cells + codebook_ids).select(
         F.col(id_col).alias("code"), "subspace", "pos", F.col("ri").alias("bi")
     )
@@ -334,34 +346,7 @@ def ivfpq_encode_increment(
     oracle-checked (its oracle IS the full-rebuild SQL). At 100 TB
     this is the difference between encoding a day's new embeddings
     (one broadcast pass) and re-clustering the corpus."""
-    scored = new_xs.crossJoin(F.broadcast(cents)).select(
-        id_col, "centroid_id", "xs", _sq_l2(F.col("xs"), F.col("cs")).alias("d")
-    )
-    assigned = (
-        scored.groupBy(id_col)
-        .agg(F.min(F.struct("d", "centroid_id")).alias("b"))
-        .select(id_col, F.col("b.centroid_id").alias("centroid_id"))
-    )
-    resid = (
-        new_xs.join(assigned, id_col)
-        .join(F.broadcast(cents), "centroid_id")
-        .select(
-            id_col,
-            "centroid_id",
-            F.zip_with("xs", "cs", lambda a, b: a - b).alias("rs"),
-        )
-    )
-    rcomp = resid.select(
-        id_col,
-        "centroid_id",
-        F.posexplode("rs").alias("pos0", "ri"),
-    ).select(
-        id_col,
-        "centroid_id",
-        (F.col("pos0") + 1).alias("pos"),
-        (F.col("pos0") / sub_dims).cast("long").alias("subspace"),
-        "ri",
-    )
+    rcomp = _assign_and_explode(new_xs, cents, sub_dims, id_col)
     return _argmin_codes(rcomp, cb, id_col)
 
 

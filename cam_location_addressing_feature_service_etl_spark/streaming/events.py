@@ -319,8 +319,8 @@ def tumbling_cms_cells(
     events: DataFrame,
     bucket: str = "1 day",
     watermark: str = "1 day",
-    depth: int = 5,
-    width: int = 256,
+    depth: int | None = None,
+    width: int | None = None,
 ) -> DataFrame:
     """Streaming leg of ``a12_cms_heavy_hitters`` — completing the
     four-sketch maintenance family (HLL buckets, theta types, KLL
@@ -334,8 +334,12 @@ def tumbling_cms_cells(
     State per bucket is d·w longs (kilobytes); watermark bounds open
     buckets. Asserted bit-exact against the batch build and the
     registry query's estimates in tests/test_streaming_hll.py."""
-    from ..workload.events import _cms_bucket
+    from ..workload.events import _CMS_DEPTH, _CMS_WIDTH, _cms_bucket
 
+    # geometry defaults come from the BATCH constants so a retune in
+    # workload/events.py cannot silently diverge the streamed sketch
+    depth = _CMS_DEPTH if depth is None else depth
+    width = _CMS_WIDTH if width is None else width
     depth_rows = F.explode(
         F.array(*[F.lit(i).cast("long") for i in range(depth)])
     )

@@ -1673,86 +1673,3 @@ a12_cms_heavy_hitters.__doc__ = a12_cms_heavy_hitters.__doc__.format(
     delta=_math.exp(-_CMS_DEPTH),
     conf=1 - _math.exp(-_CMS_DEPTH),
 )
-
-
-# ---------------------------------------------------------------------------
-# Theta-sketch semi-join cardinality (sketch algebra ACROSS tables)
-# ---------------------------------------------------------------------------
-
-_A13_TOL = 0.05
-
-_A13_ORACLE = """
-WITH buyers AS (SELECT DISTINCT o_custkey FROM orders),
-per_nation AS (
-  SELECT c.c_nationkey,
-         CAST(COUNT(*) AS BIGINT) AS n_customers,
-         CAST(COUNT(*) FILTER (WHERE b.o_custkey IS NOT NULL) AS BIGINT)
-           AS exact_buyers
-  FROM customer c LEFT JOIN buyers b ON b.o_custkey = c.c_custkey
-  GROUP BY 1
-)
-SELECT c_nationkey, n_customers, exact_buyers, TRUE AS inter_within_tol
-FROM per_nation
-"""
-
-
-@register("a13_theta_join_cardinality", oracle=_A13_ORACLE)
-def a13_theta_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-join cardinality estimation from sketches ALONE — the
-    query-planner / data-catalog application of the a10 theta algebra,
-    across tables: per-nation customer sketches intersected with ONE
-    sketch of distinct order-placing customers estimate "how many of
-    nation X's customers have ordered" without joining the raw tables.
-    At 100 TB each table is sketched once during ingest (a
-    partial-aggregatable groupBy producing kilobyte states); every
-    later cross-table overlap question is T-row sketch algebra — the
-    same economics that made a10 never rescan events.
-
-    Self-verified like a10: exact counts (one semi-join) are
-    hash-checked against the oracle; the intersection estimate must
-    land within {t:.0%} (with lgNomEntries=16 both sides stay in exact
-    mode below 64k distinct keys, so the flag is deterministic at the
-    test scales — the bound, not a hope, covers the 100 TB regime)."""
-    tune(spark)
-    customer = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
-    nat_sk = customer.groupBy("c_nationkey").agg(
-        F.theta_sketch_agg(F.col("c_custkey"), lgNomEntries=16).alias("sk"),
-        F.count(F.lit(1)).alias("n_customers"),
-    )
-    buyers_sk = orders.agg(
-        F.theta_sketch_agg(F.col("o_custkey"), lgNomEntries=16).alias("bsk")
-    )
-    est = nat_sk.crossJoin(F.broadcast(buyers_sk)).select(
-        "c_nationkey",
-        "n_customers",
-        F.theta_sketch_estimate(F.expr("theta_intersection(sk, bsk)")).alias(
-            "est_buyers"
-        ),
-    )
-    exact = (
-        customer.join(
-            orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
-            "c_custkey",
-            "left_semi",
-        )
-        .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("exact_buyers"))
-    )
-    return (
-        est.join(exact, "c_nationkey", "left")
-        .select(
-            "c_nationkey",
-            "n_customers",
-            F.coalesce("exact_buyers", F.lit(0)).cast("long").alias("exact_buyers"),
-            (
-                F.abs(F.col("est_buyers") - F.coalesce("exact_buyers", F.lit(0)))
-                <= _A13_TOL * F.greatest(F.coalesce("exact_buyers", F.lit(0)), F.lit(1))
-            ).alias("inter_within_tol"),
-        )
-    )
-
-
-a13_theta_join_cardinality.__doc__ = a13_theta_join_cardinality.__doc__.format(
-    t=_A13_TOL
-)

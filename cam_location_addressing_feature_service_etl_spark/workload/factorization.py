@@ -445,8 +445,7 @@ def sim_ann_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     still never scanned."""
     from ..operators.factorization import ivfpq_adc_search
 
-    (embeddings,) = _t(spark, sf_dir, "embeddings")
-    docs = _t(spark, sf_dir, "documents")[0]
+    embeddings, docs = _t(spark, sf_dir, "embeddings", "documents")
     allowed = docs.filter(F.col("lang") == _FILTER_LANG).select(
         F.col("doc_id").alias("vec_id")
     )
