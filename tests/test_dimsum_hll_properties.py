@@ -205,3 +205,34 @@ def test_cms_forced_collisions_never_underestimate(spark):
         assert got[k][0] == n
         assert got[k][1] == expected_est[k], (k, got[k], expected_est[k])
         assert got[k][1] >= n
+
+
+def test_theta_bound_holds_past_exact_mode(spark):
+    """Every registry theta flag runs in EXACT mode at test scales
+    (< 64k distinct keys per sketch) — this probe pushes two 200k-key
+    sets (50% overlap) PAST the k=65536 threshold so the sketches
+    actually estimate, and asserts the intersection/union estimates
+    land within the 5% contract the a10/a13 docstrings derive from
+    the sqrt(|A∪B|/|A∩B|)/sqrt(k) bound. Deterministic: theta is an
+    order-insensitive function of the input set."""
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    a = spark.range(n).select(F.col("id").alias("k"))                # 0 .. 200k
+    b = spark.range(n // 2, n + n // 2).select(F.col("id").alias("k"))  # 100k .. 300k
+    exact_inter = n // 2
+    exact_union = 2 * n - exact_inter
+    ska = a.agg(F.theta_sketch_agg("k", lgNomEntries=16).alias("sk"))
+    skb = b.agg(F.theta_sketch_agg("k", lgNomEntries=16).alias("sk"))
+    row = (
+        ska.crossJoin(skb.select(F.col("sk").alias("sk2")))
+        .select(
+            F.theta_sketch_estimate(F.theta_intersection("sk", "sk2")).alias("i"),
+            F.theta_sketch_estimate(F.theta_union("sk", "sk2")).alias("u"),
+            F.theta_sketch_estimate("sk").alias("na"),
+        )
+        .collect()[0]
+    )
+    assert row["na"] != n, "sketch still in exact mode — raise n"
+    assert abs(row["i"] - exact_inter) <= 0.05 * exact_inter, (row["i"], exact_inter)
+    assert abs(row["u"] - exact_union) <= 0.05 * exact_union, (row["u"], exact_union)
