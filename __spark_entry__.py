@@ -41,6 +41,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: regardless.
 _PRIORITY = [
     # --- new / plan-changed in round 8 ---
+    "geo_point_in_polygon",
+    "geo_knn_topk",
+    "geo_geohash_agg",
+    "geo_fuzzy_match_blocked",
+    "geo_nearest_within_radius",  # plan now the k=1 slice of knn_within_radius
     "emb_ivfpq_incremental",
     "a13_theta_join_cardinality",
     "sample_cluster_diversity",

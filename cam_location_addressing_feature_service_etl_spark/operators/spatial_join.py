@@ -38,22 +38,32 @@ def _cell(lat: Column, lon: Column, cell_deg: float) -> tuple[Column, Column]:
     )
 
 
-def nearest_within_radius(
+def knn_within_radius(
     points: DataFrame,
     candidates: DataFrame,
+    k: int,
     radius_km: float,
     cell_deg: float,
     point_id: str = "point_id",
     cand_id: str = "cand_id",
     round_digits: int = 1,
 ) -> DataFrame:
-    """For each row of ``points`` (point_id, lat, lon): the single
-    nearest row of ``candidates`` (cand_id, lat, lon) with haversine
-    distance ≤ radius_km; ties broken by cand_id. Points with no
-    candidate in range are absent (inner semantics).
+    """For each row of ``points`` (point_id, lat, lon): the ``k``
+    nearest rows of ``candidates`` (cand_id, lat, lon) with haversine
+    distance ≤ radius_km, ranked by (dist, cand_id). Points with no
+    candidate in range are absent (inner semantics). Output adds
+    ``rank`` (1-based).
 
-    ``cell_deg`` must be ≥ the radius in degrees at the data's extreme
-    latitude; validated cheaply here (guards exactness).
+    Radius-bounded kNN keeps the grid expansion EXACT: every candidate
+    within the radius lies in the 3×3 neighborhood (cell_deg ≥ radius
+    in degrees at the extreme latitude, validated below), so the top-k
+    of the verified in-radius set is the true in-radius top-k.
+    Unbounded kNN would need expanding-ring search — at scale the
+    bounded form is the one an address matcher wants anyway.
+
+    The rank window is PARTITIONED by point_id, so per-task state is
+    one point's in-radius candidates — bounded by local density × 9,
+    never |B|.
     """
     if cell_deg * 111.0 < radius_km:
         raise ValueError(
@@ -97,7 +107,30 @@ def nearest_within_radius(
     )
     w = Window.partitionBy(point_id).orderBy(F.asc("dist_km"), F.asc(cand_id))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(point_id, cand_id, "dist_km")
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(point_id, cand_id, "dist_km", "rank")
     )
+
+
+def nearest_within_radius(
+    points: DataFrame,
+    candidates: DataFrame,
+    radius_km: float,
+    cell_deg: float,
+    point_id: str = "point_id",
+    cand_id: str = "cand_id",
+    round_digits: int = 1,
+) -> DataFrame:
+    """k=1 specialization of :func:`knn_within_radius` (original
+    nearest-neighbor contract; no rank column)."""
+    return knn_within_radius(
+        points,
+        candidates,
+        k=1,
+        radius_km=radius_km,
+        cell_deg=cell_deg,
+        point_id=point_id,
+        cand_id=cand_id,
+        round_digits=round_digits,
+    ).select(point_id, cand_id, "dist_km")

@@ -227,3 +227,237 @@ def geo_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zkey").cast("long").alias("zmax"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 continuation: containment, kNN, geohash interop, record linkage
+# ---------------------------------------------------------------------------
+
+#: Convex pentagon around SE Queensland, CCW in the (x=lon, y=lat)
+#: plane (cross-product signs verified in tests). Containment for a
+#: CONVEX CCW polygon is "left of every edge": for each edge (v1→v2),
+#: (x2-x1)·(py-y1) − (y2-y1)·(px-x1) ≥ 0. Pure multiply/subtract on
+#: doubles — IEEE-identical in any engine, so no rounding guard needed
+#: (unlike the haversine queries).
+_POLY = [
+    (151.0, -29.0),
+    (154.0, -29.0),
+    (154.0, -26.0),
+    (152.5, -24.5),
+    (150.5, -26.5),
+]
+
+
+def _pip_sql(lat: str, lon: str) -> str:
+    """Half-plane conjunction for the pentagon, shared Spark/DuckDB."""
+    terms = []
+    n = len(_POLY)
+    for i in range(n):
+        x1, y1 = _POLY[i]
+        x2, y2 = _POLY[(i + 1) % n]
+        terms.append(
+            f"(({x2} - {x1}) * (({lat}) - ({y1}))"
+            f" - (({y2}) - ({y1})) * (({lon}) - ({x1})) >= 0)"
+        )
+    return " AND ".join(terms)
+
+
+@register(
+    "geo_point_in_polygon",
+    oracle=f"""
+WITH pts AS ({_POINTS_SQL})
+SELECT point_id, lat, lon FROM pts WHERE {_pip_sql("lat", "lon")}
+""",
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-convex-polygon containment (half-plane conjunction) —
+    the geofence filter of a location engine (the reference's locality
+    assignment, SURVEY §1.2, done geometrically instead of by lookup).
+    All-column-expression: Catalyst folds the per-edge constants, the
+    conjunction is sargable after a bbox pre-filter, and at scale the
+    polygon's bounding box goes FIRST so file skipping on lat/lon
+    min/max stats happens before any multiplication. Convex-only by
+    contract; a concave fence is a union of convex pieces (fan
+    triangulation), each this same expression."""
+    pts = _points(spark, sf_dir)
+    # bbox pre-filter: sargable, prunes before the edge tests
+    xs = [x for x, _ in _POLY]
+    ys = [y for _, y in _POLY]
+    boxed = pts.filter(
+        F.col("lat").between(min(ys), max(ys)) & F.col("lon").between(min(xs), max(xs))
+    )
+    return boxed.filter(F.expr(_pip_sql("lat", "lon"))).select("point_id", "lat", "lon")
+
+
+_KNN_K = 3
+_KNN_RADIUS_KM = 150.0
+
+
+@register(
+    "geo_knn_topk",
+    oracle=f"""
+WITH a AS ({_POINTS_SQL}),
+b AS ({_SUPPLIER_POINTS_SQL}),
+scored AS (
+  SELECT a.point_id, b.cand_id,
+         ROUND({_HAVERSINE_SQL.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")}, 1)
+           AS dist_km
+  FROM a CROSS JOIN b
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY point_id
+                               ORDER BY dist_km ASC, cand_id ASC) AS rank
+  FROM scored WHERE dist_km <= {_KNN_RADIUS_KM}
+)
+SELECT point_id, cand_id, dist_km, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_KNN_K}
+""",
+)
+def geo_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest candidates (k=3) within 150 km per point, via the
+    grid-bucketed spatial join generalized to top-k
+    (operators/spatial_join.py knn_within_radius). The oracle is the
+    brute-force cross join — proving the 3×3 cell expansion loses no
+    in-radius candidate, so the blocked top-k IS the true top-k. The
+    rank window is partitioned per point (bounded by local density),
+    and the radius bound is what keeps grid kNN exact without
+    expanding-ring search."""
+    from ..operators.spatial_join import knn_within_radius
+
+    pts = _points(spark, sf_dir)
+    supplier = load(spark, sf_dir, "supplier")
+    cands = supplier.select(
+        F.col("s_suppkey").alias("cand_id"),
+        (-29.0 + ((F.col("s_suppkey") * 13) % 2000) / 100.0).alias("lat"),
+        (138.0 + ((F.col("s_suppkey") * 29) % 1600) / 100.0).alias("lon"),
+    )
+    out = knn_within_radius(
+        pts, cands, k=_KNN_K, radius_km=_KNN_RADIUS_KM, cell_deg=1.6
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Geohash (base32) — the interop-standard spatial key
+# ---------------------------------------------------------------------------
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_BITS = 15  # per axis; 30 bits total = 6 base32 chars
+
+
+def _gh_interleave_sql(gx: str, gy: str) -> str:
+    """Geohash bit order: MSB is a LONGITUDE bit (gx bit j → z bit
+    2j+1, gy bit j → z bit 2j). Same operators as the Z-order key;
+    only the axis assignment differs (geohash leads with lon)."""
+    terms = []
+    for j in range(_GH_BITS):
+        terms.append(f"((({gx} >> {j}) & 1) << {2 * j + 1})")
+        terms.append(f"((({gy} >> {j}) & 1) << {2 * j})")
+    return " + ".join(terms)
+
+
+def _gh_chars_sql(z: str, n_chars: int) -> str:
+    """First ``n_chars`` base32 geohash characters of the 30-bit key."""
+    parts = [
+        f"substring('{_GH_ALPHABET}', CAST((({z}) >> {25 - 5 * t}) & 31 AS INT) + 1, 1)"
+        for t in range(n_chars)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+_GH_GRID_SQL = """
+SELECT point_id,
+       CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS gx,
+       CAST(FLOOR((lat + 90.0) / 180.0 * 32768) AS BIGINT) AS gy
+FROM pts
+"""
+
+
+@register(
+    "geo_geohash_agg",
+    oracle=f"""
+WITH pts AS ({_POINTS_SQL}),
+g AS ({_GH_GRID_SQL}),
+z AS (SELECT point_id, {_gh_interleave_sql("gx", "gy")} AS zkey FROM g)
+SELECT {_gh_chars_sql("zkey", 4)} AS geohash4,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       COUNT(DISTINCT {_gh_chars_sql("zkey", 6)}) AS n_cells6
+FROM z GROUP BY 1
+""",
+)
+def geo_geohash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard base32 geohash encoding (6 chars = 30 bits, lon bit
+    first) as pure integer/substring expressions — no UDF, identical
+    arithmetic in the oracle. Geohash is the INTEROP spatial key (the
+    one external systems, caches, and URL schemes speak), while the
+    Z-order key (geo_zorder_layout) is the LAYOUT key — same bit
+    interleave, different axis order and alphabet. Aggregates points
+    per 4-char cell (~39 km) and counts distinct 6-char subcells
+    (~1.2 km) — the density rollup an addressing service serves."""
+    pts = _points(spark, sf_dir)
+    g = pts.select(
+        "point_id",
+        F.floor((F.col("lon") + 180.0) / 360.0 * 32768).cast("long").alias("gx"),
+        F.floor((F.col("lat") + 90.0) / 180.0 * 32768).cast("long").alias("gy"),
+    )
+    z = g.select("point_id", F.expr(_gh_interleave_sql("gx", "gy")).alias("zkey"))
+    return z.groupBy(F.expr(_gh_chars_sql("zkey", 4)).alias("geohash4")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct(F.expr(_gh_chars_sql("zkey", 6))).alias("n_cells6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy record linkage — the address-matching pattern
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 3
+
+
+@register(
+    "geo_fuzzy_match_blocked",
+    oracle=f"""
+WITH p AS (
+  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part
+)
+SELECT a.p_partkey AS left_key, b.p_partkey AS right_key,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {_FUZZY_MAX_DIST}
+""",
+)
+def geo_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: candidate pairs share a blocking
+    key (first name token — standing in for the locality_code the
+    reference links addresses on EXACTLY, pls/tables.py:70; fuzzy
+    linkage is what an addressing service needs when that code is
+    absent or dirty), then Levenshtein distance 1..3 confirms
+    near-matches (exact duplicates excluded — that's D1/D2's job). JVM-side ``levenshtein`` (no UDF), and the
+    expensive O(len²) distance runs only WITHIN blocks — candidate
+    generation is the equi-join, so cost is Σ block² not |P|². At
+    100 TB the blocking key is the recall dial (coarser = more recall,
+    more pairs); the oracle uses the SAME blocks, so parity checks the
+    within-block semantics while recall-vs-blocking is documented, not
+    hidden."""
+    tune(spark)
+    part = load(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey", "p_name", F.split(F.col("p_name"), " ")[0].alias("blk")
+    )
+    a = p.select(
+        F.col("blk"),
+        F.col("p_partkey").alias("left_key"),
+        F.col("p_name").alias("left_name"),
+    )
+    b = p.select(
+        F.col("blk"),
+        F.col("p_partkey").alias("right_key"),
+        F.col("p_name").alias("right_name"),
+    )
+    pairs = a.join(b, "blk").filter(F.col("left_key") < F.col("right_key"))
+    d = F.levenshtein(F.col("left_name"), F.col("right_name"))
+    return (
+        pairs.withColumn("edit_dist", d.cast("int"))
+        .filter(F.col("edit_dist").between(1, _FUZZY_MAX_DIST))
+        .select("left_key", "right_key", "edit_dist")
+    )

@@ -1,0 +1,226 @@
+"""Round-8 geo additions: point-in-polygon, grid kNN, geohash, blocked
+fuzzy linkage. Each checks the operator against an INDEPENDENT pure-
+Python implementation (the parity oracle already proves DuckDB
+equivalence; these pin the geometry/encoding semantics themselves)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cam_location_addressing_feature_service_etl_spark.operators.spatial_join import (
+    knn_within_radius,
+    nearest_within_radius,
+)
+from cam_location_addressing_feature_service_etl_spark.workload.geo import (
+    _GH_ALPHABET,
+    _POLY,
+    _pip_sql,
+)
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon
+# ---------------------------------------------------------------------------
+
+
+def test_polygon_is_convex_ccw():
+    """The half-plane conjunction is only valid for convex CCW rings —
+    pin that property so a future vertex edit can't silently break it."""
+    n = len(_POLY)
+    for i in range(n):
+        ox, oy = _POLY[i]
+        ax, ay = _POLY[(i + 1) % n]
+        bx, by = _POLY[(i + 2) % n]
+        cross = (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+        assert cross > 0, f"vertex {i}: not convex-CCW (cross={cross})"
+
+
+def _pip_python(lat: float, lon: float) -> bool:
+    n = len(_POLY)
+    for i in range(n):
+        x1, y1 = _POLY[i]
+        x2, y2 = _POLY[(i + 1) % n]
+        if (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1) < 0:
+            return False
+    return True
+
+
+def test_pip_matches_python_mirror(spark):
+    pts = [
+        (1, -27.5, 152.5),   # inside (Brisbane-ish)
+        (2, -29.0, 152.0),   # on the bottom edge → inside (>= 0)
+        (3, -30.0, 152.0),   # south of the polygon
+        (4, -25.0, 150.8),   # west of the upper edges
+        (5, -26.0, 153.9),   # inside near the east edge
+        (6, -24.4, 152.5),   # just north of the apex
+    ]
+    df = spark.createDataFrame(pts, "point_id long, lat double, lon double")
+    got = {
+        r["point_id"]
+        for r in df.filter(F.expr(_pip_sql("lat", "lon"))).collect()
+    }
+    want = {pid for pid, lat, lon in pts if _pip_python(lat, lon)}
+    assert got == want
+    assert 1 in want and 2 in want and 3 not in want
+
+
+# ---------------------------------------------------------------------------
+# grid kNN
+# ---------------------------------------------------------------------------
+
+
+def _df(spark, rows, id_col):
+    return spark.createDataFrame(rows, f"{id_col} long, lat double, lon double")
+
+
+def test_knn_ranks_by_distance_then_id(spark):
+    a = _df(spark, [(1, 0.0, 0.0)], "point_id")
+    b = _df(
+        spark,
+        [(10, 0.30, 0.0), (11, 0.10, 0.0), (12, 0.20, 0.0), (13, 5.0, 5.0)],
+        "cand_id",
+    )
+    got = (
+        knn_within_radius(a, b, k=3, radius_km=60.0, cell_deg=1.0)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["cand_id"] for r in got] == [11, 12, 10]
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    assert got[0]["dist_km"] <= got[1]["dist_km"] <= got[2]["dist_km"]
+
+
+def test_knn_k1_equals_nearest(spark):
+    """The k=1 slice IS the original nearest-neighbor contract."""
+    a = _df(spark, [(1, 0.999, 0.0), (2, 0.5, 0.5)], "point_id")
+    b = _df(spark, [(10, 1.001, 0.0), (11, 0.5, 0.0), (12, 0.4, 0.55)], "cand_id")
+    knn1 = {
+        (r["point_id"], r["cand_id"], r["dist_km"])
+        for r in knn_within_radius(a, b, k=1, radius_km=60.0, cell_deg=1.0).collect()
+    }
+    nn = {
+        (r["point_id"], r["cand_id"], r["dist_km"])
+        for r in nearest_within_radius(a, b, radius_km=60.0, cell_deg=1.0).collect()
+    }
+    assert knn1 == nn and len(nn) == 2
+
+
+def test_knn_finds_neighbors_across_cell_boundaries(spark):
+    # 2nd-nearest lives in a diagonal neighbor cell
+    a = _df(spark, [(1, 0.99, 0.99)], "point_id")
+    b = _df(spark, [(10, 1.01, 1.01), (11, 0.98, 0.98), (12, 1.5, 0.2)], "cand_id")
+    got = knn_within_radius(a, b, k=2, radius_km=60.0, cell_deg=1.0).collect()
+    assert {r["cand_id"] for r in got} == {11, 10}
+
+
+# ---------------------------------------------------------------------------
+# geohash
+# ---------------------------------------------------------------------------
+
+
+def _geohash_python(lat: float, lon: float, n_chars: int) -> str:
+    """Textbook interval-halving geohash encoder (independent of the
+    bit-interleave formulation under test)."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits = []
+    even = True  # geohash leads with a longitude bit
+    while len(bits) < n_chars * 5:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits.append(1)
+                lon_lo = mid
+            else:
+                bits.append(0)
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits.append(1)
+                lat_lo = mid
+            else:
+                bits.append(0)
+                lat_hi = mid
+        even = not even
+    out = []
+    for t in range(n_chars):
+        idx = 0
+        for b in bits[5 * t : 5 * t + 5]:
+            idx = (idx << 1) | b
+        out.append(_GH_ALPHABET[idx])
+    return "".join(out)
+
+
+def test_geohash_matches_interval_halving_encoder(spark):
+    from cam_location_addressing_feature_service_etl_spark.workload.geo import (
+        _gh_chars_sql,
+        _gh_interleave_sql,
+    )
+
+    pts = [
+        (1, -27.47, 153.03),   # Brisbane
+        (2, -16.92, 145.77),   # Cairns
+        (3, 51.50, -0.12),     # London (negative lon)
+        (4, -33.87, 151.21),   # Sydney
+        (5, 0.0, 0.0),         # origin (boundary)
+    ]
+    df = spark.createDataFrame(pts, "point_id long, lat double, lon double")
+    g = df.select(
+        "point_id",
+        "lat",
+        "lon",
+        F.floor((F.col("lon") + 180.0) / 360.0 * 32768).cast("long").alias("gx"),
+        F.floor((F.col("lat") + 90.0) / 180.0 * 32768).cast("long").alias("gy"),
+    )
+    z = g.select(
+        "point_id", "lat", "lon", F.expr(_gh_interleave_sql("gx", "gy")).alias("zkey")
+    )
+    got = {
+        r["point_id"]: r["gh"]
+        for r in z.select(
+            "point_id", F.expr(_gh_chars_sql("zkey", 6)).alias("gh")
+        ).collect()
+    }
+    for pid, lat, lon in pts:
+        assert got[pid] == _geohash_python(lat, lon, 6), (pid, got[pid])
+    # sanity anchor: Brisbane's well-known prefix
+    assert got[1].startswith("r7hg")
+
+
+# ---------------------------------------------------------------------------
+# blocked fuzzy linkage
+# ---------------------------------------------------------------------------
+
+
+def _lev_python(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_agrees_with_python(spark):
+    pairs = [
+        ("almond antique blue royal", "almond antique blue regal"),
+        ("goldenrod lavender spring", "goldenrod lavendar spring"),
+        ("", "abc"),
+        ("same", "same"),
+        ("kitten", "sitting"),
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = df.select(F.levenshtein("a", "b").alias("d")).collect()
+    for (a, b), r in zip(pairs, got):
+        assert r["d"] == _lev_python(a, b), (a, b)
+
+
+def test_fuzzy_match_excludes_exact_and_orders_keys(spark):
+    from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+
+    got = QUERIES["geo_fuzzy_match_blocked"](spark, SF_SMOKE).collect()
+    assert all(r["left_key"] < r["right_key"] for r in got)
+    assert all(1 <= r["edit_dist"] <= 3 for r in got)
