@@ -41,6 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: regardless.
 _PRIORITY = [
     # --- new / plan-changed in round 8 ---
+    "geo_fence_transitions",
     "geo_point_in_polygon",
     "geo_knn_topk",
     "geo_geohash_agg",

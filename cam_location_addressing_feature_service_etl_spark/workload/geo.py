@@ -461,3 +461,83 @@ def geo_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist").between(1, _FUZZY_MAX_DIST))
         .select("left_key", "right_key", "edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Geofence enter/exit transitions — batch twin of the streaming leg
+# ---------------------------------------------------------------------------
+
+#: Deterministic per-event positions. The CAST AS DOUBLE is load-
+#: bearing: Spark SQL parses `100.0` as DECIMAL, so without it the
+#: whole expression runs in decimal on the Spark side while DuckDB
+#: (and the streaming leg's numpy) run IEEE doubles — 3 boundary
+#: events flip. With it, both engines do the same int→double cast,
+#: correctly-rounded division, and addition.
+_EV_LAT_SQL = "(-29.0 + CAST((event_id * 31 + user_id * 7) % 2000 AS DOUBLE) / 100.0)"
+_EV_LON_SQL = "(138.0 + CAST((event_id * 17 + user_id * 13) % 1600 AS DOUBLE) / 100.0)"
+
+
+@register(
+    "geo_fence_transitions",
+    oracle=f"""
+WITH pos AS (
+  SELECT user_id, event_id, ts,
+         {_EV_LAT_SQL} AS lat, {_EV_LON_SQL} AS lon
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN {_pip_sql("lat", "lon")} THEN 1 ELSE 0 END AS inside
+  FROM pos
+),
+seq AS (
+  SELECT *, LAG(inside) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_inside
+  FROM flagged
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CASE WHEN inside = 1 THEN 'enter' ELSE 'exit' END AS direction
+FROM seq
+WHERE prev_inside IS NOT NULL AND prev_inside <> inside
+""",
+)
+def geo_fence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence enter/exit detection: flag each event's position
+    against the convex fence, then keep rows where the flag flips vs
+    the user's previous event (lag over a PER-USER window — state per
+    task is one user's timeline, never the table). This is the batch
+    twin of ``streaming.geofence.fence_transitions_state`` (same
+    position arithmetic, same half-plane test), whose
+    micro-batch-split-insensitive reconciliation test proves the
+    stateful streaming form computes exactly this frame. The signature
+    alerting query of a location engine."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr(_EV_LAT_SQL).alias("lat"),
+        F.expr(_EV_LON_SQL).alias("lon"),
+    )
+    flagged = ev.withColumn(
+        "inside", F.when(F.expr(_pip_sql("lat", "lon")), 1).otherwise(0)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = flagged.withColumn("prev_inside", F.lag("inside").over(w))
+    return (
+        seq.filter(
+            F.col("prev_inside").isNotNull()
+            & (F.col("prev_inside") != F.col("inside"))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.when(F.col("inside") == 1, F.lit("enter"))
+            .otherwise(F.lit("exit"))
+            .alias("direction"),
+        )
+    )
