@@ -16,7 +16,7 @@ double per doubling — the hub-growth regime DIMSUM exists for), and
 triangles / cc_star on disjoint self-unioned edge copies (the bound is
 linear; an accidental cross-copy all-pairs stage would show ~x4).
 
-Usage: python scripts/scale_probe.py [sf_dir] [dedup|graph|all]
+Usage: python scripts/scale_probe.py [sf_dir] [dedup|graph|ann|spatial|all]
 """
 
 from __future__ import annotations
@@ -254,6 +254,62 @@ def ann_probe(spark) -> None:
         print()
 
 
+def spatial_probe(spark) -> None:
+    """Grid-blocked kNN vs brute-force cross join, both sides doubling
+    with the LONGITUDE SPAN doubling too (constant point density —
+    more territory, same local crowding, the regime a growing address
+    base actually lives in). Brute pairs = |A|·|B| → ~x4 per doubling;
+    grid candidate pairs = Σ 9·aᵢ·bᵢ over cells → ~x2 (cells double,
+    per-cell load constant). Synthetic-deterministic points (pmod of
+    xxhash64), radius 50 km, 1° cells."""
+    from pyspark.sql.window import Window
+
+    from cam_location_addressing_feature_service_etl_spark.operators.spatial_join import (
+        haversine_km,
+        knn_within_radius,
+    )
+
+    n0, k, radius = 10_000, 3, 50.0
+
+    def pts(n: int, span_deg: float, salt: int, id_col: str):
+        h1 = F.pmod(F.xxhash64(F.col("id"), F.lit(salt)), F.lit(1_000_000))
+        h2 = F.pmod(F.xxhash64(F.col("id"), F.lit(salt + 1)), F.lit(1_000_000))
+        return spark.range(n).select(
+            F.col("id").alias(id_col),
+            (-29.0 + h1 / 1_000_000.0 * 5.0).alias("lat"),
+            (138.0 + h2 / 1_000_000.0 * span_deg).alias("lon"),
+        )
+
+    prev = {"knn_grid": None, "knn_brute": None}
+    for copies in (1, 2, 4):
+        n, span = n0 * copies, 16.0 * copies
+        a = pts(n, span, 11, "point_id").repartition(32).persist()
+        b = pts(n, span, 97, "cand_id").repartition(32).persist()
+        a.count(); b.count()
+
+        def op_grid(_):
+            return knn_within_radius(a, b, k=k, radius_km=radius, cell_deg=1.0).count()
+
+        def op_brute(_):
+            pairs = a.join(b).select(
+                "point_id",
+                "cand_id",
+                F.round(
+                    haversine_km(a["lat"], a["lon"], b["lat"], b["lon"]), 1
+                ).alias("dist_km"),
+            ).filter(F.col("dist_km") <= radius)
+            w = Window.partitionBy("point_id").orderBy("dist_km", "cand_id")
+            return (
+                pairs.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= k)
+                .count()
+            )
+
+        _timed({"knn_grid": op_grid, "knn_brute": op_brute}, None, prev, copies)
+        a.unpersist(blocking=True); b.unpersist(blocking=True)
+        print()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     family = sys.argv[2] if len(sys.argv) > 2 else "all"
@@ -265,6 +321,9 @@ def main() -> None:
         return
     if family == "ann":
         ann_probe(spark)
+        return
+    if family == "spatial":
+        spatial_probe(spark)
         return
     base = load(spark, sf_dir, "documents")
 
