@@ -133,7 +133,6 @@ _PRIORITY = [
     "ev_user_running_total",
     "flagship_current_address",
     "geo_gridcell_agg",
-    "geo_nearest_within_radius",
     "graph_pagerank_3round",
     "llm_corpus_prep_composite",
     "mm_audio_frame_plan",
