@@ -41,6 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: regardless.
 _PRIORITY = [
     # --- new / plan-changed in round 8 ---
+    "ev_gapfill_forward",
+    "ev_rolling_mad_outliers",
+    "ev_interval_overlap_join",
     "geo_fence_transitions",
     "geo_point_in_polygon",
     "geo_knn_topk",

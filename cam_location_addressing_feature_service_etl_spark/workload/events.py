@@ -90,11 +90,11 @@ def _session_agg(numbered: DataFrame) -> DataFrame:
     )
 
 
-@register("ev_sessionize_gap30", oracle=_SESSIONIZE_ORACLE)
-def ev_sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity): lag → new-session
-    flag → running sum = session index → per-session aggregates."""
-    events = _events(spark, sf_dir)
+def _sessionize_numbered(events: DataFrame) -> DataFrame:
+    """lag → new-session flag → running sum = session index (the
+    gaps-and-islands core shared by ev_sessionize_gap30 and the
+    interval-overlap join; both windows carry the (ts, event_id)
+    tiebreak — see the _SESSIONIZE_CTE comment)."""
     w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_sum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
@@ -107,8 +107,14 @@ def ev_sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0),
     )
-    numbered = flagged.withColumn("session_idx", F.sum("new_session").over(w_sum))
-    return _session_agg(numbered)
+    return flagged.withColumn("session_idx", F.sum("new_session").over(w_sum))
+
+
+@register("ev_sessionize_gap30", oracle=_SESSIONIZE_ORACLE)
+def ev_sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session
+    flag → running sum = session index → per-session aggregates."""
+    return _session_agg(_sessionize_numbered(_events(spark, sf_dir)))
 
 
 _SESSIONIZE_NATIVE_ORACLE = f"""
@@ -1672,4 +1678,296 @@ a12_cms_heavy_hitters.__doc__ = a12_cms_heavy_hitters.__doc__.format(
     eps=float(_CMS_E) / _CMS_WIDTH,
     delta=_math.exp(-_CMS_DEPTH),
     conf=1 - _math.exp(-_CMS_DEPTH),
+)
+
+
+# ---------------------------------------------------------------------------
+# Temporal resampling / robust rolling statistics / interval overlap
+# ---------------------------------------------------------------------------
+# The reference's temporal surface is snapshot-level carry-forward
+# (address_etl/sql/pls/carry_forward — S8/U2); these queries are the
+# row-level time-series forms a training-data pipeline needs: grid
+# resample + forward fill, robust rolling outlier flags, and an
+# interval×interval overlap join — each expressed so the shuffle
+# count stays at one-per-key-partitioning at 100 TB.
+
+
+@register(
+    "ev_gapfill_forward",
+    oracle="""
+WITH purch AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         SUM(CAST(value AS DECIMAL(18,8))) AS obs
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+spans AS (SELECT user_id, MIN(d) AS dmin, MAX(d) AS dmax FROM purch GROUP BY 1),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(dmin, dmax, INTERVAL 1 DAY))::DATE AS gd
+  FROM spans
+),
+j AS (
+  SELECT g.user_id, g.gd, p.obs
+  FROM grid g LEFT JOIN purch p ON p.user_id = g.user_id AND p.d = g.gd
+)
+SELECT user_id,
+       STRFTIME(gd, '%Y-%m-%d') AS grid_day,
+       ROUND(LAST_VALUE(obs IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY gd
+                     ROWS UNBOUNDED PRECEDING), 4)::DOUBLE AS filled_value,
+       obs IS NOT NULL AS observed
+FROM j
+""",
+)
+def ev_gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid resample + forward fill: each user's daily purchase
+    total, materialized on a CONTIGUOUS daily grid from the user's
+    first to last purchase day, gap days carrying the last observed
+    value (observed=false marks the filled rows).
+
+    The oracle does it the textbook way (per-key calendar LEFT JOIN +
+    LAST_VALUE IGNORE NULLS); the Spark plan skips the grid entirely:
+    lead(d) per key gives each observation its validity interval, and
+    explode(sequence(d, next_d - 1)) emits the filled rows directly —
+    no grid build, no grid join, no ignore-nulls window pass. Two
+    light exchanges (the (user, day) rollup — partial-agg collapses
+    day duplicates map-side — then user_id for the lead window) vs
+    the textbook plan's grid join + window on top of the same rollup.
+
+    Scale: output rows = keys x span-days (span bounded by the
+    retention window); the per-row explode is bounded by the longest
+    observation gap, and a pathological years-silent key costs only
+    its own rows — no skew amplification, since sequence() length is
+    per-ROW work, not per-key state. Both engines round the DECIMAL
+    day total at 4, so fill equality is exact."""
+    events = _events(spark, sf_dir)
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(18,8)")).alias("obs"))
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    return (
+        daily.withColumn("next_d", F.lead("d").over(w))
+        .select(
+            "user_id",
+            "d",
+            "obs",
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.coalesce(F.date_sub("next_d", 1), F.col("d")),
+                )
+            ).alias("gd"),
+        )
+        .select(
+            "user_id",
+            F.date_format("gd", "yyyy-MM-dd").alias("grid_day"),
+            F.round("obs", 4).cast("double").alias("filled_value"),
+            (F.col("gd") == F.col("d")).alias("observed"),
+        )
+    )
+
+
+#: trailing window width (days, inclusive of the current day) and the
+#: minimum observations the robust flag needs before it may fire
+_MAD_WINDOW_DAYS = 7
+_MAD_MIN_N = 5
+_MAD_K = 3
+
+
+@register(
+    "ev_rolling_mad_outliers",
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         SUM(CAST(value AS DECIMAL(18,8))) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+idx AS (SELECT user_id, d, v, d - DATE '1970-01-01' AS di FROM daily),
+win AS (
+  SELECT user_id, d, v,
+         list(v) OVER (PARTITION BY user_id ORDER BY di
+                       RANGE BETWEEN {_MAD_WINDOW_DAYS - 1} PRECEDING
+                             AND CURRENT ROW) AS arr
+  FROM idx
+),
+med AS (
+  SELECT user_id, d, v, arr, len(arr) AS n,
+         list_sort(arr)[CAST(ceil(len(arr) / 2.0) AS INT)] AS med
+  FROM win
+),
+mm AS (
+  SELECT user_id, d, v, n, med,
+         list_sort(list_transform(arr, x -> abs(x - med)))
+             [CAST(ceil(n / 2.0) AS INT)] AS mad
+  FROM med
+)
+SELECT user_id,
+       STRFTIME(d, '%Y-%m-%d') AS obs_day,
+       CAST(n AS BIGINT) AS n_window,
+       ROUND(v, 4)::DOUBLE AS day_value,
+       ROUND(med, 4)::DOUBLE AS med_value,
+       ROUND(mad, 4)::DOUBLE AS mad_value,
+       (n >= {_MAD_MIN_N} AND abs(v - med) > {_MAD_K} * mad) AS is_outlier
+FROM mm
+""",
+)
+def ev_rolling_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust rolling outlier detection: each user-day total flagged
+    when it deviates from the trailing {w}-day window's median by more
+    than {k}x that window's MAD (median absolute deviation), with an
+    n >= {m} support guard so sparse windows never fire.
+
+    Median here is the LOWER median (order statistic ceil(n/2)) on
+    BOTH engines — interpolation-free, so every comparison in the flag
+    is exact DECIMAL arithmetic and the boolean can never flip on a
+    float ulp (the a10/a11 bound-not-hope discipline, achieved by
+    making the statistic itself discrete instead of tolerancing it).
+
+    Scale: daily totals are a partial-agg groupBy; the trailing window
+    is a RANGE frame over a day index whose collect_list is bounded by
+    the {w}-day width — constant per-row state, one shuffle on
+    user_id. The array median is O(w log w) per row JVM-side; no UDF,
+    no second windowing pass (the MAD's inner median reuses the same
+    collected frame via transform())."""
+    events = _events(spark, sf_dir)
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(18,8)")).alias("v"))
+        .withColumn("di", F.datediff("d", F.to_date(F.lit("1970-01-01"))))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("di")
+        .rangeBetween(-(_MAD_WINDOW_DAYS - 1), 0)
+    )
+    return (
+        daily.withColumn("arr", F.collect_list("v").over(w))
+        .withColumn("n", F.size("arr"))
+        .withColumn("med", F.expr("element_at(array_sort(arr), int(ceil(n / 2.0)))"))
+        .withColumn(
+            "mad",
+            F.expr(
+                "element_at(array_sort(transform(arr, x -> abs(x - med))),"
+                " int(ceil(n / 2.0)))"
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("obs_day"),
+            F.col("n").cast("bigint").alias("n_window"),
+            F.round("v", 4).cast("double").alias("day_value"),
+            F.round("med", 4).cast("double").alias("med_value"),
+            F.round("mad", 4).cast("double").alias("mad_value"),
+            (
+                (F.col("n") >= _MAD_MIN_N)
+                & (F.expr("abs(v - med)") > F.expr(f"{_MAD_K} * mad"))
+            ).alias("is_outlier"),
+        )
+    )
+
+
+ev_rolling_mad_outliers.__doc__ = ev_rolling_mad_outliers.__doc__.format(
+    w=_MAD_WINDOW_DAYS, k=_MAD_K, m=_MAD_MIN_N
+)
+
+
+#: an hour qualifies as an error incident when it holds at least this
+#: many error events
+_INCIDENT_MIN_ERRORS = 5
+
+
+@register(
+    "ev_interval_overlap_join",
+    oracle=f"""
+{_SESSIONIZE_CTE},
+sess AS (
+  SELECT user_id, session_idx, MIN(ts) AS smin, MAX(ts) AS smax
+  FROM numbered GROUP BY 1, 2
+),
+inc AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS err_n
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1 HAVING COUNT(*) >= {_INCIDENT_MIN_ERRORS}
+)
+SELECT CAST(s.user_id AS VARCHAR) || '-' || CAST(s.session_idx AS VARCHAR)
+         AS session_id,
+       s.user_id,
+       STRFTIME(s.smin, '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_incident_hours,
+       CAST(SUM(i.err_n) AS BIGINT) AS errors_during
+FROM sess s
+JOIN inc i ON i.h >= date_trunc('hour', s.smin) AND i.h <= s.smax
+GROUP BY s.user_id, s.session_idx, s.smin
+""",
+)
+def ev_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join: user sessions (closed
+    [smin, smax], from the 30-min-gap sessionizer) against error
+    "incident" hours (half-open [h, h+1h), hours holding >= {k}
+    errors), reporting per session how many incident hours it touched
+    and the error volume inside them.
+
+    The oracle states the overlap as the range predicate (h+1h > smin
+    AND h <= smax, algebraically h >= trunc(smin) AND h <= smax for
+    hour-aligned h). A range join at scale is a broadcast-nested-loop
+    or an O(n*m) disaster, so the Spark plan BUCKETIZES: each session
+    explodes into the hour buckets it covers (sequence(trunc(smin),
+    trunc(smax))) and the join becomes a hash EQUI-join on the bucket
+    key. Incidents are hour-exact (one bucket each), so every
+    overlapping (session, incident) pair matches exactly once — no
+    dedup pass, unlike generic interval banding.
+
+    Scale: the explode is bounded by session wall-clock span, which
+    the 30-min-gap construction keeps near the session's own activity
+    (every covered hour contains an event, else the gap would have
+    split it — at most a {g}-min tail each side); the equi-join
+    hash-partitions on the hour key; the incident side is a tiny
+    partial-agg HAVING frame, broadcast by AQE when small."""
+    events = _events(spark, sf_dir)
+    sess = _sessionize_numbered(events).groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("smin"), F.max("ts").alias("smax")
+    )
+    inc = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("err_n"))
+        .filter(F.col("err_n") >= _INCIDENT_MIN_ERRORS)
+    )
+    hours = sess.select(
+        "user_id",
+        "session_idx",
+        "smin",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "smin"),
+                F.date_trunc("hour", "smax"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("h"),
+    )
+    return (
+        hours.join(inc, "h")
+        .groupBy("user_id", "session_idx", "smin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_incident_hours"),
+            F.sum("err_n").cast("bigint").alias("errors_during"),
+        )
+        .select(
+            F.concat_ws(
+                "-",
+                F.col("user_id").cast("string"),
+                F.col("session_idx").cast("string"),
+            ).alias("session_id"),
+            "user_id",
+            F.date_format("smin", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_incident_hours",
+            "errors_during",
+        )
+    )
+
+
+ev_interval_overlap_join.__doc__ = ev_interval_overlap_join.__doc__.format(
+    k=_INCIDENT_MIN_ERRORS, g=_GAP_MIN
 )
