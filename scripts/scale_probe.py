@@ -16,7 +16,7 @@ double per doubling — the hub-growth regime DIMSUM exists for), and
 triangles / cc_star on disjoint self-unioned edge copies (the bound is
 linear; an accidental cross-copy all-pairs stage would show ~x4).
 
-Usage: python scripts/scale_probe.py [sf_dir] [dedup|graph|ann|spatial|all]
+Usage: python scripts/scale_probe.py [sf_dir] [dedup|graph|ann|spatial|temporal|all]
 """
 
 from __future__ import annotations
@@ -310,6 +310,81 @@ def spatial_probe(spark) -> None:
         print()
 
 
+def temporal_probe(spark) -> None:
+    """Bucketized interval-overlap join (the ev_interval_overlap_join
+    plan shape) vs the naive range join, both sides doubling with the
+    TIMELINE doubling too (constant temporal density — more weeks,
+    same per-hour load, the regime a growing event log lives in).
+    Both sides are KEYED (per-entity maintenance windows — the
+    production shape; a global incident dimension is tiny and a
+    broadcast BNLJ genuinely suffices there, measured flat before this
+    rewrite). The naive plan equi-joins on the entity key and filters
+    the range AFTER the join, so it materializes Σ_g |S_g|·|I_g|
+    within-group pairs → ~x4 per doubling; the bucketed plan explodes
+    sessions into covered hours and equi-joins on (entity, hour) →
+    candidate rows = session-hours, ~x2. Times modeled as epoch
+    seconds; hour bucket = floor(s/3600) — same algebra as the query's
+    date_trunc form."""
+    n0, hours0, groups = 200_000, 720, 500  # 30 days of hours at 1x
+
+    def sessions(n: int, hours: int):
+        h1 = F.pmod(F.xxhash64(F.col("id"), F.lit(31)), F.lit(1_000_000))
+        dur = F.pmod(F.xxhash64(F.col("id"), F.lit(32)), F.lit(10_800))  # 0-3 h
+        smin = (h1 / 1_000_000.0 * hours * 3600).cast("long")
+        return spark.range(n).select(
+            F.col("id").alias("session_pk"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(33)), F.lit(groups)).alias("g"),
+            smin.alias("smin"),
+            (smin + dur).alias("smax"),
+        )
+
+    def incidents(hours: int):
+        # per (entity, hour): ~25% qualify; err_n deterministic 5..24
+        return (
+            spark.range(hours * groups)
+            .select(
+                (F.col("id") % groups).alias("g"),
+                F.expr(f"id div {groups}").alias("h"),
+            )
+            .filter(F.pmod(F.xxhash64("g", "h", F.lit(7)), F.lit(4)) == 0)
+            .withColumn(
+                "err_n",
+                F.pmod(F.xxhash64("g", "h", F.lit(8)), F.lit(20)) + 5,
+            )
+        )
+
+    prev = {"overlap_bucketed": None, "overlap_naive": None}
+    for copies in (1, 2, 4, 8):  # 8x: the within-group pair count hits ~2.3G
+        n, hours = n0 * copies, hours0 * copies
+        s = sessions(n, hours).repartition(32).persist()
+        i = incidents(hours).persist()
+        s.count(); i.count()
+
+        def op_bucketed(_):
+            hrs = s.select(
+                "session_pk",
+                "g",
+                F.explode(
+                    F.sequence(
+                        F.expr("smin div 3600"), F.expr("smax div 3600")
+                    )
+                ).alias("h"),
+            )
+            return hrs.join(i, ["g", "h"]).count()
+
+        def op_naive(_):
+            return s.join(
+                i,
+                (s["g"] == i["g"])
+                & (F.col("h") * 3600 <= F.col("smax"))
+                & ((F.col("h") + 1) * 3600 > F.col("smin")),
+            ).count()
+
+        _timed({"overlap_bucketed": op_bucketed, "overlap_naive": op_naive}, None, prev, copies)
+        s.unpersist(blocking=True); i.unpersist(blocking=True)
+        print()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     family = sys.argv[2] if len(sys.argv) > 2 else "all"
@@ -324,6 +399,9 @@ def main() -> None:
         return
     if family == "spatial":
         spatial_probe(spark)
+        return
+    if family == "temporal":
+        temporal_probe(spark)
         return
     base = load(spark, sf_dir, "documents")
 
