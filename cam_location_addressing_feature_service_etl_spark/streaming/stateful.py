@@ -23,8 +23,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -148,6 +151,139 @@ def decayed_engagement_state(events: DataFrame) -> DataFrame:
             _update_decay,
             DECAY_OUTPUT_SCHEMA,
             DECAY_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+MAD_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("obs_day", StringType(), False),
+        StructField("n_window", LongType(), False),
+        StructField("day_value", DoubleType(), False),
+        StructField("med_value", DoubleType(), False),
+        StructField("mad_value", DoubleType(), False),
+        StructField("is_outlier", BooleanType(), False),
+        StructField("upd_seq", LongType(), False),
+    ]
+)
+
+MAD_STATE_SCHEMA = StructType(
+    [
+        StructField("days", ArrayType(LongType()), False),
+        StructField("micros", ArrayType(LongType()), False),
+        StructField("seq", LongType(), False),
+    ]
+)
+
+_MAD_SCALE = 10**8  # micro-units matching the batch CAST(.. AS DECIMAL(18,8))
+
+
+def _lower_median(xs: list[int]) -> int:
+    s = sorted(xs)
+    return s[-(-len(s) // 2) - 1]  # order statistic ceil(n/2), 0-based
+
+
+def _update_rolling_mad(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    from datetime import date, timedelta
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ..workload.events import _MAD_K, _MAD_MIN_N, _MAD_WINDOW_DAYS
+
+    (user_id,) = key
+    days, micros, seq = state.get if state.exists else ([], [], 0)
+    totals = dict(zip(days, micros))
+    changed: set[int] = set()
+    for pdf in pdfs:
+        for di, v in zip(pdf["di"].astype("int64"), pdf["value"]):
+            # per-EVENT quantization mirrors the batch cast: Spark's
+            # double->DECIMAL(18,8) goes through the shortest decimal
+            # repr (BigDecimal.valueOf) then HALF_UP at 8 dp — so
+            # Decimal(repr(v)), not Decimal(v)'s exact binary expansion
+            q = Decimal(repr(float(v))).quantize(
+                Decimal(1).scaleb(-8), rounding=ROUND_HALF_UP
+            )
+            di = int(di)
+            totals[di] = totals.get(di, 0) + int(q.scaleb(8))
+            changed.add(di)
+    seq += 1
+    state.update((list(totals), [totals[d] for d in totals], seq))
+    # a changed day dc shifts the trailing stats of every day in
+    # [dc, dc + W-1]; recompute exactly those
+    affected = {
+        d
+        for dc in changed
+        for d in totals
+        if dc <= d <= dc + _MAD_WINDOW_DAYS - 1
+    }
+    out: dict[str, list] = {k.name: [] for k in MAD_OUTPUT_SCHEMA.fields}
+    q4 = Decimal(1).scaleb(-4)
+
+    def _emitf(micro: int) -> float:
+        return float(
+            Decimal(micro).scaleb(-8).quantize(q4, rounding=ROUND_HALF_UP)
+        )
+
+    for d in sorted(affected):
+        win = [totals[x] for x in totals if d - _MAD_WINDOW_DAYS + 1 <= x <= d]
+        med = _lower_median(win)
+        mad = _lower_median([abs(x - med) for x in win])
+        dev = abs(totals[d] - med)
+        out["user_id"].append(user_id)
+        out["obs_day"].append((date(1970, 1, 1) + timedelta(days=d)).isoformat())
+        out["n_window"].append(len(win))
+        out["day_value"].append(_emitf(totals[d]))
+        out["med_value"].append(_emitf(med))
+        out["mad_value"].append(_emitf(mad))
+        out["is_outlier"].append(len(win) >= _MAD_MIN_N and dev > _MAD_K * mad)
+        out["upd_seq"].append(seq)
+    yield pd.DataFrame(out)
+
+
+def rolling_mad_state(events: DataFrame) -> DataFrame:
+    """Streaming leg of ``ev_rolling_mad_outliers``: per-user rolling
+    lower-median/MAD outlier flags maintained across micro-batches.
+    State is the user's (day -> exact micro-unit total) map; each
+    batch folds its events in and RECOMPUTES only the days whose
+    trailing window the new data touched ([dc, dc + W-1] per changed
+    day dc — late data for an old day correctly re-flags the days
+    downstream of it). All statistics are exact integer arithmetic on
+    the same per-event DECIMAL(18,8) quantization the batch query
+    uses, so the final emission per (user, day) is bit-identical to
+    the batch result no matter where micro-batch boundaries fall
+    (asserted in tests/test_stateful_streaming.py, split vs unsplit).
+
+    Emission is update-mode: a day re-emits whenever its window
+    changes; ``upd_seq`` (per-user batch counter) lets a consumer —
+    and the reconciliation test — keep the latest row per (user, day).
+
+    Scale: state is one shuffle on user_id per batch; per-user state
+    is one long per ACTIVE day. A production deployment bounds it two
+    ways: an upstream ``withWatermark`` drops events older than the
+    allowed lateness, and days older than max(day) - lateness - W can
+    be pruned from the map (they can no longer enter any recomputed
+    window) — the same eviction contract as the sketch-bucket legs."""
+    from ..session import _ship_package
+
+    _ship_package(events.sparkSession)
+    from pyspark.sql import functions as F
+
+    return (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("di"),
+            "value",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_rolling_mad,
+            MAD_OUTPUT_SCHEMA,
+            MAD_STATE_SCHEMA,
             "update",
             GroupStateTimeout.NoTimeout,
         )

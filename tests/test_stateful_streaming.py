@@ -61,3 +61,101 @@ def test_state_accumulates_across_batches(spark, tmp_path):
     assert len(got) == len(single) > 0
     for r in got:
         assert r["n"] == 2 * single[r["user_id"]], r["user_id"]
+
+
+def _mad_rows(spark, in_dir, split: bool, name: str):
+    from cam_location_addressing_feature_service_etl_spark.streaming.stateful import (
+        rolling_mad_state,
+    )
+
+    reader = spark.readStream
+    if split:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    schema = spark.read.parquet(str(in_dir)).schema
+    stream = reader.schema(schema).format("parquet").load(str(in_dir))
+    q = (
+        rolling_mad_state(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = {}
+    for r in spark.table(name).collect():
+        k = (r["user_id"], r["obs_day"])
+        if k not in final or r["upd_seq"] > final[k]["upd_seq"]:
+            final[k] = r
+    return {
+        k: (r["n_window"], r["day_value"], r["med_value"], r["mad_value"], r["is_outlier"])
+        for k, r in final.items()
+    }
+
+
+def test_rolling_mad_streaming_reconciles_with_batch(spark, tmp_path):
+    """Late-data replay: a third file carries an event for an EARLIER
+    day, so the stateful operator must re-emit every day whose
+    trailing window that late day sits in. Finals (max upd_seq per
+    user-day) must equal the batch query on the combined file,
+    split-batch or not — exact equality, no tolerance (all stats are
+    integer micro-unit arithmetic on both legs)."""
+    import os
+    from datetime import datetime
+
+    from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+    def _mk(rows, start_id):
+        return spark.createDataFrame(
+            [
+                (start_id + i, datetime(2024, 1, d, 12), uid, "view", v, "{}")
+                for i, (d, uid, v) in enumerate(rows)
+            ],
+            schema,
+        )
+
+    f1 = [(d, 1, 10.0) for d in range(1, 5)] + [(d, 2, 10.0 * d) for d in range(1, 4)]
+    f2 = [(5, 1, 10.0), (6, 1, 1000.0)] + [(4, 2, 40.0), (5, 2, 50.0), (6, 2, 200.0)]
+    f3 = [(3, 1, 5.0)]  # LATE: lands in closed day 3, re-flags days 3..6
+    in_dir = tmp_path / "stream_in"
+    in_dir.mkdir()
+    for i, rows in enumerate([f1, f2, f3]):
+        _mk(rows, 1000 * i).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"part{i}")
+        )
+        src = next(
+            p for p in os.listdir(tmp_path / f"part{i}") if p.endswith(".parquet")
+        )
+        dst = in_dir / f"b{i}.parquet"
+        os.rename(tmp_path / f"part{i}" / src, dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    batch_dir = tmp_path / "batch_sf"
+    batch_dir.mkdir()
+    spark.read.parquet(str(in_dir)).coalesce(1).write.parquet(
+        str(batch_dir / "events.parquet")
+    )
+    expect = {
+        (r["user_id"], r["obs_day"]): (
+            r["n_window"],
+            r["day_value"],
+            r["med_value"],
+            r["mad_value"],
+            r["is_outlier"],
+        )
+        for r in QUERIES["ev_rolling_mad_outliers"](spark, str(batch_dir)).collect()
+    }
+
+    split = _mad_rows(spark, in_dir, split=True, name="mad_split")
+    whole = _mad_rows(spark, in_dir, split=False, name="mad_whole")
+    assert split == expect
+    assert whole == expect
+    # the late day actually changed something: day 3's value includes it
+    assert split[(1, "2024-01-03")][1] == 15.0
+    # and the spike still flags
+    assert split[(1, "2024-01-06")][4] is True
