@@ -17,6 +17,8 @@ pure DataFrame algebra — no UDFs, no spatial library.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -44,6 +46,8 @@ def knn_within_radius(
     k: int,
     radius_km: float,
     cell_deg: float,
+    *,
+    max_abs_lat_deg: float,
     point_id: str = "point_id",
     cand_id: str = "cand_id",
     round_digits: int = 1,
@@ -55,9 +59,14 @@ def knn_within_radius(
     ``rank`` (1-based).
 
     Radius-bounded kNN keeps the grid expansion EXACT: every candidate
-    within the radius lies in the 3×3 neighborhood (cell_deg ≥ radius
-    in degrees at the extreme latitude, validated below), so the top-k
-    of the verified in-radius set is the true in-radius top-k.
+    within the radius lies in the 3×3 neighborhood, so the top-k of
+    the verified in-radius set is the true in-radius top-k. That needs
+    the cell to span the radius on BOTH axes; a degree of longitude
+    shrinks by cos(lat), so the caller must state the data's extreme
+    latitude (``max_abs_lat_deg``) and BOTH conditions are validated:
+    cell_deg·111 ≥ radius (lat axis) and cell_deg·111·cos(max|lat|) ≥
+    radius (lon axis — the one a lat-only guard silently misses at
+    high latitude; review-pass catch).
     Unbounded kNN would need expanding-ring search — at scale the
     bounded form is the one an address matcher wants anyway.
 
@@ -65,12 +74,15 @@ def knn_within_radius(
     one point's in-radius candidates — bounded by local density × 9,
     never |B|.
     """
-    if cell_deg * 111.0 < radius_km:
+    if not 0.0 <= max_abs_lat_deg < 90.0:
+        raise ValueError(f"max_abs_lat_deg={max_abs_lat_deg} must be in [0, 90)")
+    lon_km = cell_deg * 111.0 * math.cos(math.radians(max_abs_lat_deg))
+    if min(cell_deg * 111.0, lon_km) < radius_km:
         raise ValueError(
-            f"cell_deg={cell_deg}° spans {cell_deg * 111.0:.0f} km < radius "
-            f"{radius_km} km — neighbor expansion would miss candidates; the "
-            "caller must also ensure the longitude axis covers the radius at "
-            "the data's extreme latitude (cell_deg·111·cos(lat) ≥ radius)"
+            f"cell_deg={cell_deg}° spans {cell_deg * 111.0:.0f} km of latitude "
+            f"and {lon_km:.0f} km of longitude at |lat|={max_abs_lat_deg}° "
+            f"< radius {radius_km} km — the 3×3 neighbor expansion would miss "
+            "in-radius candidates; widen cell_deg or shrink the radius"
         )
     # A side exploded to its 3x3 neighborhood
     a = (
@@ -118,6 +130,8 @@ def nearest_within_radius(
     candidates: DataFrame,
     radius_km: float,
     cell_deg: float,
+    *,
+    max_abs_lat_deg: float,
     point_id: str = "point_id",
     cand_id: str = "cand_id",
     round_digits: int = 1,
@@ -130,6 +144,7 @@ def nearest_within_radius(
         k=1,
         radius_km=radius_km,
         cell_deg=cell_deg,
+        max_abs_lat_deg=max_abs_lat_deg,
         point_id=point_id,
         cand_id=cand_id,
         round_digits=round_digits,

@@ -39,7 +39,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..workload.geo import _POLY
+from ..workload.geo import _EV_POS_LAT, _EV_POS_LON, _POLY
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -56,9 +56,14 @@ STATE_SCHEMA = StructType([StructField("last_inside", LongType(), False)])
 
 def _positions(event_id: np.ndarray, user_id: int) -> tuple[np.ndarray, np.ndarray]:
     uid = np.int64(user_id)
-    lat = -29.0 + ((event_id * 31 + uid * 7) % 2000).astype(np.float64) / 100.0
-    lon = 138.0 + ((event_id * 17 + uid * 13) % 1600).astype(np.float64) / 100.0
-    return lat, lon
+
+    def axis(spec):
+        base, a, b, m = spec
+        return base + ((event_id * a + uid * b) % m).astype(np.float64) / 100.0
+
+    # same (base, mult, mult, mod) constants as the batch SQL — one
+    # definition site (workload/geo.py _EV_POS_*)
+    return axis(_EV_POS_LAT), axis(_EV_POS_LON)
 
 
 def _inside(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:

@@ -189,6 +189,7 @@ def _lower_median(xs: list[int]) -> int:
 def _update_rolling_mad(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    import bisect
     from datetime import date, timedelta
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -196,7 +197,7 @@ def _update_rolling_mad(
 
     (user_id,) = key
     days, micros, seq = state.get if state.exists else ([], [], 0)
-    totals = dict(zip(days, micros))
+    days, micros = list(days), list(micros)  # SORTED, parallel arrays
     changed: set[int] = set()
     for pdf in pdfs:
         for di, v in zip(pdf["di"].astype("int64"), pdf["value"]):
@@ -208,18 +209,26 @@ def _update_rolling_mad(
                 Decimal(1).scaleb(-8), rounding=ROUND_HALF_UP
             )
             di = int(di)
-            totals[di] = totals.get(di, 0) + int(q.scaleb(8))
+            i = bisect.bisect_left(days, di)
+            if i < len(days) and days[i] == di:
+                micros[i] += int(q.scaleb(8))
+            else:
+                days.insert(i, di)
+                micros.insert(i, int(q.scaleb(8)))
             changed.add(di)
     seq += 1
-    state.update((list(totals), [totals[d] for d in totals], seq))
+    state.update((days, micros, seq))
     # a changed day dc shifts the trailing stats of every day in
-    # [dc, dc + W-1]; recompute exactly those
-    affected = {
-        d
-        for dc in changed
-        for d in totals
-        if dc <= d <= dc + _MAD_WINDOW_DAYS - 1
-    }
+    # [dc, dc + W-1]; the days are kept sorted so both the affected
+    # set and each window rebuild are a bisect slice — O(log n + W)
+    # per changed day, independent of how much history the user
+    # retains (review-pass catch: the dict-scan version paid
+    # O(|history|) per day)
+    affected: set[int] = set()
+    for dc in changed:
+        lo = bisect.bisect_left(days, dc)
+        hi = bisect.bisect_right(days, dc + _MAD_WINDOW_DAYS - 1)
+        affected.update(days[lo:hi])
     out: dict[str, list] = {k.name: [] for k in MAD_OUTPUT_SCHEMA.fields}
     q4 = Decimal(1).scaleb(-4)
 
@@ -229,14 +238,17 @@ def _update_rolling_mad(
         )
 
     for d in sorted(affected):
-        win = [totals[x] for x in totals if d - _MAD_WINDOW_DAYS + 1 <= x <= d]
+        lo = bisect.bisect_left(days, d - _MAD_WINDOW_DAYS + 1)
+        hi = bisect.bisect_right(days, d)
+        win = micros[lo:hi]
         med = _lower_median(win)
         mad = _lower_median([abs(x - med) for x in win])
-        dev = abs(totals[d] - med)
+        cur = micros[bisect.bisect_left(days, d)]
+        dev = abs(cur - med)
         out["user_id"].append(user_id)
         out["obs_day"].append((date(1970, 1, 1) + timedelta(days=d)).isoformat())
         out["n_window"].append(len(win))
-        out["day_value"].append(_emitf(totals[d]))
+        out["day_value"].append(_emitf(cur))
         out["med_value"].append(_emitf(med))
         out["mad_value"].append(_emitf(mad))
         out["is_outlier"].append(len(win) >= _MAD_MIN_N and dev > _MAD_K * mad)

@@ -1698,7 +1698,8 @@ a12_cms_heavy_hitters.__doc__ = a12_cms_heavy_hitters.__doc__.format(
 WITH purch AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
          SUM(CAST(value AS DECIMAL(18,8))) AS obs
-  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1, 2
 ),
 spans AS (SELECT user_id, MIN(d) AS dmin, MAX(d) AS dmax FROM purch GROUP BY 1),
 grid AS (
@@ -1741,7 +1742,13 @@ def ev_gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     day total at 4, so fill equality is exact."""
     events = _events(spark, sf_dir)
     daily = (
-        events.filter(F.col("event_type") == "purchase")
+        # value IS NOT NULL on BOTH legs (as in ev_rolling_mad_outliers):
+        # an all-NULL day would otherwise be "observed" with a NULL
+        # total here while the oracle's obs-IS-NOT-NULL carries the
+        # prior value forward (review-pass catch)
+        events.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
         .groupBy("user_id", F.to_date("ts").alias("d"))
         .agg(F.sum(F.col("value").cast("decimal(18,8)")).alias("obs"))
     )

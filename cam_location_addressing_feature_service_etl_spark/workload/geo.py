@@ -141,7 +141,9 @@ def geo_nearest_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-29.0 + ((F.col("s_suppkey") * 13) % 2000) / 100.0).alias("lat"),
         (138.0 + ((F.col("s_suppkey") * 29) % 1600) / 100.0).alias("lon"),
     )
-    return nearest_within_radius(pts, cands, radius_km=_NN_RADIUS_KM, cell_deg=1.0)
+    return nearest_within_radius(
+        pts, cands, radius_km=_NN_RADIUS_KM, cell_deg=1.0, max_abs_lat_deg=29.0
+    )
 
 
 @register(
@@ -331,8 +333,11 @@ def geo_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-29.0 + ((F.col("s_suppkey") * 13) % 2000) / 100.0).alias("lat"),
         (138.0 + ((F.col("s_suppkey") * 29) % 1600) / 100.0).alias("lon"),
     )
+    # synthetic point domain is lat ∈ [-29, -9): 1.6°·111·cos(29°) =
+    # 155.3 km ≥ the 150 km radius, so the lon axis is covered too
     out = knn_within_radius(
-        pts, cands, k=_KNN_K, radius_km=_KNN_RADIUS_KM, cell_deg=1.6
+        pts, cands, k=_KNN_K, radius_km=_KNN_RADIUS_KM, cell_deg=1.6,
+        max_abs_lat_deg=29.0,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
 
@@ -365,10 +370,14 @@ def _gh_chars_sql(z: str, n_chars: int) -> str:
     return "concat(" + ", ".join(parts) + ")"
 
 
+#: LEAST clamp: the exact upper domain bound (lat=90 / lon=180) floors
+#: to 32768, whose bit 15 the 15-bit interleave would silently drop —
+#: aliasing the north pole to the south. Clamp to the top cell instead
+#: (what the interval-halving reference encoder does by construction).
 _GH_GRID_SQL = """
 SELECT point_id,
-       CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS gx,
-       CAST(FLOOR((lat + 90.0) / 180.0 * 32768) AS BIGINT) AS gy
+       LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * 32768) AS BIGINT), 32767) AS gx,
+       LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 32768) AS BIGINT), 32767) AS gy
 FROM pts
 """
 
@@ -397,8 +406,14 @@ def geo_geohash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points(spark, sf_dir)
     g = pts.select(
         "point_id",
-        F.floor((F.col("lon") + 180.0) / 360.0 * 32768).cast("long").alias("gx"),
-        F.floor((F.col("lat") + 90.0) / 180.0 * 32768).cast("long").alias("gy"),
+        F.least(
+            F.floor((F.col("lon") + 180.0) / 360.0 * 32768).cast("long"),
+            F.lit(32767),
+        ).alias("gx"),
+        F.least(
+            F.floor((F.col("lat") + 90.0) / 180.0 * 32768).cast("long"),
+            F.lit(32767),
+        ).alias("gy"),
     )
     z = g.select("point_id", F.expr(_gh_interleave_sql("gx", "gy")).alias("zkey"))
     return z.groupBy(F.expr(_gh_chars_sql("zkey", 4)).alias("geohash4")).agg(
@@ -473,8 +488,26 @@ def geo_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (and the streaming leg's numpy) run IEEE doubles — 3 boundary
 #: events flip. With it, both engines do the same int→double cast,
 #: correctly-rounded division, and addition.
-_EV_LAT_SQL = "(-29.0 + CAST((event_id * 31 + user_id * 7) % 2000 AS DOUBLE) / 100.0)"
-_EV_LON_SQL = "(138.0 + CAST((event_id * 17 + user_id * 13) % 1600 AS DOUBLE) / 100.0)"
+#: One definition of the position grid, shared with the streaming
+#: numpy twin (streaming/geofence.py _positions): (base, eid_mult,
+#: uid_mult, mod) per axis, value = base + ((eid*a + uid*b) % mod)/100.
+#: Editing a multiplier here updates BOTH legs; the reconciliation
+#: test (tests/test_streaming_geofence.py) would otherwise only catch
+#: the drift at test time, far from the edit site (review-pass catch).
+_EV_POS_LAT = (-29.0, 31, 7, 2000)
+_EV_POS_LON = (138.0, 17, 13, 1600)
+
+
+def _ev_pos_sql(axis: tuple[float, int, int, int]) -> str:
+    base, a, b, m = axis
+    return (
+        f"({base} + CAST((event_id * {a} + user_id * {b}) % {m} AS DOUBLE)"
+        " / 100.0)"
+    )
+
+
+_EV_LAT_SQL = _ev_pos_sql(_EV_POS_LAT)
+_EV_LON_SQL = _ev_pos_sql(_EV_POS_LON)
 
 
 @register(

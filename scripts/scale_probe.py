@@ -288,7 +288,9 @@ def spatial_probe(spark) -> None:
         a.count(); b.count()
 
         def op_grid(_):
-            return knn_within_radius(a, b, k=k, radius_km=radius, cell_deg=1.0).count()
+            return knn_within_radius(
+                a, b, k=k, radius_km=radius, cell_deg=1.0, max_abs_lat_deg=29.0
+            ).count()
 
         def op_brute(_):
             pairs = a.join(b).select(

@@ -82,7 +82,7 @@ def test_knn_ranks_by_distance_then_id(spark):
         "cand_id",
     )
     got = (
-        knn_within_radius(a, b, k=3, radius_km=60.0, cell_deg=1.0)
+        knn_within_radius(a, b, k=3, radius_km=60.0, cell_deg=1.0, max_abs_lat_deg=6.0)
         .orderBy("rank")
         .collect()
     )
@@ -97,11 +97,11 @@ def test_knn_k1_equals_nearest(spark):
     b = _df(spark, [(10, 1.001, 0.0), (11, 0.5, 0.0), (12, 0.4, 0.55)], "cand_id")
     knn1 = {
         (r["point_id"], r["cand_id"], r["dist_km"])
-        for r in knn_within_radius(a, b, k=1, radius_km=60.0, cell_deg=1.0).collect()
+        for r in knn_within_radius(a, b, k=1, radius_km=60.0, cell_deg=1.0, max_abs_lat_deg=6.0).collect()
     }
     nn = {
         (r["point_id"], r["cand_id"], r["dist_km"])
-        for r in nearest_within_radius(a, b, radius_km=60.0, cell_deg=1.0).collect()
+        for r in nearest_within_radius(a, b, radius_km=60.0, cell_deg=1.0, max_abs_lat_deg=6.0).collect()
     }
     assert knn1 == nn and len(nn) == 2
 
@@ -110,7 +110,7 @@ def test_knn_finds_neighbors_across_cell_boundaries(spark):
     # 2nd-nearest lives in a diagonal neighbor cell
     a = _df(spark, [(1, 0.99, 0.99)], "point_id")
     b = _df(spark, [(10, 1.01, 1.01), (11, 0.98, 0.98), (12, 1.5, 0.2)], "cand_id")
-    got = knn_within_radius(a, b, k=2, radius_km=60.0, cell_deg=1.0).collect()
+    got = knn_within_radius(a, b, k=2, radius_km=60.0, cell_deg=1.0, max_abs_lat_deg=6.0).collect()
     assert {r["cand_id"] for r in got} == {11, 10}
 
 
@@ -165,14 +165,24 @@ def test_geohash_matches_interval_halving_encoder(spark):
         (3, 51.50, -0.12),     # London (negative lon)
         (4, -33.87, 151.21),   # Sydney
         (5, 0.0, 0.0),         # origin (boundary)
+        (6, 90.0, 180.0),      # exact upper domain bound: LEAST clamp
+        (7, -90.0, -180.0),    # lower bound (cell 0 by floor)
     ]
     df = spark.createDataFrame(pts, "point_id long, lat double, lon double")
+    # same clamped grid the query uses: the upper bound floors to
+    # 32768 whose bit 15 the interleave would drop (pole aliasing)
     g = df.select(
         "point_id",
         "lat",
         "lon",
-        F.floor((F.col("lon") + 180.0) / 360.0 * 32768).cast("long").alias("gx"),
-        F.floor((F.col("lat") + 90.0) / 180.0 * 32768).cast("long").alias("gy"),
+        F.least(
+            F.floor((F.col("lon") + 180.0) / 360.0 * 32768).cast("long"),
+            F.lit(32767),
+        ).alias("gx"),
+        F.least(
+            F.floor((F.col("lat") + 90.0) / 180.0 * 32768).cast("long"),
+            F.lit(32767),
+        ).alias("gy"),
     )
     z = g.select(
         "point_id", "lat", "lon", F.expr(_gh_interleave_sql("gx", "gy")).alias("zkey")
