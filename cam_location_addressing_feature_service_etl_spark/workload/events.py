@@ -1978,3 +1978,271 @@ def ev_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 ev_interval_overlap_join.__doc__ = ev_interval_overlap_join.__doc__.format(
     k=_INCIDENT_MIN_ERRORS, g=_GAP_MIN
 )
+
+# ---------------------------------------------------------------------------
+# Attribution window join (the batch twin of the stream-stream join)
+# ---------------------------------------------------------------------------
+
+#: attribution lookback (milliseconds) — a click "causes" a purchase by
+#: the same user when it lands in [purchase - window, purchase)
+_ATTR_WINDOW_MS = 30 * 60 * 1000
+
+
+@register(
+    "ev_attribution_window_join",
+    oracle=f"""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       STRFTIME(MIN(c.ts), '%Y-%m-%d %H:%M:%S') AS first_click_ts,
+       STRFTIME(MAX(c.ts), '%Y-%m-%d %H:%M:%S') AS last_click_ts
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND epoch_ms(c.ts) >= epoch_ms(p.ts) - {_ATTR_WINDOW_MS}
+ AND epoch_ms(c.ts) <  epoch_ms(p.ts)
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts
+""",
+)
+def ev_attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution: for every purchase, the same user's
+    clicks in the strict trailing window [ts-{w}m, ts) — count, first,
+    last. The marketing-attribution join (reference analogue: none —
+    its feed is a static snapshot; this is the event-feed capability a
+    location service's telemetry adds).
+
+    The oracle states the range predicate directly. A per-user
+    time-range join at scale must NOT run as a broadcast-nested-loop,
+    so the Spark plan BUCKETIZES time into window-width buckets
+    (floor(ms/{w}m)): a click lands in exactly one bucket, a purchase
+    probes its own and the previous bucket (the trailing window spans
+    at most two), and the join is a hash EQUI-join on (user_id,
+    bucket) with the exact range check as a residual filter — each
+    qualifying pair matches exactly once, no dedup. This is the batch
+    twin of ``streaming/join.py attributed_purchases_stream``, which
+    runs the SAME semantics as a watermarked stream-stream inner join;
+    reconciliation is pinned in tests/test_streaming_join.py.
+
+    Scale: shuffle keys (user_id, bucket) on both sides — co-located,
+    skew-splittable by AQE; per-task candidate set is one user's
+    activity in two window widths, bounded by local rate, never |E|.
+    """
+    events = _events(spark, sf_dir)
+    ms = F.unix_millis("ts")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("c_ts"),
+        (ms / _ATTR_WINDOW_MS).cast("bigint").alias("cb"),
+        ms.alias("c_ms"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        ms.alias("p_ms"),
+        F.explode(
+            F.array(
+                (ms / _ATTR_WINDOW_MS).cast("bigint") - 1,
+                (ms / _ATTR_WINDOW_MS).cast("bigint"),
+            )
+        ).alias("pb"),
+    )
+    return (
+        purchases.join(
+            clicks,
+            (F.col("c_uid") == F.col("user_id"))
+            & (F.col("cb") == F.col("pb"))
+            & (F.col("c_ms") >= F.col("p_ms") - _ATTR_WINDOW_MS)
+            & (F.col("c_ms") < F.col("p_ms")),
+        )
+        .groupBy("purchase_id", "user_id", "p_ts")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+            F.date_format(F.min("c_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_click_ts"
+            ),
+            F.date_format(F.max("c_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_click_ts"
+            ),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            "n_clicks",
+            "first_click_ts",
+            "last_click_ts",
+        )
+    )
+
+
+ev_attribution_window_join.__doc__ = ev_attribution_window_join.__doc__.format(
+    w=_ATTR_WINDOW_MS // 60000
+)
+
+
+# ---------------------------------------------------------------------------
+# Dyadic EWMA smoothing (exact 8-tap FIR, no float recurrence)
+# ---------------------------------------------------------------------------
+
+#: tap weights 2^-(j+1) for lag j — dyadic rationals, EXACT as decimal
+#: literals, so both engines compute the identical smoothed value
+_EWMA_TAPS = 8
+_EWMA_WEIGHTS = [
+    "0.5",
+    "0.25",
+    "0.125",
+    "0.0625",
+    "0.03125",
+    "0.015625",
+    "0.0078125",
+    "0.00390625",
+]
+
+_EWMA_DAILY_CTE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         SUM(CAST(value AS DECIMAL(18,8))) AS x
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1, 2
+)"""
+
+_EWMA_SUM_SQL = " + ".join(
+    f"COALESCE(LAG(x, {j}) OVER w * {wgt}, 0)"
+    for j, wgt in enumerate(_EWMA_WEIGHTS)
+)
+
+
+@register(
+    "ev_ewma_dyadic",
+    oracle=f"""
+{_EWMA_DAILY_CTE}
+SELECT user_id,
+       STRFTIME(d, '%Y-%m-%d') AS obs_day,
+       ROUND(x, 4)::DOUBLE AS day_value,
+       ROUND({_EWMA_SUM_SQL}, 4)::DOUBLE AS ewma8
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY d)
+""",
+)
+def ev_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing of per-user daily purchase totals with
+    zero-initialized EWMA, alpha = 1/2, truncated at {k} taps: s_t =
+    sum_j 2^-(j+1) * x_(t-j). Truncation turns the sequential
+    recurrence (s_t depends on s_(t-1) — unexecutable as a scan) into
+    a fixed FIR that a LAG window computes in one pass; the discarded
+    tail is bounded by 2^-{k} * max|x| (documented, not hidden). The
+    tap weights are dyadic rationals written as exact decimal
+    literals, so the whole smoothing is exact DECIMAL arithmetic in
+    both engines — no float recurrence, no ulp drift — and only the
+    final display values are rounded.
+
+    Scale: one shuffle on user_id, {k} LAGs over one sorted run —
+    the same partitioning every per-user temporal query here reuses;
+    taps are per-row state, not history, so executor memory is O(1)
+    per row regardless of user lifetime."""
+    events = _events(spark, sf_dir)
+    daily = (
+        events.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(18,8)")).alias("x"))
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    taps = [
+        F.coalesce(F.lag("x", j).over(w) * F.expr(f"CAST({wgt} AS DECIMAL(9,8))"), F.lit(0))
+        for j, wgt in enumerate(_EWMA_WEIGHTS)
+    ]
+    s = taps[0]
+    for t in taps[1:]:
+        s = s + t
+    return daily.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("obs_day"),
+        F.round("x", 4).cast("double").alias("day_value"),
+        F.round(s, 4).cast("double").alias("ewma8"),
+    )
+
+
+ev_ewma_dyadic.__doc__ = ev_ewma_dyadic.__doc__.format(k=_EWMA_TAPS)
+
+
+# ---------------------------------------------------------------------------
+# Equi-width value histogram
+# ---------------------------------------------------------------------------
+
+#: [0, _HIST_BINS * _HIST_WIDTH) in _HIST_BINS buckets; the top bucket
+#: additionally absorbs overflow (clamped, stated in lo/hi columns)
+_HIST_WIDTH = 25
+_HIST_BINS = 20
+
+
+@register(
+    "ev_value_histogram",
+    oracle=f"""
+SELECT LEAST(GREATEST(CAST(FLOOR(value / {_HIST_WIDTH}.0) AS BIGINT), 0),
+             {_HIST_BINS - 1}) AS bucket,
+       CAST(LEAST(GREATEST(CAST(FLOOR(value / {_HIST_WIDTH}.0) AS BIGINT), 0),
+             {_HIST_BINS - 1}) * {_HIST_WIDTH} AS BIGINT) AS lo,
+       CAST((LEAST(GREATEST(CAST(FLOOR(value / {_HIST_WIDTH}.0) AS BIGINT), 0),
+             {_HIST_BINS - 1}) + 1) * {_HIST_WIDTH} AS BIGINT) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(SUM(CAST(value AS DECIMAL(18,8))), 4)::DOUBLE AS sum_value
+FROM events
+WHERE event_type = 'purchase' AND value IS NOT NULL
+GROUP BY 1, 2, 3
+""",
+)
+def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of purchase values: {b} buckets of width
+    {w}, top bucket clamped (absorbs overflow — its ``hi`` is the
+    nominal edge, documented). The profiling primitive every feature
+    pipeline runs before choosing clips/normalization. Bucket id is
+    FLOOR of an IEEE double division — bit-identical in both engines,
+    no rounding guard needed; the value sum is exact DECIMAL with one
+    final display round.
+
+    Scale: a single partial-aggregatable groupBy on a {b}-value key —
+    map-side combine collapses each task to <= {b} rows, the shuffle
+    is trivially tiny, and the distinct-user leg rides the same
+    2-level aggregate Catalyst already plans for COUNT(DISTINCT)."""
+    events = _events(spark, sf_dir)
+    bucket = F.least(
+        F.greatest(
+            F.floor(F.col("value") / float(_HIST_WIDTH)).cast("bigint"), F.lit(0)
+        ),
+        F.lit(_HIST_BINS - 1),
+    )
+    return (
+        events.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .select("user_id", "value", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(18,8)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * _HIST_WIDTH).cast("bigint").alias("lo"),
+            ((F.col("bucket") + 1) * _HIST_WIDTH).cast("bigint").alias("hi"),
+            "n",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+ev_value_histogram.__doc__ = ev_value_histogram.__doc__.format(
+    b=_HIST_BINS, w=_HIST_WIDTH
+)

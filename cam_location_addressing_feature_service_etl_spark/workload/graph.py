@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.labelprop import label_propagation
 from ..operators.pagerank import pagerank
 from .llm_text import _t
 from . import register
@@ -508,4 +509,83 @@ def graph_copurchase_cosine_dimsum(spark: SparkSession, sf_dir: str) -> DataFram
 
 graph_copurchase_cosine_dimsum.__doc__ = graph_copurchase_cosine_dimsum.__doc__.format(
     g=_DIMSUM_GAMMA
+)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (community detection) on the trading graph
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    parts = [
+        """
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS c,
+                  's:' || CAST(l.l_suppkey AS VARCHAR) AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+r0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+v{i} AS (
+  SELECT node, label, cnt,
+         ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+  FROM (
+    SELECT node, label, COUNT(*) AS cnt FROM (
+      SELECT e.dst AS node, r.label
+      FROM edges e JOIN r{i - 1} r ON r.node = e.src
+      UNION ALL
+      SELECT node, label FROM r{i - 1}
+    ) GROUP BY 1, 2
+  )
+),
+r{i} AS (SELECT node, label FROM v{i} WHERE rn = 1)"""
+        )
+    parts.append(f"\nSELECT node, label FROM r{rounds}")
+    return "".join(parts)
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection: {n} synchronous label-propagation rounds
+    over the symmetrized customer↔supplier trading graph (the
+    pagerank edge set). Deterministic by construction — self-vote
+    damping (mandatory: the graph is bipartite, pure sync LPA
+    oscillates), ties broken by MIN label — so the oracle can unroll
+    the identical rounds as CTEs; no convergence flag, no randomness.
+
+    Scale: ``operators/labelprop.py`` — per round one node-keyed join
+    plus two partial-aggregatable groupBys (vote counts, then
+    min(struct(-cnt,label)) argmax); NO window function anywhere, so
+    every stage map-side combines and hub skew is an AQE split, not a
+    sort spill. Lineage truncated per round, edges materialized once.
+    """
+    (orders, lineitem) = _t(spark, sf_dir, "orders", "lineitem")
+    pairs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+        .transform(materialize)
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return label_propagation(edges, rounds=_LPA_ROUNDS)
+
+
+graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
+    n=_LPA_ROUNDS
 )

@@ -2084,3 +2084,71 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_cluster_canonical.__doc__ = dedup_cluster_canonical.__doc__.format(
     n=_CC_ITERATIONS
 )
+
+
+# ---------------------------------------------------------------------------
+# Zipf exponent fit over the corpus token-frequency curve
+# ---------------------------------------------------------------------------
+
+#: fit over the top-K tokens (the Zipfian head; the tail is dominated
+#: by hapax noise and the reference curve flattens)
+_ZIPF_TOP = 500
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+WITH freq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({{toks}}) AS tok FROM documents)
+  GROUP BY 1
+),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+  FROM freq ORDER BY cnt DESC, tok LIMIT {_ZIPF_TOP}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(COVAR_POP(ln(rnk), ln(cnt)) / VAR_POP(ln(rnk)), 6) AS zipf_slope,
+       ROUND(AVG(ln(cnt)) - COVAR_POP(ln(rnk), ln(cnt)) / VAR_POP(ln(rnk))
+             * AVG(ln(rnk)), 6) AS zipf_intercept
+FROM ranked
+""".format(toks=TOKENS_SQL.format(col="text")),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the corpus: least-squares slope of
+    ln(freq) against ln(rank) over the top-{k} tokens (a healthy
+    natural-language corpus sits near -1; a scrape of boilerplate or
+    generated spam drifts off — the corpus-level twin of the per-doc
+    quality score). Rank is made deterministic by the (cnt DESC,
+    token ASC) total order; the fit reduces to COVAR_POP/VAR_POP over
+    {k} doubles, rounded once at the end (the avg-of-logs float
+    discipline every logprob query here uses).
+
+    Scale: token frequency is one explode + partial-agg groupBy; the
+    top-{k} head is TakeOrderedAndProject (operators/topk.py — no
+    global sort, no unpartitioned window); the regression aggregates
+    are a single-pass reduce to ONE row. Nothing here scales with
+    corpus size except the map-side token count."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    freq = (
+        documents.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    head = global_topk_ranked(
+        freq,
+        keys=[(F.col("cnt"), DESC), (F.col("tok"), ASC)],
+        k=_ZIPF_TOP,
+        cols=["cnt"],
+        rank_name="rnk",
+    )
+    lnr, lnf = F.log(F.col("rnk").cast("double")), F.log(F.col("cnt").cast("double"))
+    slope = F.covar_pop(lnr, lnf) / F.var_pop(lnr)
+    return head.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.avg(lnf) - slope * F.avg(lnr), 6).alias("zipf_intercept"),
+    )
+
+
+text_zipf_slope.__doc__ = text_zipf_slope.__doc__.format(k=_ZIPF_TOP)
