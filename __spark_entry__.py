@@ -40,6 +40,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (committed as PARITY_r{N}.txt) proves the full registry every round
 #: regardless.
 _PRIORITY = [
+    # --- r8-final queries with no driver row yet (judge re-ran clean;
+    # --- driver proof still owed) + r9 plan changes ---
+    "graph_label_propagation",
+    "ev_attribution_window_join",
+    "ev_ewma_dyadic",
+    "ev_value_histogram",
+    "text_zipf_slope",
+    "geo_fuzzy_match_blocked",  # r9: PassJoin candidate generation
     # --- new / plan-changed in round 8 ---
     "ev_gapfill_forward",
     "ev_rolling_mad_outliers",
@@ -48,7 +56,6 @@ _PRIORITY = [
     "geo_point_in_polygon",
     "geo_knn_topk",
     "geo_geohash_agg",
-    "geo_fuzzy_match_blocked",
     "geo_nearest_within_radius",  # plan now the k=1 slice of knn_within_radius
     "emb_ivfpq_incremental",
     "a13_theta_join_cardinality",

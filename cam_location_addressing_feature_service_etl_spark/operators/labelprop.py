@@ -36,12 +36,18 @@ def label_propagation(
     Initial label of a node is its own id (string); each round every
     node adopts the most frequent label among its neighbors plus
     itself, ties to the smallest label. Returns (node, label).
+
+    The node universe is src UNION dst, so on a non-symmetrized edge
+    list a dst-only node still gets its self-label at round 0 and a
+    self-vote every round (it receives in-messages but emits none —
+    directed semantics; symmetrize for undirected).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).transform(
         materialize
     )
     labels = (
         e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("label"))
         .transform(materialize)

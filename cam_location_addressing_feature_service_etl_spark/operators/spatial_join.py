@@ -77,12 +77,20 @@ def knn_within_radius(
     if not 0.0 <= max_abs_lat_deg < 90.0:
         raise ValueError(f"max_abs_lat_deg={max_abs_lat_deg} must be in [0, 90)")
     lon_km = cell_deg * 111.0 * math.cos(math.radians(max_abs_lat_deg))
-    if min(cell_deg * 111.0, lon_km) < radius_km:
+    # The in-radius filter compares the ROUNDED distance, which admits
+    # true distances up to radius + half an ulp of the rounding grid —
+    # the coverage guard must span that effective radius, not the
+    # nominal one, or a rounding-admitted candidate at a guard-boundary
+    # cell size could sit outside the 3×3 neighborhood.
+    effective_radius_km = radius_km + 0.5 * 10.0 ** (-round_digits)
+    if min(cell_deg * 111.0, lon_km) < effective_radius_km:
         raise ValueError(
             f"cell_deg={cell_deg}° spans {cell_deg * 111.0:.0f} km of latitude "
             f"and {lon_km:.0f} km of longitude at |lat|={max_abs_lat_deg}° "
-            f"< radius {radius_km} km — the 3×3 neighbor expansion would miss "
-            "in-radius candidates; widen cell_deg or shrink the radius"
+            f"< effective radius {effective_radius_km} km (radius {radius_km} "
+            f"+ 0.5·10^-{round_digits} rounding slack) — the 3×3 neighbor "
+            "expansion would miss in-radius candidates; widen cell_deg or "
+            "shrink the radius"
         )
     # A side exploded to its 3x3 neighborhood
     a = (

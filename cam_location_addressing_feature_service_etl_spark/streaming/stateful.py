@@ -186,8 +186,28 @@ def _lower_median(xs: list[int]) -> int:
     return s[-(-len(s) // 2) - 1]  # order statistic ceil(n/2), 0-based
 
 
-def _update_rolling_mad(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+def _make_update_rolling_mad(lateness_days: int | None):
+    """Build the per-group state-update function, closing over the
+    eviction horizon. ``lateness_days=None`` retains every day forever
+    (test/replay mode); with a value, days older than
+    ``max(day) - lateness_days - W + 1`` are dropped after emission —
+    they can no longer sit in the trailing window of any day that a
+    watermark-admitted late event could still change, so state per
+    user is bounded by lateness + W regardless of lifetime."""
+
+    def _update_rolling_mad(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        yield from _update_rolling_mad_impl(key, pdfs, state, lateness_days)
+
+    return _update_rolling_mad
+
+
+def _update_rolling_mad_impl(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    lateness_days: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     import bisect
     from datetime import date, timedelta
@@ -217,7 +237,6 @@ def _update_rolling_mad(
                 micros.insert(i, int(q.scaleb(8)))
             changed.add(di)
     seq += 1
-    state.update((days, micros, seq))
     # a changed day dc shifts the trailing stats of every day in
     # [dc, dc + W-1]; the days are kept sorted so both the affected
     # set and each window rebuild are a bisect slice — O(log n + W)
@@ -253,10 +272,22 @@ def _update_rolling_mad(
         out["mad_value"].append(_emitf(mad))
         out["is_outlier"].append(len(win) >= _MAD_MIN_N and dev > _MAD_K * mad)
         out["upd_seq"].append(seq)
+    # Evict AFTER emission (this batch's windows still see full
+    # history) but BEFORE persisting: a day survives iff it can still
+    # appear in the trailing window [dc - W + 1, dc] of a day dc the
+    # watermark could still change (dc >= max - lateness).
+    if lateness_days is not None and days:
+        cutoff = days[-1] - lateness_days - _MAD_WINDOW_DAYS + 1
+        keep = bisect.bisect_left(days, cutoff)
+        if keep:
+            days, micros = days[keep:], micros[keep:]
+    state.update((days, micros, seq))
     yield pd.DataFrame(out)
 
 
-def rolling_mad_state(events: DataFrame) -> DataFrame:
+def rolling_mad_state(
+    events: DataFrame, lateness_days: int | None = None
+) -> DataFrame:
     """Streaming leg of ``ev_rolling_mad_outliers``: per-user rolling
     lower-median/MAD outlier flags maintained across micro-batches.
     State is the user's (day -> exact micro-unit total) map; each
@@ -274,11 +305,15 @@ def rolling_mad_state(events: DataFrame) -> DataFrame:
     and the reconciliation test — keep the latest row per (user, day).
 
     Scale: state is one shuffle on user_id per batch; per-user state
-    is one long per ACTIVE day. A production deployment bounds it two
-    ways: an upstream ``withWatermark`` drops events older than the
-    allowed lateness, and days older than max(day) - lateness - W can
-    be pruned from the map (they can no longer enter any recomputed
-    window) — the same eviction contract as the sketch-bucket legs."""
+    is one long per retained day. ``lateness_days`` is the eviction
+    dial: when set (production mode, paired with an upstream
+    ``withWatermark`` of the same lateness so older events are dropped
+    before they reach state), days older than
+    ``max(day) - lateness_days - W + 1`` are evicted after each batch
+    — they can no longer enter any recomputable window — so per-user
+    state is bounded by lateness + W days regardless of lifetime.
+    ``None`` (default) retains everything: the replay/backfill mode
+    the reconciliation tests run in, where NO event is too late."""
     from ..session import _ship_package
 
     _ship_package(events.sparkSession)
@@ -293,7 +328,7 @@ def rolling_mad_state(events: DataFrame) -> DataFrame:
         )
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_rolling_mad,
+            _make_update_rolling_mad(lateness_days),
             MAD_OUTPUT_SCHEMA,
             MAD_STATE_SCHEMA,
             "update",

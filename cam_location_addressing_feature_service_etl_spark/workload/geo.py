@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.fuzzy import passjoin_candidates
 from ..session import tune
 from ..tables import load
 from . import register
@@ -447,33 +448,65 @@ def geo_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference links addresses on EXACTLY, pls/tables.py:70; fuzzy
     linkage is what an addressing service needs when that code is
     absent or dirty), then Levenshtein distance 1..3 confirms
-    near-matches (exact duplicates excluded — that's D1/D2's job). JVM-side ``levenshtein`` (no UDF), and the
-    expensive O(len²) distance runs only WITHIN blocks — candidate
-    generation is the equi-join, so cost is Σ block² not |P|². At
-    100 TB the blocking key is the recall dial (coarser = more recall,
-    more pairs); the oracle uses the SAME blocks, so parity checks the
-    within-block semantics while recall-vs-blocking is documented, not
-    hidden."""
+    near-matches (exact duplicates excluded — that's D1/D2's job).
+
+    The OUTPUT semantics are the naive block join (the oracle), but
+    candidate generation is scale-safe, in two moves:
+
+    1. **Dedup the value space.** Levenshtein only sees (blk, name);
+       candidates are generated over DISTINCT names and the verified
+       name pairs expand back to row pairs with two equi-joins on
+       name.  Repeated values — the common case in address data —
+       cost once each, not count².
+    2. **PassJoin segment blocking** (``operators/fuzzy.py``): within
+       the coarse block, candidates must share an exact
+       (segment_index, indexed_length, substring) key derived from
+       the pigeonhole bound for edit distance ≤ 3 — an equi-join
+       whose output is ∝ true near-matches, not Σ block².  The
+       first-token block alone is quadratic (8 blocks → 25M pairs at
+       sf0.1, 100× that at 10×SF); the segment key keeps candidate
+       count flat per matching pair and lifts join parallelism past
+       the block count.
+
+    All JVM exprs (sequence/substring/levenshtein) — no UDFs."""
     tune(spark)
     part = load(spark, sf_dir, "part")
     p = part.select(
         "p_partkey", "p_name", F.split(F.col("p_name"), " ")[0].alias("blk")
     )
-    a = p.select(
-        F.col("blk"),
-        F.col("p_partkey").alias("left_key"),
-        F.col("p_name").alias("left_name"),
+    # Segment the post-block remainder, not the full name: the block
+    # IS the shared first token, so full-name segment 0 would be a
+    # near-constant join key (candidate count reverts to ~block²).
+    # Equal-prefix stripping preserves Levenshtein distance, so
+    # completeness is untouched.
+    names = p.select("blk", "p_name").distinct().withColumn(
+        "nm_rest", F.expr("substring(p_name, length(blk) + 2)")
     )
-    b = p.select(
-        F.col("blk"),
-        F.col("p_partkey").alias("right_key"),
-        F.col("p_name").alias("right_name"),
+    cand = passjoin_candidates(
+        names, "p_name", "blk", _FUZZY_MAX_DIST, seg_col="nm_rest"
     )
-    pairs = a.join(b, "blk").filter(F.col("left_key") < F.col("right_key"))
-    d = F.levenshtein(F.col("left_name"), F.col("right_name"))
-    return (
-        pairs.withColumn("edit_dist", d.cast("int"))
+    matched = (
+        cand.withColumn(
+            "edit_dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
+        )
         .filter(F.col("edit_dist").between(1, _FUZZY_MAX_DIST))
+        .select("name_a", "name_b", "edit_dist")
+    )
+    # Expand verified name pairs back to row pairs (both directions so
+    # the partkey order constraint loses nothing), joining on the name
+    # — matched is tiny relative to rows, broadcast it.
+    both = matched.unionByName(
+        matched.select(
+            F.col("name_b").alias("name_a"),
+            F.col("name_a").alias("name_b"),
+            "edit_dist",
+        )
+    )
+    a = p.select(F.col("p_partkey").alias("left_key"), F.col("p_name").alias("ln"))
+    b = p.select(F.col("p_partkey").alias("right_key"), F.col("p_name").alias("rn"))
+    return (
+        a.join(F.broadcast(both), a["ln"] == both["name_a"])
+        .join(b, (both["name_b"] == b["rn"]) & (F.col("left_key") < F.col("right_key")))
         .select("left_key", "right_key", "edit_dist")
     )
 

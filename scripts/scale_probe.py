@@ -180,6 +180,58 @@ def graph_probe(spark, sf_dir: str) -> None:
         e.unpersist(blocking=True)
         print()
 
+    # Label propagation on the REGISTRY query's own symmetrized
+    # customer<->supplier edge set, customer-replicated (r9: the 3
+    # fixed rounds are joins + partial-agg groupBys; the bound is
+    # linear in edges — an accidental per-round all-pairs or window
+    # stage would show ~x4 per doubling).
+    from cam_location_addressing_feature_service_etl_spark.operators.labelprop import (
+        label_propagation,
+    )
+
+    lpa_base = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+        .persist()
+    )
+    lpa_base.count()
+
+    def scaled_lpa_edges(copies: int):
+        """Customer ids offset per copy, supplier ids SHARED: supplier
+        degree doubles per doubling (the hub-growth regime the AQE
+        skew-split exists for), community structure stays connected."""
+        out = lpa_base
+        for i in range(1, copies):
+            out = out.unionByName(
+                lpa_base.select(
+                    F.concat(F.lit(f"r{i}"), F.col("c")).alias("c"), "s"
+                )
+            )
+        pairs = out.repartition(32).persist()
+        pairs.count()
+        return pairs
+
+    print("== label propagation: customer-replicated (degree grows) ==")
+    prev = {"labelprop_3r": None}
+    for copies in (1, 2, 4):
+        pr = scaled_lpa_edges(copies)
+        edges = pr.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+            pr.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+        _timed(
+            {"labelprop_3r": lambda d: label_propagation(d, rounds=3).count()},
+            edges,
+            prev,
+            copies,
+        )
+        pr.unpersist(blocking=True)
+        print()
+    lpa_base.unpersist(blocking=True)
+
 
 def ann_probe(spark) -> None:
     """Search-stage contrast at meaningful corpus sizes: brute-force
@@ -387,6 +439,95 @@ def temporal_probe(spark) -> None:
         print()
 
 
+def fuzzy_probe(spark) -> None:
+    """PassJoin segment blocking vs the naive 8-block all-pairs join
+    (the r8 geo_fuzzy_match_blocked plan), on a synthetic part corpus
+    whose NAME CARDINALITY grows with row count (constant near-dup
+    density — the regime a growing address base lives in; a fixed
+    64-name vocabulary would make the OUTPUT itself quadratic and both
+    plans x4). Names: ``<color(g)> <md5(g)><v>`` — the 33-char hash
+    token keeps distinct groups far apart in edit space (a first cut
+    used dense integer group ids, and digit-substitution
+    neighborhoods made TRUE matches per name O(9^tau*C(d,tau)), not
+    O(1) — the corpus, not the plan, went quadratic), so matches are
+    the 6 within-group variant pairs only, and the ~8-char segments
+    carry enough entropy that random-collision candidates stay
+    negligible (a 10-char token probed 3-char segments, 4096 values
+    — birthday collisions ~n^2/4096 crept back to x3/doubling;
+    address-length strings are the honest domain regime anyway). Naive candidates =
+    Sigma block^2 over 8 fixed blocks → x4 per doubling; PassJoin
+    candidates share an exact (seg_idx, len, substring) key →
+    ∝ matches → ~x2. Naive skipped at 4x (quadratic, minutes)."""
+    from cam_location_addressing_feature_service_etl_spark.operators.fuzzy import (
+        passjoin_candidates,
+    )
+
+    colors = "red blue hot cold old new small large".split()
+    carr = F.array(*[F.lit(c) for c in colors])
+    varr = F.array(*[F.lit(x) for x in "abcd"])
+    n0 = 10_000
+
+    def parts(n: int):
+        g = (F.col("id") / 4).cast("long")
+        color = F.element_at(carr, (g % 8 + 1).cast("int"))
+        name = F.concat(
+            color,
+            F.lit(" "),
+            F.md5(g.cast("string")),
+            F.element_at(varr, (F.col("id") % 4 + 1).cast("int")),
+        )
+        return spark.range(n).select(
+            F.col("id").alias("p_partkey"), name.alias("p_name"), color.alias("blk")
+        )
+
+    prev = {"fuzzy_passjoin": None, "fuzzy_naive": None}
+    for copies in (1, 2, 4):
+        p = parts(n0 * copies).repartition(32).persist()
+        p.count()
+
+        def op_passjoin(_):
+            names = p.select("blk", "p_name").distinct().withColumn(
+                "nm_rest", F.expr("substring(p_name, length(blk) + 2)")
+            )
+            cand = passjoin_candidates(names, "p_name", "blk", 3, seg_col="nm_rest")
+            matched = (
+                cand.withColumn("d", F.levenshtein("name_a", "name_b"))
+                .filter(F.col("d").between(1, 3))
+                .select("name_a", "name_b", "d")
+            )
+            both = matched.unionByName(
+                matched.select(
+                    F.col("name_b").alias("name_a"),
+                    F.col("name_a").alias("name_b"),
+                    "d",
+                )
+            )
+            a = p.select(F.col("p_partkey").alias("lk"), F.col("p_name").alias("ln"))
+            b = p.select(F.col("p_partkey").alias("rk"), F.col("p_name").alias("rn"))
+            return (
+                a.join(both, a["ln"] == both["name_a"])
+                .join(b, (both["name_b"] == b["rn"]) & (F.col("lk") < F.col("rk")))
+                .count()
+            )
+
+        def op_naive(_):
+            a = p.select("blk", F.col("p_partkey").alias("lk"), F.col("p_name").alias("ln"))
+            b = p.select("blk", F.col("p_partkey").alias("rk"), F.col("p_name").alias("rn"))
+            return (
+                a.join(b, "blk")
+                .filter(F.col("lk") < F.col("rk"))
+                .filter(F.levenshtein("ln", "rn").between(1, 3))
+                .count()
+            )
+
+        ops = {"fuzzy_passjoin": op_passjoin}
+        if copies <= 2:
+            ops["fuzzy_naive"] = op_naive
+        _timed(ops, None, prev, copies)
+        p.unpersist(blocking=True)
+        print()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     family = sys.argv[2] if len(sys.argv) > 2 else "all"
@@ -404,6 +545,9 @@ def main() -> None:
         return
     if family == "temporal":
         temporal_probe(spark)
+        return
+    if family == "fuzzy":
+        fuzzy_probe(spark)
         return
     base = load(spark, sf_dir, "documents")
 

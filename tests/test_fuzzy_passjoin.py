@@ -1,0 +1,180 @@
+"""PassJoin candidate generation (operators/fuzzy.py).
+
+The completeness contract is the whole point: for every same-block
+pair within edit distance tau, the (seg_idx, indexed_length,
+substring) equi-join must produce the pair as a candidate — losing
+one is silent wrong answers, not slowness. These tests pin that with
+an adversarial randomized sweep (seeded — hypothesis-style volume,
+one Spark job) plus the structural edges: short strings (empty
+segments fall back to all-pairs), block separation, and the
+canonical (name_a < name_b) output shape.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from cam_location_addressing_feature_service_etl_spark.operators.fuzzy import (
+    passjoin_candidates,
+)
+
+TAU = 3
+_ALPHA = "abcdefgh"
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+def _random_edits(rng: random.Random, s: str, n_edits: int) -> str:
+    out = s
+    for _ in range(n_edits):
+        op = rng.choice(("sub", "ins", "del")) if out else "ins"
+        pos = rng.randrange(len(out) + (op == "ins"))
+        ch = rng.choice(_ALPHA)
+        if op == "sub":
+            out = out[:pos] + ch + out[pos + 1 :]
+        elif op == "ins":
+            out = out[:pos] + ch + out[pos:]
+        elif len(out) > 1:
+            out = out[:pos] + out[pos + 1 :]
+    return out
+
+
+def _candidates(spark, rows):
+    df = spark.createDataFrame(rows, "blk string, nm string").distinct()
+    return {
+        (r["blk"], r["name_a"], r["name_b"])
+        for r in passjoin_candidates(df, "nm", "blk", TAU).collect()
+    }
+
+
+def test_no_candidate_loss_random_edit_sweep(spark):
+    """400 randomly edited variants (0-3 edits each, lengths 4-40)
+    of 40 base strings: every pair within distance <= TAU must
+    survive candidate generation. The false-positive direction needs
+    no test — verification re-checks levenshtein — but completeness
+    has no second chance."""
+    rng = random.Random(0xF022)
+    rows = []
+    for b in range(40):
+        base = "".join(rng.choice(_ALPHA) for _ in range(rng.randint(4, 40)))
+        rows.append(("blk0", base))
+        for _ in range(10):
+            rows.append(("blk0", _random_edits(rng, base, rng.randint(0, TAU))))
+    got = _candidates(spark, rows)
+    names = sorted({nm for _, nm in rows})
+    required = {
+        ("blk0", a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if _lev(a, b) <= TAU
+    }
+    missing = required - got
+    assert not missing, f"{len(missing)} lost pairs, e.g. {sorted(missing)[:5]}"
+
+
+def test_no_candidate_loss_with_prefix_stripped_seg_col(spark):
+    """The seg_col dial (segment the post-block remainder because the
+    block is a shared name prefix) must stay complete: distance is
+    prefix-strip invariant, so every full-name pair within TAU still
+    has to surface. Same sweep as above but names carry the block as
+    their first token, and segmentation runs on the remainder."""
+    rng = random.Random(0xF023)
+    rows = []
+    for b in range(30):
+        blk = rng.choice(("red", "blue", "small"))
+        base = "".join(rng.choice(_ALPHA) for _ in range(rng.randint(4, 30)))
+        rows.append((blk, f"{blk} {base}"))
+        for _ in range(8):
+            rows.append(
+                (blk, f"{blk} {_random_edits(rng, base, rng.randint(0, TAU))}")
+            )
+    df = (
+        spark.createDataFrame(rows, "blk string, nm string")
+        .distinct()
+        .withColumn("rest", F.expr("substring(nm, length(blk) + 2)"))
+    )
+    got = {
+        (r["blk"], r["name_a"], r["name_b"])
+        for r in passjoin_candidates(df, "nm", "blk", TAU, seg_col="rest").collect()
+    }
+    by_blk: dict[str, list[str]] = {}
+    for blk, nm in set(rows):
+        by_blk.setdefault(blk, []).append(nm)
+    required = {
+        (blk, a, b)
+        for blk, nms in by_blk.items()
+        for i, a in enumerate(sorted(nms))
+        for b in sorted(nms)[i + 1 :]
+        if _lev(a, b) <= TAU
+    }
+    missing = required - got
+    assert not missing, f"{len(missing)} lost pairs, e.g. {sorted(missing)[:5]}"
+
+
+def test_short_strings_fall_back_to_all_pairs(spark):
+    """Strings shorter than tau+1 have EMPTY segments — the pigeonhole
+    match is vacuous there, so they must reach candidates via the
+    all-pairs leg instead of being silently dropped."""
+    rows = [("b", "ab"), ("b", "ax"), ("b", "abcde"), ("b", "x")]
+    got = _candidates(spark, rows)
+    for a, b in [("ab", "ax"), ("ab", "abcde"), ("ab", "x"), ("ax", "x")]:
+        if _lev(a, b) <= TAU:
+            assert ("b", min(a, b), max(a, b)) in got, (a, b)
+
+
+def test_blocks_are_respected(spark):
+    """Identical near-dup names in DIFFERENT blocks must not pair —
+    the blk key is part of the join, not a post-filter."""
+    rows = [("b1", "hello"), ("b2", "hellx"), ("b1", "hellp")]
+    got = _candidates(spark, rows)
+    assert ("b1", "hello", "hellp") in got
+    assert all(not (a == "hello" and b == "hellx") for _, a, b in got)
+
+
+def test_output_is_canonical_and_distinct(spark):
+    rows = [("b", "kitten"), ("b", "sitten"), ("b", "sittin")]
+    df = spark.createDataFrame(rows, "blk string, nm string")
+    out = passjoin_candidates(df, "nm", "blk", TAU)
+    rows_out = out.collect()
+    assert len(rows_out) == len(set(map(tuple, rows_out)))
+    assert all(r["name_a"] < r["name_b"] for r in rows_out)
+
+
+def test_fuzzy_query_matches_naive_block_join(spark):
+    """End-to-end: the rewritten geo_fuzzy_match_blocked equals the
+    naive Sigma block^2 plan row-for-row on the smoke data (the same
+    semantics the DuckDB oracle pins at parity time)."""
+    from cam_location_addressing_feature_service_etl_spark.tables import load
+    from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        tuple(r)
+        for r in QUERIES["geo_fuzzy_match_blocked"](spark, SF_SMOKE).collect()
+    }
+    p = load(spark, SF_SMOKE, "part").select(
+        "p_partkey", "p_name", F.split(F.col("p_name"), " ")[0].alias("blk")
+    )
+    a = p.select("blk", F.col("p_partkey").alias("lk"), F.col("p_name").alias("ln"))
+    b = p.select("blk", F.col("p_partkey").alias("rk"), F.col("p_name").alias("rn"))
+    naive = {
+        tuple(r)
+        for r in a.join(b, "blk")
+        .filter(F.col("lk") < F.col("rk"))
+        .select("lk", "rk", F.levenshtein("ln", "rn").cast("int").alias("d"))
+        .filter(F.col("d").between(1, TAU))
+        .collect()
+    }
+    assert got == naive

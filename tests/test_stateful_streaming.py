@@ -159,3 +159,58 @@ def test_rolling_mad_streaming_reconciles_with_batch(spark, tmp_path):
     assert split[(1, "2024-01-03")][1] == 15.0
     # and the spike still flags
     assert split[(1, "2024-01-06")][4] is True
+
+
+def test_rolling_mad_state_eviction_bounds_history():
+    """lateness_days eviction: after each batch, state retains at most
+    the last lateness + W days (ADVICE r8: NoTimeout + no eviction grew
+    state forever). Recent-day emissions must be unchanged by eviction
+    — only days that can no longer enter any recomputable window go."""
+    import pandas as pd
+
+    from cam_location_addressing_feature_service_etl_spark.streaming.stateful import (
+        _update_rolling_mad_impl,
+    )
+    from cam_location_addressing_feature_service_etl_spark.workload.events import (
+        _MAD_WINDOW_DAYS,
+    )
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    lateness = 2
+
+    def run(lateness_days):
+        st = _FakeState()
+        emitted = {}
+        for start in (0, 60, 120):  # three far-apart batches of 30 days
+            pdf = pd.DataFrame(
+                {"di": range(start, start + 30), "value": [10.0] * 30}
+            )
+            for out in _update_rolling_mad_impl(
+                (1,), iter([pdf]), st, lateness_days
+            ):
+                for r in out.itertuples():
+                    emitted[r.obs_day] = (r.n_window, r.med_value, r.is_outlier)
+        return st._v, emitted
+
+    (days_e, _, _), emit_e = run(lateness)
+    (days_n, _, _), emit_n = run(None)
+
+    assert len(days_n) == 90  # unbounded mode keeps everything
+    assert len(days_e) <= lateness + _MAD_WINDOW_DAYS
+    assert max(days_e) == max(days_n) == 149
+    # eviction never changes what was emitted
+    assert emit_e == emit_n
