@@ -292,6 +292,115 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boxed.filter(F.expr(_pip_sql("lat", "lon"))).select("point_id", "lat", "lon")
 
 
+#: Non-convex (concave) test ring for the general ray-cast form — a
+#: "U" shape in the QLD box: the notch between lon 144-146 dips from
+#: the northern edge down to lat -23, so the half-plane conjunction
+#: would wrongly reject points in the western arm. Vertex order is
+#: irrelevant to ray casting (no orientation requirement, unlike the
+#: convex CCW contract above).
+_POLY_CONCAVE = [
+    (140.0, -28.5),
+    (150.0, -28.5),
+    (150.0, -17.0),
+    (146.0, -17.0),
+    (146.0, -23.0),
+    (144.0, -23.0),
+    (144.0, -17.0),
+    (140.0, -17.0),
+]
+
+_CONCAVE_EDGES = [
+    (i, *_POLY_CONCAVE[i], *_POLY_CONCAVE[(i + 1) % len(_POLY_CONCAVE)])
+    for i in range(len(_POLY_CONCAVE))
+]
+
+#: PNPOLY crossing test for the eastward ray from (lat, lon): the edge
+#: straddles the point's latitude under the half-open rule ((y1 > py)
+#: != (y2 > py) — a vertex never double-counts), and the intersection
+#: abscissa lies strictly east. One IEEE divide + multiply per edge —
+#: correctly-rounded identically in JVM and DuckDB (same discipline as
+#: the geofence position SQL), so no rounding guard is needed.
+_RAYCAST_ON = (
+    "((e.y1 > p.lat) <> (e.y2 > p.lat)) AND "
+    "(p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)"
+)
+
+_CONCAVE_EDGE_VALUES = ", ".join(
+    f"({i}, {x1!r}, {y1!r}, {x2!r}, {y2!r})" for i, x1, y1, x2, y2 in _CONCAVE_EDGES
+)
+
+_CONCAVE_BBOX = (
+    min(x for x, _ in _POLY_CONCAVE),
+    max(x for x, _ in _POLY_CONCAVE),
+    min(y for _, y in _POLY_CONCAVE),
+    max(y for _, y in _POLY_CONCAVE),
+)
+
+
+@register(
+    "geo_point_in_polygon_raycast",
+    oracle=f"""
+WITH pts AS ({_POINTS_SQL}),
+p AS (
+  SELECT * FROM pts
+  WHERE lat BETWEEN {_CONCAVE_BBOX[2]} AND {_CONCAVE_BBOX[3]}
+    AND lon BETWEEN {_CONCAVE_BBOX[0]} AND {_CONCAVE_BBOX[1]}
+),
+e(eid, x1, y1, x2, y2) AS (VALUES {_CONCAVE_EDGE_VALUES}),
+hits AS (
+  SELECT p.point_id, p.lat, p.lon, count(*) AS n_cross
+  FROM p JOIN e ON {_RAYCAST_ON}
+  GROUP BY 1, 2, 3
+)
+SELECT point_id, lat, lon FROM hits WHERE n_cross % 2 = 1
+""",
+)
+def geo_point_in_polygon_raycast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General (non-convex) point-in-polygon by ray casting: count the
+    polygon edges an eastward ray crosses; odd = inside. The reference
+    domain is genuinely concave — QLD locality rings
+    (address_etl/pls/queries/locality.py:12-44) follow coastline and
+    river boundaries — so the convex half-plane form
+    (``geo_point_in_polygon``) cannot express them without
+    triangulation; this form takes any simple ring as DATA (an edge
+    table), not as compiled-in conjunction terms.
+
+    Plan: sargable bbox pre-filter first (file skipping on lat/lon
+    min/max stats), then an inner broadcast join of points against the
+    8-row edge table ON the crossing predicate itself — join output is
+    only (point, crossed-edge) pairs, ∝ points × average crossings,
+    never the full |P|·|E| — then a partial-aggregatable count per
+    point and the odd-parity filter. A point with zero crossings never
+    reaches the aggregate (outside, correctly dropped by the inner
+    join). At real locality-ring vertex counts (thousands), the scale
+    dial is latitude-band bucketing: key edges by the floor-grid bands
+    their y-span covers (the interval-bucket trick
+    ``ev_interval_overlap_join`` uses) and equi-join on the band
+    before the crossing residual; the broadcast form here is the
+    designed plan for O(10)-edge fences. The crossing test is one
+    correctly-rounded IEEE divide per pair, bit-identical across
+    engines; the half-open latitude rule means a ray through a shared
+    vertex counts once, not twice."""
+    tune(spark)
+    pts = _points(spark, sf_dir)
+    lo_x, hi_x, lo_y, hi_y = _CONCAVE_BBOX
+    p = pts.filter(
+        F.col("lat").between(lo_y, hi_y) & F.col("lon").between(lo_x, hi_x)
+    ).alias("p")
+    e = F.broadcast(
+        spark.createDataFrame(
+            _CONCAVE_EDGES, "eid int, x1 double, y1 double, x2 double, y2 double"
+        )
+    ).alias("e")
+    return (
+        p.join(e, F.expr(_RAYCAST_ON))
+        .groupBy("p.point_id", "p.lat", "p.lon")
+        .agg(F.count(F.lit(1)).alias("n_cross"))
+        .filter(F.col("n_cross") % 2 == 1)
+        .select("point_id", "lat", "lon")
+    )
+
+
 _KNN_K = 3
 _KNN_RADIUS_KM = 150.0
 

@@ -25,6 +25,9 @@ SF_DIR = "/root/testdata/sf0.001"
 #: deduplicated candidate set of a prefix filter. Keep this list
 #: MINIMAL — every entry must name why it is intentional.
 CARTESIAN_ALLOWED = {
+    # bbox-filtered points vs broadcast 8-row polygon edge table,
+    # joined ON the ray-crossing predicate itself (BNLJ by design)
+    "geo_point_in_polygon_raycast",
     # every vector scored against broadcast query/centroid set
     "sim_cosine_topk_bruteforce",
     "sim_ann_ivf_bucketed",

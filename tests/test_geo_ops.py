@@ -234,3 +234,65 @@ def test_fuzzy_match_excludes_exact_and_orders_keys(spark):
     got = QUERIES["geo_fuzzy_match_blocked"](spark, SF_SMOKE).collect()
     assert all(r["left_key"] < r["right_key"] for r in got)
     assert all(1 <= r["edit_dist"] <= 3 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# non-convex point-in-polygon (ray casting)
+# ---------------------------------------------------------------------------
+
+
+def _raycast_python(px, py, poly):
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+            inside = not inside
+    return inside
+
+
+def test_concave_polygon_is_actually_concave():
+    """The test ring must exercise the non-convex path: at least one
+    reflex vertex (cross-product sign flips), or the query is just the
+    convex form in disguise."""
+    from cam_location_addressing_feature_service_etl_spark.workload.geo import (
+        _POLY_CONCAVE,
+    )
+
+    n = len(_POLY_CONCAVE)
+    signs = set()
+    for i in range(n):
+        x0, y0 = _POLY_CONCAVE[i]
+        x1, y1 = _POLY_CONCAVE[(i + 1) % n]
+        x2, y2 = _POLY_CONCAVE[(i + 2) % n]
+        cross = (x1 - x0) * (y2 - y1) - (y1 - y0) * (x2 - x1)
+        if cross:
+            signs.add(cross > 0)
+    assert signs == {True, False}
+
+
+def test_raycast_matches_python_and_respects_notch(spark):
+    """Every emitted point must be inside per an independent pure-
+    Python PNPOLY, every non-emitted bbox point outside; the U-notch
+    (lon 144-146 above lat -23) must contain NO emitted points — the
+    case the convex half-plane form gets wrong."""
+    from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+    from cam_location_addressing_feature_service_etl_spark.workload.geo import (
+        _POLY_CONCAVE,
+        _points,
+    )
+
+    got = {
+        r["point_id"]: (r["lon"], r["lat"])
+        for r in QUERIES["geo_point_in_polygon_raycast"](spark, SF_SMOKE).collect()
+    }
+    assert got, "no points inside — degenerate fixture"
+    allpts = {
+        r["point_id"]: (r["lon"], r["lat"])
+        for r in _points(spark, SF_SMOKE).collect()
+    }
+    for pid, (px, py) in allpts.items():
+        assert (pid in got) == _raycast_python(px, py, _POLY_CONCAVE), (pid, px, py)
+    for px, py in got.values():
+        assert not (144.0 < px < 146.0 and py > -23.0), (px, py)
