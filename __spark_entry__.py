@@ -49,6 +49,7 @@ _PRIORITY = [
     "text_zipf_slope",
     "geo_fuzzy_match_blocked",  # r9: PassJoin candidate generation
     "geo_point_in_polygon_raycast",  # r9: new — concave ring, edge-table join
+    "geo_locality_assign_banded",    # r9: new — N-ring lat-band assignment
     # --- new / plan-changed in round 8 ---
     "ev_gapfill_forward",
     "ev_rolling_mad_outliers",

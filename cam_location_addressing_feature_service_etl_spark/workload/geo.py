@@ -14,6 +14,8 @@ and every filter compares the rounded value.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -398,6 +400,113 @@ def geo_point_in_polygon_raycast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_cross"))
         .filter(F.col("n_cross") % 2 == 1)
         .select("point_id", "lat", "lon")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Locality assignment: point -> containing ring among N concave rings
+# ---------------------------------------------------------------------------
+
+#: Three DISJOINT concave rings (loc_id -> vertex ring) standing in
+#: for the reference's locality layer (pls/queries/locality.py —
+#: every address is assigned to exactly one locality polygon). A is
+#: the U-ring above, B an L-shape east of it, C a staircase block to
+#: the north; disjointness means each point lands in at most one.
+_LOCALITIES = {
+    "U_WEST": _POLY_CONCAVE,
+    "L_EAST": [
+        (150.5, -28.5),
+        (154.0, -28.5),
+        (154.0, -24.0),
+        (152.0, -24.0),
+        (152.0, -17.0),
+        (150.5, -17.0),
+    ],
+    "T_NORTH": [
+        (140.0, -16.5),
+        (150.0, -16.5),
+        (150.0, -13.0),
+        (146.0, -13.0),
+        (146.0, -9.5),
+        (143.0, -9.5),
+        (143.0, -13.0),
+        (140.0, -13.0),
+    ],
+}
+
+_LOC_EDGES = [
+    (loc, i, *ring[i], *ring[(i + 1) % len(ring)])
+    for loc, ring in _LOCALITIES.items()
+    for i in range(len(ring))
+]
+
+_LOC_EDGE_VALUES = ", ".join(
+    f"({loc!r}, {i}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+    for loc, i, x1, y1, x2, y2 in _LOC_EDGES
+)
+
+#: latitude band width (degrees) for the edge-bucketing equi-join
+_LOC_BAND_DEG = 2.0
+
+
+@register(
+    "geo_locality_assign_banded",
+    oracle=f"""
+WITH p AS ({_POINTS_SQL}),
+e(loc_id, eid, x1, y1, x2, y2) AS (VALUES {_LOC_EDGE_VALUES}),
+hits AS (
+  SELECT p.point_id, p.lat, p.lon, e.loc_id, count(*) AS n_cross
+  FROM p JOIN e ON {_RAYCAST_ON}
+  GROUP BY 1, 2, 3, 4
+)
+SELECT point_id, lat, lon, loc_id FROM hits WHERE n_cross % 2 = 1
+""",
+)
+def geo_locality_assign_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locality assignment: each point joined to the ONE concave ring
+    containing it, among a set of disjoint locality polygons — the
+    reference's core spatial semantic (every address belongs to a
+    locality, pls/queries/locality.py; here computed geometrically
+    instead of trusted from the feed).
+
+    This is the MANY-RING scale shape the single-ring raycast
+    docstring promises: a broadcast BNLJ of points against all edges
+    is |P|·|E| work, quadratic-ish once localities number in the
+    thousands with thousand-vertex coastline rings. Instead the edges
+    are bucketed by the latitude BANDS their y-span covers (static
+    explode, tiny) and the join is a hash EQUI-join on the point's
+    band — an edge that straddles a point's latitude necessarily
+    covers its band, so no crossing is ever lost (the same
+    interval-bucket argument as ``ev_interval_overlap_join``), and
+    per-point work is only the edges whose span shares its band.
+    Crossing parity per (point, ring) then assigns the locality; the
+    DuckDB oracle states the unbanded join — same output, proving the
+    banding is purely physical. Disjoint rings guarantee at most one
+    assignment per point (pinned in tests/test_geo_ops.py)."""
+    tune(spark)
+    pts = _points(spark, sf_dir)
+    band_rows = []
+    for loc, i, x1, y1, x2, y2 in _LOC_EDGES:
+        lo_b = int(math.floor(min(y1, y2) / _LOC_BAND_DEG))
+        hi_b = int(math.floor(max(y1, y2) / _LOC_BAND_DEG))
+        for b in range(lo_b, hi_b + 1):
+            band_rows.append((b, loc, i, x1, y1, x2, y2))
+    e = F.broadcast(
+        spark.createDataFrame(
+            band_rows,
+            "band long, loc_id string, eid int, "
+            "x1 double, y1 double, x2 double, y2 double",
+        )
+    ).alias("e")
+    p = pts.withColumn(
+        "band", F.floor(F.col("lat") / _LOC_BAND_DEG).cast("long")
+    ).alias("p")
+    return (
+        p.join(e, (F.col("p.band") == F.col("e.band")) & F.expr(_RAYCAST_ON))
+        .groupBy("p.point_id", "p.lat", "p.lon", "e.loc_id")
+        .agg(F.count(F.lit(1)).alias("n_cross"))
+        .filter(F.col("n_cross") % 2 == 1)
+        .select("point_id", "lat", "lon", "loc_id")
     )
 
 

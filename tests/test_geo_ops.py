@@ -296,3 +296,40 @@ def test_raycast_matches_python_and_respects_notch(spark):
         assert (pid in got) == _raycast_python(px, py, _POLY_CONCAVE), (pid, px, py)
     for px, py in got.values():
         assert not (144.0 < px < 146.0 and py > -23.0), (px, py)
+
+
+def test_locality_rings_are_disjoint_and_assignment_unique(spark):
+    """The locality set promises DISJOINT rings (each point in at most
+    one); verify geometrically against the pure-Python caster over a
+    dense probe grid, and verify the banded query emits at most one
+    ring per point and matches the Python assignment per fixture
+    point."""
+    from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+    from cam_location_addressing_feature_service_etl_spark.workload.geo import (
+        _LOCALITIES,
+        _points,
+    )
+
+    # dense-grid disjointness: no probe point sits in two rings
+    for gy in range(-290, -90, 3):
+        for gx in range(1380, 1540, 3):
+            px, py = gx / 10.0, gy / 10.0
+            hits = [
+                loc
+                for loc, ring in _LOCALITIES.items()
+                if _raycast_python(px, py, ring)
+            ]
+            assert len(hits) <= 1, (px, py, hits)
+
+    got = {}
+    for r in QUERIES["geo_locality_assign_banded"](spark, SF_SMOKE).collect():
+        assert r["point_id"] not in got, f"point {r['point_id']} in two rings"
+        got[r["point_id"]] = r["loc_id"]
+    assert got, "no assignments — degenerate fixture"
+    for r in _points(spark, SF_SMOKE).collect():
+        expect = [
+            loc
+            for loc, ring in _LOCALITIES.items()
+            if _raycast_python(r["lon"], r["lat"], ring)
+        ]
+        assert got.get(r["point_id"]) == (expect[0] if expect else None)
