@@ -122,8 +122,13 @@ def passjoin_candidates(
     )
 
     lsc = F.col("ls_cand")
+    # Probes come from long_side too: a string shorter than k pairs
+    # only via the fallback leg, and — sharper — Spark's sequence(a, b)
+    # with a > b silently yields a DESCENDING range, so
+    # sequence(greatest(ln - tau, k), ln) on ln < k would emit junk
+    # ls_cand values above ln instead of nothing.
     probes = (
-        base.select(
+        long_side.select(
             "blk",
             "nm",
             "sg",

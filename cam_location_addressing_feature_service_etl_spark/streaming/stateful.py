@@ -219,23 +219,38 @@ def _update_rolling_mad_impl(
     days, micros, seq = state.get if state.exists else ([], [], 0)
     days, micros = list(days), list(micros)  # SORTED, parallel arrays
     changed: set[int] = set()
+    batch: list[tuple[int, float]] = []
     for pdf in pdfs:
-        for di, v in zip(pdf["di"].astype("int64"), pdf["value"]):
-            # per-EVENT quantization mirrors the batch cast: Spark's
-            # double->DECIMAL(18,8) goes through the shortest decimal
-            # repr (BigDecimal.valueOf) then HALF_UP at 8 dp — so
-            # Decimal(repr(v)), not Decimal(v)'s exact binary expansion
-            q = Decimal(repr(float(v))).quantize(
-                Decimal(1).scaleb(-8), rounding=ROUND_HALF_UP
-            )
-            di = int(di)
-            i = bisect.bisect_left(days, di)
-            if i < len(days) and days[i] == di:
-                micros[i] += int(q.scaleb(8))
-            else:
-                days.insert(i, di)
-                micros.insert(i, int(q.scaleb(8)))
-            changed.add(di)
+        batch.extend(
+            (int(di), float(v))
+            for di, v in zip(pdf["di"].astype("int64"), pdf["value"])
+        )
+    if lateness_days is not None and batch and days:
+        # Authoritative straggler gate (the engine does NOT filter late
+        # rows for applyInPandasWithState under NoTimeout): an event is
+        # admitted iff its day >= PRE-batch per-user max day - lateness
+        # — the same one-batch lag the engine watermark has, so a
+        # backfill batch always folds whole. Every admitted event's
+        # recompute window is intact: admitted d >= prev_max - lateness
+        # means its window needs days >= prev_max - lateness - W + 1,
+        # exactly what the previous batch's eviction retained.
+        horizon = days[-1] - lateness_days
+        batch = [(di, v) for di, v in batch if di >= horizon]
+    for di, v in batch:
+        # per-EVENT quantization mirrors the batch cast: Spark's
+        # double->DECIMAL(18,8) goes through the shortest decimal
+        # repr (BigDecimal.valueOf) then HALF_UP at 8 dp — so
+        # Decimal(repr(v)), not Decimal(v)'s exact binary expansion
+        q = Decimal(repr(v)).quantize(
+            Decimal(1).scaleb(-8), rounding=ROUND_HALF_UP
+        )
+        i = bisect.bisect_left(days, di)
+        if i < len(days) and days[i] == di:
+            micros[i] += int(q.scaleb(8))
+        else:
+            days.insert(i, di)
+            micros.insert(i, int(q.scaleb(8)))
+        changed.add(di)
     seq += 1
     # a changed day dc shifts the trailing stats of every day in
     # [dc, dc + W-1]; the days are kept sorted so both the affected
@@ -319,6 +334,14 @@ def rolling_mad_state(
     _ship_package(events.sparkSession)
     from pyspark.sql import functions as F
 
+    if lateness_days is not None and events.isStreaming:
+        # Eviction's correctness CONTRACT is that no event older than
+        # the lateness horizon reaches state (an admitted straggler
+        # would recompute its day against already-evicted history and
+        # emit a permanently wrong row). Enforce the watermark here
+        # rather than trusting every caller to remember the pairing
+        # (review-pass catch).
+        events = events.withWatermark("ts", f"{lateness_days} days")
     return (
         events.filter(F.col("value").isNotNull())
         .select(

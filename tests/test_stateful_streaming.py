@@ -214,3 +214,71 @@ def test_rolling_mad_state_eviction_bounds_history():
     assert max(days_e) == max(days_n) == 149
     # eviction never changes what was emitted
     assert emit_e == emit_n
+
+
+def test_rolling_mad_lateness_enforces_watermark(spark, tmp_path):
+    """With lateness_days set, the operator applies its own watermark
+    (review-pass catch: eviction without the paired watermark lets a
+    straggler recompute against already-evicted history). A day-3
+    event arriving after day 6 with lateness 2d must be DROPPED: day 3
+    keeps its original value instead of folding the straggler in."""
+    import os
+    from datetime import datetime
+
+    from cam_location_addressing_feature_service_etl_spark.streaming.stateful import (
+        rolling_mad_state,
+    )
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+    def _mk(rows, start_id):
+        return spark.createDataFrame(
+            [
+                (start_id + i, datetime(2024, 1, d, 12), uid, "view", v, "{}")
+                for i, (d, uid, v) in enumerate(rows)
+            ],
+            schema,
+        )
+
+    f1 = [(d, 1, 10.0) for d in range(1, 5)]
+    f2 = [(5, 1, 10.0), (6, 1, 1000.0)]
+    f3 = [(3, 1, 5.0)]  # straggler: beyond the 2-day lateness at day 6
+    in_dir = tmp_path / "stream_in"
+    in_dir.mkdir()
+    for i, rows in enumerate([f1, f2, f3]):
+        _mk(rows, 1000 * i).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"part{i}")
+        )
+        src = next(
+            p for p in os.listdir(tmp_path / f"part{i}") if p.endswith(".parquet")
+        )
+        dst = in_dir / f"b{i}.parquet"
+        os.rename(tmp_path / f"part{i}" / src, dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(spark.read.parquet(str(in_dir)).schema)
+        .format("parquet")
+        .load(str(in_dir))
+    )
+    q = (
+        rolling_mad_state(stream, lateness_days=2)
+        .writeStream.format("memory")
+        .queryName("mad_wm")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = {}
+    for r in spark.table("mad_wm").collect():
+        k = (r["user_id"], r["obs_day"])
+        if k not in final or r["upd_seq"] > final[k]["upd_seq"]:
+            final[k] = r
+    # the straggler was dropped: day 3 keeps 10.0, and no day-3 re-emit
+    # happened after the f2 batch
+    assert final[(1, "2024-01-03")]["day_value"] == 10.0
