@@ -50,6 +50,7 @@ _PRIORITY = [
     "geo_fuzzy_match_blocked",  # r9: PassJoin candidate generation
     "geo_point_in_polygon_raycast",  # r9: new — concave ring, edge-table join
     "geo_locality_assign_banded",    # r9: new — N-ring lat-band assignment
+    "geo_fuzzy_link_feed",           # r9: new — A×B PassJoin linkage + argmin
     # --- new / plan-changed in round 8 ---
     "ev_gapfill_forward",
     "ev_rolling_mad_outliers",

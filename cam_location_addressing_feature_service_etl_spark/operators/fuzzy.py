@@ -22,6 +22,11 @@ proportional to true near-matches, not to block^2, and the join key
 is fine enough to parallelize far beyond the block count.  The same
 chunk-index trick powers ``dedup_simhash`` for hamming distance.
 
+Two entry points share the machinery: :func:`passjoin_candidates`
+(self-join dedup/linkage within one relation) and
+:func:`passjoin_link` (A×B record linkage — a dirty feed probed
+against a master list, the production address-matching shape).
+
 Everything below is JVM column expressions (sequence/explode/
 substring) — no Python UDFs.
 """
@@ -44,64 +49,24 @@ def _seg_start(ls: Column, i: Column, k: int) -> Column:
     return i * (ls / k).cast("int") + F.least(i, ls % k)
 
 
-def passjoin_candidates(
-    names: DataFrame,
-    name_col: str,
-    blk_col: str,
-    tau: int,
-    seg_col: str | None = None,
-) -> DataFrame:
-    """Candidate name pairs for an edit-distance-``tau`` self-join.
-
-    ``names`` must be DISTINCT on (blk, name) — dedup the value space
-    before candidate generation so repeated values cost once, not
-    count^2 (row-level expansion is the caller's equi-join back on the
-    name).  Returns ``(blk, name_a, name_b)`` with ``name_a < name_b``,
-    a SUPERSET of all same-block pairs with edit distance <= tau
-    (verification — the actual levenshtein — is the caller's job).
-
-    Index side: every string emits its tau+1 segments.  Probe side:
-    every string emits, for each segment index and each candidate
-    indexed-string length in ``[len - tau, len]`` (only the
-    shorter-or-equal string is indexed; distance is symmetric so each
-    pair is still generated once), every substring whose start lies
-    within ``tau`` of the segment's home position.  Probe fan-out is
-    bounded by ``(tau+1) * (tau+1) * (2*tau+1)`` rows per string —
-    constant, not data-dependent.
-
-    Strings shorter than ``tau + 1`` have empty segments, and an
-    untouched EMPTY segment matches vacuously — the equi-join would
-    lose those pairs, so they fall back to an all-pairs leg within the
-    block (bounded: at most ``26^tau``-ish distinct strings exist that
-    short).
-
-    ``seg_col``: optional column to SEGMENT AND PROBE instead of the
-    name itself — output pairs still carry ``name_col`` values.  Use
-    it when every name in a block shares a known prefix (the usual
-    case when the block IS the first token): segment 0 of the full
-    name then degenerates to that prefix, a near-zero-entropy join
-    key whose candidate count reverts to ~block² (measured: 107s vs
-    3s naive at 10k distinct names before this dial existed).  Equal
-    leading characters never change Levenshtein distance (strip-
-    common-prefix identity), so segmenting the post-prefix remainder
-    is distance-preserving and completeness survives: ed(full) <= tau
-    ⇒ ed(rest) <= tau ⇒ some rest-segment matches exactly.  The
-    caller owns that the stripped prefix really is common to the
-    block.
-    """
-    k = tau + 1
-    base = names.select(
+def _prepare(names: DataFrame, name_col: str, blk_col: str, seg_col: str | None) -> DataFrame:
+    return names.select(
         F.col(blk_col).alias("blk"),
         F.col(name_col).alias("nm"),
         F.col(seg_col if seg_col is not None else name_col).alias("sg"),
         F.length(seg_col if seg_col is not None else name_col).alias("ln"),
     )
 
-    long_side = base.filter(F.col("ln") >= k)
 
+def _seg_rows(base: DataFrame, tau: int) -> DataFrame:
+    """Index side: the tau+1 segments of every string of length >= k
+    (shorter strings have EMPTY segments — vacuous matches — and are
+    the caller's fallback leg)."""
+    k = tau + 1
     i = F.col("seg_i")
-    segs = (
-        long_side.select(
+    return (
+        base.filter(F.col("ln") >= k)
+        .select(
             "blk",
             "nm",
             "sg",
@@ -121,14 +86,36 @@ def passjoin_candidates(
         )
     )
 
+
+def _probe_rows(base: DataFrame, tau: int, symmetric: bool) -> DataFrame:
+    """Probe side: for each candidate indexed-string length ls_cand,
+    every substring of the probe that some segment of an ls_cand-long
+    string could match.
+
+    ``symmetric`` (self-join): ls_cand in [ln - tau, ln] — only the
+    shorter-or-equal string is indexed; distance is symmetric so each
+    pair is still generated once, and probes shorter than k pair only
+    via the fallback (sharper: Spark's sequence(a, b) with a > b
+    silently yields a DESCENDING range, so the ln < k case would emit
+    junk ls_cand values above ln instead of nothing).
+
+    A×B link: ls_cand in [ln - tau, ln + tau] — the indexed side is
+    FIXED (the master list), so both length directions probe; any
+    probe of length >= 1 can host a segment of a longer indexed
+    string.
+    """
+    k = tau + 1
+    i = F.col("seg_i")
     lsc = F.col("ls_cand")
-    # Probes come from long_side too: a string shorter than k pairs
-    # only via the fallback leg, and — sharper — Spark's sequence(a, b)
-    # with a > b silently yields a DESCENDING range, so
-    # sequence(greatest(ln - tau, k), ln) on ln < k would emit junk
-    # ls_cand values above ln instead of nothing.
-    probes = (
-        long_side.select(
+    if symmetric:
+        src = base.filter(F.col("ln") >= k)
+        ls_hi = F.col("ln")
+    else:
+        # greatest(ln - tau, k) <= ln + tau  <=>  ln >= k - tau = 1
+        src = base.filter(F.col("ln") >= 1)
+        ls_hi = F.col("ln") + tau
+    return (
+        src.select(
             "blk",
             "nm",
             "sg",
@@ -142,7 +129,7 @@ def passjoin_candidates(
             "ln",
             "seg_i",
             F.explode(
-                F.sequence(F.greatest(F.col("ln") - tau, F.lit(k)), F.col("ln"))
+                F.sequence(F.greatest(F.col("ln") - tau, F.lit(k)), ls_hi)
             ).alias("ls_cand"),
         )
         .select(
@@ -200,19 +187,68 @@ def passjoin_candidates(
         )
     )
 
-    # Distinct column names on each side: both frames share the `base`
-    # lineage, and same-named self-join keys can resolve to the same
-    # attribute (a trivially-true predicate that silently drops the
-    # block constraint).
-    main = segs.join(
-        probes,
-        on=[
-            F.col("blk") == F.col("blk_p"),
-            F.col("seg_i") == F.col("seg_i_p"),
-            F.col("ls") == F.col("ls_cand"),
-            F.col("piece") == F.col("piece_p"),
-            F.col("nm_s") != F.col("nm_p"),
-        ],
+
+#: Join keys shared by both entry points. Distinct column names on
+#: each side: the frames can share lineage, and same-named self-join
+#: keys can resolve to the same attribute (a trivially-true predicate
+#: that silently drops the block constraint).
+def _candidate_join(segs: DataFrame, probes: DataFrame, extra) -> DataFrame:
+    conds = [
+        F.col("blk") == F.col("blk_p"),
+        F.col("seg_i") == F.col("seg_i_p"),
+        F.col("ls") == F.col("ls_cand"),
+        F.col("piece") == F.col("piece_p"),
+    ]
+    if extra is not None:
+        conds.append(extra)
+    return segs.join(probes, on=conds)
+
+
+def passjoin_candidates(
+    names: DataFrame,
+    name_col: str,
+    blk_col: str,
+    tau: int,
+    seg_col: str | None = None,
+) -> DataFrame:
+    """Candidate name pairs for an edit-distance-``tau`` self-join.
+
+    ``names`` must be DISTINCT on (blk, name) — dedup the value space
+    before candidate generation so repeated values cost once, not
+    count^2 (row-level expansion is the caller's equi-join back on the
+    name).  Returns ``(blk, name_a, name_b)`` with ``name_a < name_b``,
+    a SUPERSET of all same-block pairs with edit distance <= tau
+    (verification — the actual levenshtein — is the caller's job).
+
+    Probe fan-out is bounded by ``(tau+1)^2 * (2*tau+1)`` rows per
+    string — constant, not data-dependent.
+
+    Strings shorter than ``tau + 1`` have empty segments, and an
+    untouched EMPTY segment matches vacuously — the equi-join would
+    lose those pairs, so they fall back to an all-pairs leg within the
+    block (bounded: at most ``26^tau``-ish distinct strings exist that
+    short).
+
+    ``seg_col``: optional column to SEGMENT AND PROBE instead of the
+    name itself — output pairs still carry ``name_col`` values.  Use
+    it when every name in a block shares a known prefix (the usual
+    case when the block IS the first token): segment 0 of the full
+    name then degenerates to that prefix, a near-zero-entropy join
+    key whose candidate count reverts to ~block² (measured: 107s vs
+    3s naive at 10k distinct names before this dial existed).  Equal
+    leading characters never change Levenshtein distance (strip-
+    common-prefix identity), so segmenting the post-prefix remainder
+    is distance-preserving and completeness survives: ed(full) <= tau
+    ⇒ ed(rest) <= tau ⇒ some rest-segment matches exactly.  The
+    caller owns that the stripped prefix really is common to the
+    block.
+    """
+    k = tau + 1
+    base = _prepare(names, name_col, blk_col, seg_col)
+    main = _candidate_join(
+        _seg_rows(base, tau),
+        _probe_rows(base, tau, symmetric=True),
+        F.col("nm_s") != F.col("nm_p"),
     ).select(
         "blk",
         F.least("nm_s", "nm_p").alias("name_a"),
@@ -237,6 +273,56 @@ def passjoin_candidates(
         "blk",
         F.least("nm_short", "nm").alias("name_a"),
         F.greatest("nm_short", "nm").alias("name_b"),
+    )
+
+    return main.unionByName(fallback).distinct()
+
+
+def passjoin_link(
+    a_names: DataFrame,
+    b_names: DataFrame,
+    name_col: str,
+    blk_col: str,
+    tau: int,
+    seg_col: str | None = None,
+) -> DataFrame:
+    """Candidate pairs for an edit-distance-``tau`` A×B record
+    linkage: ``name_a`` from ``a_names`` (the INDEXED master list),
+    ``name_b`` from ``b_names`` (the probed feed). Both inputs must be
+    DISTINCT on (blk, name) with the same column names. Returns
+    ``(blk, name_a, name_b)``, a superset of all same-block cross
+    pairs with edit distance <= tau — INCLUDING exact matches
+    (distance 0), which a linkage keeps rather than excludes.
+
+    Differences from the self-join: the indexed side is fixed, so the
+    probe enumerates candidate indexed lengths on BOTH sides of its
+    own length ([ln - tau, ln + tau]); equal names are kept; and only
+    A-side short strings need the fallback leg (a short PROBE can
+    still host a segment of a longer indexed string, but a short
+    INDEXED string has vacuously-matching empty segments).
+    """
+    k = tau + 1
+    a = _prepare(a_names, name_col, blk_col, seg_col)
+    b = _prepare(b_names, name_col, blk_col, seg_col)
+    main = _candidate_join(
+        _seg_rows(a, tau), _probe_rows(b, tau, symmetric=False), None
+    ).select("blk", F.col("nm_s").alias("name_a"), F.col("nm_p").alias("name_b"))
+
+    short_a = a.filter(F.col("ln") < k).select(
+        F.col("blk").alias("blk_s"),
+        F.col("nm").alias("nm_short"),
+        F.col("ln").alias("ln_s"),
+    )
+    fallback = short_a.join(
+        b,
+        on=[
+            F.col("blk_s") == F.col("blk"),
+            F.abs(F.col("ln_s") - F.col("ln")) <= tau,
+        ],
+    ).select(
+        "blk",
+        F.col("nm_short").alias("name_a"),
+        F.col("nm").alias("name_b"),
     )
 
     return main.unionByName(fallback).distinct()

@@ -19,7 +19,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.fuzzy import passjoin_candidates
+from ..operators.fuzzy import passjoin_candidates, passjoin_link
 from ..session import tune
 from ..tables import load
 from . import register
@@ -727,6 +727,118 @@ def geo_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, (both["name_b"] == b["rn"]) & (F.col("left_key") < F.col("right_key")))
         .select("left_key", "right_key", "edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feed-to-master fuzzy linkage — "geocode this dirty address"
+# ---------------------------------------------------------------------------
+
+_LINK_TAU = 2
+
+#: Deterministic dirty feed: each part's name with ONE character
+#: overwritten by 'z' at position (p_partkey % length) — 1-based
+#: substr arithmetic, identical in Spark SQL and DuckDB. (Hitting an
+#: existing 'z' — "gizmo" — yields an exact-match feed row, so the
+#: distance-0 path is exercised too.)
+_FEED_NAME_SQL = (
+    "concat(substr(p_name, 1, (p_partkey % length(p_name))), 'z', "
+    "substr(p_name, (p_partkey % length(p_name)) + 2))"
+)
+
+
+@register(
+    "geo_fuzzy_link_feed",
+    oracle=f"""
+WITH m AS (
+  SELECT p_partkey AS mk, p_name AS mn, split_part(p_name, ' ', 1) AS blk
+  FROM part
+),
+f AS (SELECT p_partkey AS fk, {_FEED_NAME_SQL} AS fn FROM part),
+f2 AS (SELECT fk, fn, split_part(fn, ' ', 1) AS blk FROM f),
+pairs AS (
+  SELECT f2.fk, m.mk, CAST(levenshtein(f2.fn, m.mn) AS INT) AS d
+  FROM f2 JOIN m ON f2.blk = m.blk
+  WHERE levenshtein(f2.fn, m.mn) <= {_LINK_TAU}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fk ORDER BY d, mk) AS rn FROM pairs
+)
+SELECT fk AS feed_key, mk AS master_key, d AS edit_dist
+FROM ranked WHERE rn = 1
+""",
+)
+def geo_fuzzy_link_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage against a master list: every record of a dirty
+    feed (deterministic one-character corruption of the part names —
+    the oracle rebuilds the identical feed) is matched to its BEST
+    master record within edit distance {tau} (min distance, ties to
+    the min master key) — the "geocode this dirty address" operation,
+    and the A×B complement of the self-join dedup
+    (``geo_fuzzy_match_blocked``).
+
+    Plan: candidate generation is ``operators/fuzzy.py
+    passjoin_link`` over the DISTINCT name spaces of both sides
+    (master indexed, feed probed — segment keys over the post-block
+    remainder), verified with one JVM ``levenshtein`` per candidate;
+    the per-feed argmin is ``min(struct(dist, master_key))`` — a
+    partial-aggregatable groupBy, no rank window — computed at the
+    distinct-feed-name level and expanded back to feed rows by name
+    equi-join. The oracle states the naive block join + rank window;
+    same output, proving candidate generation and the window-free
+    argmin are both purely physical.
+
+    Roughly half the feed goes UNMATCHED by construction: a corruption
+    that lands in the first token changes the record's block, and
+    blocking recall is exactly what it costs (both engines agree —
+    the miss is a semantic of blocked linkage, not a plan artifact)."""
+    tune(spark)
+    part = load(spark, sf_dir, "part")
+    m = part.select(
+        F.col("p_partkey").alias("mk"),
+        F.col("p_name").alias("mn"),
+        F.split(F.col("p_name"), " ")[0].alias("blk"),
+    )
+    feed = part.select(
+        F.col("p_partkey").alias("fk"), F.expr(_FEED_NAME_SQL).alias("fn")
+    )
+    m_names = (
+        m.select("blk", F.col("mn").alias("nm"))
+        .distinct()
+        .withColumn("rest", F.expr("substring(nm, length(blk) + 2)"))
+    )
+    f_names = (
+        feed.select(F.split(F.col("fn"), " ")[0].alias("blk"), F.col("fn").alias("nm"))
+        .distinct()
+        .withColumn("rest", F.expr("substring(nm, length(blk) + 2)"))
+    )
+    cand = passjoin_link(m_names, f_names, "nm", "blk", _LINK_TAU, seg_col="rest")
+    matched = (
+        cand.withColumn(
+            "d", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
+        )
+        .filter(F.col("d") <= _LINK_TAU)
+        .select(F.col("name_a").alias("mn_m"), F.col("name_b").alias("fn_m"), "d")
+    )
+    # expand master names -> master keys, take the best (d, mk) per
+    # distinct FEED NAME (values repeat across rows; argmin once per
+    # value), then expand to feed rows
+    best = (
+        m.join(F.broadcast(matched), m["mn"] == matched["mn_m"])
+        .groupBy("fn_m")
+        .agg(F.min(F.struct(F.col("d"), F.col("mk"))).alias("best"))
+        .select(
+            "fn_m",
+            F.col("best.mk").alias("master_key"),
+            F.col("best.d").alias("edit_dist"),
+        )
+    )
+    return (
+        feed.join(F.broadcast(best), feed["fn"] == best["fn_m"])
+        .select(F.col("fk").alias("feed_key"), "master_key", "edit_dist")
+    )
+
+
+geo_fuzzy_link_feed.__doc__ = geo_fuzzy_link_feed.__doc__.format(tau=_LINK_TAU)
 
 
 # ---------------------------------------------------------------------------

@@ -178,3 +178,80 @@ def test_fuzzy_query_matches_naive_block_join(spark):
         .collect()
     }
     assert got == naive
+
+
+def test_link_no_candidate_loss_cross_tables(spark):
+    """A×B linkage completeness: masters are random strings, the feed
+    is randomly edited variants (0-TAU edits, so exact matches appear
+    too); every cross pair within TAU — including distance 0 — must
+    survive candidate generation, in both length directions (feed
+    shorter AND longer than master)."""
+    from cam_location_addressing_feature_service_etl_spark.operators.fuzzy import (
+        passjoin_link,
+    )
+
+    rng = random.Random(0xF024)
+    masters, feed = [], []
+    for _ in range(30):
+        base = "".join(rng.choice(_ALPHA) for _ in range(rng.randint(2, 30)))
+        masters.append(("blk0", base))
+        for _ in range(8):
+            feed.append(("blk0", _random_edits(rng, base, rng.randint(0, TAU))))
+    a = spark.createDataFrame(masters, "blk string, nm string").distinct()
+    b = spark.createDataFrame(feed, "blk string, nm string").distinct()
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in passjoin_link(a, b, "nm", "blk", TAU).collect()
+    }
+    required = {
+        (ma, fb)
+        for _, ma in set(masters)
+        for _, fb in set(feed)
+        if _lev(ma, fb) <= TAU
+    }
+    missing = required - got
+    assert missing == set(), f"{len(missing)} lost pairs, e.g. {sorted(missing)[:5]}"
+    # directionality: name_a values are master names only
+    master_set = {m for _, m in masters}
+    assert all(na in master_set for na, _ in got)
+
+
+def test_link_feed_query_links_intact_block_records(spark):
+    """Every feed record whose FIRST TOKEN survived corruption must
+    link to its own master at distance <= 1 (self-match: one char
+    overwritten), with master_key <= feed_key only when a smaller
+    master shares the best name — cross-checked against a naive
+    in-Python linkage on the smoke fixture."""
+    from cam_location_addressing_feature_service_etl_spark.tables import load
+    from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["feed_key"]: (r["master_key"], r["edit_dist"])
+        for r in QUERIES["geo_fuzzy_link_feed"](spark, SF_SMOKE).collect()
+    }
+    parts = {
+        r["p_partkey"]: r["p_name"]
+        for r in load(spark, SF_SMOKE, "part").collect()
+    }
+
+    def feed_name(k, name):
+        p = k % len(name)
+        return name[:p] + "z" + name[p + 1 :]
+
+    by_blk: dict[str, list[tuple[int, str]]] = {}
+    for k, n in parts.items():
+        by_blk.setdefault(n.split(" ")[0], []).append((k, n))
+    for k, n in parts.items():
+        fn = feed_name(k, n)
+        cands = [
+            (d, mk)
+            for mk, mn in by_blk.get(fn.split(" ")[0], [])
+            if (d := _lev(fn, mn)) <= 2
+        ]
+        expect = min(cands) if cands else None
+        actual = got.get(k)
+        if expect is None:
+            assert actual is None, (k, fn, actual)
+        else:
+            assert actual == (expect[1], expect[0]), (k, fn, actual, expect)
