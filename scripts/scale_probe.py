@@ -528,6 +528,100 @@ def fuzzy_probe(spark) -> None:
         print()
 
 
+def pip_probe(spark) -> None:
+    """Banded point-in-polygon assignment (the geo_locality_assign
+    plan shape) vs the broadcast BNLJ raycast, with POINTS AND RING
+    COUNT both doubling over a growing territory (constant ring
+    density — the regime a growing locality layer lives in). BNLJ
+    work = |P|·|E| → ~x4 per doubling of both; the banded equi-join
+    probes only the edges sharing the point's 1° latitude band → ~x2
+    (per-point edge load constant). Rings: 8-vertex notched
+    staircases, one per 1° latitude stripe; points uniform over the
+    covered stripes (xxhash-deterministic). BNLJ skipped at 4x."""
+    n0, r0 = 200_000, 160
+
+    def rings(nrings: int):
+        rows = []
+        for r in range(nrings):
+            y0 = float(r)
+            ring = [
+                (140.0, y0 + 0.05),
+                (150.0, y0 + 0.05),
+                (150.0, y0 + 0.95),
+                (146.0, y0 + 0.95),
+                (146.0, y0 + 0.45),
+                (144.0, y0 + 0.45),
+                (144.0, y0 + 0.95),
+                (140.0, y0 + 0.95),
+            ]
+            for i in range(len(ring)):
+                x1, y1 = ring[i]
+                x2, y2 = ring[(i + 1) % len(ring)]
+                rows.append((r, i, x1, y1, x2, y2))
+        return rows
+
+    on = (
+        "((e.y1 > p.lat) <> (e.y2 > p.lat)) AND "
+        "(p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)"
+    )
+
+    prev = {"pip_banded": None, "pip_bnlj": None}
+    for copies in (1, 2, 4, 8):
+        n, nr = n0 * copies, r0 * copies
+        h1 = F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(1_000_000))
+        h2 = F.pmod(F.xxhash64(F.col("id"), F.lit(13)), F.lit(1_000_000))
+        pts = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("point_id"),
+                (h1 / 1_000_000.0 * nr).alias("lat"),
+                (139.0 + h2 / 1_000_000.0 * 12.0).alias("lon"),
+            )
+            .repartition(32)
+            .persist()
+        )
+        pts.count()
+        edge_rows = rings(nr)
+        e_plain = spark.createDataFrame(
+            edge_rows, "rid int, eid int, x1 double, y1 double, x2 double, y2 double"
+        )
+        band_rows = [
+            (int(min(y1, y2)), rid, eid, x1, y1, x2, y2)
+            for rid, eid, x1, y1, x2, y2 in edge_rows
+        ]
+        e_band = spark.createDataFrame(
+            band_rows,
+            "band long, rid int, eid int, x1 double, y1 double, x2 double, y2 double",
+        )
+
+        def op_banded(_):
+            p = pts.withColumn("band", F.floor(F.col("lat")).cast("long")).alias("p")
+            return (
+                p.join(
+                    F.broadcast(e_band).alias("e"),
+                    (F.col("p.band") == F.col("e.band")) & F.expr(on),
+                )
+                .groupBy("p.point_id", "e.rid")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") % 2 == 1)
+                .count()
+            )
+
+        def op_bnlj(_):
+            p = pts.alias("p")
+            return (
+                p.join(F.broadcast(e_plain).alias("e"), F.expr(on))
+                .groupBy("p.point_id", "e.rid")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") % 2 == 1)
+                .count()
+            )
+
+        _timed({"pip_banded": op_banded, "pip_bnlj": op_bnlj}, None, prev, copies)
+        pts.unpersist(blocking=True)
+        print()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     family = sys.argv[2] if len(sys.argv) > 2 else "all"
@@ -548,6 +642,9 @@ def main() -> None:
         return
     if family == "fuzzy":
         fuzzy_probe(spark)
+        return
+    if family == "pip":
+        pip_probe(spark)
         return
     base = load(spark, sf_dir, "documents")
 
