@@ -820,10 +820,15 @@ def geo_fuzzy_link_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("name_a").alias("mn_m"), F.col("name_b").alias("fn_m"), "d")
     )
     # expand master names -> master keys, take the best (d, mk) per
-    # distinct FEED NAME (values repeat across rows; argmin once per
-    # value), then expand to feed rows
+    # distinct FEED NAME, then expand to feed rows. Plain equi-joins,
+    # NOT forced broadcasts: distinct feed names grow ~linearly with
+    # the feed here (each row corrupts a different position), so the
+    # matched/best relations are only small at low SF — AQE broadcasts
+    # them when they are, and shuffle-hash-joins them when they are
+    # not (review-pass catch: a forced broadcast is the linear-build-
+    # side anti-pattern at 100 TB).
     best = (
-        m.join(F.broadcast(matched), m["mn"] == matched["mn_m"])
+        m.join(matched, m["mn"] == matched["mn_m"])
         .groupBy("fn_m")
         .agg(F.min(F.struct(F.col("d"), F.col("mk"))).alias("best"))
         .select(
@@ -833,7 +838,7 @@ def geo_fuzzy_link_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        feed.join(F.broadcast(best), feed["fn"] == best["fn_m"])
+        feed.join(best, feed["fn"] == best["fn_m"])
         .select(F.col("fk").alias("feed_key"), "master_key", "edit_dist")
     )
 

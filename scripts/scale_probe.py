@@ -16,7 +16,7 @@ double per doubling — the hub-growth regime DIMSUM exists for), and
 triangles / cc_star on disjoint self-unioned edge copies (the bound is
 linear; an accidental cross-copy all-pairs stage would show ~x4).
 
-Usage: python scripts/scale_probe.py [sf_dir] [dedup|graph|ann|spatial|temporal|all]
+Usage: python scripts/scale_probe.py [sf_dir] [dedup|graph|ann|spatial|temporal|fuzzy|pip|all]
 """
 
 from __future__ import annotations
@@ -537,7 +537,9 @@ def pip_probe(spark) -> None:
     probes only the edges sharing the point's 1° latitude band → ~x2
     (per-point edge load constant). Rings: 8-vertex notched
     staircases, one per 1° latitude stripe; points uniform over the
-    covered stripes (xxhash-deterministic). BNLJ skipped at 4x."""
+    covered stripes (xxhash-deterministic). BNLJ runs at every scale
+    — its quadratic is invisible until ~10^10 evaluations (vectorized
+    codegen), so the probe climbs to 8x to expose it."""
     n0, r0 = 200_000, 160
 
     def rings(nrings: int):
