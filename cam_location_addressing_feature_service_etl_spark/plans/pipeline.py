@@ -27,11 +27,15 @@ def build_addresses_with_pid(
     """J9: the reference probes a per-batch dict ``addr_iri →
     address_pid`` and skips (logs) misses (``pls/tables.py:764-814``).
 
-    Returns (addresses_with_pid, misses). The map side is broadcast —
-    it is the carried-forward cache table, small relative to the fact.
+    Returns (addresses_with_pid, misses). No forced broadcast: the
+    map is the carried-forward cache of EVERY address ever assigned a
+    pid, so it grows with the address universe itself — at scale this
+    is a key-partitioned shuffle join, and AQE broadcasts it only
+    while it is genuinely small (review-pass catch: the old hint was
+    the linear-build-side anti-pattern).
     """
     joined = address_rows.join(
-        F.broadcast(iri_pid_map), address_rows["addr_iri"] == iri_pid_map["address_iri"], "left"
+        iri_pid_map, address_rows["addr_iri"] == iri_pid_map["address_iri"], "left"
     )
     hits = joined.filter(F.col("address_pid").isNotNull()).drop("address_iri")
     misses = joined.filter(F.col("address_pid").isNull()).select("addr_iri")

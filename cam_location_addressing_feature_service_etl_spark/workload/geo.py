@@ -711,8 +711,10 @@ def geo_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", "edit_dist")
     )
     # Expand verified name pairs back to row pairs (both directions so
-    # the partkey order constraint loses nothing), joining on the name
-    # — matched is tiny relative to rows, broadcast it.
+    # the partkey order constraint loses nothing), joining on the name.
+    # No forced broadcast: the verified pair set is ∝ near-dup density
+    # in the NAME space — small here, but data-dependent — so AQE
+    # picks broadcast only while it actually is.
     both = matched.unionByName(
         matched.select(
             F.col("name_b").alias("name_a"),
@@ -723,7 +725,7 @@ def geo_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = p.select(F.col("p_partkey").alias("left_key"), F.col("p_name").alias("ln"))
     b = p.select(F.col("p_partkey").alias("right_key"), F.col("p_name").alias("rn"))
     return (
-        a.join(F.broadcast(both), a["ln"] == both["name_a"])
+        a.join(both, a["ln"] == both["name_a"])
         .join(b, (both["name_b"] == b["rn"]) & (F.col("left_key") < F.col("right_key")))
         .select("left_key", "right_key", "edit_dist")
     )

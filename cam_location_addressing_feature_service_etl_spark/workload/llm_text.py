@@ -1858,6 +1858,11 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     pa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     pb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    # candidate pairs are the small-by-design side (LSH banding bounds
+    # them); the hint avoids the bimodal AQE broadcast/SMJ flip the
+    # prefix-join documents at operators/dedup.py — same caveat: if a
+    # corpus defeats the banding economics, drop the hint, never
+    # broadcast an unbounded pair set
     inter = (
         pa.join(F.broadcast(cand), "id_a")
         .join(pb, ["id_b", "shingle"])
