@@ -24,6 +24,17 @@ Select with ``SPARK_GRAFT_MATERIALIZE=local|reliable``. Both modes are
 semantically identical (asserted by ``tests/test_runtime.py``); the
 choice is purely a durability/throughput trade.
 
+Measured caveat (r9): a materialized frame does NOT carry its
+outputPartitioning through the checkpoint boundary on this Spark
+build — a ``repartition(k, key)`` before ``materialize`` still
+re-exchanges on the next join, so pre-partitioning across a
+checkpoint buys nothing. If a downstream stage must reuse a
+partitioning, ``persist()`` the repartitioned frame instead
+(InMemoryTableScan preserves it) — but measure first: in the
+label-propagation A/B the persisted-aligned plan LOST to
+checkpoint+AQE (SCALING.md r9), because AQE's runtime broadcast
+choice beat the saved exchange.
+
 Use as ``df.transform(materialize)`` so call sites stay chainable.
 """
 

@@ -255,3 +255,62 @@ def test_link_feed_query_links_intact_block_records(spark):
             assert actual is None, (k, fn, actual)
         else:
             assert actual == (expect[1], expect[0]), (k, fn, actual, expect)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python exhaustive mirror of the window formula (no Spark) —
+# pins the collective-completeness guarantee itself, not just sampled
+# corpora: every binary-alphabet pair within tau must be generated.
+# ---------------------------------------------------------------------------
+
+
+def _mirror_seg(ls, i, k):
+    return ls // k + (1 if i < ls % k else 0), i * (ls // k) + min(i, ls % k)
+
+
+def _mirror_is_candidate(s: str, t: str, tau: int, symmetric: bool) -> bool:
+    """Mirror of _seg_rows + _probe_rows + _candidate_join for one
+    (indexed s, probe t) direction."""
+    k = tau + 1
+    ls, lt = len(s), len(t)
+    if ls < k:
+        return True  # fallback leg admits every length-window pair
+    lo_ls = max(lt - tau, k)
+    hi_ls = lt if symmetric else lt + tau
+    if not (lo_ls <= ls <= hi_ls) or lt < 1:
+        return False
+    delta = lt - ls
+    for i in range(k):
+        li, pstart = _mirror_seg(ls, i, k)
+        lo = max(0, pstart - i, pstart + delta - (tau - i))
+        hi = min(lt - li, pstart + i, pstart + delta + (tau - i))
+        for pos in range(lo, hi + 1):
+            if t[pos : pos + li] == s[pstart : pstart + li]:
+                return True
+    return False
+
+
+def test_window_formula_exhaustive_binary_alphabet():
+    """Exhaustive: ALL binary strings up to length 7, every tau in
+    1..3: ed(s, t) <= tau must imply candidate generation. Self-join
+    direction: the shorter (or equal, either order) string indexed;
+    link direction: s indexed regardless of which side is longer."""
+    from itertools import product
+
+    strings = [
+        "".join(bits)
+        for n in range(1, 8)
+        for bits in product("ab", repeat=n)
+    ]
+    for tau in (1, 2, 3):
+        for s in strings:
+            for t in strings:
+                if _lev(s, t) > tau:
+                    continue
+                # link: s always the indexed side
+                assert _mirror_is_candidate(s, t, tau, symmetric=False), (
+                    "link", tau, s, t)
+                # self-join: generated with the shorter side indexed
+                short, lng = (s, t) if (len(s), s) <= (len(t), t) else (t, s)
+                assert _mirror_is_candidate(short, lng, tau, symmetric=True), (
+                    "self", tau, s, t)
