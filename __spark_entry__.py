@@ -34,69 +34,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: The driver samples a 50-query prefix of this ordering each round.
 #: STALENESS order (kept since round 6): (1) queries that are NEW or
 #: whose plan/code changed this round (they need a fresh driver row),
-#: (2) the r02-era tail the r06 sample did not reach — after this
-#: round every registry query has a driver row from r05+ — then
-#: (3) the r03/r04-era set, then the freshest. scripts/check_parity.py
+#: (2) the stalest remaining tranche — everything NOT in the previous
+#: round's CORRECTNESS sample, oldest driver row first — then (3) the
+#: freshly-sampled set rotated to the back. scripts/check_parity.py
 #: (committed as PARITY_r{N}.txt) proves the full registry every round
 #: regardless.
 _PRIORITY = [
-    # --- r8-final queries with no driver row yet (judge re-ran clean;
-    # --- driver proof still owed) + r9 plan changes ---
-    "graph_label_propagation",
-    "ev_attribution_window_join",
-    "ev_ewma_dyadic",
-    "ev_value_histogram",
-    "text_zipf_slope",
-    "geo_fuzzy_match_blocked",  # r9: PassJoin candidate generation
-    "geo_point_in_polygon_raycast",  # r9: new — concave ring, edge-table join
-    "geo_locality_assign_banded",    # r9: new — N-ring lat-band assignment
-    "geo_fuzzy_link_feed",           # r9: new — A×B PassJoin linkage + argmin
-    # --- new / plan-changed in round 8 ---
-    "ev_gapfill_forward",
-    "ev_rolling_mad_outliers",
-    "ev_interval_overlap_join",
-    "geo_fence_transitions",
-    "geo_point_in_polygon",
-    "geo_knn_topk",
-    "geo_geohash_agg",
-    "geo_nearest_within_radius",  # plan now the k=1 slice of knn_within_radius
-    "emb_ivfpq_incremental",
-    "a13_theta_join_cardinality",
-    "sample_cluster_diversity",
-    "sim_ann_ivfpq_filtered",
-    "sim_ann_ivfpq_search",
-    "sim_ann_ivfpq_rerank",
-    "a12_cms_heavy_hitters",
-    "a11_kll_quantile_rollup",   # 0-based-seed fold fix + merged_n_exact column
-    "m3_stable_surrogate_ids",   # bounded-increment guard in plan
-    # --- the 10 r03/r04-era driver rows (the last freshness tail;
-    # --- judge-replicated clean in r07, refreshed here) ---
-    "agg_cube_order_status",
-    "agg_top_revenue_segments",
-    "ev_agg_pricing_summary",
-    "ev_asof_last_purchase",
-    "ev_event_transitions",
-    "ev_funnel_conversion",
-    "ev_latency_percentiles",
-    "ev_pivot_type_counts",
-    "ev_user_value_quartiles",
-    "ev_value_band_join",
-    # --- r07-fresh but plan-adjacent (decay docstring, topk guard users) ---
-    "ev_decayed_engagement",
-    "graph_copurchase_cosine_dimsum",
-    "a10_theta_audience_overlap",
-    "ev_sessionize_native_window",
-    "sample_weighted_reservoir",
-    "sample_split_leakfree",
-    "ev_sliding_distinct_hll",
-    "text_bm25_topk",
-    "graph_triangle_counts",
-    "a9_key_skew_profile",
-    "sample_importance_dsir",
-    "sim_kmeans_assignments",
-    "text_vocab_coverage",
-    "dedup_cc_star_converged",
-    # --- r02-era driver rows (refreshed r07) ---
+    # --- r10 new / plan-changed queries go here (front of sample) ---
+    # --- stalest tranche: r02/r07-era rows not in the r09 driver sample ---
     "j2_optional_left_join",
     "j3_values_batch_semijoin",
     "j5_left_join_unmapped",
@@ -121,7 +66,6 @@ _PRIORITY = [
     "u2_carry_forward_reshape",
     "u3_intersect_nations",
     "u4_except_nations",
-    # --- r03/r04-era next-stalest ---
     "agg_grouping_sets",
     "ev_asof_salted",
     "ev_sessionize_salted",
@@ -130,7 +74,6 @@ _PRIORITY = [
     "geo_bbox_filter",
     "geo_haversine_within",
     "u5_snapshot_diff",
-    # --- r04-era ---
     "a5_approx_distinct_check",
     "a6_approx_percentile_check",
     "dedup_connected_components",
@@ -224,6 +167,57 @@ _PRIORITY = [
     "ev_window_rank_suite",
     "ev_anomaly_mad_flags",
     "geo_zorder_layout",
+    # --- freshly sampled in CORRECTNESS_r09.json (rotated to the back) ---
+    "graph_label_propagation",
+    "ev_attribution_window_join",
+    "ev_ewma_dyadic",
+    "ev_value_histogram",
+    "text_zipf_slope",
+    "geo_fuzzy_match_blocked",
+    "geo_point_in_polygon_raycast",
+    "geo_locality_assign_banded",
+    "geo_fuzzy_link_feed",
+    "ev_gapfill_forward",
+    "ev_rolling_mad_outliers",
+    "ev_interval_overlap_join",
+    "geo_fence_transitions",
+    "geo_point_in_polygon",
+    "geo_knn_topk",
+    "geo_geohash_agg",
+    "geo_nearest_within_radius",
+    "emb_ivfpq_incremental",
+    "a13_theta_join_cardinality",
+    "sample_cluster_diversity",
+    "sim_ann_ivfpq_filtered",
+    "sim_ann_ivfpq_search",
+    "sim_ann_ivfpq_rerank",
+    "a12_cms_heavy_hitters",
+    "a11_kll_quantile_rollup",
+    "m3_stable_surrogate_ids",
+    "agg_cube_order_status",
+    "agg_top_revenue_segments",
+    "ev_agg_pricing_summary",
+    "ev_asof_last_purchase",
+    "ev_event_transitions",
+    "ev_funnel_conversion",
+    "ev_latency_percentiles",
+    "ev_pivot_type_counts",
+    "ev_user_value_quartiles",
+    "ev_value_band_join",
+    "ev_decayed_engagement",
+    "graph_copurchase_cosine_dimsum",
+    "a10_theta_audience_overlap",
+    "ev_sessionize_native_window",
+    "sample_weighted_reservoir",
+    "sample_split_leakfree",
+    "ev_sliding_distinct_hll",
+    "text_bm25_topk",
+    "graph_triangle_counts",
+    "a9_key_skew_profile",
+    "sample_importance_dsir",
+    "sim_kmeans_assignments",
+    "text_vocab_coverage",
+    "dedup_cc_star_converged",
 ]
 
 

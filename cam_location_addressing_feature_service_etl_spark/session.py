@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import os
 
+from py4j.protocol import Py4JError
+from pyspark.errors import PySparkException
 from pyspark.sql import SparkSession
 
 #: conf applied when *we* build the session (builder-time only).
@@ -28,6 +30,10 @@ _BUILDER_CONF = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.ui.enabled": "false",
+    # The stage progress bar writes \r-terminated lines that clobber
+    # adjacent stdout records (4 PARITY_r09.txt OK lines were lost to
+    # it); harness output must be line-oriented and replayable.
+    "spark.ui.showConsoleProgress": "false",
     # ContextCleaner frees localCheckpoint/shuffle blocks only after a
     # JVM GC proves the RDD unreachable; with a large heap full GCs are
     # rare and dead blocks accumulate across a long session (the bench
@@ -85,7 +91,10 @@ def tune(spark: SparkSession) -> SparkSession:
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
-        except Exception:  # pragma: no cover - conf may be static in some deployments
+        except (PySparkException, Py4JError):  # pragma: no cover
+            # AnalysisException("Cannot modify the value of a static
+            # config") on deployments where one of these was fixed at
+            # launch; the session then keeps its launch-time value.
             pass
     _ship_package(spark)
     return spark
@@ -116,5 +125,9 @@ def _ship_package(spark: SparkSession) -> None:
                             zf.write(full, rel)
         spark.sparkContext.addPyFile(zpath)
         spark._cam_pkg_shipped = True
-    except Exception:  # pragma: no cover - restricted contexts (e.g. Connect)
+    except (OSError, AttributeError, PySparkException, Py4JError):  # pragma: no cover
+        # OSError: tmpdir unwritable / zip IO; AttributeError: no
+        # sparkContext (Spark Connect); PySpark/Py4J: addPyFile
+        # rejected JVM-side. In all cases the driver-local import path
+        # still works (local[*]), so shipping is best-effort.
         pass

@@ -180,6 +180,12 @@ MAD_STATE_SCHEMA = StructType(
 
 _MAD_SCALE = 10**8  # micro-units matching the batch CAST(.. AS DECIMAL(18,8))
 
+#: Default eviction horizon for ``rolling_mad_state``: one full MAD
+#: window of lateness. A naive caller therefore gets BOUNDED per-user
+#: state (lateness + W = 14 days) out of the box; unbounded retention
+#: (``lateness_days=None``) is an explicit replay/backfill opt-in.
+DEFAULT_MAD_LATENESS_DAYS = 7
+
 
 def _lower_median(xs: list[int]) -> int:
     s = sorted(xs)
@@ -301,7 +307,7 @@ def _update_rolling_mad_impl(
 
 
 def rolling_mad_state(
-    events: DataFrame, lateness_days: int | None = None
+    events: DataFrame, lateness_days: int | None = DEFAULT_MAD_LATENESS_DAYS
 ) -> DataFrame:
     """Streaming leg of ``ev_rolling_mad_outliers``: per-user rolling
     lower-median/MAD outlier flags maintained across micro-batches.
@@ -321,14 +327,30 @@ def rolling_mad_state(
 
     Scale: state is one shuffle on user_id per batch; per-user state
     is one long per retained day. ``lateness_days`` is the eviction
-    dial: when set (production mode, paired with an upstream
-    ``withWatermark`` of the same lateness so older events are dropped
-    before they reach state), days older than
-    ``max(day) - lateness_days - W + 1`` are evicted after each batch
-    — they can no longer enter any recomputable window — so per-user
-    state is bounded by lateness + W days regardless of lifetime.
-    ``None`` (default) retains everything: the replay/backfill mode
-    the reconciliation tests run in, where NO event is too late."""
+    dial: when set (the DEFAULT — ``DEFAULT_MAD_LATENESS_DAYS`` = one
+    MAD window of lateness — so a naive caller gets bounded state),
+    days older than ``max(day) - lateness_days - W + 1`` are evicted
+    after each batch — they can no longer enter any recomputable
+    window — so per-user state is bounded by lateness + W days
+    regardless of lifetime. ``None`` is the explicit opt-in for
+    unbounded retention: the replay/backfill mode where NO event is
+    ever too late (the reconciliation tests exercise both; their data
+    spans < default + W days so both modes are bit-identical there).
+
+    Lateness semantics are PER-USER, not the engine's global
+    watermark: the straggler gate admits an event iff its day >= that
+    user's own pre-batch max day - lateness. Because a user's max day
+    never exceeds the global max, this is MORE permissive than a
+    global gate for slow-moving users — a user who last advanced to
+    day d still accepts backfill down to d - lateness even after
+    faster users have pushed the global watermark far past it (the
+    engine does not drop late rows before applyInPandasWithState
+    under NoTimeout, so this gate is authoritative). The trade is
+    deliberate for per-entity feeds that progress at different rates;
+    a batch replay gated on the GLOBAL max would drop slow users'
+    admitted backfill, so streaming output can diverge from such a
+    replay — pinned by the two-user test in
+    tests/test_stateful_streaming.py."""
     from ..session import _ship_package
 
     _ship_package(events.sparkSession)

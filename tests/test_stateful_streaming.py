@@ -282,3 +282,126 @@ def test_rolling_mad_lateness_enforces_watermark(spark, tmp_path):
     # the straggler was dropped: day 3 keeps 10.0, and no day-3 re-emit
     # happened after the f2 batch
     assert final[(1, "2024-01-03")]["day_value"] == 10.0
+
+
+def test_rolling_mad_default_is_bounded():
+    """r9 VERDICT nit: a naive rolling_mad_state caller must get
+    bounded per-user state without passing anything. The default is
+    DEFAULT_MAD_LATENESS_DAYS (not None), and driving the state fn
+    with three far-apart 30-day batches under that default retains at
+    most default + W days."""
+    import inspect
+
+    import pandas as pd
+
+    from cam_location_addressing_feature_service_etl_spark.streaming.stateful import (
+        DEFAULT_MAD_LATENESS_DAYS,
+        _update_rolling_mad_impl,
+        rolling_mad_state,
+    )
+    from cam_location_addressing_feature_service_etl_spark.workload.events import (
+        _MAD_WINDOW_DAYS,
+    )
+
+    default = inspect.signature(rolling_mad_state).parameters["lateness_days"].default
+    assert default == DEFAULT_MAD_LATENESS_DAYS
+    assert default is not None and default > 0
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    st = _FakeState()
+    for start in (0, 60, 120):
+        pdf = pd.DataFrame({"di": range(start, start + 30), "value": [10.0] * 30})
+        for _ in _update_rolling_mad_impl((1,), iter([pdf]), st, default):
+            pass
+    days, _, _ = st._v
+    assert len(days) <= default + _MAD_WINDOW_DAYS
+    assert max(days) == 149
+
+
+def test_rolling_mad_gate_is_per_user_not_global(spark, tmp_path):
+    """ADVICE r9: pin the straggler-gate semantics with two users
+    advancing at different rates. The gate keys off each user's OWN
+    pre-batch max day, not the engine's global watermark, so it is
+    MORE permissive for slow users: user 2 (stalled at day 4) accepts
+    a day-3 backfill that the global watermark (day 10 - 2 = day 8,
+    set by fast user 1) would have dropped, while user 1's own day-3
+    straggler (beyond 10 - 2) is rejected in the same micro-batch."""
+    import os
+    from datetime import datetime
+
+    from cam_location_addressing_feature_service_etl_spark.streaming.stateful import (
+        rolling_mad_state,
+    )
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+    def _mk(rows, start_id):
+        return spark.createDataFrame(
+            [
+                (start_id + i, datetime(2024, 1, d, 12), uid, "view", v, "{}")
+                for i, (d, uid, v) in enumerate(rows)
+            ],
+            schema,
+        )
+
+    f1 = [(d, 1, 10.0) for d in range(1, 9)] + [(d, 2, 20.0) for d in (1, 2, 4)]
+    f2 = [(9, 1, 10.0), (10, 1, 10.0)]
+    # same batch, one straggler per user: user 1's day 3 is late vs its
+    # own max (10 - 2 = 8 > 3) -> dropped; user 2's day 3 is on-time vs
+    # its own max (4 - 2 = 2 <= 3) -> admitted, though the GLOBAL
+    # watermark (day 8) already passed it.
+    f3 = [(3, 1, 5.0), (3, 2, 7.0)]
+    in_dir = tmp_path / "stream_in"
+    in_dir.mkdir()
+    for i, rows in enumerate([f1, f2, f3]):
+        _mk(rows, 1000 * i).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"part{i}")
+        )
+        src = next(
+            p for p in os.listdir(tmp_path / f"part{i}") if p.endswith(".parquet")
+        )
+        dst = in_dir / f"b{i}.parquet"
+        os.rename(tmp_path / f"part{i}" / src, dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(spark.read.parquet(str(in_dir)).schema)
+        .format("parquet")
+        .load(str(in_dir))
+    )
+    q = (
+        rolling_mad_state(stream, lateness_days=2)
+        .writeStream.format("memory")
+        .queryName("mad_two_users")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = {}
+    for r in spark.table("mad_two_users").collect():
+        k = (r["user_id"], r["obs_day"])
+        if k not in final or r["upd_seq"] > final[k]["upd_seq"]:
+            final[k] = r
+    # fast user's straggler dropped: day 3 keeps its original 10.0
+    assert final[(1, "2024-01-03")]["day_value"] == 10.0
+    # slow user's backfill admitted: day 3 appears with the late value
+    assert final[(2, "2024-01-03")]["day_value"] == 7.0
