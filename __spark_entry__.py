@@ -40,7 +40,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (committed as PARITY_r{N}.txt) proves the full registry every round
 #: regardless.
 _PRIORITY = [
-    # --- r10 new / plan-changed queries go here (front of sample) ---
+    # --- r10 new / plan-changed queries (front of sample) ---
+    "geo_locality_assign_holes",
     # --- stalest tranche: r02/r07-era rows not in the r09 driver sample ---
     "j2_optional_left_join",
     "j3_values_batch_semijoin",

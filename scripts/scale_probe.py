@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from cam_location_addressing_feature_service_etl_spark.session import get_spark, tune
 from cam_location_addressing_feature_service_etl_spark.tables import load
+from cam_location_addressing_feature_service_etl_spark.workload.geo import edge_band_rows
 
 
 def scaled_docs(base: DataFrame, copies: int) -> DataFrame:
@@ -587,10 +588,10 @@ def pip_probe(spark) -> None:
         e_plain = spark.createDataFrame(
             edge_rows, "rid int, eid int, x1 double, y1 double, x2 double, y2 double"
         )
-        band_rows = [
-            (int(min(y1, y2)), rid, eid, x1, y1, x2, y2)
-            for rid, eid, x1, y1, x2, y2 in edge_rows
-        ]
+        # Same band explosion as the production queries (edge_band_rows
+        # covers every band in an edge's y-span, not just one endpoint's
+        # band) so probe and plan can't drift if the ring shape changes.
+        band_rows = edge_band_rows(edge_rows, 1.0)
         e_band = spark.createDataFrame(
             band_rows,
             "band long, rid int, eid int, x1 double, y1 double, x2 double, y2 double",

@@ -333,3 +333,94 @@ def test_locality_rings_are_disjoint_and_assignment_unique(spark):
             if _raycast_python(r["lon"], r["lat"], ring)
         ]
         assert got.get(r["point_id"]) == (expect[0] if expect else None)
+
+
+def _inside_multiring(px, py, rings):
+    """Even-odd parity over ALL rings of a MultiPolygon: XOR of the
+    single-ring raycast — inside a shell but also inside one of its
+    holes flips back to outside."""
+    inside = False
+    for ring in rings:
+        if _raycast_python(px, py, ring):
+            inside = not inside
+    return inside
+
+
+def test_hole_localities_cover_disjoint_regions():
+    """The holed fixture promises pairwise-disjoint COVERED regions
+    (after hole subtraction) so each point gets at most one locality;
+    verify on a dense probe grid, and verify the key nesting actually
+    exists: ENCLAVE's shell sits inside MAIN's hole with a moat."""
+    from cam_location_addressing_feature_service_etl_spark.workload.geo import (
+        _HOLE_LOCALITIES,
+    )
+
+    for gy in range(-29000, -27500, 27):  # lat step 0.027
+        for gx in range(138000, 148500, 190):  # lon step 0.19
+            px, py = gx / 1000.0, gy / 1000.0
+            hits = [
+                loc
+                for loc, rings in _HOLE_LOCALITIES.items()
+                if _inside_multiring(px, py, rings)
+            ]
+            assert len(hits) <= 1, (px, py, hits)
+    # nesting sanity: ENCLAVE centre is inside MAIN's shell but NOT
+    # inside MAIN (hole subtracts it); the moat belongs to nobody
+    main = _HOLE_LOCALITIES["MAIN"]
+    assert _raycast_python(140.7, -28.62, main[0])  # inside shell
+    assert not _inside_multiring(140.7, -28.62, main)  # ...but in hole
+    assert _inside_multiring(140.7, -28.62, _HOLE_LOCALITIES["ENCLAVE"])
+    # moat point: inside MAIN's hole, outside ENCLAVE
+    assert not _inside_multiring(139.7, -28.6, main)
+    assert not _inside_multiring(139.7, -28.6, _HOLE_LOCALITIES["ENCLAVE"])
+    # the shell notch is outside MAIN (concavity is real)
+    assert not _inside_multiring(142.75, -28.37, main)
+    # ISLES: island B's hole excluded, both islands included
+    isles = _HOLE_LOCALITIES["ISLES"]
+    assert _inside_multiring(143.5, -28.2, isles)  # island A
+    assert _inside_multiring(145.2, -27.6, isles)  # island B rim
+    assert not _inside_multiring(146.0, -27.85, isles)  # island B hole
+
+
+def test_locality_assign_holes_matches_python_even_odd(spark):
+    """The banded multi-ring query must agree with the pure-Python
+    even-odd caster on every fixture point: points in a hole get NO
+    locality, a point in an enclave-in-a-hole gets the ENCLAVE, island
+    parts get their locality, and no point gets two."""
+    from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+    from cam_location_addressing_feature_service_etl_spark.workload.geo import (
+        _HOLE_LOCALITIES,
+        _points,
+    )
+
+    got = {}
+    for r in QUERIES["geo_locality_assign_holes"](spark, SF_SMOKE).collect():
+        assert r["point_id"] not in got, f"point {r['point_id']} in two localities"
+        got[r["point_id"]] = r["loc_id"]
+    assert got, "no assignments — degenerate fixture"
+    assert {"MAIN", "ENCLAVE", "ISLES"} <= set(got.values()), sorted(
+        set(got.values())
+    )
+    saw_hole_exclusion = False
+    for r in _points(spark, SF_SMOKE).collect():
+        px, py = r["lon"], r["lat"]
+        expect = [
+            loc
+            for loc, rings in _HOLE_LOCALITIES.items()
+            if _inside_multiring(px, py, rings)
+        ]
+        assert got.get(r["point_id"]) == (expect[0] if expect else None), (
+            r["point_id"],
+            px,
+            py,
+            expect,
+        )
+        # a fixture point inside MAIN's shell whose hole excludes it
+        # (and outside ENCLAVE) proves even-parity exclusion end-to-end
+        if (
+            not expect
+            and _raycast_python(px, py, _HOLE_LOCALITIES["MAIN"][0])
+            and _raycast_python(px, py, _HOLE_LOCALITIES["MAIN"][1])
+        ):
+            saw_hole_exclusion = True
+    assert saw_hole_exclusion, "no fixture point exercises the hole"
