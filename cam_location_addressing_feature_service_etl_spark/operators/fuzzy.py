@@ -103,6 +103,17 @@ def _probe_rows(base: DataFrame, tau: int, symmetric: bool) -> DataFrame:
     FIXED (the master list), so both length directions probe; any
     probe of length >= 1 can host a segment of a longer indexed
     string.
+
+    EMPTY probes (ln == 0 — real under ``seg_col`` when a name is the
+    bare block token) generate no rows in EITHER leg, and completeness
+    still holds by a length argument the fallback leg depends on: any
+    indexed string within tau of the empty string has length
+    <= tau < k, so it is short-indexed and the caller's fallback
+    pairs it with every same-block probe in the +-tau length window —
+    including the empty probe. Changing the fallback's ``ln < k``
+    length filter breaks this; the invariant is pinned by the
+    empty-string case of the exhaustive mirror test and an
+    empty-rest link test (tests/test_fuzzy_passjoin.py).
     """
     k = tau + 1
     i = F.col("seg_i")

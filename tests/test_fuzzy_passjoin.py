@@ -297,9 +297,12 @@ def test_window_formula_exhaustive_binary_alphabet():
     link direction: s indexed regardless of which side is longer."""
     from itertools import product
 
+    # n starts at 0: the EMPTY string is a real probe under seg_col
+    # (a name that is the bare block token) and pins the invariant
+    # that anything within tau of "" is short enough for the fallback.
     strings = [
         "".join(bits)
-        for n in range(1, 8)
+        for n in range(0, 8)
         for bits in product("ab", repeat=n)
     ]
     for tau in (1, 2, 3):
@@ -314,3 +317,45 @@ def test_window_formula_exhaustive_binary_alphabet():
                 short, lng = (s, t) if (len(s), s) <= (len(t), t) else (t, s)
                 assert _mirror_is_candidate(short, lng, tau, symmetric=True), (
                     "self", tau, s, t)
+
+
+def test_link_empty_rest_probe_pairs_via_fallback(spark):
+    """A feed name that is the BARE block token has an empty post-
+    prefix rest under seg_col: the main leg generates no probe rows
+    for it (ln >= 1 filter), so every master within tau must arrive
+    via the short-A fallback. Any rest within tau of "" has length
+    <= tau < k — the invariant the fallback's `ln < k` filter relies
+    on (see _probe_rows docstring); this pins it at the Spark level."""
+    from cam_location_addressing_feature_service_etl_spark.operators.fuzzy import (
+        passjoin_link,
+    )
+
+    masters = [
+        ("red", "red a"),  # rest "a"      lev 1
+        ("red", "red ab"),  # rest "ab"     lev 2
+        ("red", "red abc"),  # rest "abc"    lev 3 == TAU
+        ("red", "red abcd"),  # rest "abcd"   lev 4  > TAU
+        ("red", "red abcdefgh"),  # long rest — segment-indexed side
+    ]
+    feed = [("red", "red"), ("red", "red ab")]  # bare token + a normal probe
+    prep = lambda rows: (
+        spark.createDataFrame(rows, "blk string, nm string")
+        .distinct()
+        .withColumn("rest", F.expr("substring(nm, length(blk) + 2)"))
+    )
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in passjoin_link(
+            prep(masters), prep(feed), "nm", "blk", TAU, seg_col="rest"
+        ).collect()
+    }
+    rest = lambda nm: nm[4:]
+    required = {
+        (ma, fb)
+        for _, ma in masters
+        for _, fb in feed
+        if _lev(rest(ma), rest(fb)) <= TAU
+    }
+    assert ("red a", "red") in required  # the empty-rest probe really pairs
+    missing = required - got
+    assert missing == set(), f"lost pairs: {sorted(missing)}"
