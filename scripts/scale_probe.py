@@ -529,6 +529,90 @@ def fuzzy_probe(spark) -> None:
         print()
 
 
+def fuzzy_link_probe(spark) -> None:
+    """A×B linkage (passjoin_link, the geo_fuzzy_link_feed plan) vs
+    the naive block join, with MASTER AND FEED both doubling on the
+    same grown-vocabulary corpus as fuzzy_probe. The feed is a
+    deterministic one-char corruption of each master name ('z' is
+    outside both the color and hex alphabets, so every feed name is at
+    exactly distance 1 from its master and nothing else collapses).
+    Corruption lands in the REST (post-block), so blocks stay intact
+    and the probe measures join scaling, not blocking recall. Naive
+    candidates = Sigma |A_blk|x|B_blk| over 8 fixed blocks → x4 per
+    doubling; passjoin_link candidates share the exact
+    (seg_idx, len, substring) key → ∝ true links → ~x2. Naive skipped
+    at 4x."""
+    from cam_location_addressing_feature_service_etl_spark.operators.fuzzy import (
+        passjoin_link,
+    )
+
+    colors = "red blue hot cold old new small large".split()
+    carr = F.array(*[F.lit(c) for c in colors])
+    varr = F.array(*[F.lit(x) for x in "abcd"])
+    n0 = 10_000
+
+    def masters(n: int):
+        g = (F.col("id") / 4).cast("long")
+        color = F.element_at(carr, (g % 8 + 1).cast("int"))
+        name = F.concat(
+            color,
+            F.lit(" "),
+            F.md5(g.cast("string")),
+            F.element_at(varr, (F.col("id") % 4 + 1).cast("int")),
+        )
+        return spark.range(n).select(name.alias("nm"), color.alias("blk"))
+
+    prev = {"link_passjoin": None, "link_naive": None}
+    for copies in (1, 2, 4):
+        m = masters(n0 * copies).distinct().repartition(32).persist()
+        # corrupt one rest character per name, position spread by hash
+        pos = (
+            F.pmod(F.xxhash64("nm"), F.length("nm") - F.length("blk") - 1)
+            + F.length("blk")
+            + 2
+        ).cast("int")
+        f = (
+            m.withColumn("pos", pos)
+            .select(
+                "blk",
+                F.concat(
+                    F.expr("substring(nm, 1, pos - 1)"),
+                    F.lit("z"),
+                    F.expr("substring(nm, pos + 1)"),
+                ).alias("nm"),
+            )
+            .distinct()
+            .repartition(32)
+            .persist()
+        )
+        m.count(), f.count()
+        m_seg = m.withColumn("rest", F.expr("substring(nm, length(blk) + 2)"))
+        f_seg = f.withColumn("rest", F.expr("substring(nm, length(blk) + 2)"))
+
+        def op_link(_):
+            cand = passjoin_link(m_seg, f_seg, "nm", "blk", 3, seg_col="rest")
+            return cand.filter(
+                F.levenshtein("name_a", "name_b") <= 3
+            ).count()
+
+        def op_naive(_):
+            a = m.select("blk", F.col("nm").alias("mn"))
+            b = f.select("blk", F.col("nm").alias("fn"))
+            return (
+                a.join(b, "blk")
+                .filter(F.levenshtein("mn", "fn") <= 3)
+                .count()
+            )
+
+        ops = {"link_passjoin": op_link}
+        if copies <= 2:
+            ops["link_naive"] = op_naive
+        _timed(ops, None, prev, copies)
+        m.unpersist(blocking=True)
+        f.unpersist(blocking=True)
+        print()
+
+
 def pip_probe(spark) -> None:
     """Banded point-in-polygon assignment (the geo_locality_assign
     plan shape) vs the broadcast BNLJ raycast, with POINTS AND RING
@@ -645,6 +729,9 @@ def main() -> None:
         return
     if family == "fuzzy":
         fuzzy_probe(spark)
+        return
+    if family == "fuzzy_link":
+        fuzzy_link_probe(spark)
         return
     if family == "pip":
         pip_probe(spark)
