@@ -910,6 +910,64 @@ _FEED_NAME_SQL = (
 )
 
 
+def link_feed_to_masters(m: DataFrame, feed: DataFrame, tau: int) -> DataFrame:
+    """Core of the feed→master linkage, shared by the batch query
+    below and the streaming twin (``streaming/linkage.py`` probes each
+    micro-batch of a dirty-address stream through this exact function,
+    so the two legs cannot drift). ``m`` is (mk, mn, blk) — the master
+    list; ``feed`` is (fk, fn) — dirty records. Returns
+    (feed_key, master_key, edit_dist): each feed record's best master
+    within ``tau`` (min distance, ties to the min master key).
+
+    Candidate generation is ``operators/fuzzy.py passjoin_link`` over
+    the DISTINCT name spaces of both sides (master indexed, feed
+    probed — segment keys over the post-block remainder), verified
+    with one JVM ``levenshtein`` per candidate; the per-feed argmin is
+    ``min(struct(dist, master_key))`` — a partial-aggregatable
+    groupBy, no rank window — computed at the distinct-feed-name level
+    and expanded back to feed rows by name equi-join."""
+    m_names = (
+        m.select("blk", F.col("mn").alias("nm"))
+        .distinct()
+        .withColumn("rest", F.expr("substring(nm, length(blk) + 2)"))
+    )
+    f_names = (
+        feed.select(F.split(F.col("fn"), " ")[0].alias("blk"), F.col("fn").alias("nm"))
+        .distinct()
+        .withColumn("rest", F.expr("substring(nm, length(blk) + 2)"))
+    )
+    cand = passjoin_link(m_names, f_names, "nm", "blk", tau, seg_col="rest")
+    matched = (
+        cand.withColumn(
+            "d", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
+        )
+        .filter(F.col("d") <= tau)
+        .select(F.col("name_a").alias("mn_m"), F.col("name_b").alias("fn_m"), "d")
+    )
+    # expand master names -> master keys, take the best (d, mk) per
+    # distinct FEED NAME, then expand to feed rows. Plain equi-joins,
+    # NOT forced broadcasts: distinct feed names grow ~linearly with
+    # the feed here (each row corrupts a different position), so the
+    # matched/best relations are only small at low SF — AQE broadcasts
+    # them when they are, and shuffle-hash-joins them when they are
+    # not (review-pass catch: a forced broadcast is the linear-build-
+    # side anti-pattern at 100 TB).
+    best = (
+        m.join(matched, m["mn"] == matched["mn_m"])
+        .groupBy("fn_m")
+        .agg(F.min(F.struct(F.col("d"), F.col("mk"))).alias("best"))
+        .select(
+            "fn_m",
+            F.col("best.mk").alias("master_key"),
+            F.col("best.d").alias("edit_dist"),
+        )
+    )
+    return (
+        feed.join(best, feed["fn"] == best["fn_m"])
+        .select(F.col("fk").alias("feed_key"), "master_key", "edit_dist")
+    )
+
+
 @register(
     "geo_fuzzy_link_feed",
     oracle=f"""
@@ -965,46 +1023,7 @@ def geo_fuzzy_link_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = part.select(
         F.col("p_partkey").alias("fk"), F.expr(_FEED_NAME_SQL).alias("fn")
     )
-    m_names = (
-        m.select("blk", F.col("mn").alias("nm"))
-        .distinct()
-        .withColumn("rest", F.expr("substring(nm, length(blk) + 2)"))
-    )
-    f_names = (
-        feed.select(F.split(F.col("fn"), " ")[0].alias("blk"), F.col("fn").alias("nm"))
-        .distinct()
-        .withColumn("rest", F.expr("substring(nm, length(blk) + 2)"))
-    )
-    cand = passjoin_link(m_names, f_names, "nm", "blk", _LINK_TAU, seg_col="rest")
-    matched = (
-        cand.withColumn(
-            "d", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
-        )
-        .filter(F.col("d") <= _LINK_TAU)
-        .select(F.col("name_a").alias("mn_m"), F.col("name_b").alias("fn_m"), "d")
-    )
-    # expand master names -> master keys, take the best (d, mk) per
-    # distinct FEED NAME, then expand to feed rows. Plain equi-joins,
-    # NOT forced broadcasts: distinct feed names grow ~linearly with
-    # the feed here (each row corrupts a different position), so the
-    # matched/best relations are only small at low SF — AQE broadcasts
-    # them when they are, and shuffle-hash-joins them when they are
-    # not (review-pass catch: a forced broadcast is the linear-build-
-    # side anti-pattern at 100 TB).
-    best = (
-        m.join(matched, m["mn"] == matched["mn_m"])
-        .groupBy("fn_m")
-        .agg(F.min(F.struct(F.col("d"), F.col("mk"))).alias("best"))
-        .select(
-            "fn_m",
-            F.col("best.mk").alias("master_key"),
-            F.col("best.d").alias("edit_dist"),
-        )
-    )
-    return (
-        feed.join(best, feed["fn"] == best["fn_m"])
-        .select(F.col("fk").alias("feed_key"), "master_key", "edit_dist")
-    )
+    return link_feed_to_masters(m, feed, _LINK_TAU)
 
 
 geo_fuzzy_link_feed.__doc__ = geo_fuzzy_link_feed.__doc__.format(tau=_LINK_TAU)
