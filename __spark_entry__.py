@@ -42,6 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # --- r10 new / plan-changed queries (front of sample) ---
     "geo_locality_assign_holes",
+    "sim_semdedup_prune",
     # --- stalest tranche: r02/r07-era rows not in the r09 driver sample ---
     "j2_optional_left_join",
     "j3_values_batch_semijoin",

@@ -312,3 +312,69 @@ def cosine_pairs_above(
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[ia, ib]})
 
     return both.groupBy("grp").applyInPandas(kernel, out_schema)
+
+
+def semdedup_keep_first(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    vec_col: str = "nv",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup within-cluster pruning (Abbas et al. 2023): given
+    (id, cluster, unit-normalized vector), flag each vector ``kept``
+    unless SOME same-cluster vector with a smaller id has cosine >=
+    threshold — the deterministic keep-first variant of the paper's
+    pruning (prune against all prior points, kept or not, matching the
+    reference implementation's max-sim-to-others test).
+
+    One shuffle on the cluster key, then one numpy/BLAS GEMM per
+    cluster inside ``applyInPandas`` — the cluster bounds the
+    quadratic BY DESIGN (the paper's core trick: k grows with the
+    corpus so cell sizes stay constant, and a cell always fits one
+    task; if cells ever outgrow a task, tile the cell with the
+    ``cosine_pairs_above`` hash-tiling and aggregate the prune flag —
+    same math, two shuffles). A per-pair JVM fold was measured 4x
+    slower here: Spark higher-order functions are interpreted per
+    element, while the GEMM is one BLAS call per cell
+    (SCALING.md r10 note)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("cluster", LongType(), False),
+            StructField("kept", BooleanType(), False),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        m = np.vstack(pdf["v"].to_numpy())
+        sims = np.round(m @ m.T, round_digits)
+        # prior[i, j] == True: i < j (id order) and sims >= threshold
+        prior = np.triu(sims >= threshold, k=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["c"].to_numpy(dtype=np.int64),
+                "kept": ~prior.any(axis=0),
+            }
+        )
+
+    base = assigned.select(
+        F.col(id_col).alias("vid"),
+        F.col(cluster_col).alias("c"),
+        F.col(vec_col).alias("v"),
+    )
+    return base.groupBy("c").applyInPandas(kernel, out_schema)

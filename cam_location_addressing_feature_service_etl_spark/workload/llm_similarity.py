@@ -277,6 +277,72 @@ def sim_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lloyd(embeddings, k=8, iterations=2, round_digits=6)
 
 
+_SEMDEDUP_TAU = 0.3
+
+_SEMDEDUP_ORACLE = f"""
+WITH km AS ({{km}}),
+nv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                       embedding::DOUBLE[]))) AS e
+  FROM embeddings
+),
+j AS (SELECT km.vec_id, km.cluster, nv.e FROM km JOIN nv USING (vec_id)),
+pruned AS (
+  SELECT DISTINCT a.vec_id
+  FROM j a JOIN j b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e), 6) >= {_SEMDEDUP_TAU}
+)
+SELECT j.vec_id, j.cluster, (p.vec_id IS NULL) AS kept
+FROM j LEFT JOIN pruned p ON j.vec_id = p.vec_id
+"""
+
+
+@register(
+    "sim_semdedup_prune",
+    oracle=_SEMDEDUP_ORACLE.format(km=_kmeans_oracle(iterations=2)),
+)
+def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space with k-means, then inside each cluster prune every
+    vector that has a semantic near-duplicate (cosine >= {tau}) with a
+    SMALLER id — the deterministic keep-first variant of the paper's
+    within-cluster pruning. Returns every vector with its cluster and
+    a ``kept`` flag ({tau} prunes ~40% of this fixture — a realistic
+    web-corpus rate).
+
+    This is the semantic member of the dedup family: MinHash/SimHash/
+    suffix-array catch lexical duplication; SemDeDup catches
+    paraphrases and templated rewrites that share no n-grams. Scale
+    shape: clustering bounds the quadratic — pairwise cosine runs only
+    WITHIN a cluster (the paper's core trick), as a cluster-keyed
+    self-equi-join, so the shuffle key is the cluster id and per-task
+    work is cluster_size², never corpus². At 100 TB, k grows with the
+    corpus to hold cluster sizes constant; assignments come from the
+    same broadcast-argmin Lloyd as ``sim_kmeans_assignments``. The
+    prune itself is ``operators/similarity.py semdedup_keep_first`` —
+    one cluster-keyed shuffle, one BLAS GEMM per cell inside
+    ``applyInPandas`` (a per-pair JVM fold was measured 4x slower:
+    higher-order functions are interpreted per element). Oracle
+    unrolls the identical rounded Lloyd rounds, normalize-then-dot in
+    the same fold order, NOT-EXISTS prune."""
+    from ..operators.kmeans import lloyd
+    from ..operators.similarity import normalized_col, semdedup_keep_first
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    assigns = lloyd(embeddings, k=_KM_K, iterations=2, round_digits=6)
+    nv = embeddings.select(
+        "vec_id", normalized_col(as_double_array(F.col("embedding"))).alias("e")
+    )
+    j = assigns.join(nv, "vec_id").select("vec_id", "cluster", "e")
+    return semdedup_keep_first(j, threshold=_SEMDEDUP_TAU, vec_col="e")
+
+
+sim_semdedup_prune.__doc__ = sim_semdedup_prune.__doc__.format(tau=_SEMDEDUP_TAU)
+
+
 #: docs kept per semantic cluster by the diversity sampler
 _DIVERSITY_PER_CLUSTER = 5
 

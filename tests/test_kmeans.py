@@ -60,3 +60,55 @@ def test_clustering_beats_single_cluster_baseline(spark):
     sse_single = _sse(spark, v, single)
     sse_k8 = _sse(spark, v, lloyd(emb, k=8, iterations=3))
     assert sse_k8 < sse_single * 0.95, (sse_k8, sse_single)
+
+
+def test_semdedup_prune_semantics(spark):
+    """SemDeDup invariants on the smoke fixture: (1) every vector
+    appears exactly once with a cluster and kept flag; (2) a vector is
+    pruned iff SOME same-cluster vector with a smaller id has cosine
+    >= tau (the keep-first variant — matching the common
+    implementation, which prunes against prior points whether or not
+    those were themselves kept); (3) the minimum id of every cluster
+    is always kept; (4) the fixture actually prunes something."""
+    from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+    from cam_location_addressing_feature_service_etl_spark.workload.llm_similarity import (
+        _SEMDEDUP_TAU,
+    )
+    from tests.conftest import SF_SMOKE
+    import duckdb
+
+    rows = QUERIES["sim_semdedup_prune"](spark, SF_SMOKE).collect()
+    got = {r["vec_id"]: (r["cluster"], r["kept"]) for r in rows}
+    assert len(got) == len(rows)  # one row per vector
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMOKE}/embeddings.parquet'"
+    )
+    vecs = {
+        v: e
+        for v, e in con.execute(
+            "SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x / "
+            "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) "
+            "FROM embeddings"
+        ).fetchall()
+    }
+    assert set(vecs) == set(got)
+
+    def cos(a, b):
+        return round(sum(x * y for x, y in zip(vecs[a], vecs[b])), 6)
+
+    by_cluster: dict[int, list[int]] = {}
+    for v, (c, _) in got.items():
+        by_cluster.setdefault(c, []).append(v)
+    n_pruned = 0
+    for c, members in by_cluster.items():
+        members.sort()
+        assert got[members[0]][1] is True  # min id always kept
+        for v in members:
+            expect_pruned = any(
+                cos(u, v) >= _SEMDEDUP_TAU for u in members if u < v
+            )
+            assert got[v][1] == (not expect_pruned), (v, c)
+            n_pruned += expect_pruned
+    assert n_pruned > 0
