@@ -36,6 +36,7 @@ CARTESIAN_ALLOWED = {
     "text_bigram_logprob",          # 1-row broadcast vocabulary size
     "sim_kmeans_assignments",
     "sample_cluster_diversity",      # same k-centroid broadcast argmin as kmeans
+    "sim_semdedup_prune",            # same k-centroid broadcast argmin (assignment stage)
     "emb_ivfpq_index",
     "emb_ivfpq_incremental",        # frozen-centroid broadcast argmin on the add path
     "sim_ann_ivfpq_search",         # queries/members scored vs broadcast centroids
