@@ -613,6 +613,78 @@ def fuzzy_link_probe(spark) -> None:
         print()
 
 
+def semdedup_probe(spark) -> None:
+    """SemDeDup within-cluster prune (semdedup_keep_first) at 1x/2x/4x
+    under the two codebook regimes the operator's docstring claims:
+
+    - ``constant_cell``: k grows with n (the paper's premise) — cell
+      size stays ~2000, per-cell GEMM cost constant, total work ∝ n
+      → ~x2 per doubling;
+    - ``fixed_k``: k frozen at the 1x codebook — cell size ∝ n,
+      per-cell GEMM ∝ cell², total work ∝ n²/k → ~x4 per doubling
+      (the 'codebook due for retraining' failure mode, measured so
+      the claim has a number).
+
+    Vectors are deterministic sin-derived 64-dim, unit-normalized
+    JVM-side; clusters assigned by hash — the probe isolates the PRUNE
+    stage (the quadratic part), not Lloyd."""
+    from cam_location_addressing_feature_service_etl_spark.operators.similarity import (
+        normalized_col,
+        semdedup_keep_first,
+    )
+
+    n0, cell = 32_000, 2_000
+    dim = 64
+
+    def assigned(n: int, k: int):
+        # hash-decorrelated elements (a plain sin(id*dim + d) makes
+        # every vector a shifted window of ONE sine wave — near-dup
+        # soup; cost is GEMM-bound either way but kept counts would be
+        # degenerate)
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.sin(
+                F.pmod(F.xxhash64(F.col("id") * dim + d), F.lit(100_000))
+            ),
+        )
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.pmod(F.xxhash64("id"), F.lit(k)).cast("long").alias("cluster"),
+            normalized_col(vec).alias("e"),
+        )
+
+    prev = {"semdedup_cell2k": None, "semdedup_fixedk": None}
+    for copies in (1, 2, 4):
+        n = n0 * copies
+        a_grow = assigned(n, n // cell).repartition(32).persist()
+        a_fix = assigned(n, n0 // cell).repartition(32).persist()
+        a_grow.count(), a_fix.count()
+
+        def op_grow(_):
+            return (
+                semdedup_keep_first(a_grow, threshold=0.3, vec_col="e")
+                .filter("kept")
+                .count()
+            )
+
+        def op_fix(_):
+            return (
+                semdedup_keep_first(a_fix, threshold=0.3, vec_col="e")
+                .filter("kept")
+                .count()
+            )
+
+        _timed(
+            {"semdedup_cell2k": op_grow, "semdedup_fixedk": op_fix},
+            None,
+            prev,
+            copies,
+        )
+        a_grow.unpersist(blocking=True)
+        a_fix.unpersist(blocking=True)
+        print()
+
+
 def pip_probe(spark) -> None:
     """Banded point-in-polygon assignment (the geo_locality_assign
     plan shape) vs the broadcast BNLJ raycast, with POINTS AND RING
@@ -735,6 +807,9 @@ def main() -> None:
         return
     if family == "pip":
         pip_probe(spark)
+        return
+    if family == "semdedup":
+        semdedup_probe(spark)
         return
     base = load(spark, sf_dir, "documents")
 
