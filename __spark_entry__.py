@@ -43,6 +43,11 @@ _PRIORITY = [
     # --- r10 new / plan-changed queries (front of sample) ---
     "geo_locality_assign_holes",
     "sim_semdedup_prune",
+    # code-changed this round (shared-core refactors / new dial):
+    # linkage core extraction, edge_band_rows hoist, single_exchange param
+    "geo_fuzzy_link_feed",
+    "geo_locality_assign_banded",
+    "graph_label_propagation",
     # --- stalest tranche: r02/r07-era rows not in the r09 driver sample ---
     "j2_optional_left_join",
     "j3_values_batch_semijoin",
@@ -170,15 +175,12 @@ _PRIORITY = [
     "ev_anomaly_mad_flags",
     "geo_zorder_layout",
     # --- freshly sampled in CORRECTNESS_r09.json (rotated to the back) ---
-    "graph_label_propagation",
     "ev_attribution_window_join",
     "ev_ewma_dyadic",
     "ev_value_histogram",
     "text_zipf_slope",
     "geo_fuzzy_match_blocked",
     "geo_point_in_polygon_raycast",
-    "geo_locality_assign_banded",
-    "geo_fuzzy_link_feed",
     "ev_gapfill_forward",
     "ev_rolling_mad_outliers",
     "ev_interval_overlap_join",
