@@ -1,0 +1,60 @@
+"""Compaction (plans/compact.py): row preservation, file-count
+contract, per-file sortedness, and the point of the exercise —
+DISJOINT sort-key ranges per file, so parquet min/max stats prune
+range scans to the files that matter."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from cam_location_addressing_feature_service_etl_spark.plans.compact import (
+    compact_parquet,
+)
+
+
+def _write_small_files(spark, d, n_rows=5_000, n_files=40):
+    # simulate a per-trigger append sink: many small unsorted files
+    df = spark.range(n_rows).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(n_rows)).alias("k"),  # shuffled key
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    df.repartition(n_files).write.mode("overwrite").parquet(str(d))
+    return df
+
+
+def test_compact_preserves_rows_and_tightens_ranges(spark, tmp_path):
+    src, dst = tmp_path / "small", tmp_path / "compacted"
+    _write_small_files(spark, src)
+
+    stats = compact_parquet(
+        spark, str(src), str(dst), sort_cols=["k"], target_rows_per_file=1_000
+    )
+    assert stats.rows == 5_000
+    assert stats.files_before == 40
+    assert 5 <= stats.files_after <= 6  # range partitioner may imbalance ±1
+
+    # row preservation, value-exact
+    before = {tuple(r) for r in spark.read.parquet(str(src)).collect()}
+    after = {tuple(r) for r in spark.read.parquet(str(dst)).collect()}
+    assert after == before
+
+    # per-file: sorted within, and ranges pairwise DISJOINT across files
+    spans = []
+    for f in sorted(dst.glob("*.parquet")):
+        ks = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        if not ks:
+            continue
+        assert ks == sorted(ks), f"{f.name} not sorted"
+        spans.append((min(ks), max(ks)))
+    spans.sort()
+    assert len(spans) == stats.files_after
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, f"overlapping file ranges: [{lo1},{hi1}] vs [{lo2},{hi2}]"
+
+    # the pruning payoff: a narrow range predicate intersects few files
+    probe_lo, probe_hi = 100, 300
+    touched = sum(1 for lo, hi in spans if not (hi < probe_lo or lo > probe_hi))
+    assert touched <= 2
