@@ -43,6 +43,7 @@ _PRIORITY = [
     # --- r10 new / plan-changed queries (front of sample) ---
     "geo_locality_assign_holes",
     "sim_semdedup_prune",
+    "pii_k_anonymity_audit",
     # code-changed this round (shared-core refactors / new dial):
     # linkage core extraction, edge_band_rows hoist, single_exchange param
     "geo_fuzzy_link_feed",

@@ -905,6 +905,51 @@ def pii_redact_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KANON_K = 5
+
+
+@register(
+    "pii_k_anonymity_audit",
+    oracle=f"""
+SELECT c_nationkey AS nation, c_mktsegment AS segment,
+       CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       (COUNT(*) < {_KANON_K}) AS suppress
+FROM customer GROUP BY 1, 2, 3
+""",
+)
+def pii_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifier combinations — the
+    privacy gate a training-data export runs before release: any
+    (nation, market segment, balance band) cell with fewer than
+    k={k} members re-identifies its members and must be suppressed or
+    generalized (Sweeney 2002). Emits every cell with its size and
+    suppress flag; the suppressed rows themselves are the semi-join of
+    the source against the flagged cells.
+
+    Scale: one partial-aggregatable groupBy on the quasi-id tuple —
+    map-side combine collapses each partition to its distinct cells
+    before the shuffle, so network volume is ∝ cell cardinality, not
+    rows; the flag is a scalar comparison on the aggregate. The
+    100 TB-relevant trap is the OTHER direction: auditing
+    high-cardinality quasi-ids (cells ≈ rows) makes every row its own
+    singleton cell — that is a finding (suppress everything), not a
+    performance problem."""
+    tune(spark)
+    customer = load(spark, sf_dir, "customer")
+    return customer.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) < _KANON_K).alias("suppress"),
+    )
+
+
+pii_k_anonymity_audit.__doc__ = pii_k_anonymity_audit.__doc__.format(k=_KANON_K)
+
+
 # ---------------------------------------------------------------------------
 # BPE-style merge statistics (global adjacent-pair counts)
 # ---------------------------------------------------------------------------
