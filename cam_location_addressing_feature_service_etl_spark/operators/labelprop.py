@@ -47,17 +47,17 @@ def label_propagation(
     directed semantics; symmetrize for undirected).
 
     ``single_exchange`` is the measured BALANCED-GRAPH dial (SCALING.md
-    labelprop addendum): repartition the message stream by ``node``
-    before the vote count so both per-round groupBys reuse ONE
-    node-keyed exchange (hash(node) satisfies the (node, label)
-    clustering too) — 28% faster at sf0.1 on the near-balanced
-    trading graph (median 3.21s vs 4.48s per 3-round run). It ships
-    RAW messages on that shuffle: duplicate (node, label) votes are
-    NOT combined map-side, and a hub's entire in-box lands in one
-    partition that the downstream aggregation cannot AQE-split — a
-    hub-regime loss, which is why the two-exchange form stays the
-    default. Both forms are vote-for-vote identical (pinned in
-    tests/test_graph_ops.py).
+    r10 drift-family addendum): repartition the message stream by
+    ``node`` before the vote count so both per-round groupBys reuse
+    ONE node-keyed exchange (hash(node) satisfies the (node, label)
+    clustering too) — ~30% faster at sf0.1 on the near-balanced
+    supplier–part graph (5.7-6.6s vs 8.4-12.5s per 3-round run through
+    this code path). It ships RAW messages on that shuffle: duplicate
+    (node, label) votes are NOT combined map-side, and a hub's entire
+    in-box lands in one partition that the downstream aggregation
+    cannot AQE-split — a hub-regime loss, which is why the
+    two-exchange form stays the default. Both forms are vote-for-vote
+    identical (pinned in tests/test_analytics_tranche.py).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).transform(
         materialize

@@ -33,6 +33,7 @@ bytes.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,6 +73,15 @@ def compact_parquet(
     Returns before/after file counts and the row count (the caller's
     swap — rename/retarget readers — is storage-layer specific and out
     of scope, as is deleting the source)."""
+    src_norm = os.path.normpath(src_dir)
+    dst_norm = os.path.normpath(dst_dir)
+    if dst_norm == src_norm or dst_norm.startswith(src_norm + os.sep):
+        # the overwrite would clobber files the lazy plan still reads —
+        # in-place compaction needs a staging dir + rename at the
+        # storage layer, never a self-overwrite
+        raise ValueError(
+            f"dst_dir must not equal or nest inside src_dir: {src_dir!r}"
+        )
     files_before = len(_parquet_files(spark, src_dir))
     df = spark.read.parquet(src_dir)
     rows = df.count()

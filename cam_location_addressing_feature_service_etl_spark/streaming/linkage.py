@@ -54,13 +54,17 @@ def link_feed_stream(
     tau: int,
     out_dir: str,
     checkpoint_dir: str,
+    trigger: dict | None = None,
 ) -> StreamingQuery:
     """Start the linkage stream: every micro-batch of ``feed_stream``
     (fk, fn) is linked against ``masters`` (mk, mn, blk) with the
     batch core and appended to ``out_dir`` as parquet. The caller
     should ``persist()`` the master frame — it is reused by every
-    batch. Returns the started query (trigger is the caller's choice
-    via ``writeStream`` defaults; tests use availableNow)."""
+    batch. ``trigger`` passes through to ``writeStream.trigger`` —
+    the default ``availableNow`` drains what exists and FINISHES
+    (tests, catch-up runs); a live feed that keeps receiving records
+    needs ``{"processingTime": "..."}`` or the query stops after the
+    initial drain."""
     m = masters
 
     def _link_batch(batch: DataFrame, _batch_id: int) -> None:
@@ -70,6 +74,6 @@ def link_feed_stream(
     return (
         feed_stream.writeStream.foreachBatch(_link_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
         .start()
     )

@@ -20,12 +20,13 @@ batch GEMM a single task. The state store holds k cells of
 constant size; a cell that outgrows its budget means the codebook is
 due for retraining, not that the operator leaks.
 
-Ordering contract (same discipline as ``streaming/geofence.py``):
-keep-first is defined by vec_id order, so exact reconciliation with
-the batch query requires vec_ids to arrive nondecreasing per cluster
-across micro-batches (within a batch the kernel sorts). An
-out-of-order feed needs an upstream reorder buffer; the divergence
-mode is documented, not hidden.
+Ordering contract (same discipline as ``streaming/geofence.py``, but
+ENFORCED here): keep-first is defined by vec_id order, so exact
+reconciliation with the batch query requires vec_ids to arrive
+INCREASING per cluster across micro-batches (within a batch the
+kernel sorts). The state carries the max id seen and the kernel
+raises on a violation rather than emitting silently-divergent flags —
+an out-of-order feed needs an upstream reorder buffer.
 
 Per batch and cluster the kernel is two numpy/BLAS GEMMs (new×state,
 new×new upper triangle) with the SAME 6-digit rounding as the batch
@@ -62,10 +63,13 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 
-#: all seen vectors of the cluster: ids + row-major flattened matrix.
+#: all seen vectors of the cluster (row-major flattened matrix) plus
+#: the max vec_id seen — kept to ENFORCE the ordering contract, not
+#: for the prune itself (individual ids are never needed again: a new
+#: vector is checked against the whole matrix).
 STATE_SCHEMA = StructType(
     [
-        StructField("ids", ArrayType(LongType()), False),
+        StructField("max_id", LongType(), False),
         StructField("flat", ArrayType(DoubleType()), False),
         StructField("dim", LongType(), False),
     ]
@@ -87,12 +91,22 @@ def _make_update(threshold: float):
         ids = pdf["vec_id"].to_numpy(np.int64)
         dim = new.shape[1]
         if state.exists:
-            prev_ids, prev_flat, prev_dim = state.get
+            prev_max, prev_flat, prev_dim = state.get
             prev = np.asarray(prev_flat, dtype=np.float64).reshape(
                 -1, int(prev_dim)
             )
+            if int(ids[0]) <= int(prev_max):
+                # keep-first flags already emitted for later ids would
+                # be wrong retroactively — fail fast, don't emit
+                # silently-divergent flags (see module docstring)
+                raise ValueError(
+                    f"semdedup_stream ordering contract violated in "
+                    f"cluster {cluster}: vec_id {int(ids[0])} arrived "
+                    f"after {int(prev_max)}; feed an id-ordered stream "
+                    f"or add an upstream reorder buffer"
+                )
         else:
-            prev_ids = []
+            prev_max = -1
             prev = np.zeros((0, dim), dtype=np.float64)
         # prune vs all PRIOR vectors: the already-seen cell, then the
         # in-batch upper triangle (smaller vec_id first)
@@ -106,7 +120,7 @@ def _make_update(threshold: float):
         kept = ~(vs_prev | vs_batch)
         state.update(
             (
-                list(prev_ids) + ids.tolist(),
+                int(ids[-1]),
                 np.concatenate([prev.ravel(), new.ravel()]).tolist(),
                 int(dim),
             )

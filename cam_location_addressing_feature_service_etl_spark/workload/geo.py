@@ -473,6 +473,36 @@ def edge_band_rows(edges: list[tuple], band_deg: float) -> list[tuple]:
     return rows
 
 
+def _banded_locality_assign(
+    spark: SparkSession, pts: DataFrame, edges: list[tuple]
+) -> DataFrame:
+    """The shared physical plan of both locality-assignment queries:
+    broadcast the band-exploded edge table, hash EQUI-join on the
+    point's latitude band with the raycast crossing residual, and keep
+    odd crossing parity per (point, locality). Ring nesting (holes,
+    islands) changes only the EDGE LIST, never this plan — one
+    definition site so the disjoint-ring and multi-ring queries cannot
+    drift (review-pass extraction, r10)."""
+    band_rows = edge_band_rows(edges, _LOC_BAND_DEG)
+    e = F.broadcast(
+        spark.createDataFrame(
+            band_rows,
+            "band long, loc_id string, eid int, "
+            "x1 double, y1 double, x2 double, y2 double",
+        )
+    ).alias("e")
+    p = pts.withColumn(
+        "band", F.floor(F.col("lat") / _LOC_BAND_DEG).cast("long")
+    ).alias("p")
+    return (
+        p.join(e, (F.col("p.band") == F.col("e.band")) & F.expr(_RAYCAST_ON))
+        .groupBy("p.point_id", "p.lat", "p.lon", "e.loc_id")
+        .agg(F.count(F.lit(1)).alias("n_cross"))
+        .filter(F.col("n_cross") % 2 == 1)
+        .select("point_id", "lat", "lon", "loc_id")
+    )
+
+
 @register(
     "geo_locality_assign_banded",
     oracle=f"""
@@ -509,24 +539,7 @@ def geo_locality_assign_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment per point (pinned in tests/test_geo_ops.py)."""
     tune(spark)
     pts = _points(spark, sf_dir)
-    band_rows = edge_band_rows(_LOC_EDGES, _LOC_BAND_DEG)
-    e = F.broadcast(
-        spark.createDataFrame(
-            band_rows,
-            "band long, loc_id string, eid int, "
-            "x1 double, y1 double, x2 double, y2 double",
-        )
-    ).alias("e")
-    p = pts.withColumn(
-        "band", F.floor(F.col("lat") / _LOC_BAND_DEG).cast("long")
-    ).alias("p")
-    return (
-        p.join(e, (F.col("p.band") == F.col("e.band")) & F.expr(_RAYCAST_ON))
-        .groupBy("p.point_id", "p.lat", "p.lon", "e.loc_id")
-        .agg(F.count(F.lit(1)).alias("n_cross"))
-        .filter(F.col("n_cross") % 2 == 1)
-        .select("point_id", "lat", "lon", "loc_id")
-    )
+    return _banded_locality_assign(spark, pts, _LOC_EDGES)
 
 
 # ---------------------------------------------------------------------------
@@ -652,24 +665,7 @@ def geo_locality_assign_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_geo_ops.py."""
     tune(spark)
     pts = _points(spark, sf_dir)
-    band_rows = edge_band_rows(_HOLE_EDGES, _LOC_BAND_DEG)
-    e = F.broadcast(
-        spark.createDataFrame(
-            band_rows,
-            "band long, loc_id string, eid int, "
-            "x1 double, y1 double, x2 double, y2 double",
-        )
-    ).alias("e")
-    p = pts.withColumn(
-        "band", F.floor(F.col("lat") / _LOC_BAND_DEG).cast("long")
-    ).alias("p")
-    return (
-        p.join(e, (F.col("p.band") == F.col("e.band")) & F.expr(_RAYCAST_ON))
-        .groupBy("p.point_id", "p.lat", "p.lon", "e.loc_id")
-        .agg(F.count(F.lit(1)).alias("n_cross"))
-        .filter(F.col("n_cross") % 2 == 1)
-        .select("point_id", "lat", "lon", "loc_id")
-    )
+    return _banded_locality_assign(spark, pts, _HOLE_EDGES)
 
 
 _KNN_K = 3

@@ -58,3 +58,18 @@ def test_compact_preserves_rows_and_tightens_ranges(spark, tmp_path):
     probe_lo, probe_hi = 100, 300
     touched = sum(1 for lo, hi in spans if not (hi < probe_lo or lo > probe_hi))
     assert touched <= 2
+
+
+def test_compact_refuses_self_overwrite(spark, tmp_path):
+    """In-place compaction would clobber files the lazy plan still
+    reads — the guard must refuse dst == src and dst nested in src."""
+    import pytest
+
+    src = tmp_path / "t"
+    _write_small_files(spark, src, n_rows=10, n_files=2)
+    for dst in (src, src / "sub"):
+        with pytest.raises(ValueError, match="must not equal or nest"):
+            compact_parquet(
+                spark, str(src), str(dst), sort_cols=["k"],
+                target_rows_per_file=10,
+            )

@@ -122,3 +122,42 @@ def test_semdedup_stream_reconciles_with_batch(spark, tmp_path):
 
     got_single = _run_stream(spark, d, "semdedup_single", max_files=None)
     assert got_single == want
+
+
+def test_semdedup_stream_rejects_out_of_order_feed(spark, tmp_path):
+    """The ordering contract is ENFORCED: a batch whose vec_ids are
+    not beyond the cluster's seen max must kill the query (silent
+    divergence from the batch flags is the failure mode being
+    refused)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    d = tmp_path / "vec_ooo"
+    d.mkdir()
+    vec = [1.0] + [0.0] * 7
+
+    def write(name, ids, mtime):
+        pdf = pd.DataFrame(
+            {"vec_id": np.int64(ids), "cluster": np.int64([0] * len(ids)),
+             "nv": [vec] * len(ids)}
+        )
+        f = d / name
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), f)
+        os.utime(f, (mtime, mtime))
+
+    now = 1_700_000_000
+    write("b1.parquet", [10, 11], now)        # first batch: up to id 11
+    write("b2.parquet", [5], now + 60)        # then id 5 arrives — late
+
+    stream = read_assigned_stream(spark, str(d), max_files_per_trigger=1)
+    q = (
+        semdedup_stream(stream, _SEMDEDUP_TAU)
+        .writeStream.format("memory")
+        .queryName("semdedup_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="ordering contract violated"):
+        q.awaitTermination(180)
