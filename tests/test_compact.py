@@ -73,3 +73,78 @@ def test_compact_refuses_self_overwrite(spark, tmp_path):
                 spark, str(src), str(dst), sort_cols=["k"],
                 target_rows_per_file=10,
             )
+
+
+def test_compact_the_linkage_stream_sink(spark, tmp_path):
+    """The composition the module docstrings promise: a foreachBatch
+    sink appends files per trigger (here the feed-linkage stream, one
+    file batch at a time), and compaction rewrites the accumulated
+    small files into few sorted, range-disjoint ones WITHOUT changing
+    a single row — maintenance as a separate, lossless pass."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os as _os
+
+    from cam_location_addressing_feature_service_etl_spark.streaming.linkage import (
+        link_feed_stream,
+        read_feed_stream,
+    )
+    from cam_location_addressing_feature_service_etl_spark.tables import load
+    from cam_location_addressing_feature_service_etl_spark.workload.geo import (
+        _FEED_NAME_SQL,
+        _LINK_TAU,
+    )
+    from tests.conftest import SF_SMOKE
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    feed = (
+        load(spark, SF_SMOKE, "part")
+        .select(F.col("p_partkey").alias("fk"), F.expr(_FEED_NAME_SQL).alias("fn"))
+        .toPandas()
+        .sort_values("fk")
+    )
+    t = pa.Table.from_pandas(feed, preserve_index=False)
+    step = t.num_rows // 4
+    now = 1_700_000_000
+    for i in range(4):  # 4 micro-batches -> >=4 sink files
+        f = feed_dir / f"b{i}.parquet"
+        pq.write_table(t.slice(i * step, step if i < 3 else None), f)
+        _os.utime(f, (now + 60 * i, now + 60 * i))
+
+    masters = (
+        load(spark, SF_SMOKE, "part")
+        .select(
+            F.col("p_partkey").alias("mk"),
+            F.col("p_name").alias("mn"),
+            F.split(F.col("p_name"), " ")[0].alias("blk"),
+        )
+        .persist()
+    )
+    masters.count()
+    sink, ckpt = tmp_path / "links", tmp_path / "ckpt"
+    try:
+        q = link_feed_stream(
+            read_feed_stream(spark, str(feed_dir), max_files_per_trigger=1),
+            masters,
+            _LINK_TAU,
+            str(sink),
+            str(ckpt),
+        )
+        q.awaitTermination(180)
+    finally:
+        masters.unpersist()
+
+    files_before = len(list(sink.glob("*.parquet")))
+    assert files_before >= 4  # at least one file per trigger
+
+    compacted = tmp_path / "links_compacted"
+    stats = compact_parquet(
+        spark, str(sink), str(compacted), sort_cols=["feed_key"],
+        target_rows_per_file=10_000,
+    )
+    assert stats.files_before == files_before
+    assert stats.files_after == 1
+    before = {tuple(r) for r in spark.read.parquet(str(sink)).collect()}
+    after = {tuple(r) for r in spark.read.parquet(str(compacted)).collect()}
+    assert after == before and len(before) == stats.rows > 0
