@@ -43,12 +43,31 @@ def latest_snapshot(root: str, prefix: str = "") -> str | None:
     return candidates[-1] if candidates else None
 
 
-def write_snapshot(tables: dict[str, DataFrame], root: str, ts: str) -> str:
+def write_snapshot(
+    tables: dict[str, DataFrame],
+    root: str,
+    ts: str,
+    sort_specs: dict[str, list[str]] | None = None,
+) -> str:
     """Publish one atomic snapshot of all state + output tables. Job
     commit protocol makes each table write all-or-nothing (replaces the
-    reference's periodic-commit batching, pls/tables.py:454-457)."""
+    reference's periodic-commit batching, pls/tables.py:454-457).
+
+    ``sort_specs`` (table name → sort columns) opts a table into the
+    clustered layout of ``plans/compact.py``: one
+    ``repartitionByRange`` + ``sortWithinPartitions`` so its files
+    carry DISJOINT key ranges and tight min/max stats — the next run
+    reads these tables back (carry-forward, id maps), and key
+    filters/joins then prune files instead of scanning the snapshot.
+    Default is unchanged (write as-is); this is the write-time twin of
+    the post-hoc ``compact_parquet`` maintenance pass."""
     base = snapshot_dir(root, ts)
     for name, df in tables.items():
+        cols = (sort_specs or {}).get(name)
+        if cols:
+            df = df.repartitionByRange(
+                df.sparkSession.sparkContext.defaultParallelism, *cols
+            ).sortWithinPartitions(*cols)
         df.write.mode("overwrite").parquet(os.path.join(base, name))
     return base
 

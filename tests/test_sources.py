@@ -129,3 +129,31 @@ def test_carry_forward_nulls_site_id_and_hash(spark):
     row = carry_forward_geocodes(prev).collect()[0]
     assert row["site_id"] is None and row["hash"] is None
     assert row["geocode_id"] == "geo-1" and row["centoid_lat"] == -27.0
+
+
+def test_snapshot_sorted_layout_has_disjoint_key_ranges(spark, tmp_path):
+    """A table opted into sort_specs is written range-partitioned and
+    sorted, so its snapshot files carry disjoint key ranges (tight
+    min/max stats for next-run reads); content is unchanged."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path)
+    df = spark.range(2_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    ts = "2026-08-15T02:00:00+1000"
+    write_snapshot({"t": df}, root, ts, sort_specs={"t": ["k"]})
+    got = read_snapshot_table(spark, root, ts, "t")
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in df.collect()}
+    spans = []
+    for f in sorted((tmp_path / f"snapshot_ts={ts}" / "t").glob("*.parquet")):
+        ks = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        if ks:
+            assert ks == sorted(ks)
+            spans.append((min(ks), max(ks)))
+    assert len(spans) > 1  # actually split across files
+    spans.sort()
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2
