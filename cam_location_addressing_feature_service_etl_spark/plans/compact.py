@@ -7,9 +7,11 @@ linkage, snapshot appends, micro-batch upserts) appends one-or-more
 files PER TRIGGER — at production cadence that is thousands of files
 a day, and the scan side pays for it twice: task-per-file scheduling
 overhead, and min/max statistics so wide they prune nothing. The
-reference's nightly snapshot rewrite (full-table SQLite dump-and-swap)
-is the single-node ancestor of this operation; at Spark scale the
-rewrite must stay distributed and ordered.
+reference's per-run snapshot rewrite (the whole SQLite file is
+rebuilt and re-uploaded each run — ``main_pls.py:198``
+``{prefix}/{ts}/pls.db``) is the single-node ancestor of this
+operation; at Spark scale the rewrite must stay distributed and
+ordered.
 
 Plan shape: one ``repartitionByRange(n, sort_cols)`` exchange (range
 boundaries from Spark's reservoir sample of the sort key), then

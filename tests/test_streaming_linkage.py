@@ -105,3 +105,62 @@ def test_linkage_stream_reconciles_with_batch(spark, tmp_path):
         assert got_single == want
     finally:
         masters.unpersist()
+
+
+def test_linkage_stream_checkpoint_skips_processed_files(spark, tmp_path):
+    """Checkpoint recovery for the foreachBatch sink: a restarted query
+    with the same checkpoint must process ONLY files delivered after
+    the first run (no duplicate links appended), and the sink's union
+    still equals the batch result."""
+    feed_dir = tmp_path / "feed_restart"
+    feed_dir.mkdir()
+    feed = (
+        load(spark, SF_SMOKE, "part")
+        .select(F.col("p_partkey").alias("fk"), F.expr(_FEED_NAME_SQL).alias("fn"))
+        .toPandas()
+        .sort_values("fk")
+    )
+    t = __import__("pyarrow").Table.from_pandas(feed, preserve_index=False)
+    half = t.num_rows // 2
+    now = 1_700_000_000
+    b1 = feed_dir / "b1.parquet"
+    pq.write_table(t.slice(0, half), b1)
+    os.utime(b1, (now, now))
+
+    masters = (
+        load(spark, SF_SMOKE, "part")
+        .select(
+            F.col("p_partkey").alias("mk"),
+            F.col("p_name").alias("mn"),
+            F.split(F.col("p_name"), " ")[0].alias("blk"),
+        )
+        .persist()
+    )
+    masters.count()
+    out, ckpt = tmp_path / "out_restart", tmp_path / "ckpt_restart"
+
+    def run_once():
+        stream = read_feed_stream(spark, str(feed_dir))
+        q = link_feed_stream(stream, masters, _LINK_TAU, str(out), str(ckpt))
+        q.awaitTermination(180)
+
+    try:
+        run_once()
+        n_after_first = spark.read.parquet(str(out)).count()
+        b2 = feed_dir / "b2.parquet"
+        pq.write_table(t.slice(half), b2)
+        os.utime(b2, (now + 60, now + 60))
+        run_once()  # restart: must link only the new file
+        rows = [
+            (r["feed_key"], r["master_key"], r["edit_dist"])
+            for r in spark.read.parquet(str(out)).collect()
+        ]
+        assert len(rows) == len(set(rows)), "duplicate links after restart"
+        want = {
+            (r["feed_key"], r["master_key"], r["edit_dist"])
+            for r in QUERIES["geo_fuzzy_link_feed"](spark, SF_SMOKE).collect()
+        }
+        assert set(rows) == want
+        assert n_after_first < len(rows)  # second run added the rest
+    finally:
+        masters.unpersist()
