@@ -61,6 +61,14 @@ def write_snapshot(
     filters/joins then prune files instead of scanning the snapshot.
     Default is unchanged (write as-is); this is the write-time twin of
     the post-hoc ``compact_parquet`` maintenance pass."""
+    unknown = set(sort_specs or {}) - set(tables)
+    if unknown:
+        # a typo'd/renamed table name would otherwise silently lose its
+        # clustered layout and next-run reads quietly stop pruning
+        raise ValueError(
+            f"sort_specs names tables not being written: {sorted(unknown)} "
+            f"(writing: {sorted(tables)})"
+        )
     base = snapshot_dir(root, ts)
     for name, df in tables.items():
         cols = (sort_specs or {}).get(name)

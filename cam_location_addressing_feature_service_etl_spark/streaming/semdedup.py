@@ -83,7 +83,12 @@ def _make_update(threshold: float):
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (cluster,) = key
-        pdf = pd.concat(list(pdfs), ignore_index=True)
+        chunks = list(pdfs)
+        if not chunks:
+            # a timed-out key arrives with no data; today the op runs
+            # NoTimeout, but pd.concat([]) would raise if that changes
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
         if len(pdf) == 0:
             return
         pdf = pdf.sort_values("vec_id", ignore_index=True)

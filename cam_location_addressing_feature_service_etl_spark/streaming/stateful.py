@@ -337,6 +337,14 @@ def rolling_mad_state(
     ever too late (the reconciliation tests exercise both; their data
     spans < default + W days so both modes are bit-identical there).
 
+    BREAKING-DEFAULT NOTE (r10): the default changed from ``None``
+    (unbounded) to ``DEFAULT_MAD_LATENESS_DAYS``. Any pre-r10 caller
+    replaying feeds whose events lag a user's max day by more than
+    lateness + W days now sees those stragglers dropped by the gate
+    and must pass ``lateness_days=None`` explicitly. Call-site audit
+    at the change: the only in-repo callers are the registered query
+    (bounded feed) and the reconciliation tests, both unaffected.
+
     Lateness semantics are PER-USER, not the engine's global
     watermark: the straggler gate admits an event iff its day >= that
     user's own pre-batch max day - lateness. Because a user's max day

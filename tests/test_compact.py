@@ -60,6 +60,89 @@ def test_compact_preserves_rows_and_tightens_ranges(spark, tmp_path):
     assert touched <= 2
 
 
+def test_compact_validates_args_and_layout(spark, tmp_path):
+    """target_rows_per_file must be >= 1; a hive-partitioned root
+    (subdirectories) must raise and point at compact_partitions rather
+    than flattening the layout with files_before == 0 stats; an
+    empty/missing source is a no-op."""
+    import pytest
+
+    src = tmp_path / "t"
+    _write_small_files(spark, src, n_rows=10, n_files=2)
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="target_rows_per_file"):
+            compact_parquet(
+                spark, str(src), str(tmp_path / "o"), sort_cols=["k"],
+                target_rows_per_file=bad,
+            )
+
+    part_root = tmp_path / "table"
+    _write_small_files(spark, part_root / "day=1", n_rows=10, n_files=2)
+    with pytest.raises(ValueError, match="compact_partitions"):
+        compact_parquet(
+            spark, str(part_root), str(tmp_path / "o2"), sort_cols=["k"],
+            target_rows_per_file=10,
+        )
+
+    stats = compact_parquet(
+        spark, str(tmp_path / "does_not_exist"), str(tmp_path / "o3"),
+        sort_cols=["k"], target_rows_per_file=10,
+    )
+    assert (stats.files_before, stats.files_after, stats.rows) == (0, 0, 0)
+    assert not (tmp_path / "o3").exists()  # no-op writes nothing
+
+
+def test_compact_partitions_rewrites_only_hot(spark, tmp_path):
+    """The 'compact yesterday's partition, not the table' operator:
+    exactly the over-threshold partitions are rewritten in place
+    (fewer, sorted, range-disjoint files); cold partitions keep their
+    original file list and mtimes byte-for-byte."""
+    import os as _os
+
+    from cam_location_addressing_feature_service_etl_spark.plans.compact import (
+        compact_partitions,
+    )
+
+    root = tmp_path / "table"
+    # hot partitions: many small files; cold: a single file
+    _write_small_files(spark, root / "day=1", n_rows=2_000, n_files=20)
+    _write_small_files(spark, root / "day=2", n_rows=100, n_files=1)
+    _write_small_files(spark, root / "day=3", n_rows=2_000, n_files=20)
+
+    def snapshot(d):
+        return {
+            f.name: _os.stat(f).st_mtime_ns for f in d.glob("*.parquet")
+        }
+
+    cold_before = snapshot(root / "day=2")
+    total_before = spark.read.parquet(str(root)).count()
+
+    out = compact_partitions(
+        spark, str(root), "day", sort_cols=["k"],
+        target_rows_per_file=2_000, file_threshold=4,
+    )
+    assert sorted(out) == ["day=1", "day=3"]
+    for leaf, stats in out.items():
+        assert stats.files_before == 20 and stats.files_after == 1
+        assert stats.rows == 2_000
+
+    # cold partition untouched: same files, same mtimes
+    assert snapshot(root / "day=2") == cold_before
+    # hot partitions swapped in place: one file each, sorted
+    for leaf in ("day=1", "day=3"):
+        files = list((root / leaf).glob("*.parquet"))
+        assert len(files) == 1
+        ks = pq.read_table(files[0], columns=["k"])["k"].to_pylist()
+        assert ks == sorted(ks)
+    # staging gone, hive discovery still sees the whole table, row-exact
+    assert not (root / "_compact_tmp").exists()
+    after = spark.read.parquet(str(root))
+    assert after.count() == total_before
+    assert "day" in after.columns and set(
+        r.day for r in after.select("day").distinct().collect()
+    ) == {1, 2, 3}
+
+
 def test_compact_refuses_self_overwrite(spark, tmp_path):
     """In-place compaction would clobber files the lazy plan still
     reads — the guard must refuse dst == src and dst nested in src."""
