@@ -950,6 +950,55 @@ def pii_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 pii_k_anonymity_audit.__doc__ = pii_k_anonymity_audit.__doc__.format(k=_KANON_K)
 
 
+_LDIV_L = 3
+
+
+@register(
+    "pii_l_diversity_audit",
+    oracle=f"""
+SELECT c_nationkey AS nation, c_mktsegment AS segment,
+       CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT right(c_name, 1)) AS BIGINT) AS n_sensitive,
+       (COUNT(DISTINCT right(c_name, 1)) < {_LDIV_L}) AS homogeneous
+FROM customer GROUP BY 1, 2, 3
+""",
+)
+def pii_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity companion to ``pii_k_anonymity_audit`` — same
+    quasi-identifier cells, but the question is the HOMOGENEITY attack
+    k-anonymity misses (Machanavajjhala 2007): a cell can be large
+    enough to pass k yet carry only one sensitive value, so membership
+    alone discloses it. Each cell reports its distinct-sensitive-value
+    count (sensitive attribute: the name's check digit, a stand-in
+    uncorrelated with the quasi-ids) and a ``homogeneous`` flag when
+    that count is below l={l}. Together the two audits close the
+    suppress-vs-generalize loop: k flags cells too SMALL to publish,
+    l flags cells too UNIFORM — generalizing the balance band until
+    both flags clear is the release procedure.
+
+    Scale: one groupBy on the quasi-id tuple with a distinct aggregate;
+    Spark plans COUNT(DISTINCT) as two partial-aggregatable phases
+    (distinct (cell, value) pairs, then counts), so network volume is
+    ∝ distinct pairs per cell — bounded by cell cardinality × sensitive
+    domain, never by rows."""
+    tune(spark)
+    customer = load(spark, sf_dir, "customer")
+    n_sens = F.count_distinct(F.substring("c_name", -1, 1))
+    return customer.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        n_sens.cast("long").alias("n_sensitive"),
+        (n_sens < _LDIV_L).alias("homogeneous"),
+    )
+
+
+pii_l_diversity_audit.__doc__ = pii_l_diversity_audit.__doc__.format(l=_LDIV_L)
+
+
 # ---------------------------------------------------------------------------
 # BPE-style merge statistics (global adjacent-pair counts)
 # ---------------------------------------------------------------------------
