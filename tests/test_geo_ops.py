@@ -424,3 +424,67 @@ def test_locality_assign_holes_matches_python_even_odd(spark):
         ):
             saw_hole_exclusion = True
     assert saw_hole_exclusion, "no fixture point exercises the hole"
+
+
+def test_locality_nearest_fallback_is_total(spark):
+    """The fallback query must emit EXACTLY one row per point, agree
+    with a pure-Python mirror (even-odd parity, else argmin of clamped
+    point-to-segment distance gated at the snap radius), and — the
+    r10 verdict gap — the moat points the parity queries silently drop
+    must come back assigned via the nearest edge."""
+    import math as _math
+
+    from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+    from cam_location_addressing_feature_service_etl_spark.workload.geo import (
+        _HOLE_EDGES,
+        _HOLE_LOCALITIES,
+        _SNAP_D2FP,
+        _points,
+    )
+
+    def d2fp(px, py, x1, y1, x2, y2):
+        dx, dy = x2 - x1, y2 - y1
+        t = max(0.0, min(1.0, ((px - x1) * dx + (py - y1) * dy) / (dx * dx + dy * dy)))
+        qx, qy = x1 + t * dx, y1 + t * dy
+        return int(_math.floor(((px - qx) ** 2 + (py - qy) ** 2) * 1e12 + 0.5))
+
+    def mirror(px, py):
+        hit = [
+            loc for loc, rings in _HOLE_LOCALITIES.items()
+            if _inside_multiring(px, py, rings)
+        ]
+        if hit:
+            return hit[0], "inside"
+        d, loc, _ = min(
+            (d2fp(px, py, x1, y1, x2, y2), l, eid)
+            for l, eid, x1, y1, x2, y2 in _HOLE_EDGES
+        )
+        return (loc, "nearest") if d <= _SNAP_D2FP else (None, "unassigned")
+
+    rows = QUERIES["geo_locality_assign_nearest_fallback"](
+        spark, SF_SMOKE
+    ).collect()
+    pts = _points(spark, SF_SMOKE).collect()
+    got = {}
+    for r in rows:
+        assert r["point_id"] not in got, f"point {r['point_id']} emitted twice"
+        got[r["point_id"]] = (r["loc_id"], r["method"])
+    assert len(got) == len(pts), "not total: some point emitted no row"
+    for p in pts:
+        assert got[p["point_id"]] == mirror(p["lon"], p["lat"]), (
+            p["point_id"], p["lon"], p["lat"], got[p["point_id"]],
+        )
+    # the moat custkeys (inside MAIN's hole, outside ENCLAVE) are the
+    # points the parity queries drop — here every one snaps to a
+    # nearby boundary (MAIN's hole ring or ENCLAVE's shell)
+    moat = [
+        p["point_id"] for p in pts
+        if _raycast_python(p["lon"], p["lat"], _HOLE_LOCALITIES["MAIN"][1])
+        and not _inside_multiring(
+            p["lon"], p["lat"], _HOLE_LOCALITIES["ENCLAVE"]
+        )
+    ]
+    assert moat, "fixture lost its moat points"
+    for pid in moat:
+        loc, method = got[pid]
+        assert method == "nearest" and loc in {"MAIN", "ENCLAVE"}, (pid, loc, method)
