@@ -40,60 +40,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (committed as PARITY_r{N}.txt) proves the full registry every round
 #: regardless.
 _PRIORITY = [
-    # --- r10 new / plan-changed queries (front of sample) ---
-    "geo_locality_assign_holes",
-    "sim_semdedup_prune",
-    "pii_k_anonymity_audit",
-    # code-changed this round (shared-core refactors / new dial):
-    # linkage core extraction, edge_band_rows hoist, single_exchange param
+    # --- r11 new queries (front of sample) ---
+    "geo_fuzzy_link_feed_multiblock",
+    "geo_locality_assign_nearest_fallback",
+    "pii_l_diversity_audit",
+    # plan-changed this round: link_feed_to_masters grew the
+    # block_keys union core; edge_band_rows grew the pad param
     "geo_fuzzy_link_feed",
     "geo_locality_assign_banded",
-    "graph_label_propagation",
-    # --- stalest tranche: r02/r07-era rows not in the r09 driver sample ---
-    "j2_optional_left_join",
-    "j3_values_batch_semijoin",
-    "j5_left_join_unmapped",
-    "j6_prune_keep_semi",
-    "j7_anti_union_newkeys",
-    "j8_update_join_enrich",
-    "j9_lookup_join_miss_skip",
-    "m1_upsert_last_write_wins",
-    "m2_upsert_reset_column",
-    "o1_latest_snapshot_top1",
-    "o2_limit_guard",
-    "p1_column_projection",
-    "p2_computed_projection",
-    "p3_typed_literal_filter",
-    "p4_anti_join_open_lifecycle",
-    "p5_incremental_predicate",
-    "p7_notnull_filter",
-    "p8_debug_subset_semijoin",
-    "pipeline_prune_enrich_composite",
-    "text_fingerprint",
-    "u1_union_distinct",
-    "u2_carry_forward_reshape",
-    "u3_intersect_nations",
-    "u4_except_nations",
-    "agg_grouping_sets",
-    "ev_asof_salted",
-    "ev_sessionize_salted",
-    "ev_sliding_value_30min",
-    "ev_unpivot_metrics",
-    "geo_bbox_filter",
-    "geo_haversine_within",
-    "u5_snapshot_diff",
-    "a5_approx_distinct_check",
-    "a6_approx_percentile_check",
-    "dedup_connected_components",
-    "dedup_incremental_minhash",
-    "dedup_ngram_jaccard_prefix",
-    "dedup_semantic_embedding",
-    "emb_ivfpq_index",
-    "emb_pca_power_projection",
-    "emb_pq_codes",
-    "ev_retention_cohorts",
-    "ev_sessionize_gap30",
-    "ev_tumbling_window_hourly",
+    "geo_locality_assign_holes",
+    # --- stalest tranche: not in the r09 or r10 driver samples ---
     "ev_user_running_total",
     "flagship_current_address",
     "geo_gridcell_agg",
@@ -175,7 +131,54 @@ _PRIORITY = [
     "ev_window_rank_suite",
     "ev_anomaly_mad_flags",
     "geo_zorder_layout",
-    # --- freshly sampled in CORRECTNESS_r09.json (rotated to the back) ---
+    # --- sampled in r09/r10 (back of rotation) ---
+    "sim_semdedup_prune",
+    "pii_k_anonymity_audit",
+    "graph_label_propagation",
+    "j2_optional_left_join",
+    "j3_values_batch_semijoin",
+    "j5_left_join_unmapped",
+    "j6_prune_keep_semi",
+    "j7_anti_union_newkeys",
+    "j8_update_join_enrich",
+    "j9_lookup_join_miss_skip",
+    "m1_upsert_last_write_wins",
+    "m2_upsert_reset_column",
+    "o1_latest_snapshot_top1",
+    "o2_limit_guard",
+    "p1_column_projection",
+    "p2_computed_projection",
+    "p3_typed_literal_filter",
+    "p4_anti_join_open_lifecycle",
+    "p5_incremental_predicate",
+    "p7_notnull_filter",
+    "p8_debug_subset_semijoin",
+    "pipeline_prune_enrich_composite",
+    "text_fingerprint",
+    "u1_union_distinct",
+    "u2_carry_forward_reshape",
+    "u3_intersect_nations",
+    "u4_except_nations",
+    "agg_grouping_sets",
+    "ev_asof_salted",
+    "ev_sessionize_salted",
+    "ev_sliding_value_30min",
+    "ev_unpivot_metrics",
+    "geo_bbox_filter",
+    "geo_haversine_within",
+    "u5_snapshot_diff",
+    "a5_approx_distinct_check",
+    "a6_approx_percentile_check",
+    "dedup_connected_components",
+    "dedup_incremental_minhash",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_semantic_embedding",
+    "emb_ivfpq_index",
+    "emb_pca_power_projection",
+    "emb_pq_codes",
+    "ev_retention_cohorts",
+    "ev_sessionize_gap30",
+    "ev_tumbling_window_hourly",
     "ev_attribution_window_join",
     "ev_ewma_dyadic",
     "ev_value_histogram",

@@ -57,7 +57,7 @@ def link_feed_stream(
     trigger: dict | None = None,
 ) -> StreamingQuery:
     """Start the linkage stream: every micro-batch of ``feed_stream``
-    (fk, fn) is linked against ``masters`` (mk, mn, blk) with the
+    (fk, fn) is linked against ``masters`` (mk, mn) with the
     batch core and appended to ``out_dir`` as parquet. The caller
     should ``persist()`` the master frame — it is reused by every
     batch. ``trigger`` passes through to ``writeStream.trigger`` —

@@ -1069,14 +1069,60 @@ _FEED_NAME_SQL = (
 )
 
 
-def link_feed_to_masters(m: DataFrame, feed: DataFrame, tau: int) -> DataFrame:
-    """Core of the feed→master linkage, shared by the batch query
+#: blocking strategies for :func:`link_feed_to_masters`. Both trim
+#: the block token (plus its separating space) off the segment space,
+#: which is EXACT for the PassJoin filter: strings agreeing on the
+#: block share that literal prefix/suffix, and trimming a common
+#: prefix or suffix preserves Levenshtein distance.
+_LINK_BLOCK_STRATEGIES = ("first_token", "last_token")
+
+
+def _block_names(names: DataFrame, strategy: str) -> DataFrame:
+    """Tag a distinct-name frame (nm) with a blocking key and the
+    post-block segment remainder: (blk, nm, rest)."""
+    if strategy == "first_token":
+        return names.withColumn(
+            "blk", F.split(F.col("nm"), " ")[0]
+        ).withColumn("rest", F.expr("substring(nm, length(blk) + 2)"))
+    if strategy == "last_token":
+        return names.withColumn(
+            "blk", F.element_at(F.split(F.col("nm"), " "), -1)
+        ).withColumn(
+            "rest",
+            F.expr("substring(nm, 1, greatest(0, length(nm) - length(blk) - 1))"),
+        )
+    raise ValueError(
+        f"unknown block strategy {strategy!r}; "
+        f"known: {_LINK_BLOCK_STRATEGIES}"
+    )
+
+
+def link_feed_to_masters(
+    m: DataFrame,
+    feed: DataFrame,
+    tau: int,
+    block_keys: tuple[str, ...] = ("first_token",),
+) -> DataFrame:
+    """Core of the feed→master linkage, shared by the batch queries
     below and the streaming twin (``streaming/linkage.py`` probes each
     micro-batch of a dirty-address stream through this exact function,
-    so the two legs cannot drift). ``m`` is (mk, mn, blk) — the master
+    so the two legs cannot drift). ``m`` is (mk, mn, ...) — the master
     list; ``feed`` is (fk, fn) — dirty records. Returns
     (feed_key, master_key, edit_dist): each feed record's best master
     within ``tau`` (min distance, ties to the min master key).
+
+    ``block_keys`` names the blocking passes (``_LINK_BLOCK_STRATEGIES``);
+    candidates are the UNION of the per-pass candidate sets, so a
+    record matches iff it agrees with a master on AT LEAST ONE key.
+    This is the standard recall fix for block-brittle linkage: a
+    corruption landing in the first token breaks the first-token
+    block, but leaves the last token — and hence the second pass —
+    intact. Each pass is its own PassJoin (sub-quadratic: candidates ∝
+    true near-matches per pass, never Σblock²), so k passes cost at
+    most k× one pass plus one distinct; recall/cost numbers in
+    SCALING.md. Blocking keys are computed HERE from the names, not
+    taken from the caller, so batch and streaming legs cannot diverge
+    on key definition.
 
     Candidate generation is ``operators/fuzzy.py passjoin_link`` over
     the DISTINCT name spaces of both sides (master indexed, feed
@@ -1085,17 +1131,26 @@ def link_feed_to_masters(m: DataFrame, feed: DataFrame, tau: int) -> DataFrame:
     ``min(struct(dist, master_key))`` — a partial-aggregatable
     groupBy, no rank window — computed at the distinct-feed-name level
     and expanded back to feed rows by name equi-join."""
-    m_names = (
-        m.select("blk", F.col("mn").alias("nm"))
-        .distinct()
-        .withColumn("rest", F.expr("substring(nm, length(blk) + 2)"))
-    )
-    f_names = (
-        feed.select(F.split(F.col("fn"), " ")[0].alias("blk"), F.col("fn").alias("nm"))
-        .distinct()
-        .withColumn("rest", F.expr("substring(nm, length(blk) + 2)"))
-    )
-    cand = passjoin_link(m_names, f_names, "nm", "blk", tau, seg_col="rest")
+    m_names = m.select(F.col("mn").alias("nm")).distinct()
+    f_names = feed.select(F.col("fn").alias("nm")).distinct()
+    if len(block_keys) > 1:
+        # each pass re-reads both distinct-name frames: checkpoint the
+        # fan-out or the distinct subtree runs once per pass
+        m_names = m_names.localCheckpoint(eager=False)
+        f_names = f_names.localCheckpoint(eager=False)
+    cand = None
+    for bk in block_keys:
+        c = passjoin_link(
+            _block_names(m_names, bk),
+            _block_names(f_names, bk),
+            "nm",
+            "blk",
+            tau,
+            seg_col="rest",
+        ).select("name_a", "name_b")
+        cand = c if cand is None else cand.unionByName(c)
+    if len(block_keys) > 1:
+        cand = cand.distinct()
     matched = (
         cand.withColumn(
             "d", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
@@ -1171,13 +1226,13 @@ def geo_fuzzy_link_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Roughly half the feed goes UNMATCHED by construction: a corruption
     that lands in the first token changes the record's block, and
     blocking recall is exactly what it costs (both engines agree —
-    the miss is a semantic of blocked linkage, not a plan artifact)."""
+    the miss is a semantic of blocked linkage, not a plan artifact;
+    ``geo_fuzzy_link_feed_multiblock`` is the recall fix)."""
     tune(spark)
     part = load(spark, sf_dir, "part")
     m = part.select(
         F.col("p_partkey").alias("mk"),
         F.col("p_name").alias("mn"),
-        F.split(F.col("p_name"), " ")[0].alias("blk"),
     )
     feed = part.select(
         F.col("p_partkey").alias("fk"), F.expr(_FEED_NAME_SQL).alias("fn")
@@ -1186,6 +1241,70 @@ def geo_fuzzy_link_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 geo_fuzzy_link_feed.__doc__ = geo_fuzzy_link_feed.__doc__.format(tau=_LINK_TAU)
+
+
+@register(
+    "geo_fuzzy_link_feed_multiblock",
+    oracle=f"""
+WITH m AS (SELECT p_partkey AS mk, p_name AS mn FROM part),
+f AS (SELECT p_partkey AS fk, {_FEED_NAME_SQL} AS fn FROM part),
+pairs AS (
+  SELECT f.fk, m.mk, CAST(levenshtein(f.fn, m.mn) AS INT) AS d
+  FROM f JOIN m ON (
+    split_part(f.fn, ' ', 1) = split_part(m.mn, ' ', 1)
+    OR (string_split(f.fn, ' '))[-1] = (string_split(m.mn, ' '))[-1]
+  )
+  WHERE levenshtein(f.fn, m.mn) <= {_LINK_TAU}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fk ORDER BY d, mk) AS rn FROM pairs
+)
+SELECT fk AS feed_key, mk AS master_key, d AS edit_dist
+FROM ranked WHERE rn = 1
+""",
+)
+def geo_fuzzy_link_feed_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall fix for block-brittle linkage (r10 verdict #3):
+    ``geo_fuzzy_link_feed`` loses ~half the feed because a corruption
+    landing in the FIRST token changes the blocking key. Here
+    candidates are the UNION of two blocking passes — first token and
+    last token — so a record links iff it agrees with its master on at
+    least one. A corruption inside a token breaks at most that token's
+    key, so those records (d <= 1 by construction) all recover their
+    master; recall at sf0.01 goes 48% -> 89%. The honest residue is
+    SEPARATOR corruption: when the hit character is a two-token name's
+    only space, both tokens merge and both keys break at once — those
+    rows stay unmatched under any token-blocking scheme (a q-gram or
+    phonetic key would be the third pass). The reference's whole
+    purpose is reconciling dirty address feeds
+    (``address_etl/pls/tables.py:70`` links on an exact locality
+    code), which makes recall, not just precision, the operational
+    metric.
+
+    Plan: both passes run the same ``passjoin_link`` machinery with
+    the block token (plus separator) trimmed from the segment space —
+    exact, because trimming a shared literal prefix OR suffix
+    preserves Levenshtein distance — then one distinct over the
+    unioned candidate name pairs, one verify per survivor, and the
+    same window-free ``min(struct(d, mk))`` argmin. Candidate volume
+    is at most the sum of two sub-quadratic passes (measured vs the
+    single pass in SCALING.md); the distinct-name frames are lazily
+    checkpointed so the fan-out into the passes doesn't re-run the
+    distinct. The oracle states the naive OR-of-blocks join + rank
+    window over full names — same output, proving the pass-union
+    candidate generation purely physical."""
+    tune(spark)
+    part = load(spark, sf_dir, "part")
+    m = part.select(
+        F.col("p_partkey").alias("mk"),
+        F.col("p_name").alias("mn"),
+    )
+    feed = part.select(
+        F.col("p_partkey").alias("fk"), F.expr(_FEED_NAME_SQL).alias("fn")
+    )
+    return link_feed_to_masters(
+        m, feed, _LINK_TAU, block_keys=_LINK_BLOCK_STRATEGIES
+    )
 
 
 # ---------------------------------------------------------------------------

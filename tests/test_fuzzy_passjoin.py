@@ -359,3 +359,79 @@ def test_link_empty_rest_probe_pairs_via_fallback(spark):
     assert ("red a", "red") in required  # the empty-rest probe really pairs
     missing = required - got
     assert missing == set(), f"lost pairs: {sorted(missing)}"
+
+
+# ---------------------------------------------------------------------------
+# Multi-pass blocking recall (geo_fuzzy_link_feed_multiblock)
+# ---------------------------------------------------------------------------
+
+
+def test_multiblock_recovers_first_token_corruption(spark):
+    """The recall contract of the union-of-blocks pass: a corruption
+    in the FIRST token breaks the first-token block (single-pass miss)
+    but leaves the last token intact, so the two-pass union links the
+    record; a corruption that eats the only SEPARATOR breaks both
+    token keys at once and stays unmatched under either (the honest
+    residue the docstring documents)."""
+    from cam_location_addressing_feature_service_etl_spark.workload.geo import (
+        link_feed_to_masters,
+    )
+
+    masters = [(1, "alpha bravo"), (2, "charlie delta"), (3, "echo fox")]
+    feed = [
+        (10, "zlpha bravo"),    # first-token hit  -> pass 2 only
+        (11, "charlie deltz"),  # last-token hit   -> pass 1 only
+        (12, "echozfox"),       # separator hit    -> neither pass
+    ]
+    m = spark.createDataFrame(masters, "mk bigint, mn string")
+    f = spark.createDataFrame(feed, "fk bigint, fn string")
+
+    def links(block_keys):
+        return {
+            r["feed_key"]: (r["master_key"], r["edit_dist"])
+            for r in link_feed_to_masters(
+                m, f, 2, block_keys=block_keys
+            ).collect()
+        }
+
+    single = links(("first_token",))
+    assert single == {11: (2, 1)}  # first-token corruption unrecoverable
+    both = links(("first_token", "last_token"))
+    assert both == {10: (1, 1), 11: (2, 1)}  # separator residue stays out
+    # last-token-only pass is the mirror image — sanity of _block_names
+    assert links(("last_token",)) == {10: (1, 1)}
+
+
+def test_block_names_strategies(spark):
+    """_block_names rest-trimming edges: single-token names get an
+    empty rest under BOTH strategies (nothing beyond the block), and
+    an unknown strategy raises."""
+    import pytest
+
+    from cam_location_addressing_feature_service_etl_spark.workload.geo import (
+        _block_names,
+    )
+
+    names = spark.createDataFrame(
+        [("solo",), ("two tokens",), ("a b c",)], "nm string"
+    )
+    first = {
+        r["nm"]: (r["blk"], r["rest"])
+        for r in _block_names(names, "first_token").collect()
+    }
+    assert first == {
+        "solo": ("solo", ""),
+        "two tokens": ("two", "tokens"),
+        "a b c": ("a", "b c"),
+    }
+    last = {
+        r["nm"]: (r["blk"], r["rest"])
+        for r in _block_names(names, "last_token").collect()
+    }
+    assert last == {
+        "solo": ("solo", ""),
+        "two tokens": ("tokens", "two"),
+        "a b c": ("c", "a b"),
+    }
+    with pytest.raises(ValueError, match="unknown block strategy"):
+        _block_names(names, "soundex")
