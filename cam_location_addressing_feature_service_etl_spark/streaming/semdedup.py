@@ -26,7 +26,11 @@ reconciliation with the batch query requires vec_ids to arrive
 INCREASING per cluster across micro-batches (within a batch the
 kernel sorts). The state carries the max id seen and the kernel
 raises on a violation rather than emitting silently-divergent flags —
-an out-of-order feed needs an upstream reorder buffer.
+an out-of-order feed needs an upstream reorder buffer, which exists:
+``streaming/reorder.py reorder_stream`` (event-time-watermarked,
+releases in id order, flags beyond-lateness arrivals; the composed
+pipeline reconciles with the batch flags in
+``tests/test_streaming_reorder.py``).
 
 Per batch and cluster the kernel is two numpy/BLAS GEMMs (new×state,
 new×new upper triangle) with the SAME 6-digit rounding as the batch
