@@ -1,0 +1,177 @@
+"""The SPARQL Python Data Source end-to-end through
+spark.read.format("sparql") in fake mode — mirroring the ESRI source
+tests: paged partition planning from a server-side COUNT, the
+keys-then-details VALUES mode (the reference's two-phase extract as
+partition planning), OPTIONAL-unbound → NULL, and reader internals with
+an injected transport."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cam_location_addressing_feature_service_etl_spark.sources.sparql_datasource import (
+    KeyBatchPartition,
+    PagePartition,
+    SparqlDataSource,
+    SparqlReader,
+)
+
+_Q = "SELECT ?pid ?street ?unit_opt WHERE { ?pid a :Addr }"
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(SparqlDataSource)
+    return spark
+
+
+def test_paged_read_all_rows(registered):
+    df = (
+        registered.read.format("sparql")
+        .option("mode", "fake")
+        .option("fake_rows", "450")
+        .option("page_size", "200")
+        .option("variables", "pid,street,unit_opt")
+        .option("query", _Q)
+        .load()
+    )
+    assert df.columns == ["pid", "street", "unit_opt"]
+    assert df.rdd.getNumPartitions() == 3  # ceil(450/200) pages
+    rows = df.collect()
+    assert len(rows) == 450
+    assert {r["pid"] for r in rows} == {f"urn:pid:{i}" for i in range(450)}
+    # OPTIONAL-unbound vars land as NULL (P6), never as absent rows
+    assert df.filter(F.col("unit_opt").isNull()).count() == 150
+    assert df.filter("street = 'street-7'").count() == 1
+
+
+def test_keys_then_details_partitioning(registered):
+    """The reference's two-phase VALUES extract
+    (pls/tables.py:401-472): keys query plans the partitions, each
+    partition VALUES-batches its keys into the detail query."""
+    df = (
+        registered.read.format("sparql")
+        .option("mode", "fake")
+        .option("fake_rows", "100")
+        .option("key_batch", "30")
+        .option("variables", "pid,street")
+        .option("keys_query", "SELECT ?pid WHERE { ?pid a :Addr }")
+        .option(
+            "query",
+            "SELECT ?pid ?street WHERE { {values} ?pid :street ?street }",
+        )
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # ceil(100/30) key batches
+    rows = df.collect()
+    assert len(rows) == 100
+    assert {r["pid"] for r in rows} == {f"urn:pid:{i}" for i in range(100)}
+    assert all(
+        r["street"] == f"street-{r['pid'].rsplit(':', 1)[1]}" for r in rows
+    )
+
+
+def test_reader_emits_count_wrap_and_ordered_pages():
+    """Injected-transport unit test of the paged planner: the count
+    query is the COUNT(*) subquery wrap, and every page query pins
+    ORDER BY before LIMIT/OFFSET (OFFSET without ORDER BY is not a
+    stable order in SPARQL)."""
+    from pyspark.sql.types import StructType
+
+    seen: list[str] = []
+
+    def transport(_url, form):
+        seen.append(form["query"])
+        if "(COUNT(*) AS ?n)" in form["query"]:
+            return {"results": {"bindings": [{"n": {"value": "25"}}]}}
+        return {"results": {"bindings": [{"pid": {"value": "urn:pid:1"}}]}}
+
+    reader = SparqlReader(
+        {"query": _Q, "variables": "pid,street", "page_size": "10",
+         "mode": "fake"},
+        StructType(),
+    )
+    import cam_location_addressing_feature_service_etl_spark.sources.sparql_datasource as m
+    from cam_location_addressing_feature_service_etl_spark.sources.sparql_http import (
+        SparqlClient,
+    )
+
+    orig = m._client
+    m._client = lambda _o: SparqlClient("x", transport=transport)
+    try:
+        parts = reader.partitions()
+        assert parts == [
+            PagePartition(0, 10), PagePartition(10, 10), PagePartition(20, 10)
+        ]
+        rows = list(reader.read(parts[1]))
+    finally:
+        m._client = orig
+    assert rows == [("urn:pid:1", None)]
+    assert seen[0].startswith("SELECT (COUNT(*) AS ?n) {")
+    assert "ORDER BY ?pid\nLIMIT 10\nOFFSET 10" in seen[1]
+
+
+def test_reader_values_block_substitution():
+    """Injected-transport unit test of the keys mode: the {values}
+    placeholder becomes a VALUES block with exactly the partition's
+    keys as IRIs."""
+    from pyspark.sql.types import StructType
+
+    from cam_location_addressing_feature_service_etl_spark.sources.sparql_http import (
+        SparqlClient,
+    )
+
+    seen: list[str] = []
+
+    def transport(_url, form):
+        seen.append(form["query"])
+        return {"results": {"bindings": []}}
+
+    import cam_location_addressing_feature_service_etl_spark.sources.sparql_datasource as m
+
+    reader = SparqlReader(
+        {
+            "query": "SELECT ?pid ?s WHERE { {values} ?pid :s ?s }",
+            "variables": "pid,s",
+            "keys_query": "SELECT ?pid WHERE { ?pid a :A }",
+            "mode": "fake",
+        },
+        StructType(),
+    )
+    orig = m._client
+    m._client = lambda _o: SparqlClient("x", transport=transport)
+    try:
+        list(reader.read(KeyBatchPartition(keys=("urn:pid:3", "urn:pid:9"))))
+    finally:
+        m._client = orig
+    assert seen == [
+        "SELECT ?pid ?s WHERE { VALUES ?pid { <urn:pid:3> <urn:pid:9> } "
+        "?pid :s ?s }"
+    ]
+
+
+def test_missing_variables_option_raises():
+    with pytest.raises(Exception, match="variables"):
+        SparqlDataSource(options={"query": _Q}).schema()
+
+
+def test_composes_with_flatten_semantics(registered):
+    """Source output feeds normal operators: group the synthetic rows
+    by the unbound-unit flag — the OPTIONAL semantics the reference's
+    lf_address extract relies on (tables.py:361-364)."""
+    df = (
+        registered.read.format("sparql")
+        .option("mode", "fake")
+        .option("fake_rows", "90")
+        .option("variables", "pid,unit_opt")
+        .option("query", _Q)
+        .load()
+    )
+    got = {
+        r["has_unit"]: r["n"]
+        for r in df.groupBy(F.col("unit_opt").isNotNull().alias("has_unit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {True: 60, False: 30}
