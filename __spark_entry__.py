@@ -42,6 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # --- r11 new queries (front of sample) ---
     "geo_fuzzy_link_feed_multiblock",
+    "geo_fuzzy_link_feed_full",
     "geo_locality_assign_nearest_fallback",
     "pii_l_diversity_audit",
     # plan-changed this round: link_feed_to_masters grew the

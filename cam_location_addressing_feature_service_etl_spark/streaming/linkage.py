@@ -55,6 +55,7 @@ def link_feed_stream(
     out_dir: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    block_keys: tuple[str, ...] = ("first_token",),
 ) -> StreamingQuery:
     """Start the linkage stream: every micro-batch of ``feed_stream``
     (fk, fn) is linked against ``masters`` (mk, mn) with the
@@ -64,11 +65,14 @@ def link_feed_stream(
     the default ``availableNow`` drains what exists and FINISHES
     (tests, catch-up runs); a live feed that keeps receiving records
     needs ``{"processingTime": "..."}`` or the query stops after the
-    initial drain."""
+    initial drain. ``block_keys`` passes through to the shared core —
+    the recall/cost dial (single block / token union / whole-name full
+    recall) is the SAME dial in both legs because the keys are
+    computed inside ``link_feed_to_masters`` from the names."""
     m = masters
 
     def _link_batch(batch: DataFrame, _batch_id: int) -> None:
-        out = link_feed_to_masters(m, batch, tau)
+        out = link_feed_to_masters(m, batch, tau, block_keys=block_keys)
         out.write.mode("append").parquet(out_dir)
 
     return (

@@ -1069,11 +1069,16 @@ _FEED_NAME_SQL = (
 )
 
 
-#: blocking strategies for :func:`link_feed_to_masters`. Both trim
-#: the block token (plus its separating space) off the segment space,
-#: which is EXACT for the PassJoin filter: strings agreeing on the
-#: block share that literal prefix/suffix, and trimming a common
-#: prefix or suffix preserves Levenshtein distance.
+#: default multi-pass blocking strategies for
+#: :func:`link_feed_to_masters`. Both trim the block token (plus its
+#: separating space) off the segment space, which is EXACT for the
+#: PassJoin filter: strings agreeing on the block share that literal
+#: prefix/suffix, and trimming a common prefix or suffix preserves
+#: Levenshtein distance. The third strategy, ``whole_name``, does not
+#: block at all — one global block, segments over the full name — so
+#: it has FULL recall within tau (PassJoin's pigeonhole filter needs
+#: no blocking for completeness; blocks only shorten the segment
+#: space) at a higher candidate cost.
 _LINK_BLOCK_STRATEGIES = ("first_token", "last_token")
 
 
@@ -1091,9 +1096,13 @@ def _block_names(names: DataFrame, strategy: str) -> DataFrame:
             "rest",
             F.expr("substring(nm, 1, greatest(0, length(nm) - length(blk) - 1))"),
         )
+    if strategy == "whole_name":
+        return names.withColumn("blk", F.lit("*")).withColumn(
+            "rest", F.col("nm")
+        )
     raise ValueError(
         f"unknown block strategy {strategy!r}; "
-        f"known: {_LINK_BLOCK_STRATEGIES}"
+        f"known: {_LINK_BLOCK_STRATEGIES + ('whole_name',)}"
     )
 
 
@@ -1305,6 +1314,57 @@ def geo_fuzzy_link_feed_multiblock(spark: SparkSession, sf_dir: str) -> DataFram
     return link_feed_to_masters(
         m, feed, _LINK_TAU, block_keys=_LINK_BLOCK_STRATEGIES
     )
+
+
+@register(
+    "geo_fuzzy_link_feed_full",
+    oracle=f"""
+WITH m AS (SELECT p_partkey AS mk, p_name AS mn FROM part),
+f AS (SELECT p_partkey AS fk, {_FEED_NAME_SQL} AS fn FROM part),
+pairs AS (
+  SELECT f.fk, m.mk, CAST(levenshtein(f.fn, m.mn) AS INT) AS d
+  FROM f CROSS JOIN m
+  WHERE levenshtein(f.fn, m.mn) <= {_LINK_TAU}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fk ORDER BY d, mk) AS rn FROM pairs
+)
+SELECT fk AS feed_key, mk AS master_key, d AS edit_dist
+FROM ranked WHERE rn = 1
+""",
+)
+def geo_fuzzy_link_feed_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-recall end of the linkage family: NO blocking at all —
+    one global block, PassJoin segment keys over the WHOLE name — so
+    every feed record within edit distance {tau} of some master links,
+    including the separator-corrupted rows both token-blocking passes
+    lose (``geo_fuzzy_link_feed_multiblock`` docstring: when the hit
+    character is a two-token name's only space, both token keys break
+    at once; here the feed is 1 edit from its master by construction,
+    so recall is 100%). PassJoin needs no blocking for COMPLETENESS —
+    the pigeonhole segment filter alone bounds candidates ∝ true
+    near-matches; blocking only shortens the segment space — so this
+    is the same sub-quadratic plan with a larger constant (candidate
+    volumes vs the blocked passes in SCALING.md). The oracle is the
+    honest naive twin: a full CROSS JOIN filtered to tau + rank
+    window. The family is a recall/cost dial: first-token (fastest,
+    blocking recall), token-union (recovers single-token corruption),
+    whole-name (full recall within tau)."""
+    tune(spark)
+    part = load(spark, sf_dir, "part")
+    m = part.select(
+        F.col("p_partkey").alias("mk"),
+        F.col("p_name").alias("mn"),
+    )
+    feed = part.select(
+        F.col("p_partkey").alias("fk"), F.expr(_FEED_NAME_SQL).alias("fn")
+    )
+    return link_feed_to_masters(m, feed, _LINK_TAU, block_keys=("whole_name",))
+
+
+geo_fuzzy_link_feed_full.__doc__ = geo_fuzzy_link_feed_full.__doc__.format(
+    tau=_LINK_TAU
+)
 
 
 # ---------------------------------------------------------------------------

@@ -61,6 +61,13 @@ CARTESIAN_ALLOWED = {
     "sample_importance_dsir",       # 1-row LM totals frame
     # inequality join against a 3-row literal dimension
     "ev_value_band_join",
+    # whole_name (unblocked) pass: the constant block key folds the
+    # PassJoin FALLBACK leg's equi-condition to true, leaving its
+    # length-band inequality as a BNLJ — build side is the indexed
+    # names SHORTER THAN tau+1 CHARS (ln < 3), bounded by the alphabet
+    # (a constant), and empty on real name data; the main candidate
+    # join keeps its (seg_idx, len, substring) hash equi-keys
+    "geo_fuzzy_link_feed_full",
 }
 # NOTE: queries whose cross-join shapes sit BEHIND a lazy checkpoint
 # (bpe rounds' 1-row top-pair join, emb_pq_codes' codebook argmin) show

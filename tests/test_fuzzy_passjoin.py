@@ -433,5 +433,14 @@ def test_block_names_strategies(spark):
         "two tokens": ("tokens", "two"),
         "a b c": ("c", "a b"),
     }
+    whole = {
+        r["nm"]: (r["blk"], r["rest"])
+        for r in _block_names(names, "whole_name").collect()
+    }
+    assert whole == {
+        "solo": ("*", "solo"),
+        "two tokens": ("*", "two tokens"),
+        "a b c": ("*", "a b c"),
+    }
     with pytest.raises(ValueError, match="unknown block strategy"):
         _block_names(names, "soundex")

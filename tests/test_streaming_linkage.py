@@ -164,3 +164,54 @@ def test_linkage_stream_checkpoint_skips_processed_files(spark, tmp_path):
         assert n_after_first < len(rows)  # second run added the rest
     finally:
         masters.unpersist()
+
+
+def test_linkage_stream_multiblock_reconciles_with_batch(spark, tmp_path):
+    """The recall dial is the SAME dial in both legs: streaming with
+    block_keys=the token-union passes must union to exactly the batch
+    multiblock result — including records only the second (last-token)
+    pass recovers."""
+    from cam_location_addressing_feature_service_etl_spark.workload.geo import (
+        _LINK_BLOCK_STRATEGIES,
+    )
+
+    feed_dir = tmp_path / "feed_mb"
+    feed_dir.mkdir()
+    _write_feed_files(spark, feed_dir)
+
+    masters = (
+        load(spark, SF_SMOKE, "part")
+        .select(F.col("p_partkey").alias("mk"), F.col("p_name").alias("mn"))
+        .persist()
+    )
+    masters.count()
+    try:
+        want = {
+            (r["feed_key"], r["master_key"], r["edit_dist"])
+            for r in QUERIES["geo_fuzzy_link_feed_multiblock"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        single = {
+            (r["feed_key"], r["master_key"], r["edit_dist"])
+            for r in QUERIES["geo_fuzzy_link_feed"](spark, SF_SMOKE).collect()
+        }
+        assert len(want) > len(single)  # the union pass must matter
+
+        stream = read_feed_stream(spark, str(feed_dir), max_files_per_trigger=1)
+        q = link_feed_stream(
+            stream,
+            masters,
+            _LINK_TAU,
+            str(tmp_path / "out_mb"),
+            str(tmp_path / "ckpt_mb"),
+            block_keys=_LINK_BLOCK_STRATEGIES,
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["feed_key"], r["master_key"], r["edit_dist"])
+            for r in spark.read.parquet(str(tmp_path / "out_mb")).collect()
+        }
+        assert got == want
+    finally:
+        masters.unpersist()
