@@ -61,6 +61,10 @@ CARTESIAN_ALLOWED = {
     "sample_importance_dsir",       # 1-row LM totals frame
     # inequality join against a 3-row literal dimension
     "ev_value_band_join",
+    # NB classifier: test tokens fanned against the 5-row label-stats
+    # broadcast (itself two 1-row scalar crossjoins: vocab size, train
+    # doc total) — label-count-bounded, the text_bigram_logprob shape
+    "text_nb_langid_classifier",
     # whole_name (unblocked) pass: the constant block key folds the
     # PassJoin FALLBACK leg's equi-condition to true, leaving its
     # length-band inequality as a BNLJ — build side is the indexed
