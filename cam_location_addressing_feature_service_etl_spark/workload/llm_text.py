@@ -686,6 +686,162 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Trained quality classifier — full-batch logistic regression, in-engine
+# ---------------------------------------------------------------------------
+
+_LR_ROUNDS = 3
+_LR_RATE = 1.0
+
+#: shared feature/label SQL (mirrors the column expressions in
+#: lr_train_score token for token): x1 = capped length, x2 = stopword
+#: ratio, label = the quality composite >= 0.5 — a separable boundary
+#: (x1 + x2 >= 1) the model can actually learn.
+_LR_FEATS_SQL = f"""
+tokl AS (SELECT doc_id, {TOKENS_SQL.format(col="text")} AS toks FROM documents),
+feat AS (
+  SELECT doc_id,
+         ROUND(least(len(toks) / 100.0, 1.0), 6) AS x1,
+         ROUND(len(list_filter(toks, t -> t IN ({", ".join(repr(s) for s in _STOPWORDS)})))
+               / greatest(len(toks), 1), 6) AS x2,
+         doc_id % {_NB_TEST_MOD} = 0 AS is_test
+  FROM tokl
+),
+lab AS (
+  SELECT doc_id, x1, x2, is_test,
+         CASE WHEN 0.5 * x1 + 0.5 * x2 >= 0.5 THEN 1.0 ELSE 0.0 END AS y
+  FROM feat
+)"""
+
+
+def _lr_oracle(rounds: int = _LR_ROUNDS, rate: float = _LR_RATE) -> str:
+    parts = [f"WITH {_LR_FEATS_SQL},\nw0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)"]
+    prev = "w0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+g{r} AS (
+  SELECT AVG(y - 1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2)))) AS g0,
+         AVG((y - 1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2)))) * x1) AS g1,
+         AVG((y - 1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2)))) * x2) AS g2
+  FROM lab CROSS JOIN {prev} w WHERE NOT is_test
+),
+w{r} AS (
+  SELECT ROUND(w.b + {rate} * g.g0, 6) AS b,
+         ROUND(w.w1 + {rate} * g.g1, 6) AS w1,
+         ROUND(w.w2 + {rate} * g.g2, 6) AS w2
+  FROM {prev} w CROSS JOIN g{r} g
+)"""
+        )
+        prev = f"w{r}"
+    parts.append(
+        f"""
+SELECT l.doc_id,
+       ROUND(1.0 / (1.0 + exp(-(w.b + w.w1 * l.x1 + w.w2 * l.x2))), 6) AS p_quality,
+       ROUND(1.0 / (1.0 + exp(-(w.b + w.w1 * l.x1 + w.w2 * l.x2))), 6) >= 0.5 AS pred,
+       l.y = 1.0 AS gold,
+       (ROUND(1.0 / (1.0 + exp(-(w.b + w.w1 * l.x1 + w.w2 * l.x2))), 6) >= 0.5)
+         = (l.y = 1.0) AS correct
+FROM lab l CROSS JOIN {prev} w WHERE l.is_test"""
+    )
+    return "".join(parts)
+
+
+def lr_train_score(
+    documents: DataFrame,
+    test_mod: int,
+    rounds: int = _LR_ROUNDS,
+    rate: float = _LR_RATE,
+) -> DataFrame:
+    """Full-batch gradient-descent logistic regression trained and
+    applied in one plan: features and the derived label are computed
+    per doc, the 80% split trains ``rounds`` GD steps, the held-out
+    20% is scored. The weight vector lives as a 1-ROW FRAME threaded
+    through the loop (the PCA power-iteration pattern — no driver
+    collect): each step is one partial-aggregatable AVG over the train
+    split (three gradient components), a broadcast crossJoin onto the
+    weight row, and a ROUND(·, 6) that pins the weights to the same
+    6-digit grid on both engines — the per-iteration rounding is what
+    keeps float drift from compounding across steps (same discipline
+    as operators/kmeans.py lloyd). Shuffle per step is ONE 3-number
+    aggregate; at 100 TB the cost is `rounds` passes over the train
+    split, each map-side-combined to 3 doubles per partition."""
+    is_test = F.col("doc_id") % test_mod == 0
+    toks = tokens_col(F.col("text"))
+    stop_cnt = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    n_tok = F.size(toks)
+    feats = documents.select(
+        "doc_id",
+        F.round(F.least(n_tok / F.lit(100.0), F.lit(1.0)), 6).alias("x1"),
+        F.round(stop_cnt / F.greatest(n_tok, F.lit(1)), 6).alias("x2"),
+        is_test.alias("is_test"),
+    )
+    lab = feats.withColumn(
+        "y",
+        F.when(0.5 * F.col("x1") + 0.5 * F.col("x2") >= 0.5, 1.0).otherwise(0.0),
+    ).transform(materialize)
+    train = lab.filter(~F.col("is_test"))
+
+    spark = documents.sparkSession
+    w = spark.createDataFrame([(0.0, 0.0, 0.0)], "b double, w1 double, w2 double")
+    margin = F.col("b") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+    resid = F.col("y") - 1.0 / (1.0 + F.exp(-margin))
+    for _ in range(rounds):
+        g = (
+            train.crossJoin(F.broadcast(w))
+            .agg(
+                F.avg(resid).alias("g0"),
+                F.avg(resid * F.col("x1")).alias("g1"),
+                F.avg(resid * F.col("x2")).alias("g2"),
+            )
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .select(
+                F.round(F.col("b") + rate * F.col("g0"), 6).alias("b"),
+                F.round(F.col("w1") + rate * F.col("g1"), 6).alias("w1"),
+                F.round(F.col("w2") + rate * F.col("g2"), 6).alias("w2"),
+            )
+            .transform(materialize)
+        )
+    p = F.round(1.0 / (1.0 + F.exp(-margin)), 6)
+    return (
+        lab.filter(F.col("is_test"))
+        .crossJoin(F.broadcast(w))
+        .select(
+            "doc_id",
+            p.alias("p_quality"),
+            (p >= 0.5).alias("pred"),
+            (F.col("y") == 1.0).alias("gold"),
+            ((p >= 0.5) == (F.col("y") == 1.0)).alias("correct"),
+        )
+    )
+
+
+@register("text_lr_quality_classifier", oracle=_lr_oracle())
+def text_lr_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A trained QUALITY classifier — the supervised companion to the
+    heuristic ``text_quality_score`` and the linear complement of the
+    Naive Bayes ``text_nb_langid_classifier``: full-batch logistic
+    regression on two quality features (capped length, stopword
+    ratio), labels derived from the quality composite's 0.5 threshold
+    (a linearly separable boundary, so the model has real signal to
+    learn — held-out accuracy is asserted in ``tests/test_llm_text.py``
+    through the same ``lr_train_score`` core with more steps). The
+    oracle unrolls the {n} GD steps as CTEs exactly like the
+    PCA/PageRank/BPE oracles; weights are rounded to 6 digits after
+    every step ON BOTH ENGINES, so the iteration stays on one float
+    grid and the final per-doc probabilities hash-match."""
+    tune(spark)
+    (documents,) = _t(spark, sf_dir, "documents")
+    return lr_train_score(documents, _NB_TEST_MOD)
+
+
+text_lr_quality_classifier.__doc__ = text_lr_quality_classifier.__doc__.format(
+    n=_LR_ROUNDS
+)
+
+
 @register(
     "text_token_counts",
     oracle=f"""

@@ -65,6 +65,10 @@ CARTESIAN_ALLOWED = {
     # broadcast (itself two 1-row scalar crossjoins: vocab size, train
     # doc total) — label-count-bounded, the text_bigram_logprob shape
     "text_nb_langid_classifier",
+    # LR classifier: test docs scored against the broadcast 1-ROW
+    # weight frame (train-side gradient crossjoins sit behind
+    # materialize boundaries)
+    "text_lr_quality_classifier",
     # whole_name (unblocked) pass: the constant block key folds the
     # PassJoin FALLBACK leg's equi-condition to true, leaving its
     # length-band inequality as a BNLJ — build side is the indexed
