@@ -546,35 +546,69 @@ def nb_train_score(documents: DataFrame, test_mod: int) -> DataFrame:
     (``tests/test_llm_text.py``), so the learner the oracle pins and
     the learner proven to learn are one function."""
     is_test = F.col("doc_id") % test_mod == 0
-    tok = documents.select(
-        "doc_id", "lang", F.explode(tokens_col(F.col("text"))).alias("tok")
+    counts, stats = nb_fit(documents.filter(~is_test))
+    preds = nb_score(documents.filter(is_test), counts, stats)
+    gold = documents.filter(is_test).select("doc_id", F.col("lang").alias("gold_lang"))
+    return preds.join(gold, "doc_id").select(
+        "doc_id",
+        "gold_lang",
+        "pred_lang",
+        "nb_score",
+        (F.col("pred_lang") == F.col("gold_lang")).alias("correct"),
     )
-    train_tok = tok.filter(~is_test)
-    test_tok = tok.filter(is_test).select("doc_id", "tok")
 
-    counts = train_tok.groupBy(
-        F.col("lang").alias("lbl"), "tok"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    ltot = train_tok.groupBy(F.col("lang").alias("lbl")).agg(
-        F.count(F.lit(1)).alias("tot")
+
+def nb_token_counts(train_docs: DataFrame) -> DataFrame:
+    """The NB model's sufficient statistic: per-(label, token) counts.
+    A pure count aggregation, which is why the model is MERGEABLE —
+    counts from corpus batches union + re-sum to exactly the
+    full-corpus counts (``text_nb_incremental_train`` pins this)."""
+    return (
+        train_docs.select(
+            "doc_id", "lang", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy(F.col("lang").alias("lbl"), "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    prior = (
-        documents.filter(~is_test)
-        .groupBy(F.col("lang").alias("lbl"))
-        .agg(F.count(F.lit(1)).alias("docs"))
+
+
+def nb_merge_counts(*counts: DataFrame) -> DataFrame:
+    """Merge per-batch NB count tables into one model — union + re-sum
+    (the mergeable-sketch discipline applied to a classifier)."""
+    merged = counts[0]
+    for c in counts[1:]:
+        merged = merged.unionByName(c)
+    return merged.groupBy("lbl", "tok").agg(F.sum("cnt").alias("cnt"))
+
+
+def nb_fit(train_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train multinomial NB: returns (counts, stats) — the
+    (label, token) count table and the per-label stats frame
+    (token total, doc prior, vocab size, train doc total). Both are
+    pure aggregations; stats is label-count-sized (broadcast)."""
+    counts = nb_token_counts(train_docs)
+    ltot = counts.groupBy("lbl").agg(F.sum("cnt").alias("tot"))
+    prior = train_docs.groupBy(F.col("lang").alias("lbl")).agg(
+        F.count(F.lit(1)).alias("docs")
     )
-    vocab = train_tok.select("tok").distinct().agg(
-        F.count(F.lit(1)).alias("v")
-    )
-    tdocs = documents.filter(~is_test).agg(F.count(F.lit(1)).alias("n"))
+    vocab = counts.select("tok").distinct().agg(F.count(F.lit(1)).alias("v"))
+    tdocs = train_docs.agg(F.count(F.lit(1)).alias("n"))
     stats = (
         ltot.join(prior, "lbl")
         .crossJoin(F.broadcast(vocab))
         .crossJoin(F.broadcast(tdocs))
     )
+    return counts, stats
 
+
+def nb_score(docs: DataFrame, counts: DataFrame, stats: DataFrame) -> DataFrame:
+    """Score (doc_id, text) docs against a fitted NB model: per-doc
+    argmax label and rounded log-joint score. Stateless per doc — the
+    streaming leg (``streaming/classify.py``) runs THIS function per
+    micro-batch against the persisted model frames."""
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
     scored = (
-        test_tok.crossJoin(F.broadcast(stats))
+        tok.crossJoin(F.broadcast(stats))
         .join(counts, ["lbl", "tok"], "left")
         .groupBy("doc_id", "lbl")
         .agg(
@@ -593,13 +627,10 @@ def nb_train_score(documents: DataFrame, test_mod: int) -> DataFrame:
     best = scored.groupBy("doc_id").agg(
         F.max(F.struct("score", "lbl")).alias("best")
     )
-    gold = documents.filter(is_test).select("doc_id", F.col("lang").alias("gold_lang"))
-    return best.join(gold, "doc_id").select(
+    return best.select(
         "doc_id",
-        "gold_lang",
         F.col("best.lbl").alias("pred_lang"),
         F.col("best.score").alias("nb_score"),
-        (F.col("best.lbl") == F.col("gold_lang")).alias("correct"),
     )
 
 
@@ -638,6 +669,38 @@ def text_nb_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     (documents,) = _t(spark, sf_dir, "documents")
     return nb_train_score(documents, _NB_TEST_MOD)
+
+
+@register(
+    "text_nb_incremental_train",
+    oracle=f"""
+WITH tokl AS (SELECT doc_id, lang, {TOKENS_SQL.format(col="text")} AS toks
+              FROM documents WHERE doc_id % {_NB_TEST_MOD} <> 0),
+tok AS (SELECT doc_id, lang, unnest(toks) AS tok FROM tokl)
+SELECT lang AS lbl, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+""",
+)
+def text_nb_incremental_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental classifier training: the NB model's sufficient
+    statistic is a count table, so training is MERGEABLE — fit two
+    disjoint corpus batches separately, union + re-sum the counts, and
+    the merged model is bit-identical to training on the full corpus
+    at once (the oracle IS the full-corpus training). This is the
+    continuous-ingest shape for model maintenance at 100 TB: each
+    arriving batch contributes its own map-side-combined count table,
+    the merge is one vocab-bounded aggregation, and NOTHING is
+    retrained — the same mergeable-state discipline as the sketch
+    family (a5-a8) applied to a learned model. The split key (doc_id %
+    2) is arbitrary; any partition of the corpus merges to the same
+    model because counting is associative-commutative."""
+    tune(spark)
+    (documents,) = _t(spark, sf_dir, "documents")
+    train = documents.filter(F.col("doc_id") % _NB_TEST_MOD != 0)
+    batch_a = train.filter(F.col("doc_id") % 2 == 0)
+    batch_b = train.filter(F.col("doc_id") % 2 != 0)
+    return nb_merge_counts(
+        nb_token_counts(batch_a), nb_token_counts(batch_b)
+    ).select("lbl", "tok", F.col("cnt").cast("long").alias("cnt"))
 
 
 _STOPWORDS = ("the", "a", "and", "of", "to")
