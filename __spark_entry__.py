@@ -46,6 +46,7 @@ _PRIORITY = [
     "text_nb_langid_classifier",
     "text_lr_quality_classifier",
     "text_nb_incremental_train",
+    "sim_hard_negative_mining",
     "geo_locality_assign_nearest_fallback",
     "pii_l_diversity_audit",
     # plan-changed this round: link_feed_to_masters grew the

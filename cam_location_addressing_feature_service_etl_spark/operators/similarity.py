@@ -125,6 +125,7 @@ def ivf_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    pair_predicate: Column | None = None,
 ) -> DataFrame:
     """IVF ANN search: each query probes its ``nprobe`` nearest cells
     and is scored exactly against only those cells' members.
@@ -136,7 +137,15 @@ def ivf_search(
     pool can only keep more of the true top-k). At scale the member
     side is stored bucketed by ``centroid_id`` and the probe join
     touches only those buckets' partitions; centroids broadcast.
-    """
+
+    ``pair_predicate`` (over columns ``query_id``, ``neighbor_id``,
+    ``cosine``) restricts the candidate pairs BEFORE the top-k rank —
+    the hook for filtered retrieval (hard-negative mining excludes the
+    anchor's own label and caps the score; a metadata filter excludes
+    forbidden sources). Filtering before the rank is what makes the
+    result the exact top-k of the RESTRICTED pool, not a post-filter
+    of the unrestricted top-k (which could return < k rows and lose
+    deeper valid neighbors)."""
     assigned = ivf_assign(vectors, centroids, id_col, vec_col, round_digits)
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), as_double_array(F.col(vec_col)).alias("cv")
@@ -171,16 +180,18 @@ def ivf_search(
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot_col(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")),
+            round_digits,
+        ).alias("cosine"),
+    )
+    if pair_predicate is not None:
+        scored = scored.filter(pair_predicate)
     return (
-        cand.select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot_col(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")),
-                round_digits,
-            ).alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )

@@ -200,6 +200,97 @@ def sim_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(members, centroids, queries, k=3, nprobe=2)
 
 
+_HN_SOURCES = 7     # synthetic domain label: vec_id % 7
+_HN_CAP = 0.95      # semi-hard cap: exclude probable duplicates/positives
+_HN_K = 3
+
+
+@register(
+    "sim_hard_negative_mining",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < {_IVF_CENTROIDS}),
+member AS (SELECT vec_id, e FROM v WHERE vec_id >= {_IVF_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, centroid_id, e FROM (
+    SELECT m.vec_id, c.centroid_id, m.e,
+           ROW_NUMBER() OVER (PARTITION BY m.vec_id
+                              ORDER BY {_COS_SQL.format(a="m.e", b="c.ce")} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM member m CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM member
+      WHERE vec_id >= {_IVF_QUERY_LO} AND vec_id < {_IVF_QUERY_HI}),
+probes AS (
+  SELECT query_id, centroid_id, qe FROM (
+    SELECT q.query_id, c.centroid_id, q.qe,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS_SQL.format(a="q.qe", b="c.ce")} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="p.qe", b="a.e")} AS cosine
+  FROM probes p JOIN assigned a
+    ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+),
+neg AS (
+  SELECT * FROM scored
+  WHERE query_id % {_HN_SOURCES} <> neighbor_id % {_HN_SOURCES}
+    AND cosine < {_HN_CAP}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM neg
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_HN_K}
+""",
+)
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each anchor, the top-{k} MOST-similar vectors carrying a DIFFERENT
+    domain label (vec_id % {s} — the stand-in for source/topic), with
+    a semi-hard cap (cosine < {cap}) excluding probable duplicates
+    and unlabeled positives — the triplet-loss negative selection
+    recipe (high-similarity, wrong-label). Plan: the SAME bucketed
+    IVF nprobe=2 search as ``sim_ann_ivf_nprobe2``, with the
+    anti-label + cap predicate applied BEFORE the per-anchor top-k
+    rank (``ivf_search(pair_predicate=...)``) — so the result is the
+    exact top-k of the restricted pool, not a lossy post-filter of
+    the unrestricted top-k, and candidate volume stays nprobe-bounded
+    (never corpus × corpus). At 100 TB the mined pairs feed training
+    batches directly; the label can be any metadata column."""
+    from ..operators.similarity import ivf_search
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    centroids = embeddings.filter(F.col("vec_id") < _IVF_CENTROIDS)
+    members = embeddings.filter(F.col("vec_id") >= _IVF_CENTROIDS)
+    queries = members.filter(
+        (F.col("vec_id") >= _IVF_QUERY_LO) & (F.col("vec_id") < _IVF_QUERY_HI)
+    )
+    return ivf_search(
+        members,
+        centroids,
+        queries,
+        k=_HN_K,
+        nprobe=2,
+        pair_predicate=(
+            (F.col("query_id") % _HN_SOURCES != F.col("neighbor_id") % _HN_SOURCES)
+            & (F.col("cosine") < _HN_CAP)
+        ),
+    )
+
+
+sim_hard_negative_mining.__doc__ = sim_hard_negative_mining.__doc__.format(
+    k=_HN_K, s=_HN_SOURCES, cap=_HN_CAP
+)
+
+
 _KM_K = 8
 
 # squared distance as the same left-to-right fold Spark uses:

@@ -32,6 +32,7 @@ CARTESIAN_ALLOWED = {
     "sim_cosine_topk_bruteforce",
     "sim_ann_ivf_bucketed",
     "sim_ann_ivf_nprobe2",
+    "sim_hard_negative_mining",     # same broadcast-centroid probe stage as nprobe2
     "emb_matryoshka_recall",        # brute-force scoring twice (full/half dims)
     "text_bigram_logprob",          # 1-row broadcast vocabulary size
     "sim_kmeans_assignments",
