@@ -47,6 +47,7 @@ _PRIORITY = [
     "text_lr_quality_classifier",
     "text_nb_incremental_train",
     "sim_hard_negative_mining",
+    "ev_ewma_value",
     "geo_locality_assign_nearest_fallback",
     "pii_l_diversity_audit",
     # plan-changed this round: link_feed_to_masters grew the

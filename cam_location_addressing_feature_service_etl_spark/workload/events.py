@@ -236,6 +236,81 @@ def ev_user_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EWMA_ALPHA = 0.3
+_EWMA_LAGS = 16  # (1-a)^16 ≈ 0.0033: truncation bias < 0.4% of scale
+#: quantized convolution weights, micro-units of α(1-α)^j — generated
+#: ONCE here and embedded as integer literals in BOTH engines, so the
+#: whole EWMA is exact integer arithmetic (a float formulation
+#: measurably landed a row exactly on the 1e-6 rounding boundary)
+_EWMA_W = [round(_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j * 1_000_000) for j in range(_EWMA_LAGS)]
+
+
+@register(
+    "ev_ewma_value",
+    oracle=f"""
+WITH framed AS (
+  SELECT event_id, user_id,
+         list(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS {_EWMA_LAGS - 1} PRECEDING) AS lst
+  FROM events
+)
+SELECT event_id, user_id,
+       list_reduce(list_transform(list_reverse(lst),
+             (x, j) -> x * ({_EWMA_W})[j]),
+             (acc, x) -> acc + x)
+         AS ewma_micro
+FROM framed
+""",
+)
+def ev_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values
+    — the smoothing primitive behind engagement trend lines and
+    anomaly baselines (companion to ``ev_anomaly_mad_flags``'s robust
+    one). Formulated as a FINITE {k}-lag window convolution, s_t =
+    Σ_(j<{k}) w_j · x_(t-j), rather than the textbook recurrence:
+    (1-α)^{k} ≈ 0.003 so truncation bias is <0.4% of scale, both
+    engines apply the identical truncation, and the recurrence form
+    would thread state through every row (a sequential per-user scan,
+    inexpressible without a stateful UDF). The weights are QUANTIZED
+    to micro-units once in Python and embedded as integer literals in
+    both engines, and values are centi-quantized exactly, so the
+    whole convolution is exact BIGINT arithmetic — no float fold
+    order to disagree on (the float version of this query measurably
+    landed one row exactly on the 1e-6 rounding boundary; output is
+    in 1e-8 units of the original value scale). The plan is one
+    per-user window sort and a {k}-element vectorized fold per row —
+    no shuffle beyond the window's, per-row work bounded by the lag
+    constant. The frame array is materialized as a column BEFORE the
+    transform lambda (evaluate-once discipline)."""
+    events = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_LAGS - 1), 0)
+    )
+    xi = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    framed = events.select(
+        "event_id",
+        "user_id",
+        F.reverse(F.collect_list(xi).over(w)).alias("rev"),
+        F.array(*[F.lit(wj) for wj in _EWMA_W]).alias("wts"),
+    )
+    weighted = F.transform(
+        F.col("rev"), lambda x, j: x * F.element_at(F.col("wts"), j + 1)
+    )
+    return framed.select(
+        "event_id",
+        "user_id",
+        F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "ewma_micro"
+        ),
+    )
+
+
+ev_ewma_value.__doc__ = ev_ewma_value.__doc__.format(k=_EWMA_LAGS)
+
+
 @register(
     "agg_top_revenue_segments",
     oracle="""
