@@ -174,6 +174,10 @@ class SparqlReader(DataSourceReader):
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         client = _client(self.options)
         if isinstance(partition, KeyBatchPartition):
+            if not partition.keys:
+                # empty key universe: an empty VALUES {} block is
+                # invalid SPARQL — the one planned partition is empty
+                return
             block = " ".join(f"<{k}>" for k in partition.keys)
             q = self.query.replace(
                 "{values}", f"VALUES ?{self.key_var} {{ {block} }}"

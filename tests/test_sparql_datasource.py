@@ -175,3 +175,36 @@ def test_composes_with_flatten_semantics(registered):
         .collect()
     }
     assert got == {True: 60, False: 30}
+
+
+def test_empty_key_universe_reads_empty(registered):
+    """A keys query matching nothing must yield an empty frame, not an
+    invalid empty VALUES block."""
+    from pyspark.sql.types import StructType
+
+    from cam_location_addressing_feature_service_etl_spark.sources.sparql_http import (
+        SparqlClient,
+    )
+    import cam_location_addressing_feature_service_etl_spark.sources.sparql_datasource as m
+
+    def transport(_url, form):
+        assert "VALUES" not in form["query"], form["query"]
+        return {"results": {"bindings": []}}
+
+    reader = SparqlReader(
+        {
+            "query": "SELECT ?pid WHERE { {values} ?pid a :A }",
+            "variables": "pid",
+            "keys_query": "SELECT ?pid WHERE { ?pid a :Nothing }",
+            "mode": "fake",
+        },
+        StructType(),
+    )
+    orig = m._client
+    m._client = lambda _o: SparqlClient("x", transport=transport)
+    try:
+        parts = reader.partitions()
+        assert parts == [KeyBatchPartition(keys=())]
+        assert list(reader.read(parts[0])) == []
+    finally:
+        m._client = orig
