@@ -16,9 +16,11 @@ the same remedy): the convolution window is defined by (ts, event_id)
 order, so per-user events must arrive in nondecreasing (ts, event_id)
 across micro-batches — the kernel sorts within a batch and RAISES on a
 cross-batch violation rather than emitting silently-wrong smoothed
-values; an out-of-order transport needs a reorder stage in front
-(``streaming/reorder.py`` is that operator for the semdedup feed; the
-same watermark-release pattern applies here keyed by user).
+values; an out-of-order transport needs a reorder stage in front —
+``streaming/reorder.py`` IS that operator (generic over key/seq/
+payload columns; the composed out-of-order feed → reorder keyed by
+user → ewma pipeline reconciles bit-for-bit with the batch query in
+``tests/test_streaming_reorder.py``).
 """
 
 from __future__ import annotations

@@ -194,3 +194,156 @@ def test_reorder_then_semdedup_reconciles_with_batch(spark, tmp_path):
         for r in QUERIES["sim_semdedup_prune"](spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_reorder_then_ewma_reconciles_with_batch(spark, tmp_path):
+    """The generic buffer composes with the OTHER ordering-contract
+    stream: smoke events dealt into id-backward batches (a feed
+    ewma_stream alone rejects) → reorder keyed by USER with a scalar
+    payload → ewma — final values equal the batch window convolution
+    bit-for-bit."""
+    import pandas as pd
+
+    from cam_location_addressing_feature_service_etl_spark.streaming.ewma import (
+        ewma_stream,
+    )
+    from cam_location_addressing_feature_service_etl_spark.tables import load
+    from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    d = tmp_path / "ev_feed"
+    d.mkdir()
+    pdf = (
+        load(spark, SF_SMOKE, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .toPandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    t = pa.Table.from_pandas(pdf, preserve_index=False)
+    m = 1_700_000_000
+    # odd rows then even rows: event_ids go backward across batches
+    pq.write_table(t.take(list(range(1, t.num_rows, 2))), d / "f1.parquet")
+    pq.write_table(t.take(list(range(0, t.num_rows, 2))), d / "f2.parquet")
+    os.utime(d / "f1.parquet", (m, m))
+    os.utime(d / "f2.parquet", (m + 60, m + 60))
+    # sentinels: push the watermark past every real event, then one
+    # more batch so idle users flush via the event-time timeout
+    far = pdf["ts"].max() + pd.Timedelta(days=30)
+    for i, name in enumerate(("s1.parquet", "s2.parquet")):
+        spdf = pd.DataFrame(
+            {
+                "event_id": np.int64([10_000_000 + i]),
+                "ts": pd.Series([far + pd.Timedelta(seconds=i)]).astype(
+                    "datetime64[us]"
+                ),
+                "user_id": np.int64([999_999]),
+                "value": [0.0],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(spdf, preserve_index=False), d / name)
+        os.utime(d / name, (m + 120 + 60 * i, m + 120 + 60 * i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    ordered_dir = str(tmp_path / "ordered")
+
+    def _emit(batch, _bid):
+        (
+            batch.filter(F.col("status") == RELEASED)
+            .select("event_id", "ts", "user_id", "value")
+            .write.mode("append")
+            .parquet(ordered_dir)
+        )
+
+    q = (
+        reorder_stream(
+            stream,
+            "30 days",
+            key_col="user_id",
+            seq_col="event_id",
+            payload_cols=("ts", "value"),
+        )
+        .writeStream.foreachBatch(_emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert spark.read.parquet(ordered_dir).count() == t.num_rows
+
+    q2 = (
+        ewma_stream(
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, value double"
+            ).parquet(ordered_dir)
+        )
+        .writeStream.format("memory")
+        .queryName("reorder_ewma")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    got = {
+        (r["event_id"], r["user_id"], r["ewma_micro"])
+        for r in spark.table("reorder_ewma").collect()
+    }
+    want = {
+        (r["event_id"], r["user_id"], r["ewma_micro"])
+        for r in QUERIES["ev_ewma_value"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_reorder_random_bounded_disorder_property(spark, tmp_path):
+    """Seeded property sweep: ANY shuffle of a seq-in-event-time feed
+    whose per-batch disorder stays within the lateness bound must come
+    out complete, released in strictly increasing seq order per key,
+    with nothing flagged late."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(0xB0F)
+    rows = []
+    for k in range(3):
+        for s in range(40):
+            rows.append((k * 1000 + s, k, [float(k)], 1_700_000_000 + s * 10))
+    rng.shuffle(rows)
+    d = tmp_path / "feed"
+    d.mkdir()
+    m = 1_700_000_000
+    n_files = 8
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = rows[i * per : (i + 1) * per]
+        if chunk:
+            _write_feed(d, f"f{i}.parquet", chunk, m + 60 * i)
+    # sentinels advance + flush
+    _write_feed(d, "s1.parquet", [(10_000, 99, [0.0], _BASE + 10**6)], m + 1000)
+    _write_feed(d, "s2.parquet", [(10_001, 99, [0.0], _BASE + 10**6 + 1)], m + 1060)
+
+    out = _run_reorder(
+        # lateness covers the full 400s event-time span of each key
+        spark, d, str(tmp_path / "sink"), "1000 seconds"
+    ).filter(F.col("cluster") < 99)
+    rel = [
+        (r["bid"], r["cluster"], r["vec_id"])
+        for r in out.filter(F.col("status") == RELEASED)
+        .orderBy("bid", "cluster", "vec_id")
+        .collect()
+    ]
+    assert not out.filter(F.col("status") == DROPPED_LATE).count()
+    per_key: dict[int, list[int]] = {}
+    for _, k, v in rel:
+        per_key.setdefault(k, []).append(v)
+    assert set(per_key) == {0, 1, 2}
+    for k, vids in per_key.items():
+        assert vids == sorted(vids), f"out-of-order release for key {k}"
+        assert vids == [k * 1000 + s for s in range(40)], f"lost rows key {k}"
