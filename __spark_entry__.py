@@ -48,6 +48,7 @@ _PRIORITY = [
     "text_nb_incremental_train",
     "sim_hard_negative_mining",
     "ev_ewma_value",
+    "er_resolve_entities",
     "geo_locality_assign_nearest_fallback",
     "pii_l_diversity_audit",
     # plan-changed this round: link_feed_to_masters grew the

@@ -1367,6 +1367,174 @@ geo_fuzzy_link_feed_full.__doc__ = geo_fuzzy_link_feed_full.__doc__.format(
 )
 
 
+#: deterministic "registry rot": a second copy of every master with ONE
+#: character overwritten by 'q' at position (7·key % length) — the
+#: near-duplicate records a real master registry accumulates. Shared
+#: by the Spark query and the oracle so both engines build the same
+#: dirty master list.
+_ER_VARIANT_SQL = (
+    "concat(substr(p_name, 1, ((p_partkey * 7) % length(p_name))), 'q', "
+    "substr(p_name, ((p_partkey * 7) % length(p_name)) + 2))"
+)
+_ER_VARIANT_OFFSET = 1_000_000
+
+#: the ER feed: every third record's dirty name derives from the
+#: VARIANT registry row (so its best link IS the variant and the
+#:  entity stage must remap it to the clean key), the rest from the
+#: clean row — same z-corruption recipe as ``_FEED_NAME_SQL``
+_ER_FEED_SQL = (
+    f"CASE WHEN p_partkey % 3 = 0 THEN "
+    f"concat(substr(({_ER_VARIANT_SQL}), 1, (p_partkey % length(p_name))), 'z', "
+    f"substr(({_ER_VARIANT_SQL}), (p_partkey % length(p_name)) + 2)) "
+    f"ELSE {_FEED_NAME_SQL} END"
+)
+
+
+@register(
+    "er_resolve_entities",
+    oracle=f"""
+WITH RECURSIVE
+m AS (
+  SELECT p_partkey AS mk, p_name AS mn FROM part
+  UNION ALL
+  SELECT p_partkey + {_ER_VARIANT_OFFSET}, {_ER_VARIANT_SQL} FROM part
+),
+f AS (SELECT p_partkey AS fk, {_ER_FEED_SQL} AS fn FROM part),
+lpairs AS (
+  SELECT f.fk, m.mk, CAST(levenshtein(f.fn, m.mn) AS INT) AS d
+  FROM f JOIN m ON (
+    split_part(f.fn, ' ', 1) = split_part(m.mn, ' ', 1)
+    OR (string_split(f.fn, ' '))[-1] = (string_split(m.mn, ' '))[-1]
+  )
+  WHERE levenshtein(f.fn, m.mn) <= {_LINK_TAU}
+),
+lranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fk ORDER BY d, mk) AS rn FROM lpairs
+),
+links AS (SELECT fk, mk FROM lranked WHERE rn = 1),
+nm AS (SELECT DISTINCT mn FROM m),
+npairs AS (
+  SELECT a.mn AS na, b.mn AS nb FROM nm a JOIN nm b
+  ON (split_part(a.mn, ' ', 1) = split_part(b.mn, ' ', 1)
+      OR (string_split(a.mn, ' '))[-1] = (string_split(b.mn, ' '))[-1])
+     AND a.mn < b.mn
+  WHERE levenshtein(a.mn, b.mn) BETWEEN 1 AND {_LINK_TAU}
+),
+e AS (SELECT na AS s, nb AS d FROM npairs UNION ALL SELECT nb, na FROM npairs),
+cc(node, label) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT e.d, cc.label FROM cc JOIN e ON e.s = cc.node
+),
+comp AS (SELECT node, MIN(label) AS label FROM cc GROUP BY node),
+name_label AS (
+  SELECT nm.mn, COALESCE(c.label, nm.mn) AS label
+  FROM nm LEFT JOIN comp c ON c.node = nm.mn
+),
+entity AS (
+  SELECT nl.label, MIN(m.mk) AS entity_key
+  FROM m JOIN name_label nl ON nl.mn = m.mn GROUP BY 1
+)
+SELECT l.fk AS feed_key, l.mk AS master_key, e2.entity_key
+FROM links l
+JOIN m ON m.mk = l.mk
+JOIN name_label nl ON nl.mn = m.mn
+JOIN entity e2 ON e2.label = nl.label
+""",
+)
+def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ENTITY RESOLUTION — the composite the linkage and
+    dedup families exist for, run as ONE plan over a master registry
+    that has accumulated near-duplicate records (every master appears
+    twice: clean + a deterministic one-character variant, the
+    "registry rot" a real addressing master list carries): (1) the
+    registry self-deduplicates at the DISTINCT-NAME level (token-UNION
+    blocked PassJoin candidates — the multiblock recall fix, so a
+    variant corrupted in either token still pairs — one distinct, one
+    Levenshtein verify; value space, so repeated names cost once);
+    (2) converged connected components over the name graph
+    (large-star/small-star, ``connected_components_star``) collapse
+    transitive near-dup chains into entities; (3) each entity takes
+    the MIN master key over its member rows as the stable entity key —
+    variants resolve to their clean record's key; (4) the dirty feed
+    links to its best master (token-union multiblock) and resolves
+    THROUGH it: a feed row whose best match is a variant still lands
+    on the clean entity (asserted non-vacuously in
+    ``tests/test_geo_ops.py``). Output: (feed_key, master_key,
+    entity_key) — "which real-world entity is this dirty record?", the
+    reference's addressing question asked all the way through
+    (pls/tables.py:70 links on an exact code; this is the pipeline
+    when no code exists).
+
+    Scale: every stage is one of the already-probed sub-quadratic
+    plans — PassJoin candidates ∝ true near-matches, CC over the
+    distinct-NAME graph (vocabulary-sized, orders of magnitude smaller
+    than row count) in O(log n) shrinking rounds, the entity argmin a
+    partial-aggregatable groupBy, and the final resolution three
+    equi-joins. The oracle restates all four stages in SQL with a
+    recursive reachability CTE for the converged components."""
+    from ..operators.dedup import connected_components_star
+    from ..operators.fuzzy import passjoin_candidates
+
+    tune(spark)
+    part = load(spark, sf_dir, "part")
+    m = part.select(
+        F.col("p_partkey").alias("mk"), F.col("p_name").alias("mn")
+    ).unionByName(
+        part.select(
+            (F.col("p_partkey") + _ER_VARIANT_OFFSET).alias("mk"),
+            F.expr(_ER_VARIANT_SQL).alias("mn"),
+        )
+    )
+    feed = part.select(
+        F.col("p_partkey").alias("fk"), F.expr(_ER_FEED_SQL).alias("fn")
+    )
+
+    # master self-dedup edges: token-union blocking (same recall fix
+    # as the multiblock linkage — a variant whose corruption landed in
+    # one token still shares the other), PassJoin candidates per pass,
+    # one distinct, one verify
+    nm_names = m.select(F.col("mn").alias("nm")).distinct().localCheckpoint(
+        eager=False
+    )
+    cand = None
+    for bk in _LINK_BLOCK_STRATEGIES:
+        c = passjoin_candidates(
+            _block_names(nm_names, bk), "nm", "blk", _LINK_TAU, seg_col="rest"
+        ).select("name_a", "name_b")
+        cand = c if cand is None else cand.unionByName(c)
+    edges = (
+        cand.distinct()
+        .withColumn("d", F.levenshtein(F.col("name_a"), F.col("name_b")))
+        .filter(F.col("d").between(1, _LINK_TAU))
+        .select(F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b"))
+    )
+    comp = connected_components_star(edges)
+    name_label = nm_names.join(
+        comp, nm_names["nm"] == comp["node"], "left"
+    ).select("nm", F.coalesce(F.col("label"), F.col("nm")).alias("label"))
+    entity = (
+        m.join(name_label, m["mn"] == name_label["nm"])
+        .groupBy("label")
+        .agg(F.min("mk").alias("entity_key"))
+    )
+
+    links = link_feed_to_masters(
+        m, feed, _LINK_TAU, block_keys=_LINK_BLOCK_STRATEGIES
+    ).select("feed_key", "master_key")
+    # fresh aliases: m and name_label each feed two join branches
+    m2 = m.select(F.col("mk").alias("mk2"), F.col("mn").alias("mn2"))
+    nl2 = name_label.select(
+        F.col("nm").alias("nm2"), F.col("label").alias("label2")
+    )
+    return (
+        links.join(m2, links["master_key"] == m2["mk2"])
+        .join(nl2, m2["mn2"] == nl2["nm2"])
+        .join(entity, entity["label"] == nl2["label2"])
+        .select("feed_key", "master_key", "entity_key")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Geofence enter/exit transitions — batch twin of the streaming leg
 # ---------------------------------------------------------------------------

@@ -488,3 +488,30 @@ def test_locality_nearest_fallback_is_total(spark):
     for pid in moat:
         loc, method = got[pid]
         assert method == "nearest" and loc in {"MAIN", "ENCLAVE"}, (pid, loc, method)
+
+
+def test_er_resolve_remaps_variant_links_to_clean_entity(spark):
+    """The ER composite must be NON-VACUOUS: some feed records' best
+    master is a registry VARIANT (their dirty name derives from it),
+    and every one of them must resolve through the name-graph entity
+    to the CLEAN record's key; clean-linked records resolve to
+    themselves' entity."""
+    from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+    from cam_location_addressing_feature_service_etl_spark.workload.geo import (
+        _ER_VARIANT_OFFSET,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["er_resolve_entities"](spark, SF_SMOKE).collect()
+    assert rows
+    via_variant = [r for r in rows if r["master_key"] >= _ER_VARIANT_OFFSET]
+    assert via_variant, "no feed row linked via a variant — composite vacuous"
+    # every variant link resolves to a clean entity key, specifically
+    # the variant's own clean twin (variant key - offset) unless the
+    # name graph merged it further down (entity = component MIN)
+    for r in via_variant:
+        assert r["entity_key"] < _ER_VARIANT_OFFSET, r
+        assert r["entity_key"] <= r["master_key"] - _ER_VARIANT_OFFSET, r
+    # and entity keys are always component minima: never above the key
+    # they resolve from
+    assert all(r["entity_key"] <= r["master_key"] for r in rows)
