@@ -49,6 +49,7 @@ _PRIORITY = [
     "sim_hard_negative_mining",
     "ev_ewma_value",
     "er_resolve_entities",
+    "mv_retractable_agg_maintenance",
     "geo_locality_assign_nearest_fallback",
     "pii_l_diversity_audit",
     # plan-changed this round: link_feed_to_masters grew the

@@ -1034,6 +1034,68 @@ FROM events GROUP BY event_type
 """
 
 
+@register(
+    "mv_retractable_agg_maintenance",
+    oracle="""
+WITH eff AS (
+  SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+  WHERE (event_id % 10 < 8 AND event_id % 7 <> 0)  -- base minus deletes
+     OR event_id % 10 >= 8                          -- plus inserts
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v) AS BIGINT) AS total_centi
+FROM eff GROUP BY user_id
+""",
+)
+def mv_retractable_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance with RETRACTIONS — the piece
+    neither ``a8_incremental_agg_merge`` (insert-only partial merge)
+    nor ``m7_cdc_apply_tombstones`` (row-level snapshot apply) covers:
+    a per-user (count, sum) aggregate is maintained under a CDC delta
+    containing BOTH inserts and deletes of base rows, WITHOUT
+    rescanning the base fact table. Count and sum are abelian-group
+    aggregates, so a delete is just a negated contribution: the
+    standing aggregate's rows and the delta's signed rows union into
+    one partial-aggregatable groupBy, and keys whose count reaches
+    zero drop out of the view. The maintenance stage's input is the
+    standing aggregate (|keys| rows) plus the delta (∝ increment) —
+    at 100 TB the base is never touched, which is the entire point of
+    an incremental MV (non-group aggregates — MAX under deletes —
+    need a different mechanism; that asymmetry is why this op is
+    count/sum only). Exact centi-unit integers end to end; the oracle
+    recomputes the final effective state from scratch, proving
+    maintenance == recompute."""
+    events = _events(spark, sf_dir)
+    v = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    is_base = F.col("event_id") % 10 < 8
+    is_delete = is_base & (F.col("event_id") % 7 == 0)
+    # the standing view (in production: read from storage, not built)
+    agg0 = (
+        events.filter(is_base)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("dn"), F.sum(v).alias("dv"))
+    )
+    inserts = events.filter(~is_base).select(
+        "user_id", F.lit(1).cast("long").alias("dn"), v.alias("dv")
+    )
+    deletes = events.filter(is_delete).select(
+        "user_id", F.lit(-1).cast("long").alias("dn"), (-v).alias("dv")
+    )
+    return (
+        agg0.unionByName(inserts)
+        .unionByName(deletes)
+        .groupBy("user_id")
+        .agg(F.sum("dn").alias("n_events"), F.sum("dv").alias("total_centi"))
+        .filter(F.col("n_events") > 0)
+        .select(
+            "user_id",
+            F.col("n_events").cast("long"),
+            F.col("total_centi").cast("long"),
+        )
+    )
+
+
 @register("a8_incremental_agg_merge", oracle=_A8_ORACLE)
 def a8_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance — the reference's A4 rowcount
