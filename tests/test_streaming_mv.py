@@ -1,0 +1,105 @@
+"""Streaming MV maintenance reconciles with the batch query and is
+idempotent under batch replay: the signed CDC deltas of
+mv_retractable_agg_maintenance stream through the versioned view loop
+and the final view equals the batch result; re-applying a batch (the
+foreachBatch at-least-once case) changes nothing."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from cam_location_addressing_feature_service_etl_spark.streaming.mv import (
+    apply_delta_batch,
+    maintain_view_stream,
+    read_delta_stream,
+    read_view,
+)
+from cam_location_addressing_feature_service_etl_spark.tables import load
+from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+
+def _signed_deltas(spark):
+    """The exact CDC rows the batch query applies: base rows as
+    inserts (batch 1), then increment inserts + base deletes
+    (batch 2)."""
+    events = load(spark, SF_SMOKE, "events")
+    v = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    is_base = F.col("event_id") % 10 < 8
+    is_delete = is_base & (F.col("event_id") % 7 == 0)
+    b1 = events.filter(is_base).select(
+        "user_id", F.lit(1).cast("long").alias("dn"), v.alias("dv")
+    )
+    b2 = (
+        events.filter(~is_base)
+        .select("user_id", F.lit(1).cast("long").alias("dn"), v.alias("dv"))
+        .unionByName(
+            events.filter(is_delete).select(
+                "user_id", F.lit(-1).cast("long").alias("dn"), (-v).alias("dv")
+            )
+        )
+    )
+    return b1, b2
+
+
+def _rows(df):
+    return {
+        (r["user_id"], r["n_events"], r["total_centi"]) for r in df.collect()
+    }
+
+
+def test_mv_stream_reconciles_with_batch_query(spark, tmp_path):
+    b1, b2 = _signed_deltas(spark)
+    d = tmp_path / "cdc"
+    d.mkdir()
+    now = 1_700_000_000
+    for i, b in enumerate((b1, b2)):
+        f = d / f"b{i}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(b.toPandas(), preserve_index=False), f
+        )
+        os.utime(f, (now + 60 * i, now + 60 * i))
+
+    view_dir = str(tmp_path / "view")
+    q = maintain_view_stream(
+        read_delta_stream(spark, str(d), max_files_per_trigger=1),
+        view_dir,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    want = _rows(QUERIES["mv_retractable_agg_maintenance"](spark, SF_SMOKE))
+    assert _rows(read_view(spark, view_dir)) == want
+
+
+def test_mv_apply_is_idempotent_under_replay(spark, tmp_path):
+    b1, b2 = _signed_deltas(spark)
+    view_dir = str(tmp_path / "view")
+    apply_delta_batch(b1, 0, view_dir)
+    after_first = _rows(read_view(spark, view_dir))
+    apply_delta_batch(b1, 0, view_dir)  # replayed batch: same content
+    assert _rows(read_view(spark, view_dir)) == after_first
+    apply_delta_batch(b2, 1, view_dir)
+    final = _rows(read_view(spark, view_dir))
+    apply_delta_batch(b2, 1, view_dir)  # replay the second batch too
+    assert _rows(read_view(spark, view_dir)) == final
+    want = _rows(QUERIES["mv_retractable_agg_maintenance"](spark, SF_SMOKE))
+    assert final == want
+
+
+def test_mv_view_version_pruning(spark, tmp_path):
+    from cam_location_addressing_feature_service_etl_spark.streaming.mv import (
+        _versions,
+    )
+
+    b1, _ = _signed_deltas(spark)
+    view_dir = str(tmp_path / "view")
+    for bid in range(5):
+        apply_delta_batch(b1, bid, view_dir, retain_versions=2)
+    assert _versions(spark, view_dir) == [3, 4]
