@@ -208,3 +208,55 @@ def test_empty_key_universe_reads_empty(registered):
         assert list(reader.read(parts[0])) == []
     finally:
         m._client = orig
+
+
+def test_sparql_stream_reader_incremental_batches(spark):
+    """The streaming twin: availableNow drains the fake endpoint in
+    page-size micro-batches; rows and keys must match the batch
+    scan (mirrors the ESRI stream test)."""
+    import tempfile
+
+    spark.dataSource.register(SparqlDataSource)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            spark.readStream.format("sparql")
+            .option("mode", "fake")
+            .option("fake_rows", "250")
+            .option("page_size", "100")
+            .option("variables", "pid,street")
+            .option("query", _Q)
+            .load()
+            .writeStream.format("memory")
+            .queryName("sparql_stream_t")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql("SELECT pid FROM sparql_stream_t").collect()
+    assert len(got) == 250
+    assert {r["pid"] for r in got} == {f"urn:pid:{i}" for i in range(250)}
+
+
+def test_sparql_stream_reader_replay_between_offsets():
+    """readBetweenOffsets must replay any committed range identically,
+    and every page query pins ORDER BY — the exactly-once contract
+    under retry."""
+    from pyspark.sql.types import StructType
+
+    from cam_location_addressing_feature_service_etl_spark.sources.sparql_datasource import (
+        SparqlStreamReader,
+    )
+
+    r = SparqlStreamReader(
+        {"mode": "fake", "fake_rows": "50", "page_size": "20",
+         "variables": "pid,street", "query": _Q},
+        StructType(),
+    )
+    it, off1 = r.read({"next": 0})
+    first = list(it)
+    assert off1 == {"next": 20} and len(first) == 20
+    assert list(r.readBetweenOffsets({"next": 0}, {"next": 20})) == first
+    # drained result set: empty batch, offset unchanged
+    it3, off3 = r.read({"next": 60})
+    assert list(it3) == [] and off3 == {"next": 60}
