@@ -32,6 +32,54 @@ from ..workload.llm_text import nb_score
 DOC_SCHEMA = "doc_id bigint, text string"
 
 
+LABELED_SCHEMA = "doc_id bigint, lang string, text string"
+_MODEL_SCHEMA = "lbl string, tok string, cnt bigint"
+
+
+def read_model(spark: SparkSession, model_dir: str) -> DataFrame:
+    """The current (max committed version) count-table model; empty
+    with the model schema when untrained."""
+    from .versioned import read_latest
+
+    return read_latest(spark, model_dir, _MODEL_SCHEMA)
+
+
+def train_model_stream(
+    labeled_stream: DataFrame,
+    model_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """STREAMING TRAINING — the other half of the classifier loop:
+    each micro-batch of labeled docs (``LABELED_SCHEMA``) contributes
+    its own map-side-combined (label, token) count table, folded into
+    the versioned model with ``nb_merge_counts`` (training is
+    mergeable — ``text_nb_incremental_train`` pins counts-from-batches
+    == one-shot). Exactly-once under foreachBatch replay by the shared
+    idempotent-versioning discipline (``streaming/versioned.py``).
+    After any prefix of batches the model equals batch training on the
+    union of those batches' docs, so train and score streams compose:
+    retrain between scoring batches by re-reading ``read_model``."""
+    from ..workload.llm_text import nb_merge_counts, nb_token_counts
+    from .versioned import fold_version
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        fold_version(
+            nb_token_counts(batch),
+            batch_id,
+            model_dir,
+            _MODEL_SCHEMA,
+            lambda prior, delta: nb_merge_counts(prior, delta),
+        )
+
+    return (
+        labeled_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+        .start()
+    )
+
+
 def read_doc_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -96,3 +96,52 @@ def test_merged_model_scores_identically(spark):
         ).collect()
     }
     assert merged == whole
+
+
+def test_train_model_stream_equals_batch_training(spark, tmp_path):
+    """Streaming training folds per-batch count tables into the
+    versioned model; after the drain the model must equal one-shot
+    batch training on all the docs, and a scoring pass against the
+    streamed model must equal scoring against the batch-fitted one."""
+    from pyspark.sql import functions as F
+
+    from cam_location_addressing_feature_service_etl_spark.streaming.classify import (
+        LABELED_SCHEMA,
+        read_model,
+        train_model_stream,
+    )
+    from cam_location_addressing_feature_service_etl_spark.workload.llm_text import (
+        nb_token_counts,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    train = docs.filter(F.col("doc_id") % _NB_TEST_MOD != 0)
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    pdf = train.select("doc_id", "lang", "text").toPandas().sort_values("doc_id")
+    t = pa.Table.from_pandas(pdf, preserve_index=False)
+    half = t.num_rows // 2
+    now = 1_700_000_000
+    for i, sl in enumerate((t.slice(0, half), t.slice(half))):
+        f = d / f"b{i}.parquet"
+        pq.write_table(sl, f)
+        os.utime(f, (now + 60 * i, now + 60 * i))
+
+    model_dir = str(tmp_path / "model")
+    stream = (
+        spark.readStream.schema(LABELED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = train_model_stream(stream, model_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {
+        (r["lbl"], r["tok"], r["cnt"])
+        for r in read_model(spark, model_dir).collect()
+    }
+    want = {
+        (r["lbl"], r["tok"], r["cnt"]) for r in nb_token_counts(train).collect()
+    }
+    assert got == want
