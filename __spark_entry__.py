@@ -51,6 +51,7 @@ _PRIORITY = [
     "er_resolve_entities",
     "mv_retractable_agg_maintenance",
     "mv_max_maintenance_targeted",
+    "pii_dp_bounded_contribution",
     "geo_locality_assign_nearest_fallback",
     "pii_l_diversity_audit",
     # plan-changed this round: link_feed_to_masters grew the

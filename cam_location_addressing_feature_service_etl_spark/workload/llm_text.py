@@ -1275,6 +1275,74 @@ def pii_redact_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DP_CAP_K = 20      # max events one user may contribute
+_DP_CLAMP_LO = 0    # value clamp bounds (centi-units below)
+_DP_CLAMP_HI = 10
+
+
+@register(
+    "pii_dp_bounded_contribution",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type, user_id,
+         LEAST(GREATEST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                        {_DP_CLAMP_LO * 100}), {_DP_CLAMP_HI * 100}) AS cv,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+capped AS (SELECT * FROM ranked WHERE rn <= {_DP_CAP_K})
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cv) AS BIGINT) AS sum_clamped_centi
+FROM capped GROUP BY event_type
+""",
+)
+def pii_dp_bounded_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitivity bounding — the deterministic preprocessing half of
+    a differentially private release (the noise half is a separate,
+    necessarily non-deterministic step; what an engine must provide is
+    the part that makes the noise scale FINITE): every user's
+    contribution is capped at the first {k} events (deterministic
+    (ts, event_id) order, so both engines cap the same rows) and every
+    value winsorized into [{lo}, {hi}], after which one user can shift
+    any per-type sum by at most {k}·{hi} and any count by at most {k}
+    — the bounded sensitivity a DP mechanism needs, and a useful
+    robustness guard (bot/whale damping) even without noise. Plan: one
+    per-user window rank (the cap), pure column clamps, one
+    partial-aggregatable groupBy — shuffle ∝ users + types. Companion
+    to the k-anonymity/l-diversity audits: they measure re-identifi-
+    cation structure, this bounds influence. Exact centi-ints."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+
+    cv = F.least(
+        F.greatest(
+            F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            F.lit(_DP_CLAMP_LO * 100),
+        ),
+        F.lit(_DP_CLAMP_HI * 100),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        ev.select("event_type", "user_id", cv.alias("cv"), "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DP_CAP_K)
+    )
+    return capped.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cv").cast("long").alias("sum_clamped_centi"),
+    )
+
+
+pii_dp_bounded_contribution.__doc__ = pii_dp_bounded_contribution.__doc__.format(
+    k=_DP_CAP_K, lo=_DP_CLAMP_LO, hi=_DP_CLAMP_HI
+)
+
+
 _KANON_K = 5
 
 
