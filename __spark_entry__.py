@@ -52,6 +52,7 @@ _PRIORITY = [
     "mv_retractable_agg_maintenance",
     "mv_max_maintenance_targeted",
     "pii_dp_bounded_contribution",
+    "dq_profile_orders",
     "geo_locality_assign_nearest_fallback",
     "pii_l_diversity_audit",
     # plan-changed this round: link_feed_to_masters grew the

@@ -828,7 +828,17 @@ def lr_train_score(
     keeps float drift from compounding across steps (same discipline
     as operators/kmeans.py lloyd). Shuffle per step is ONE 3-number
     aggregate; at 100 TB the cost is `rounds` passes over the train
-    split, each map-side-combined to 3 doubles per partition."""
+    split, each map-side-combined to 3 doubles per partition.
+
+    Why there is NO streaming-training twin (the NB model has one,
+    ``streaming/classify.py train_model_stream``): GD steps are
+    order-dependent and non-associative — batch-1-then-batch-2 ≠
+    one-shot — so per-batch folding cannot reproduce batch training
+    the way NB's mergeable counts can; online SGD is a different
+    algorithm with different semantics (parameter-server territory),
+    not a streaming re-expression of this one. The honest streaming
+    composition for the linear model is: retrain in batch on a
+    schedule, hot-swap the weight frame between scoring batches."""
     is_test = F.col("doc_id") % test_mod == 0
     toks = tokens_col(F.col("text"))
     stop_cnt = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))

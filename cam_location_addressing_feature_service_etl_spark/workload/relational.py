@@ -1384,3 +1384,92 @@ def a13_theta_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 a13_theta_join_cardinality.__doc__ = a13_theta_join_cardinality.__doc__.format(
     t=_A13_TOL
 )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality column profile (expectation-suite input)
+# ---------------------------------------------------------------------------
+
+#: (column, value-expression SQL for min/max repr). Price profiles in
+#: exact centi-units and the timestamp through an explicit format so
+#: the repr is engine-independent (double/timestamp default casts are
+#: not a cross-engine contract).
+_DQ_COLS = [
+    ("o_orderkey", "CAST({c} AS VARCHAR)", "CAST(o_orderkey AS STRING)"),
+    ("o_custkey", "CAST({c} AS VARCHAR)", "CAST(o_custkey AS STRING)"),
+    ("o_orderstatus", "{c}", "o_orderstatus"),
+    (
+        "o_totalprice",
+        "CAST(CAST(FLOOR({c} * 100 + 0.5) AS BIGINT) AS VARCHAR)",
+        "CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING)",
+    ),
+    (
+        "o_orderdate",
+        "STRFTIME({c}, '%Y-%m-%d %H:%M:%S')",
+        "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')",
+    ),
+    ("o_orderpriority", "{c}", "o_orderpriority"),
+]
+
+
+def _dq_oracle() -> str:
+    selects = []
+    for col, duck_repr, _ in _DQ_COLS:
+        r = duck_repr.format(c=col)
+        rmin = duck_repr.format(c=f"MIN({col})")
+        rmax = duck_repr.format(c=f"MAX({col})")
+        selects.append(f"""
+SELECT '{col}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       {rmin} AS min_repr, {rmax} AS max_repr
+FROM orders""")
+    return "\nUNION ALL\n".join(selects)
+
+
+@register("dq_profile_orders", oracle=_dq_oracle())
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile — the input an expectation suite is
+    written against (null rates, cardinalities, value ranges), as one
+    engine pass: a SINGLE aggregate row computes every column's
+    non-null count, exact distinct count, and min/max representation,
+    is lazily checkpointed (six per-column output rows fan out of it —
+    without the boundary the orders scan replays per branch), and
+    unpivots to one row per column. Exact countDistinct across N
+    columns plans one Expand (N× row multiplication before partial
+    aggregation) — acceptable for profile runs; a continuous monitor
+    at 100 TB swaps in approx_count_distinct and the Expand disappears.
+    Representations are pinned engine-independently (centi-units for
+    the double, explicit format for the timestamp); the oracle states
+    the same profile as six scans UNIONed — same answer, proving the
+    single-pass unpivot purely physical."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, _, spark_repr in _DQ_COLS:
+        aggs.extend(
+            [
+                F.count(col).alias(f"nn_{col}"),
+                F.countDistinct(col).alias(f"nd_{col}"),
+                F.expr(spark_repr.replace(col, f"MIN({col})", 1)).alias(
+                    f"mn_{col}"
+                ),
+                F.expr(spark_repr.replace(col, f"MAX({col})", 1)).alias(
+                    f"mx_{col}"
+                ),
+            ]
+        )
+    row = orders.agg(*aggs).transform(materialize)
+    out = None
+    for col, _, _ in _DQ_COLS:
+        sel = row.select(
+            F.lit(col).alias("column_name"),
+            F.col("n_rows").cast("long"),
+            (F.col("n_rows") - F.col(f"nn_{col}")).cast("long").alias("n_nulls"),
+            F.col(f"nd_{col}").cast("long").alias("n_distinct"),
+            F.col(f"mn_{col}").alias("min_repr"),
+            F.col(f"mx_{col}").alias("max_repr"),
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out
