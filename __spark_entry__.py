@@ -53,6 +53,8 @@ _PRIORITY = [
     "mv_max_maintenance_targeted",
     "pii_dp_bounded_contribution",
     "dq_profile_orders",
+    "m8_time_travel_asof",
+    "m7_cdc_apply_tombstones",
     "geo_locality_assign_nearest_fallback",
     "pii_l_diversity_audit",
     # plan-changed this round: link_feed_to_masters grew the
@@ -110,7 +112,6 @@ _PRIORITY = [
     "f12_validation_checks",
     "agg_rollup_region_nation",
     "j11_fuzzy_blocked_match",
-    "m7_cdc_apply_tombstones",
     "f1_f2_synthetic_keys",
     "f3_conditional_rewrite",
     "f5_vocab_lookup",

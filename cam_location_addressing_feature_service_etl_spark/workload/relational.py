@@ -1217,7 +1217,8 @@ log AS (
   SELECT o_orderkey, 1 AS seq, 'I' AS op, ROUND(o_totalprice * 2, 2) AS price
   FROM orders WHERE o_orderkey % 10 = 0
   UNION ALL
-  SELECT o_orderkey, 1, 'U', ROUND(o_totalprice * 1.1, 2)
+  SELECT o_orderkey, 1, 'U',
+         CAST((CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 11) // 10 AS DOUBLE) / 100
   FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
   UNION ALL
   SELECT o_orderkey, 2, 'D', NULL
@@ -1252,6 +1253,14 @@ def m7_cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-located, the same layout M1 assumes."""
     tune(spark)
     orders = load(spark, sf_dir, "orders")
+    base, log = _cdc_orders_base_and_log(orders)
+    return _cdc_apply(base, log)
+
+
+def _cdc_orders_base_and_log(orders: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The deterministic (base snapshot, CDC log) pair shared by
+    ``m7_cdc_apply_tombstones`` (applies the whole log) and
+    ``m8_time_travel_asof`` (applies a seq prefix)."""
     k = F.col("o_orderkey")
     base = orders.filter(k % 10 != 0).select("o_orderkey", "o_totalprice")
     # derive all three op kinds from ONE scan (conditional structs +
@@ -1271,7 +1280,16 @@ def m7_cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                     F.when(
                         (k % 7 == 0) & (k % 10 != 0),
-                        op_struct(1, "U", F.round(F.col("o_totalprice") * 1.1, 2)),
+                        op_struct(
+                            1,
+                            "U",
+                            # exact centi arithmetic: *1.1 + ROUND
+                            # double-rounds onto half-cent edges
+                            F.expr(
+                                "CAST((CAST(FLOOR(o_totalprice * 100 + 0.5) "
+                                "AS BIGINT) * 11) DIV 10 AS DOUBLE) / 100"
+                            ),
+                        ),
                     ),
                     F.when(
                         (k % 13 == 0) & (k % 10 != 0),
@@ -1283,6 +1301,12 @@ def m7_cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o").isNotNull())
         .select("o_orderkey", "o.seq", "o.op", "o.price")
     )
+    return base, log
+
+
+def _cdc_apply(base: DataFrame, log: DataFrame) -> DataFrame:
+    """Apply a CDC log to a snapshot: per key the latest op by seq
+    wins, D removes, I/U set the value, untouched rows carry forward."""
     w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
     last = (
         log.withColumn("rn", F.row_number().over(w))
@@ -1303,6 +1327,60 @@ def m7_cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("o_totalprice"),
         )
     )
+
+
+_M8_ASOF_SEQ = 1
+
+
+@register(
+    "m8_time_travel_asof",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0
+),
+log AS (
+  SELECT o_orderkey, 1 AS seq, 'I' AS op, ROUND(o_totalprice * 2, 2) AS price
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, 1, 'U',
+         CAST((CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 11) // 10 AS DOUBLE) / 100
+  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey, 2, 'D', NULL
+  FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 10 <> 0
+),
+last AS (
+  SELECT o_orderkey, op, price FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+    FROM log WHERE seq <= {_M8_ASOF_SEQ}
+  ) WHERE rn = 1
+)
+SELECT COALESCE(b.o_orderkey, l.o_orderkey) AS o_orderkey,
+       ROUND(CASE WHEN l.op IN ('I', 'U') THEN l.price
+                  ELSE b.o_totalprice END, 2) AS o_totalprice
+FROM base b FULL OUTER JOIN last l ON l.o_orderkey = b.o_orderkey
+WHERE COALESCE(l.op, '') <> 'D'
+""",
+)
+def m8_time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the CDC log: reconstruct the table AS OF
+    sequence {t} by applying only the log prefix ``seq <= {t}`` to the
+    snapshot — the same apply core as ``m7_cdc_apply_tombstones``
+    (shared ``_cdc_apply``, so the as-of state and the current state
+    cannot drift in semantics), differing only in the prefix filter.
+    Here the seq-2 deletes have not happened yet: keys m7 removes are
+    still present with their updated values, which the oracle pins by
+    restating the same prefix cut. At scale the log prefix filter is a
+    pushed-down predicate on the delta table's seq column (partition
+    key in any real CDC layout), so reconstructing an old state reads
+    snapshot + prefix, never the full log history."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    base, log = _cdc_orders_base_and_log(orders)
+    return _cdc_apply(base, log.filter(F.col("seq") <= _M8_ASOF_SEQ))
+
+
+m8_time_travel_asof.__doc__ = m8_time_travel_asof.__doc__.format(t=_M8_ASOF_SEQ)
 
 
 # ---------------------------------------------------------------------------
