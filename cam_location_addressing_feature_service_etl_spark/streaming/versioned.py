@@ -21,6 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _versions(spark: SparkSession, state_dir: str) -> list[int]:
+    """COMMITTED versions only: a version directory counts once its
+    ``_SUCCESS`` marker exists, so a reader racing a write (or a
+    version left half-written by a crash) never sees it as latest —
+    the crashed batch's replay overwrites the partial dir."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(state_dir)
@@ -30,7 +34,13 @@ def _versions(spark: SparkSession, state_dir: str) -> list[int]:
     out = []
     for st in fs.listStatus(path):
         name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("v="):
+        if (
+            st.isDirectory()
+            and name.startswith("v=")
+            and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{state_dir}/{name}/_SUCCESS")
+            )
+        ):
             out.append(int(name[2:]))
     return sorted(out)
 

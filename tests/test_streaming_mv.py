@@ -103,3 +103,23 @@ def test_mv_view_version_pruning(spark, tmp_path):
     for bid in range(5):
         apply_delta_batch(b1, bid, view_dir, retain_versions=2)
     assert _versions(spark, view_dir) == [3, 4]
+
+
+def test_uncommitted_version_is_invisible(spark, tmp_path):
+    """A version directory without its _SUCCESS marker (a writer crash
+    or an in-flight write) must not be readable as latest; the replayed
+    batch overwrites it and commits."""
+    import pathlib
+
+    b1, _ = _signed_deltas(spark)
+    view_dir = str(tmp_path / "view")
+    apply_delta_batch(b1, 0, view_dir)
+    committed = _rows(read_view(spark, view_dir))
+
+    partial = pathlib.Path(view_dir) / "v=1"
+    partial.mkdir()
+    (partial / "part-00000.parquet").write_bytes(b"not parquet")
+    assert _rows(read_view(spark, view_dir)) == committed  # ignored
+
+    apply_delta_batch(b1, 1, view_dir)  # the replay commits v=1
+    assert len(_rows(read_view(spark, view_dir))) > 0
