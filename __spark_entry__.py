@@ -54,6 +54,7 @@ _PRIORITY = [
     "pii_dp_bounded_contribution",
     "dq_profile_orders",
     "m8_time_travel_asof",
+    "graph_pointer_jump_roots",
     "m7_cdc_apply_tombstones",
     "geo_locality_assign_nearest_fallback",
     "pii_l_diversity_audit",

@@ -589,3 +589,84 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
     n=_LPA_ROUNDS
 )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy resolution by pointer jumping (log-depth rounds)
+# ---------------------------------------------------------------------------
+
+_PJ_ROUNDS = 5  # covers depth <= 2^5 = 32; the decimal trie here is <= 7
+
+
+@register(
+    "graph_pointer_jump_roots",
+    oracle="""
+WITH RECURSIVE nodes AS (SELECT DISTINCT p_partkey AS node FROM part),
+walk(node, cur, d) AS (
+  SELECT node, node, 0 FROM nodes
+  UNION ALL
+  SELECT node, cur // 10, d + 1 FROM walk WHERE cur >= 10
+)
+SELECT node, CAST(cur AS BIGINT) AS root, CAST(d AS BIGINT) AS depth
+FROM walk WHERE cur < 10
+""",
+)
+def graph_pointer_jump_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy resolution — every node's ROOT and DEPTH in a forest
+    (org charts, bill-of-materials, reply threads, category trees) —
+    in LOG-DEPTH rounds by POINTER JUMPING: each round joins the
+    ancestor-pointer frame with itself (my ancestor's ancestor becomes
+    my ancestor; hop counts add), so known-ancestor distance DOUBLES
+    per round and {r} rounds resolve any depth ≤ 2^{r}. The naive
+    one-parent-per-round walk needs DEPTH rounds — the difference
+    between 5 shuffles and 10,000 on a deep tree; this is the tree
+    analogue of the star-contraction trick the CC family uses. The
+    fixture forest is the decimal trie over part keys (parent = key
+    DIV 10, roots are single digits — depth ≤ 7 at any testdata SF),
+    but the TRAVERSAL is generic over the (node, parent) edge
+    relation; only edge construction knows the rule. The oracle walks
+    the same relation with a recursive CTE — round-count independent,
+    checking the true fixed point. Per round: one self equi-join of
+    the pointer frame + lineage truncation; resolved (root-pointing)
+    rows stop changing, and at scale the join key is the pointer
+    column, so AQE sees the shrinking frontier."""
+    from ..session import tune
+    from ..tables import load
+
+    tune(spark)
+    part = load(spark, sf_dir, "part")
+    nodes = part.select(F.col("p_partkey").alias("node")).distinct()
+    # state: current known ancestor + exact hops to it; roots point at
+    # themselves with 0 hops and are already resolved
+    state = nodes.select(
+        "node",
+        F.when(F.col("node") < 10, F.col("node"))
+        .otherwise(F.floor(F.col("node") / 10).cast("long"))
+        .alias("anc"),
+        F.when(F.col("node") < 10, F.lit(0)).otherwise(F.lit(1)).alias("dist"),
+    ).transform(materialize)
+    for _ in range(_PJ_ROUNDS):
+        hop = state.select(
+            F.col("node").alias("h_node"),
+            F.col("anc").alias("h_anc"),
+            F.col("dist").alias("h_dist"),
+        )
+        state = (
+            state.join(hop, state["anc"] == hop["h_node"])
+            .select(
+                "node",
+                F.col("h_anc").alias("anc"),
+                (F.col("dist") + F.col("h_dist")).alias("dist"),
+            )
+            .transform(materialize)
+        )
+    return state.select(
+        "node",
+        F.col("anc").cast("long").alias("root"),
+        F.col("dist").cast("long").alias("depth"),
+    )
+
+
+graph_pointer_jump_roots.__doc__ = graph_pointer_jump_roots.__doc__.format(
+    r=_PJ_ROUNDS
+)
