@@ -66,6 +66,10 @@ def fold_version(
     version with id < ``batch_id`` (empty ``schema`` frame if none),
     apply ``merge(prior, delta)``, write ``v=<batch_id>``, prune old
     versions. Idempotent under batch replay — see module docstring."""
+    if retain_versions < 1:
+        # 0 would prune the version just written — the state silently
+        # vanishes after every fold
+        raise ValueError(f"retain_versions must be >= 1, got {retain_versions}")
     spark = delta.sparkSession
     prior_ids = [v for v in _versions(spark, state_dir) if v < batch_id]
     if prior_ids:

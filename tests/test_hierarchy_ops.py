@@ -1,0 +1,58 @@
+"""Property test for operators/hierarchy.py: on seeded random forests,
+pointer_jump with a log-depth round bound must match a pure-Python
+root/depth walk exactly, and must agree with the naive walk given
+enough rounds."""
+
+from __future__ import annotations
+
+import random
+
+from cam_location_addressing_feature_service_etl_spark.operators.hierarchy import (
+    naive_parent_walk,
+    pointer_jump,
+)
+
+
+def _random_forest(rng, n_nodes):
+    """Random parent pointers: node i's parent is a smaller id (or a
+    root with probability 1/8) — acyclic by construction, arbitrary
+    depth/branching."""
+    rows = []
+    for i in range(n_nodes):
+        if i == 0 or rng.random() < 0.125:
+            rows.append((i, None))
+        else:
+            rows.append((i, rng.randrange(i)))
+    return rows
+
+
+def _truth(rows):
+    parent = {n: p for n, p in rows}
+    out = {}
+    for n in parent:
+        d, cur = 0, n
+        while parent[cur] is not None:
+            cur = parent[cur]
+            d += 1
+        out[n] = (cur, d)
+    return out
+
+
+def test_pointer_jump_matches_python_walk_on_random_forests(spark):
+    rng = random.Random(0x9A11)
+    for trial in range(3):
+        rows = _random_forest(rng, 400)
+        truth = _truth(rows)
+        max_depth = max(d for _, d in truth.values())
+        rounds = max(1, (max_depth - 1).bit_length())  # 2^rounds >= depth
+        parents = spark.createDataFrame(rows, "node bigint, parent bigint")
+        got = {
+            r["node"]: (r["root"], r["depth"])
+            for r in pointer_jump(parents, rounds).collect()
+        }
+        assert got == truth, f"trial {trial}, depth {max_depth}, rounds {rounds}"
+        naive = {
+            r["node"]: (r["root"], r["depth"])
+            for r in naive_parent_walk(parents, max_depth).collect()
+        }
+        assert naive == truth, f"naive walk trial {trial}"

@@ -123,3 +123,18 @@ def test_uncommitted_version_is_invisible(spark, tmp_path):
 
     apply_delta_batch(b1, 1, view_dir)  # the replay commits v=1
     assert len(_rows(read_view(spark, view_dir))) > 0
+
+
+def test_fold_rejects_zero_retention(spark, tmp_path):
+    import pytest
+
+    from cam_location_addressing_feature_service_etl_spark.streaming.versioned import (
+        fold_version,
+    )
+
+    b1, _ = _signed_deltas(spark)
+    with pytest.raises(ValueError, match="retain_versions"):
+        fold_version(
+            b1, 0, str(tmp_path / "v"), "user_id bigint, dn bigint, dv bigint",
+            lambda p, d: d, retain_versions=0,
+        )
