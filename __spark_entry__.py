@@ -55,6 +55,7 @@ _PRIORITY = [
     "dq_profile_orders",
     "m8_time_travel_asof",
     "graph_pointer_jump_roots",
+    "agg_corr_price_quantity",
     "m7_cdc_apply_tombstones",
     "geo_locality_assign_nearest_fallback",
     "pii_l_diversity_audit",

@@ -1551,3 +1551,81 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = sel if out is None else out.unionByName(sel)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bivariate statistics (correlation / covariance) from exact moments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_corr_price_quantity",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT)) AS sx,
+         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS HUGEINT)) AS sy,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT)
+             * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT)) AS sxx,
+         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS HUGEINT)
+             * CAST(FLOOR(l_quantity * 100 + 0.5) AS HUGEINT)) AS syy,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT)
+             * CAST(FLOOR(l_quantity * 100 + 0.5) AS HUGEINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_pq,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * n AS DOUBLE) / 10000.0, 6) AS covar_pop_pq,
+       ROUND(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 100.0, 6) AS stddev_pop_price,
+       ROUND(sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+             / CAST(n AS DOUBLE) / 100.0, 6) AS stddev_pop_qty
+FROM m
+""",
+)
+def agg_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics — Pearson correlation, population
+    covariance, and both stddevs of (price, quantity) per return flag
+    — computed from EXACT integer moments rather than the engines'
+    built-in streaming estimators: centi-quantized values make every
+    moment (n, Σx, Σy, Σx², Σy², Σxy) an exact DECIMAL/HUGEINT sum,
+    and the final formulas consume identical integers on both engines,
+    so the doubles agree bit-for-bit BEFORE rounding (built-in
+    corr()/covar update algorithms differ across engines in last-ulp
+    accumulation order; exact moments sidestep the comparison problem
+    entirely, and the scale factors cancel inside the correlation).
+    Plan: one partial-aggregatable groupBy — six map-side-combined
+    sums — then per-group scalar math; shuffle is 6 numbers per
+    (group, partition), the same shape at any corpus size. The moment
+    trick is also the MERGEABLE form: per-shard moment sets union and
+    re-sum, so this extends to the incremental/streaming maintenance
+    discipline like every other abelian aggregate here."""
+    tune(spark)
+    lineitem = load(spark, sf_dir, "lineitem")
+    xi = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("decimal(38,0)")
+    yi = F.floor(F.col("l_quantity") * 100 + 0.5).cast("decimal(38,0)")
+    m = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(xi).alias("sx"),
+        F.sum(yi).alias("sy"),
+        F.sum(xi * xi).alias("sxx"),
+        F.sum(yi * yi).alias("syy"),
+        F.sum(xi * yi).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    dxy = (n * F.col("sxy") - sx * sy).cast("double")
+    dx = (n * F.col("sxx") - sx * sx).cast("double")
+    dy = (n * F.col("syy") - sy * sy).cast("double")
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        F.round(dxy / F.sqrt(dx * dy), 6).alias("corr_pq"),
+        F.round(dxy / (n * n).cast("double") / 10000.0, 6).alias("covar_pop_pq"),
+        F.round(F.sqrt(dx) / n.cast("double") / 100.0, 6).alias("stddev_pop_price"),
+        F.round(F.sqrt(dy) / n.cast("double") / 100.0, 6).alias("stddev_pop_qty"),
+    )
