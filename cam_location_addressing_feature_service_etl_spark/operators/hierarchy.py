@@ -24,8 +24,11 @@ def pointer_jump(parents: DataFrame, rounds: int) -> DataFrame:
     (node, root, depth), exact for every node whose depth ≤ 2**rounds
     (deeper nodes would carry a non-root ancestor — callers size
     ``rounds`` from a domain bound, or assert max depth downstream).
-    Per round: ONE self equi-join on the pointer column + lineage
-    truncation; resolved rows are join fixed points."""
+    Per round: ONE self LEFT join on the pointer column + lineage
+    truncation; resolved rows are join fixed points. A dangling parent
+    (a non-null parent id absent from the node column) finds no hop
+    partner and KEEPS its stale pointer — malformed forests surface as
+    rows whose root is the dangling id, never as silent row loss."""
     state = parents.select(
         "node",
         F.coalesce(F.col("parent"), F.col("node")).alias("anc"),
@@ -40,11 +43,13 @@ def pointer_jump(parents: DataFrame, rounds: int) -> DataFrame:
             F.col("dist").alias("h_dist"),
         )
         state = (
-            state.join(hop, state["anc"] == hop["h_node"])
+            state.join(hop, state["anc"] == hop["h_node"], "left")
             .select(
                 "node",
-                F.col("h_anc").alias("anc"),
-                (F.col("dist") + F.col("h_dist")).alias("dist"),
+                F.coalesce(F.col("h_anc"), F.col("anc")).alias("anc"),
+                (
+                    F.col("dist") + F.coalesce(F.col("h_dist"), F.lit(0))
+                ).alias("dist"),
             )
             .transform(materialize)
         )
@@ -57,7 +62,8 @@ def naive_parent_walk(parents: DataFrame, rounds: int) -> DataFrame:
     """The depth-round baseline: each round advances ONE parent hop.
     Exists for the regimes probe only — same output as
     ``pointer_jump`` when ``rounds`` ≥ max depth, at depth shuffles
-    instead of log(depth)."""
+    instead of log(depth). Same dangling-parent discipline: the left
+    join keeps the stale pointer instead of dropping the row."""
     p = parents.select(
         F.col("node").alias("p_node"), F.col("parent").alias("p_parent")
     ).transform(materialize)
@@ -69,8 +75,12 @@ def naive_parent_walk(parents: DataFrame, rounds: int) -> DataFrame:
         ),
     ).transform(materialize)
     for _ in range(rounds):
+        # left join: a matched root row has p_parent NULL (keep anc,
+        # dist unchanged) and an unmatched dangling pointer produces
+        # the same NULLs — both are fixed points of the expressions
+        # below, so dangling parents are retained, not dropped.
         state = (
-            state.join(p, state["anc"] == p["p_node"])
+            state.join(p, state["anc"] == p["p_node"], "left")
             .select(
                 "node",
                 F.coalesce(F.col("p_parent"), F.col("anc")).alias("anc"),

@@ -116,6 +116,28 @@ def _fake_transport_factory(options: dict):
     return transport
 
 
+def _subselect(query: str) -> str:
+    """The user's query wrapped as a SPARQL subselect ``{ <query> }``
+    so appended solution modifiers (ORDER BY / LIMIT / OFFSET, or the
+    COUNT projection) compose with a query that already carries its
+    own modifiers — appending them directly after a query ending in
+    ORDER BY/LIMIT would be invalid SPARQL or silently mis-page. The
+    newline before ``}`` keeps a trailing ``# comment`` from swallowing
+    the closing brace."""
+    return f"{{\n{query}\n}}"
+
+
+def _count_query(query: str) -> str:
+    return f"SELECT (COUNT(*) AS ?n) WHERE {_subselect(query)}"
+
+
+def _page_query(query: str, order_var: str, limit: int, offset: int) -> str:
+    return (
+        f"SELECT * WHERE {_subselect(query)}"
+        f"\nORDER BY ?{order_var}\nLIMIT {limit}\nOFFSET {offset}"
+    )
+
+
 def _variables(options: dict) -> list[str]:
     raw = options.get("variables", "")
     out = [v.strip() for v in raw.split(",") if v.strip()]
@@ -166,9 +188,10 @@ class SparqlReader(DataSourceReader):
                 KeyBatchPartition(keys=tuple(keys[o : o + self.key_batch]))
                 for o in range(0, max(len(keys), 1), self.key_batch)
             ]
-        count_q = f"SELECT (COUNT(*) AS ?n) {{ {self.query} }}"
         total = int(
-            _client(self.options).query(count_q)[0]["n"]["value"]
+            _client(self.options).query(_count_query(self.query))[0]["n"][
+                "value"
+            ]
         )
         return [
             PagePartition(offset=o, count=self.page_size)
@@ -189,11 +212,14 @@ class SparqlReader(DataSourceReader):
             )
             rows = client.query(q)
         else:
-            q = (
-                f"{self.query}\nORDER BY ?{self.order_var}"
-                f"\nLIMIT {partition.count}\nOFFSET {partition.offset}"
+            rows = client.query(
+                _page_query(
+                    self.query,
+                    self.order_var,
+                    partition.count,
+                    partition.offset,
+                )
             )
-            rows = client.query(q)
         for r in rows:
             yield tuple(r.get(v, {}).get("value") for v in self.variables)
 
@@ -239,8 +265,11 @@ class SparqlStreamReader(SimpleDataSourceStreamReader):
         self.order_var = options.get("order_var", self.variables[0])
 
     def _total(self) -> int:
-        count_q = f"SELECT (COUNT(*) AS ?n) {{ {self.query} }}"
-        return int(_client(self.options).query(count_q)[0]["n"]["value"])
+        return int(
+            _client(self.options).query(_count_query(self.query))[0]["n"][
+                "value"
+            ]
+        )
 
     def initialOffset(self) -> dict:
         return {"next": 0}
@@ -256,10 +285,7 @@ class SparqlStreamReader(SimpleDataSourceStreamReader):
         return iter(self._rows(int(start["next"]), int(end["next"])))
 
     def _rows(self, lo: int, hi: int) -> list[tuple]:
-        q = (
-            f"{self.query}\nORDER BY ?{self.order_var}"
-            f"\nLIMIT {hi - lo}\nOFFSET {lo}"
-        )
+        q = _page_query(self.query, self.order_var, hi - lo, lo)
         return [
             tuple(r.get(v, {}).get("value") for v in self.variables)
             for r in _client(self.options).query(q)

@@ -29,11 +29,21 @@ _VIEW_SCHEMA = "user_id bigint, n_events bigint, total_centi bigint"
 
 def read_view(spark: SparkSession, view_dir: str) -> DataFrame:
     """The current (max committed version) state of the view; empty
-    frame with the view schema when no version exists yet."""
-    return read_latest(spark, view_dir, _VIEW_SCHEMA)
+    frame with the view schema when no version exists yet. Keys whose
+    live count is non-positive are filtered HERE, at read time — the
+    stored state keeps them (see ``_merge``)."""
+    return read_latest(spark, view_dir, _VIEW_SCHEMA).filter(
+        F.col("n_events") > 0
+    )
 
 
 def _merge(view: DataFrame, delta: DataFrame) -> DataFrame:
+    # Non-positive keys STAY in the stored state: under cross-batch
+    # CDC disorder (a delete folded before its matching insert) the
+    # negative carry must survive to cancel the late insert — dropping
+    # it here would pin the key at count 1 forever. Readers filter
+    # n_events > 0 (read_view); zero-count keys are garbage-collected
+    # only when exactly balanced (no information lost).
     return (
         view.select(
             "user_id",
@@ -43,7 +53,7 @@ def _merge(view: DataFrame, delta: DataFrame) -> DataFrame:
         .unionByName(delta.select("user_id", "dn", "dv"))
         .groupBy("user_id")
         .agg(F.sum("dn").alias("n_events"), F.sum("dv").alias("total_centi"))
-        .filter(F.col("n_events") > 0)
+        .filter((F.col("n_events") != 0) | (F.col("total_centi") != 0))
     )
 
 

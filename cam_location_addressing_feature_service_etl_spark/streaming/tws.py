@@ -15,9 +15,15 @@ map onto separate typed variables instead of packed tuples, which is
 where the new API stops being syntax and starts being design.
 
 Runtime requirements: transformWithState runs on the RocksDB state
-store provider (``running_user_totals_tws`` sets it for the session;
-tests restore the prior provider — at scale RocksDB is what you run
-anyway), and its state-server protocol needs the ``protobuf`` package
+store provider. ``running_user_totals_tws`` does NOT set it — a plan
+builder silently flipping a session-wide config would switch the
+state-store provider (and on-disk state format) of every subsequently
+started streaming query. Callers opt in explicitly, either with their
+own session config or scoped via the ``rocksdb_state_provider``
+context manager (snapshot → set → restore); the builder asserts and
+raises with that instruction when the provider is wrong. At scale
+RocksDB is what you run anyway. The state-server protocol also needs
+the ``protobuf`` package
 (``google.protobuf``), which this container does NOT ship — the
 reconciliation test skips via ``pytest.importorskip`` when absent
 (same stub-behind-availability discipline as the Pillow image kernel,
@@ -28,11 +34,12 @@ on an environment with protobuf the test runs end to end.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
@@ -73,13 +80,42 @@ class RunningTotalsProcessor(StatefulProcessor):
         pass
 
 
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+@contextmanager
+def rocksdb_state_provider(spark: SparkSession):
+    """Scope the RocksDB state-store provider to a ``with`` block:
+    snapshot the prior provider, set RocksDB, restore (or unset) on
+    exit — so opting one transformWithState query in never silently
+    changes the provider (and on-disk state format) of every other
+    streaming query started later in the session."""
+    prior = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, _ROCKSDB)
+    try:
+        yield spark
+    finally:
+        if prior is not None:
+            spark.conf.set(_PROVIDER_KEY, prior)
+        else:
+            spark.conf.unset(_PROVIDER_KEY)
+
+
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """transformWithStateInPandas twin of ``running_user_totals``:
-    emits each batch's updated per-user totals. Requires (and sets)
-    the RocksDB state store provider."""
-    events.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB
-    )
+    emits each batch's updated per-user totals. Requires the RocksDB
+    state store provider but does NOT set it (a session-wide config
+    flip would leak into every later streaming query) — start the
+    query inside ``rocksdb_state_provider(spark)`` or configure the
+    session yourself; raises otherwise."""
+    current = events.sparkSession.conf.get(_PROVIDER_KEY, None)
+    if current != _ROCKSDB:
+        raise RuntimeError(
+            "transformWithState requires the RocksDB state store "
+            f"provider; {_PROVIDER_KEY} is {current!r}. Wrap the query "
+            "in rocksdb_state_provider(spark) (scoped set + restore) "
+            "or configure the session explicitly."
+        )
     return (
         events.select("user_id", "value")
         .groupBy("user_id")

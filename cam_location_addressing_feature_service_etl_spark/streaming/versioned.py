@@ -66,10 +66,14 @@ def fold_version(
     version with id < ``batch_id`` (empty ``schema`` frame if none),
     apply ``merge(prior, delta)``, write ``v=<batch_id>``, prune old
     versions. Idempotent under batch replay — see module docstring."""
-    if retain_versions < 1:
-        # 0 would prune the version just written — the state silently
-        # vanishes after every fold
-        raise ValueError(f"retain_versions must be >= 1, got {retain_versions}")
+    if retain_versions < 2:
+        # 1 breaks exactly-once: the fold writes v=b then pruning
+        # deletes v=b-1, so a crash BEFORE batch b's checkpoint commit
+        # replays b against no prior version and silently resets the
+        # standing state to the lone delta. The predecessor must
+        # survive until the checkpoint commit is durable, so >= 2.
+        # (0 is worse still — it prunes the version just written.)
+        raise ValueError(f"retain_versions must be >= 2, got {retain_versions}")
     spark = delta.sparkSession
     prior_ids = [v for v in _versions(spark, state_dir) if v < batch_id]
     if prior_ids:

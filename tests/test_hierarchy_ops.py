@@ -56,3 +56,27 @@ def test_pointer_jump_matches_python_walk_on_random_forests(spark):
             for r in naive_parent_walk(parents, max_depth).collect()
         }
         assert naive == truth, f"naive walk trial {trial}"
+
+
+def test_dangling_parent_keeps_row_with_stale_pointer(spark):
+    """ADVICE r11: a non-null parent id absent from the node column
+    (malformed forest) must not silently shrink the output. Both
+    traversals keep the row; its root surfaces as the dangling id so
+    callers can detect the malformation, and well-formed rows still
+    resolve exactly."""
+    rows = [
+        (1, None),   # root
+        (2, 1),      # child of root
+        (3, 99),     # dangling: 99 is not a node
+        (4, 3),      # descends through the dangling row
+    ]
+    parents = spark.createDataFrame(rows, "node bigint, parent bigint")
+    for fn in (pointer_jump, naive_parent_walk):
+        got = {
+            r["node"]: (r["root"], r["depth"]) for r in fn(parents, 4).collect()
+        }
+        assert set(got) == {1, 2, 3, 4}, fn.__name__  # no row loss
+        assert got[1] == (1, 0)
+        assert got[2] == (1, 1)
+        assert got[3][0] == 99, fn.__name__  # stale pointer surfaced
+        assert got[4][0] == 99, fn.__name__

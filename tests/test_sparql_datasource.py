@@ -108,7 +108,12 @@ def test_reader_emits_count_wrap_and_ordered_pages():
     finally:
         m._client = orig
     assert rows == [("urn:pid:1", None)]
-    assert seen[0].startswith("SELECT (COUNT(*) AS ?n) {")
+    # the user query is wrapped as a subselect so appended solution
+    # modifiers compose even when the query carries its own (ADVICE
+    # r11: direct-append broke on ORDER BY/LIMIT/trailing comments)
+    assert seen[0].startswith("SELECT (COUNT(*) AS ?n) WHERE {")
+    assert seen[1].startswith("SELECT * WHERE {")
+    assert _Q in seen[0] and _Q in seen[1]
     assert "ORDER BY ?pid\nLIMIT 10\nOFFSET 10" in seen[1]
 
 
@@ -260,3 +265,28 @@ def test_sparql_stream_reader_replay_between_offsets():
     # drained result set: empty batch, offset unchanged
     it3, off3 = r.read({"next": 60})
     assert list(it3) == [] and off3 == {"next": 60}
+
+
+def test_modifier_composition_with_self_modified_query():
+    """The exact ADVICE-r11 failure shapes: a user query that already
+    carries ORDER BY/LIMIT, or ends in a trailing comment, must still
+    produce valid SPARQL when the reader appends paging modifiers —
+    the subselect wrap isolates the inner modifiers and the newline
+    before '}' keeps a trailing comment from swallowing the brace."""
+    from cam_location_addressing_feature_service_etl_spark.sources.sparql_datasource import (
+        _count_query,
+        _page_query,
+    )
+
+    modified = "SELECT ?pid WHERE { ?pid a :A }\nORDER BY ?pid\nLIMIT 5"
+    q = _page_query(modified, "pid", 10, 20)
+    # inner LIMIT stays inside the wrapper's closing brace; the outer
+    # paging modifiers follow it
+    assert q.index("LIMIT 5") < q.rindex("}")
+    assert q.rindex("}") < q.index("ORDER BY ?pid\nLIMIT 10\nOFFSET 20")
+
+    commented = "SELECT ?pid WHERE { ?pid a :A } # trailing comment"
+    for built in (_page_query(commented, "pid", 10, 0), _count_query(commented)):
+        closing = built.rfind("}")
+        comment = built.rfind("# trailing comment")
+        assert comment < closing, built  # brace survives the comment

@@ -125,7 +125,11 @@ def test_uncommitted_version_is_invisible(spark, tmp_path):
     assert len(_rows(read_view(spark, view_dir))) > 0
 
 
-def test_fold_rejects_zero_retention(spark, tmp_path):
+def test_fold_rejects_non_recoverable_retention(spark, tmp_path):
+    """retain_versions must be >= 2: with 1, writing v=b prunes v=b-1,
+    so a crash before batch b's checkpoint commit replays b against no
+    prior version and silently resets the state. 0 would prune the
+    version just written."""
     import pytest
 
     from cam_location_addressing_feature_service_etl_spark.streaming.versioned import (
@@ -133,8 +137,44 @@ def test_fold_rejects_zero_retention(spark, tmp_path):
     )
 
     b1, _ = _signed_deltas(spark)
-    with pytest.raises(ValueError, match="retain_versions"):
-        fold_version(
-            b1, 0, str(tmp_path / "v"), "user_id bigint, dn bigint, dv bigint",
-            lambda p, d: d, retain_versions=0,
-        )
+    for bad in (0, 1):
+        with pytest.raises(ValueError, match="retain_versions"):
+            fold_version(
+                b1, 0, str(tmp_path / "v"),
+                "user_id bigint, dn bigint, dv bigint",
+                lambda p, d: d, retain_versions=bad,
+            )
+
+
+def test_retention_two_survives_replay_after_prune(spark, tmp_path):
+    """The scenario behind the >= 2 floor, executed: fold batches 0..2
+    with retain_versions=2, then replay batch 2 (crash-before-commit).
+    The predecessor v=1 is still on disk, so the replay reproduces the
+    same state instead of resetting to the lone delta."""
+    b1, b2 = _signed_deltas(spark)
+    view_dir = str(tmp_path / "view")
+    apply_delta_batch(b1, 0, view_dir, retain_versions=2)
+    apply_delta_batch(b2, 1, view_dir, retain_versions=2)
+    apply_delta_batch(b1, 2, view_dir, retain_versions=2)
+    committed = _rows(read_view(spark, view_dir))
+    apply_delta_batch(b1, 2, view_dir, retain_versions=2)  # the replay
+    assert _rows(read_view(spark, view_dir)) == committed
+
+
+def test_cross_batch_disorder_negative_carry_survives(spark, tmp_path):
+    """CDC disorder: a delete folded in an EARLIER batch than its
+    matching insert. The stored state must carry the negative count so
+    the late insert cancels to zero — dropping non-positive rows at
+    merge time would pin the key at count 1 forever. Readers never see
+    the intermediate negative (read_view filters n_events > 0)."""
+    delete = spark.createDataFrame(
+        [(999_999, -1, -500)], "user_id bigint, dn bigint, dv bigint"
+    )
+    insert = spark.createDataFrame(
+        [(999_999, 1, 500)], "user_id bigint, dn bigint, dv bigint"
+    )
+    view_dir = str(tmp_path / "view")
+    apply_delta_batch(delete, 0, view_dir)
+    assert _rows(read_view(spark, view_dir)) == set()  # hidden, not lost
+    apply_delta_batch(insert, 1, view_dir)
+    assert _rows(read_view(spark, view_dir)) == set()  # cancelled exactly

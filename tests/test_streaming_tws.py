@@ -14,6 +14,7 @@ from cam_location_addressing_feature_service_etl_spark.streaming.events import (
     EVENTS_FILE_SCHEMA,
 )
 from cam_location_addressing_feature_service_etl_spark.streaming.tws import (
+    rocksdb_state_provider,
     running_user_totals_tws,
 )
 
@@ -30,9 +31,6 @@ def test_tws_totals_match_applyinpandas_twin(spark, tmp_path):
     shutil.copy(f"{SF_SMOKE}/events.parquet", d / "batch1.parquet")
     shutil.copy(f"{SF_SMOKE}/events.parquet", d / "batch2.parquet")
 
-    prior_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
     raw = (
         spark.readStream.schema(EVENTS_FILE_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -40,7 +38,12 @@ def test_tws_totals_match_applyinpandas_twin(spark, tmp_path):
         .load(str(d))
     )
     events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    try:
+    # the builder refuses to run without RocksDB and refuses to set it
+    # itself (session-wide config leak) — the context manager is the
+    # sanctioned scoped opt-in
+    with pytest.raises(RuntimeError, match="RocksDB"):
+        running_user_totals_tws(events)
+    with rocksdb_state_provider(spark):
         q = (
             running_user_totals_tws(events)
             .writeStream.format("memory")
@@ -50,13 +53,10 @@ def test_tws_totals_match_applyinpandas_twin(spark, tmp_path):
             .start()
         )
         q.awaitTermination(180)
-    finally:
-        if prior_provider is not None:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prior_provider
-            )
-        else:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        is None
+    )
 
     got = {
         r["user_id"]: (r["n"], r["tv"])
@@ -80,6 +80,31 @@ def test_tws_totals_match_applyinpandas_twin(spark, tmp_path):
         gn, gtv = got[uid]
         assert gn == n, (uid, gn, n)
         assert abs(gtv - tv) < 1e-6, (uid, gtv, tv)
+
+
+def test_provider_guard_and_scoped_restore(spark):
+    """Runs in THIS container (no protobuf needed — the guard fires
+    before any streaming starts): the builder raises without RocksDB,
+    the context manager sets it only inside the block and restores
+    the prior value (including 'unset') on exit, even on error."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    events = spark.createDataFrame([(1, 2.0)], "user_id bigint, value double")
+    assert spark.conf.get(key, None) is None
+    with pytest.raises(RuntimeError, match="RocksDB"):
+        running_user_totals_tws(events)
+    with rocksdb_state_provider(spark):
+        assert "RocksDB" in spark.conf.get(key)
+    assert spark.conf.get(key, None) is None
+
+    spark.conf.set(key, "com.example.PriorProvider")
+    try:
+        with pytest.raises(ValueError, match="boom"):
+            with rocksdb_state_provider(spark):
+                assert "RocksDB" in spark.conf.get(key)
+                raise ValueError("boom")
+        assert spark.conf.get(key) == "com.example.PriorProvider"
+    finally:
+        spark.conf.unset(key)
 
 
 def test_processor_kernel_accumulates_with_fake_state():
