@@ -40,60 +40,51 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (committed as PARITY_r{N}.txt) proves the full registry every round
 #: regardless.
 _PRIORITY = [
-    # --- r11 new queries (front of sample) ---
-    "geo_fuzzy_link_feed_multiblock",
-    "geo_fuzzy_link_feed_full",
-    "text_nb_langid_classifier",
-    "text_lr_quality_classifier",
-    "text_nb_incremental_train",
-    "sim_hard_negative_mining",
-    "ev_ewma_value",
-    "er_resolve_entities",
-    "mv_retractable_agg_maintenance",
-    "mv_max_maintenance_targeted",
-    "pii_dp_bounded_contribution",
-    "dq_profile_orders",
-    "m8_time_travel_asof",
+    # --- r12 new queries (front of sample; names appended as built) ---
+    # --- r12 plan-changed (hierarchy left-join dangling-parent fix) ---
     "graph_pointer_jump_roots",
-    "agg_corr_price_quantity",
-    "m7_cdc_apply_tombstones",
-    "geo_locality_assign_nearest_fallback",
-    "pii_l_diversity_audit",
-    # plan-changed this round: link_feed_to_masters grew the
-    # block_keys union core; edge_band_rows grew the pad param
-    "geo_fuzzy_link_feed",
-    "geo_locality_assign_banded",
-    "geo_locality_assign_holes",
-    # --- stalest tranche: not in the r09 or r10 driver samples ---
-    "ev_user_running_total",
-    "flagship_current_address",
-    "geo_gridcell_agg",
-    "graph_pagerank_3round",
-    "llm_corpus_prep_composite",
-    "mm_audio_frame_plan",
-    "mm_decode_image_meta",
-    "mm_frame_sample",
-    "mm_phash_near_dup",
-    "mm_resize_plan",
-    "pii_redact_props",
-    "sample_quality_weighted",
-    "sample_stratified_hash",
-    "sample_temperature_mix",
-    "sim_ann_ivf_bucketed",
-    "sim_cosine_topk_bruteforce",
-    "sim_embedding_neardup",
-    "sim_embedding_quantize_int8",
-    "sim_lsh_hyperplane",
-    "text_bpe_encode",
-    "text_bpe_merge_rules",
-    "text_bpe_pair_stats",
-    "text_chunk_for_training",
-    "text_contamination_ngram",
-    "text_langid",
-    "text_length_quantiles",
-    "text_pack_sequences",
-    "text_postings_index",
-    "text_quality_score",
+    # --- stalest tranche, never in the r10/r11 driver samples: the
+    # a5-a13 sketch block + ev_* window family + dedup_* family the
+    # r11 verdict called out ---
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_boiler_naive",
+    "dedup_jaccard_boiler_prefix",
+    "dedup_simhash",
+    "dedup_exact_substring_spans",
+    "dedup_minhash_estimate",
+    "dedup_remove_spans",
+    "dedup_cluster_canonical",
+    "a7_sketch_union_reaggregate",
+    "ev_scd2_state_intervals",
+    "a8_incremental_agg_merge",
+    "ev_window_rank_suite",
+    "ev_anomaly_mad_flags",
+    "ev_attribution_window_join",
+    "ev_ewma_dyadic",
+    "ev_value_histogram",
+    "ev_gapfill_forward",
+    "ev_rolling_mad_outliers",
+    "ev_interval_overlap_join",
+    "a13_theta_join_cardinality",
+    "a12_cms_heavy_hitters",
+    "a11_kll_quantile_rollup",
+    "ev_agg_pricing_summary",
+    "ev_asof_last_purchase",
+    "ev_event_transitions",
+    "ev_funnel_conversion",
+    "ev_latency_percentiles",
+    "ev_pivot_type_counts",
+    "ev_user_value_quartiles",
+    "ev_value_band_join",
+    "ev_decayed_engagement",
+    "a10_theta_audience_overlap",
+    "ev_sessionize_native_window",
+    "ev_sliding_distinct_hll",
+    "a9_key_skew_profile",
+    "dedup_cc_star_converged",
+    # --- remaining never-sampled-in-r10/r11 names ---
     "text_repetition_ratio",
     "text_shingle_containment",
     "text_tfidf_topk",
@@ -122,30 +113,39 @@ _PRIORITY = [
     "f8_f9_f10_time_suite",
     "f11_prefix_ops",
     "f_json_extract_props",
-    "dedup_exact_hash",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_boiler_naive",
-    "dedup_jaccard_boiler_prefix",
-    "dedup_simhash",
     "text_bigram_logprob",
-    "dedup_exact_substring_spans",
     "text_pmi_collocations",
-    "dedup_minhash_estimate",
     "text_shard_manifest",
-    "dedup_remove_spans",
-    "dedup_cluster_canonical",
     "graph_kcore_peel3",
     "graph_copurchase_cosine",
     "sim_ann_ivf_nprobe2",
     "emb_matryoshka_recall",
-    "a7_sketch_union_reaggregate",
-    "ev_scd2_state_intervals",
-    "a8_incremental_agg_merge",
-    "ev_window_rank_suite",
-    "ev_anomaly_mad_flags",
     "geo_zorder_layout",
-    # --- sampled in r09/r10 (back of rotation) ---
+    "text_zipf_slope",
+    "geo_fuzzy_match_blocked",
+    "geo_point_in_polygon_raycast",
+    "geo_fence_transitions",
+    "geo_point_in_polygon",
+    "geo_knn_topk",
+    "geo_geohash_agg",
+    "geo_nearest_within_radius",
+    "emb_ivfpq_incremental",
+    "sample_cluster_diversity",
+    "sim_ann_ivfpq_filtered",
+    "sim_ann_ivfpq_search",
+    "sim_ann_ivfpq_rerank",
+    "m3_stable_surrogate_ids",
+    "agg_cube_order_status",
+    "agg_top_revenue_segments",
+    "graph_copurchase_cosine_dimsum",
+    "sample_weighted_reservoir",
+    "sample_split_leakfree",
+    "text_bm25_topk",
+    "graph_triangle_counts",
+    "sample_importance_dsir",
+    "sim_kmeans_assignments",
+    "text_vocab_coverage",
+    # --- sampled in r10 only ---
     "sim_semdedup_prune",
     "pii_k_anonymity_audit",
     "graph_label_propagation",
@@ -193,53 +193,56 @@ _PRIORITY = [
     "ev_retention_cohorts",
     "ev_sessionize_gap30",
     "ev_tumbling_window_hourly",
-    "ev_attribution_window_join",
-    "ev_ewma_dyadic",
-    "ev_value_histogram",
-    "text_zipf_slope",
-    "geo_fuzzy_match_blocked",
-    "geo_point_in_polygon_raycast",
-    "ev_gapfill_forward",
-    "ev_rolling_mad_outliers",
-    "ev_interval_overlap_join",
-    "geo_fence_transitions",
-    "geo_point_in_polygon",
-    "geo_knn_topk",
-    "geo_geohash_agg",
-    "geo_nearest_within_radius",
-    "emb_ivfpq_incremental",
-    "a13_theta_join_cardinality",
-    "sample_cluster_diversity",
-    "sim_ann_ivfpq_filtered",
-    "sim_ann_ivfpq_search",
-    "sim_ann_ivfpq_rerank",
-    "a12_cms_heavy_hitters",
-    "a11_kll_quantile_rollup",
-    "m3_stable_surrogate_ids",
-    "agg_cube_order_status",
-    "agg_top_revenue_segments",
-    "ev_agg_pricing_summary",
-    "ev_asof_last_purchase",
-    "ev_event_transitions",
-    "ev_funnel_conversion",
-    "ev_latency_percentiles",
-    "ev_pivot_type_counts",
-    "ev_user_value_quartiles",
-    "ev_value_band_join",
-    "ev_decayed_engagement",
-    "graph_copurchase_cosine_dimsum",
-    "a10_theta_audience_overlap",
-    "ev_sessionize_native_window",
-    "sample_weighted_reservoir",
-    "sample_split_leakfree",
-    "ev_sliding_distinct_hll",
-    "text_bm25_topk",
-    "graph_triangle_counts",
-    "a9_key_skew_profile",
-    "sample_importance_dsir",
-    "sim_kmeans_assignments",
-    "text_vocab_coverage",
-    "dedup_cc_star_converged",
+    # --- sampled in r11 (back of rotation) ---
+    "geo_fuzzy_link_feed_multiblock",
+    "geo_fuzzy_link_feed_full",
+    "text_nb_langid_classifier",
+    "text_lr_quality_classifier",
+    "text_nb_incremental_train",
+    "sim_hard_negative_mining",
+    "ev_ewma_value",
+    "er_resolve_entities",
+    "mv_retractable_agg_maintenance",
+    "mv_max_maintenance_targeted",
+    "pii_dp_bounded_contribution",
+    "dq_profile_orders",
+    "m8_time_travel_asof",
+    "agg_corr_price_quantity",
+    "m7_cdc_apply_tombstones",
+    "geo_locality_assign_nearest_fallback",
+    "pii_l_diversity_audit",
+    "geo_fuzzy_link_feed",
+    "geo_locality_assign_banded",
+    "geo_locality_assign_holes",
+    "ev_user_running_total",
+    "flagship_current_address",
+    "geo_gridcell_agg",
+    "graph_pagerank_3round",
+    "llm_corpus_prep_composite",
+    "mm_audio_frame_plan",
+    "mm_decode_image_meta",
+    "mm_frame_sample",
+    "mm_phash_near_dup",
+    "mm_resize_plan",
+    "pii_redact_props",
+    "sample_quality_weighted",
+    "sample_stratified_hash",
+    "sample_temperature_mix",
+    "sim_ann_ivf_bucketed",
+    "sim_cosine_topk_bruteforce",
+    "sim_embedding_neardup",
+    "sim_embedding_quantize_int8",
+    "sim_lsh_hyperplane",
+    "text_bpe_encode",
+    "text_bpe_merge_rules",
+    "text_bpe_pair_stats",
+    "text_chunk_for_training",
+    "text_contamination_ngram",
+    "text_langid",
+    "text_length_quantiles",
+    "text_pack_sequences",
+    "text_postings_index",
+    "text_quality_score",
 ]
 
 
