@@ -1,0 +1,90 @@
+"""Streaming incremental entity resolution — the production loop
+around ``workload/geo.py er_resolve_increment`` (r11 verdict #3): a
+continuous stream of master-record batches (mk, mn) accretes into the
+persisted entity registry (name → component label → entity key)
+WITHOUT ever re-running connected components over the corpus. Each
+micro-batch PassJoins only its new names against the accumulated
+vocabulary (plus each other) and merges touched components via a
+bounded re-label — per-batch compute ∝ batch, state IO ∝ |vocabulary|
+(the versioned-fold discipline, same as ``streaming/mv.py``).
+
+Exactly-once comes from ``streaming/versioned.py``: batch ``b`` reads
+the latest committed registry version < ``b`` and writes
+``registry_dir/v=<b>``, so foreachBatch replays overwrite their own
+version with identical content (order-independence of the fold is the
+batch-side argument, pinned in tests/test_er_incremental.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..workload.geo import (
+    _LINK_BLOCK_STRATEGIES,
+    _LINK_TAU,
+    ER_REGISTRY_SCHEMA,
+    er_resolve_increment,
+)
+from .versioned import fold_version, read_latest
+
+MASTER_BATCH_SCHEMA = "mk bigint, mn string"
+
+
+def read_registry(spark: SparkSession, registry_dir: str) -> DataFrame:
+    """The current (max committed version) entity registry; empty
+    frame with ``ER_REGISTRY_SCHEMA`` when no version exists yet."""
+    return read_latest(spark, registry_dir, ER_REGISTRY_SCHEMA)
+
+
+def fold_master_batch(
+    batch: DataFrame,
+    batch_id: int,
+    registry_dir: str,
+    tau: int = _LINK_TAU,
+    block_keys: tuple[str, ...] = _LINK_BLOCK_STRATEGIES,
+    retain_versions: int = 3,
+) -> None:
+    """Fold one master-record micro-batch into the versioned registry.
+    Idempotent under foreachBatch replay (versioned-fold discipline)."""
+    fold_version(
+        batch,
+        batch_id,
+        registry_dir,
+        ER_REGISTRY_SCHEMA,
+        lambda prior, delta: er_resolve_increment(
+            prior, delta, tau, block_keys
+        ),
+        retain_versions,
+    )
+
+
+def resolve_registry_stream(
+    masters_stream: DataFrame,
+    registry_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Run the accreting-registry loop over a (mk, mn) master stream
+    (``MASTER_BATCH_SCHEMA``)."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        fold_master_batch(batch, batch_id, registry_dir)
+
+    return (
+        masters_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+        .start()
+    )
+
+
+def read_master_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of master rows — the test stand-in for a
+    registry-ingest topic."""
+    reader = spark.readStream.schema(MASTER_BATCH_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)

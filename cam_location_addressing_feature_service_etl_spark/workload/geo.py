@@ -1536,6 +1536,228 @@ def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental entity resolution — the registry accretes, CC never re-runs
+# from scratch (r11 verdict #3: the production shape of er_resolve_entities)
+# ---------------------------------------------------------------------------
+
+#: the persisted entity-registry state: every distinct master NAME with
+#: its component label (the component's minimum name) and the
+#: component's entity key (the minimum master key over member rows)
+ER_REGISTRY_SCHEMA = "nm string, label string, entity_key bigint"
+
+
+def er_empty_registry(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], ER_REGISTRY_SCHEMA)
+
+
+def er_resolve_increment(
+    registry: DataFrame,
+    batch: DataFrame,
+    tau: int = _LINK_TAU,
+    block_keys: tuple[str, ...] = _LINK_BLOCK_STRATEGIES,
+) -> DataFrame:
+    """Fold ONE batch of master rows (mk, mn) into the standing entity
+    registry (``ER_REGISTRY_SCHEMA``) WITHOUT re-resolving the corpus:
+    the incremental leg of ``er_resolve_entities``, the production
+    shape where a master registry accretes daily and is never
+    re-resolved from zero.
+
+    Per batch: (1) the batch's distinct names anti-join the vocabulary
+    — only genuinely NEW names generate candidates; (2) new names
+    PassJoin (token-union blocking, same strategies as the one-shot)
+    against the existing vocabulary PLUS each other — ``passjoin_link``
+    with the accumulated names as the indexed side, so candidates are
+    ∝ the batch's true near-matches, never vocab²; (3) verified edges
+    are lifted to the LABEL level and a bounded re-label runs
+    star-CC over that mini-graph only — its node set is the touched
+    component labels plus the touching new names, ∝ batch edges, never
+    the corpus; (4) labels re-map through the merge (each part's label
+    was its component-minimum name, so the merged min-of-mins is the
+    merged component's minimum — the one-shot's label, by induction);
+    (5) entity keys fold as a min-merge (masters accrete, never
+    retract, so MIN is monotone) over the remapped old keys plus the
+    batch's per-name minima — batch rows carrying EXISTING names still
+    lower their component's key.
+
+    Convergence-order independence makes the fold reconcile EXACTLY
+    with the one-shot: connectivity is order-independent, every true
+    edge is discovered in the batch that completes it (both endpoints
+    present), and both legs verify the same blocking-superset with the
+    same Levenshtein band. Pinned in tests/test_er_incremental.py.
+
+    Scale: per-batch candidate generation probes only the batch
+    (PassJoin probe fan-out is a constant per string); the vocabulary
+    is touched as the INDEX side of one hash join per blocking pass
+    and the re-label graph is bounded by the batch's edges — the full
+    master ROWSET (≫ vocabulary) is never rescanned, and CC work is
+    ∝ components actually touched. State IO per fold is |vocabulary|
+    rows, the versioned-fold discipline of ``streaming/mv.py``.
+    """
+    from ..operators.dedup import connected_components_star
+    from ..runtime import materialize
+
+    spark = batch.sparkSession
+    batch_stats = (
+        batch.groupBy(F.col("mn").alias("nm"))
+        .agg(F.min("mk").alias("bmk"))
+        .transform(materialize)
+    )
+    reg_names = registry.select("nm")
+    new_names = (
+        batch_stats.select("nm")
+        .join(reg_names, "nm", "left_anti")
+        .transform(materialize)
+    )
+    all_names = reg_names.unionByName(new_names).transform(materialize)
+
+    # candidate edges touching at least one new name: index = full
+    # vocabulary (old ∪ new), probe = new names only, per blocking pass
+    cand = None
+    for bk in block_keys:
+        c = passjoin_link(
+            _block_names(all_names, bk),
+            _block_names(new_names, bk),
+            "nm",
+            "blk",
+            tau,
+            seg_col="rest",
+        ).select("name_a", "name_b")
+        cand = c if cand is None else cand.unionByName(c)
+    verified = (
+        cand.distinct()
+        .withColumn("d", F.levenshtein(F.col("name_a"), F.col("name_b")))
+        .filter(F.col("d").between(1, tau))
+        .select("name_a", "name_b")
+        .transform(materialize)
+    )
+
+    # current label of every name: registry names keep their label,
+    # new names start as their own singleton
+    labels_now = (
+        registry.select("nm", "label")
+        .unionByName(new_names.select("nm", F.col("nm").alias("label")))
+        .transform(materialize)
+    )
+    la = labels_now.select(F.col("nm").alias("na"), F.col("label").alias("la"))
+    lb = labels_now.select(F.col("nm").alias("nb"), F.col("label").alias("lb"))
+    lbl_edges = (
+        verified.join(la, verified["name_a"] == la["na"])
+        .join(lb, verified["name_b"] == lb["nb"])
+        .filter(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("id_a"), F.col("lb").alias("id_b"))
+    )
+    relabel = connected_components_star(lbl_edges).select(
+        F.col("node").alias("old_lbl"), F.col("label").alias("new_lbl")
+    ).transform(materialize)
+
+    name_label = (
+        labels_now.join(
+            relabel, labels_now["label"] == relabel["old_lbl"], "left"
+        )
+        .select(
+            "nm",
+            F.coalesce(F.col("new_lbl"), labels_now["label"]).alias("label"),
+        )
+        .transform(materialize)
+    )
+
+    old_ent = registry.select(
+        F.col("label").alias("lbl0"), "entity_key"
+    ).join(relabel, F.col("lbl0") == F.col("old_lbl"), "left").select(
+        F.coalesce(F.col("new_lbl"), F.col("lbl0")).alias("label"),
+        "entity_key",
+    )
+    batch_ent = batch_stats.join(name_label, "nm").select(
+        "label", F.col("bmk").alias("entity_key")
+    )
+    entity = (
+        old_ent.unionByName(batch_ent)
+        .groupBy("label")
+        .agg(F.min("entity_key").alias("entity_key"))
+    )
+    return name_label.join(entity, "label").select(
+        "nm", "label", "entity_key"
+    )
+
+
+def _er_masters(part: DataFrame) -> DataFrame:
+    """The rotten master registry of ``er_resolve_entities`` (clean +
+    deterministic variant copy), shared by the one-shot, the
+    incremental query, and the streaming fold."""
+    return part.select(
+        F.col("p_partkey").alias("mk"), F.col("p_name").alias("mn")
+    ).unionByName(
+        part.select(
+            (F.col("p_partkey") + _ER_VARIANT_OFFSET).alias("mk"),
+            F.expr(_ER_VARIANT_SQL).alias("mn"),
+        )
+    )
+
+
+@register(
+    "er_incremental_registry",
+    oracle=f"""
+WITH RECURSIVE
+m AS (
+  SELECT p_partkey AS mk, p_name AS mn FROM part
+  UNION ALL
+  SELECT p_partkey + {_ER_VARIANT_OFFSET}, {_ER_VARIANT_SQL} FROM part
+),
+nm AS (SELECT DISTINCT mn FROM m),
+npairs AS (
+  SELECT a.mn AS na, b.mn AS nb FROM nm a JOIN nm b
+  ON (split_part(a.mn, ' ', 1) = split_part(b.mn, ' ', 1)
+      OR (string_split(a.mn, ' '))[-1] = (string_split(b.mn, ' '))[-1])
+     AND a.mn < b.mn
+  WHERE levenshtein(a.mn, b.mn) BETWEEN 1 AND {_LINK_TAU}
+),
+e AS (SELECT na AS s, nb AS d FROM npairs UNION ALL SELECT nb, na FROM npairs),
+cc(node, label) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT e.d, cc.label FROM cc JOIN e ON e.s = cc.node
+),
+comp AS (SELECT node, MIN(label) AS label FROM cc GROUP BY node),
+name_label AS (
+  SELECT nm.mn, COALESCE(c.label, nm.mn) AS label
+  FROM nm LEFT JOIN comp c ON c.node = nm.mn
+),
+entity AS (
+  SELECT nl.label, MIN(m.mk) AS entity_key
+  FROM m JOIN name_label nl ON nl.mn = m.mn GROUP BY 1
+)
+SELECT nl.mn AS nm, nl.label, e2.entity_key
+FROM name_label nl JOIN entity e2 ON e2.label = nl.label
+""",
+)
+def er_incremental_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL entity resolution — ``er_resolve_entities``'s
+    registry built by folding the master list in THREE deterministic
+    batches (mk % 3) through ``er_resolve_increment``, never running
+    CC over the full name graph: each fold PassJoins only that batch's
+    new names against the accumulated vocabulary and merges touched
+    components via a bounded re-label. The oracle is the CONVERGED
+    one-shot registry (recursive reachability CTE) — passing means the
+    accreting fold and the from-zero resolution land on identical
+    (name, label, entity_key) rows, the order-independence argument in
+    ``er_resolve_increment``'s docstring made executable. The
+    cross-batch merge case is real here: a variant in batch 2 bridges
+    names first seen in batches 0 and 1, so labels merge AFTER both
+    components already exist (also pinned, with a hand-built forced
+    bridge, in tests/test_er_incremental.py)."""
+    from ..runtime import materialize
+
+    tune(spark)
+    m = _er_masters(load(spark, sf_dir, "part")).transform(materialize)
+    registry = er_empty_registry(spark)
+    for i in range(3):
+        registry = er_resolve_increment(
+            registry, m.filter(F.col("mk") % 3 == i)
+        ).transform(materialize)
+    return registry
+
+
+# ---------------------------------------------------------------------------
 # Geofence enter/exit transitions — batch twin of the streaming leg
 # ---------------------------------------------------------------------------
 
