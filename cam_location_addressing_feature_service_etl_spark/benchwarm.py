@@ -73,12 +73,22 @@ def warm_session(spark: SparkSession, sf_dir: str) -> None:
 
 def timed_noop_run(spark: SparkSession, fn, sf_dir: str) -> float:
     """Run one query end-to-end (noop write = full materialization, no
-    driver collect), GC between timed windows, return seconds."""
+    driver collect), GC between timed windows, return seconds.
+
+    The plan refs retained by ``runtime.materialize`` (they keep lazy
+    checkpoints' SQLMetrics accumulators registered until the action
+    has executed the subtree — see ``runtime._PLAN_REFS``) are released
+    AFTER the action and BEFORE the forced GC, so a 195-query run
+    neither floods the log with benign non-existent-accumulator ERRORs
+    nor accumulates retained plans across queries."""
+    from .runtime import release_plan_refs
+
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
     del df
+    release_plan_refs()
     gc.collect()
     spark._jvm.System.gc()
     return dt

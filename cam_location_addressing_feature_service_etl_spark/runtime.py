@@ -41,8 +41,36 @@ Use as ``df.transform(materialize)`` so call sites stay chainable.
 from __future__ import annotations
 
 import os
+from collections import deque
 
 from pyspark.sql import DataFrame
+
+#: Strong references to recently-materialized plans (both sides of the
+#: checkpoint boundary). WHY (diagnosed r12, reproduced 84× in one
+#: bench-shaped loop): a LAZY checkpoint's producing subtree executes
+#: at the query's FINAL action, but the Python wrappers of the
+#: intermediate frames die as the builder function returns — a natural
+#: JVM GC in between drops their Datasets, whose SparkPlan nodes are
+#: the only strong owners of the plan's SQLMetrics, and
+#: AccumulatorContext holds accumulators WEAKLY. The task binaries
+#: still carry the accumulator IDs, so when the action finally runs
+#: the subtree, every task-completion event reports updates for
+#: unregistered ids and DAGScheduler logs "Failed to update
+#: accumulator N ... attempted to access non-existent accumulator" —
+#: benign (only metrics are lost; results are unaffected) but an
+#: ERROR-level flood. Holding the wrappers here keeps the metrics
+#: registered until the action has run; the bounded deque evicts
+#: oldest-first (evicted plans belong to long-finished queries —
+#: far above any single query's materialize count, so a running
+#: query's refs are never evicted).
+_PLAN_REFS: deque[DataFrame] = deque(maxlen=512)
+
+
+def release_plan_refs() -> None:
+    """Drop the strong plan references (see ``_PLAN_REFS``). Benchmark
+    harnesses call this between timed windows, right before forcing
+    GC, so retained plans never leak memory across a 195-query run."""
+    _PLAN_REFS.clear()
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -60,7 +88,11 @@ def materialize(df: DataFrame) -> DataFrame:
                     "SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/spark-graft-checkpoints"
                 )
             )
-        return df.checkpoint(eager=False)
-    if mode != "local":
+        out = df.checkpoint(eager=False)
+    elif mode == "local":
+        out = df.localCheckpoint(eager=False)
+    else:
         raise ValueError(f"unknown SPARK_GRAFT_MATERIALIZE mode: {mode!r}")
-    return df.localCheckpoint(eager=False)
+    _PLAN_REFS.append(df)
+    _PLAN_REFS.append(out)
+    return out
