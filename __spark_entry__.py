@@ -42,6 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # --- r12 new queries (front of sample; names appended as built) ---
     "er_incremental_registry",
+    "pii_t_closeness_audit",
     # --- r12 plan-changed (hierarchy left-join dangling-parent fix) ---
     "graph_pointer_jump_roots",
     # --- stalest tranche, never in the r10/r11 driver samples: the

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.dedup import (
     exact_dedup,
@@ -1445,6 +1446,142 @@ def pii_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 pii_l_diversity_audit.__doc__ = pii_l_diversity_audit.__doc__.format(l=_LDIV_L)
+
+
+_TCLOSE_T = 0.2
+
+
+@register(
+    "pii_t_closeness_audit",
+    oracle=f"""
+WITH pairs AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
+         right(c_name, 1) AS sv, COUNT(*) AS c
+  FROM customer GROUP BY 1, 2, 3, 4
+),
+dom AS (SELECT DISTINCT sv FROM pairs),
+mrow AS (SELECT COUNT(*) AS m FROM dom),
+gdist AS (SELECT sv, CAST(SUM(c) AS BIGINT) AS g FROM pairs GROUP BY 1),
+gcum AS (SELECT sv, CAST(SUM(g) OVER (ORDER BY sv) AS BIGINT) AS gc FROM gdist),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS big_n FROM pairs),
+cells AS (
+  SELECT nation, segment, bal_band, CAST(SUM(c) AS BIGINT) AS n
+  FROM pairs GROUP BY 1, 2, 3
+),
+grid AS (SELECT cells.*, dom.sv FROM cells CROSS JOIN dom),
+cc AS (
+  SELECT g.nation, g.segment, g.bal_band, g.n, g.sv,
+         CAST(SUM(COALESCE(p.c, 0)) OVER (
+           PARTITION BY g.nation, g.segment, g.bal_band ORDER BY g.sv
+         ) AS BIGINT) AS cum
+  FROM grid g LEFT JOIN pairs p USING (nation, segment, bal_band, sv)
+),
+nums AS (
+  SELECT nation, segment, bal_band, n,
+         CAST(SUM(ABS(cum * (SELECT big_n FROM tot) - gc * n)) AS BIGINT)
+           AS num,
+         CAST(n * (SELECT big_n FROM tot)
+              * ((SELECT m FROM mrow) - 1) AS BIGINT) AS den
+  FROM cc JOIN gcum USING (sv) GROUP BY 1, 2, 3, 4
+)
+SELECT nation, segment, bal_band, n,
+       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS emd,
+       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) > {_TCLOSE_T}
+         AS not_close
+FROM nums
+""",
+)
+def pii_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness — the third leg of the privacy trio (Li, Li,
+    Venkatasubramanian 2007): l-diversity counts DISTINCT sensitive
+    values per quasi-id cell, but a cell can be diverse yet SKEWED
+    (99% one value), which still discloses; t-closeness bounds the
+    Earth Mover's Distance between each cell's sensitive-value
+    distribution and the GLOBAL one. Over an ordered value domain with
+    unit ground distance the EMD closed form is the mean absolute
+    difference of the two cumulative distributions:
+    EMD = Σ_i |CDF_cell(i) − CDF_global(i)| / (m − 1). Cells whose
+    EMD exceeds t={t} are flagged ``not_close``.
+
+    Exactness discipline: the CDFs are rationals, so both engines
+    compute the integer numerator Σ|cum_cell·N − cum_global·n| and the
+    integer denominator n·N·(m−1) exactly and perform ONE final double
+    division + round — bit-equal across engines (the float-free-oracle
+    rule in the verify recipe). At 100 TB the numerator products reach
+    ~N² per cell — swap the longs for decimal(38,0) (Spark) /
+    HUGEINT (DuckDB), both exact.
+
+    Scale: counts per (cell, sensitive value) are one partial-
+    aggregatable groupBy (network ∝ distinct pairs); the cumulative
+    grid fans each cell by the sensitive DOMAIN (m ≈ 10 — a broadcast
+    cross join, allowlisted) and the per-cell CDF is a window
+    PARTITIONED by cell; the global CDF is a triangular join on the
+    m-row domain frame, never an unpartitioned window over data."""
+    tune(spark)
+    customer = load(spark, sf_dir, "customer")
+    pairs = (
+        customer.groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+            F.substring("c_name", -1, 1).alias("sv"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(materialize)
+    )
+    dom = pairs.select("sv").distinct()
+    gdist = pairs.groupBy("sv").agg(F.sum("c").alias("g"))
+    g2 = gdist.select(F.col("sv").alias("sv2"), F.col("g").alias("g2"))
+    gcum = (
+        gdist.join(F.broadcast(g2), F.col("sv2") <= F.col("sv"))
+        .groupBy("sv")
+        .agg(F.sum("g2").alias("gc"))
+    )
+    tot = pairs.agg(F.sum("c").alias("big_n"))
+    mrow = dom.agg((F.count(F.lit(1)) - 1).alias("m1"))
+    cells = pairs.groupBy("nation", "segment", "bal_band").agg(
+        F.sum("c").alias("n")
+    )
+    grid = cells.crossJoin(F.broadcast(dom))
+    w = Window.partitionBy("nation", "segment", "bal_band").orderBy("sv")
+    cc = (
+        grid.join(pairs, ["nation", "segment", "bal_band", "sv"], "left")
+        .withColumn(
+            "cum",
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .join(F.broadcast(gcum), "sv")
+        .crossJoin(F.broadcast(tot))
+    )
+    nums = cc.groupBy("nation", "segment", "bal_band", "n").agg(
+        F.sum(
+            F.abs(F.col("cum") * F.col("big_n") - F.col("gc") * F.col("n"))
+        ).alias("num"),
+        F.first(F.col("n") * F.col("big_n")).alias("n_bign"),
+    )
+    emd = F.round(
+        F.col("num").cast("double") / (F.col("n_bign") * F.col("m1")).cast("double"),
+        6,
+    )
+    return (
+        nums.crossJoin(F.broadcast(mrow))
+        .select(
+            "nation",
+            "segment",
+            "bal_band",
+            "n",
+            emd.alias("emd"),
+            (emd > _TCLOSE_T).alias("not_close"),
+        )
+    )
+
+
+pii_t_closeness_audit.__doc__ = pii_t_closeness_audit.__doc__.format(
+    t=_TCLOSE_T
+)
 
 
 # ---------------------------------------------------------------------------

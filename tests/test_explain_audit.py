@@ -70,6 +70,10 @@ CARTESIAN_ALLOWED = {
     # weight frame (train-side gradient crossjoins sit behind
     # materialize boundaries)
     "text_lr_quality_classifier",
+    # t-closeness grid: each quasi-id cell fanned by the broadcast
+    # sensitive-value DOMAIN (≤10 rows) for the cumulative-distance
+    # sum, plus 1-row scalar totals (N, m−1)
+    "pii_t_closeness_audit",
     # whole_name (unblocked) pass: the constant block key folds the
     # PassJoin FALLBACK leg's equi-condition to true, leaving its
     # length-band inequality as a BNLJ — build side is the indexed
