@@ -43,6 +43,9 @@ _PRIORITY = [
     # --- r12 new queries (front of sample; names appended as built) ---
     "er_incremental_registry",
     "pii_t_closeness_audit",
+    "a14_bloom_semijoin_prune",
+    "er_fellegi_sunter_scores",
+    "sample_group_aware_split",
     # --- r12 plan-changed (hierarchy left-join dangling-parent fix) ---
     "graph_pointer_jump_roots",
     # --- stalest tranche, never in the r10/r11 driver samples: the

@@ -1536,6 +1536,147 @@ def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic linkage scoring
+# ---------------------------------------------------------------------------
+
+#: per-field (agreement, disagreement) log2-likelihood weights from the
+#: documented priors m=(0.9, 0.85, 0.95), u=(0.1, 0.12, 0.02) —
+#: PRE-COMPUTED and embedded as identical literals in BOTH engines (the
+#: exact-int EWMA lesson: never let two engines derive the same float)
+_FS_W = {
+    "first": (3.169925, -3.169925),
+    "last": (2.824428, -2.552541),
+    "close": (5.569856, -4.292782),
+}
+_FS_LINK, _FS_POSSIBLE = 6.0, 0.0
+
+
+def _fs_case_sql(agree_expr: str, field: str) -> str:
+    wa, wd = _FS_W[field]
+    return f"CASE WHEN {agree_expr} THEN {wa} ELSE {wd} END"
+
+
+@register(
+    "er_fellegi_sunter_scores",
+    oracle=f"""
+WITH fn AS (SELECT DISTINCT {_FEED_NAME_SQL} AS f FROM part),
+mn AS (
+  SELECT DISTINCT mn FROM (
+    SELECT p_name AS mn FROM part
+    UNION ALL SELECT {_ER_VARIANT_SQL} FROM part
+  )
+),
+cand AS (
+  SELECT fn.f, mn.mn,
+         split_part(fn.f, ' ', 1) = split_part(mn.mn, ' ', 1) AS a_first,
+         (string_split(fn.f, ' '))[-1] = (string_split(mn.mn, ' '))[-1]
+           AS a_last,
+         levenshtein(fn.f, mn.mn) <= 1 AS a_close
+  FROM fn JOIN mn ON (
+    split_part(fn.f, ' ', 1) = split_part(mn.mn, ' ', 1)
+    OR (string_split(fn.f, ' '))[-1] = (string_split(mn.mn, ' '))[-1]
+  )
+  WHERE levenshtein(fn.f, mn.mn) <= {_LINK_TAU}
+),
+scored AS (
+  SELECT f AS feed_name, mn AS master_name, a_first, a_last, a_close,
+         ROUND({_fs_case_sql('a_first', 'first')}
+               + {_fs_case_sql('a_last', 'last')}
+               + {_fs_case_sql('a_close', 'close')}, 6) AS score
+  FROM cand
+)
+SELECT feed_name, master_name, a_first, a_last, a_close, score,
+       CASE WHEN score >= {_FS_LINK} THEN 'link'
+            WHEN score >= {_FS_POSSIBLE} THEN 'possible'
+            ELSE 'non_link' END AS decision
+FROM scored
+""",
+)
+def er_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter PROBABILISTIC linkage scoring (Fellegi & Sunter
+    1969) — the decision-theoretic layer the distance-only linkage dial
+    lacks: every candidate pair gets a per-field agreement vector
+    (first token, last token, near-identity d≤1) and a summed
+    log2(m/u) likelihood weight; thresholds split link / possible /
+    non-link, with the 'possible' band being the clerical-review queue
+    a production linkage runs. m/u priors are documented constants
+    (in production: EM-estimated from the candidate set — the
+    iterative extension the NB trainer's mergeable-counts machinery
+    supports); their log-weights are pre-computed Python literals
+    embedded IDENTICALLY in both engines, so the 3-term sum is
+    bit-equal and one final ROUND(·,6) closes parity.
+
+    Candidates come from the same token-union blocked PassJoin as the
+    linkage family (value space, sub-quadratic: candidates ∝ true
+    near-matches) and are verified to the same ≤ tau band — FS scoring
+    adds one map-side expression per pair on top, so the scale story
+    is the linkage's. Output is name-pair-level (the value space);
+    row-level expansion is the caller's equi-join, as in
+    er_resolve_entities."""
+    tune(spark)
+    part = load(spark, sf_dir, "part")
+    fnm = (
+        part.select(F.expr(_FEED_NAME_SQL).alias("nm"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    mnm = (
+        part.select(F.col("p_name").alias("nm"))
+        .unionByName(part.select(F.expr(_ER_VARIANT_SQL).alias("nm")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cand = None
+    for bk in _LINK_BLOCK_STRATEGIES:
+        c = passjoin_link(
+            _block_names(mnm, bk),
+            _block_names(fnm, bk),
+            "nm",
+            "blk",
+            _LINK_TAU,
+            seg_col="rest",
+        ).select(
+            F.col("name_b").alias("feed_name"),
+            F.col("name_a").alias("master_name"),
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    first = lambda c: F.split(F.col(c), " ")[0]  # noqa: E731
+    last = lambda c: F.element_at(F.split(F.col(c), " "), -1)  # noqa: E731
+    scored = (
+        cand.distinct()
+        .withColumn(
+            "d", F.levenshtein(F.col("feed_name"), F.col("master_name"))
+        )
+        .withColumn("a_first", first("feed_name") == first("master_name"))
+        .withColumn("a_last", last("feed_name") == last("master_name"))
+        .filter(
+            (F.col("d") <= _LINK_TAU) & (F.col("a_first") | F.col("a_last"))
+        )
+        .withColumn("a_close", F.col("d") <= 1)
+    )
+
+    def w(flag: str, field: str):
+        wa, wd = _FS_W[field]
+        return F.when(F.col(flag), F.lit(wa)).otherwise(F.lit(wd))
+
+    score = F.round(
+        w("a_first", "first") + w("a_last", "last") + w("a_close", "close"), 6
+    )
+    return scored.select(
+        "feed_name",
+        "master_name",
+        "a_first",
+        "a_last",
+        "a_close",
+        score.alias("score"),
+        F.when(score >= _FS_LINK, F.lit("link"))
+        .when(score >= _FS_POSSIBLE, F.lit("possible"))
+        .otherwise(F.lit("non_link"))
+        .alias("decision"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental entity resolution — the registry accretes, CC never re-runs
 # from scratch (r11 verdict #3: the production shape of er_resolve_entities)
 # ---------------------------------------------------------------------------

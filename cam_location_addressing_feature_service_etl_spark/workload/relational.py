@@ -1465,6 +1465,123 @@ a13_theta_join_cardinality.__doc__ = a13_theta_join_cardinality.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (runtime-filter pattern, made explicit)
+# ---------------------------------------------------------------------------
+
+_A14_PRICE = 480_000
+_A14_BITS = 2048
+_A14_K = 3
+
+
+@register(
+    "a14_bloom_semijoin_prune",
+    oracle=f"""
+WITH sel AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > {_A14_PRICE}
+),
+seeds AS (SELECT * FROM (VALUES (0), (1), (2)) s(i)),
+bloom AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(k::VARCHAR || '#' || i::VARCHAR), 1, 8))::BIGINT
+      % {_A14_BITS} AS pos
+  FROM sel CROSS JOIN seeds
+),
+probe AS (
+  SELECT c_custkey, i,
+    ('0x' || substr(md5(c_custkey::VARCHAR || '#' || i::VARCHAR), 1, 8))::BIGINT
+      % {_A14_BITS} AS pos
+  FROM customer CROSS JOIN seeds
+),
+passk AS (
+  SELECT c_custkey
+  FROM probe JOIN bloom USING (pos)
+  GROUP BY 1 HAVING COUNT(DISTINCT i) = {_A14_K}
+)
+SELECT p.c_custkey, (s.k IS NOT NULL) AS is_member,
+       (s.k IS NULL) AS false_positive
+FROM passk p LEFT JOIN sel s ON s.k = p.c_custkey
+""",
+)
+def a14_bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter SEMI-JOIN PRUNING, expressed relationally — the
+    runtime-filter pattern (Spark's
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` injects it
+    implicitly for shuffle joins; this query makes the structure
+    explicit, measurable, and oracle-checkable): the build side's
+    distinct keys (customers with an order over {p:,}) hash into a
+    {m}-bit Bloom filter represented as a DISTINCT-POSITIONS table
+    (≤ {m} rows — KILOBYTES, broadcast); the probe side keeps only
+    keys whose {k} positions are ALL present (one broadcast equi-join
+    + a count-distinct-seeds filter). No false negatives by
+    construction (every member's positions are in the table); false
+    positives are VISIBLE output — each surviving key carries
+    ``is_member`` and ``false_positive`` flags from the exact
+    verification join that follows the prune.
+
+    The 100 TB story: the expensive shuffle join's probe side shrinks
+    by the Bloom pass BEFORE the shuffle — network ∝ survivors, not
+    rows — while the filter itself costs one map-side hash + a
+    broadcast lookup. The md5/substr hash family keeps both engines
+    bit-identical (the repo's cross-engine hash discipline); at
+    production scale swap xxhash64 and a real bitmap (same algebra,
+    the positions table IS the bitmap in relational form). Parameters
+    deliberately undersize the filter (n·k/m ≈ 0.77) so the FP path is
+    non-vacuous: at sf0.01, 522 members pass plus 154 false positives
+    a correctly-sized filter would suppress."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    seeds = F.explode(
+        F.array(*[F.lit(i) for i in range(_A14_K)])
+    ).alias("i")
+
+    def positions(df: DataFrame, key: str) -> DataFrame:
+        return df.select(F.col(key).alias("k"), seeds).select(
+            "k",
+            "i",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("#", F.col("k"), F.col("i"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _A14_BITS
+            ).alias("pos"),
+        )
+
+    sel = (
+        orders.filter(F.col("o_totalprice") > _A14_PRICE)
+        .select("o_custkey")
+        .distinct()
+        .transform(materialize)
+    )
+    bloom = positions(sel, "o_custkey").select("pos").distinct()
+    probe = positions(customer, "c_custkey")
+    passk = (
+        probe.join(F.broadcast(bloom), "pos")
+        .groupBy("k")
+        .agg(F.count_distinct("i").alias("nseed"))
+        .filter(F.col("nseed") == _A14_K)
+        .select(F.col("k").alias("c_custkey"))
+    )
+    member = sel.select(F.col("o_custkey").alias("c_custkey")).withColumn(
+        "is_member", F.lit(True)
+    )
+    return passk.join(member, "c_custkey", "left").select(
+        "c_custkey",
+        F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
+        F.col("is_member").isNull().alias("false_positive"),
+    )
+
+
+a14_bloom_semijoin_prune.__doc__ = a14_bloom_semijoin_prune.__doc__.format(
+    p=_A14_PRICE, m=_A14_BITS, k=_A14_K
+)
+
+
+# ---------------------------------------------------------------------------
 # Data-quality column profile (expectation-suite input)
 # ---------------------------------------------------------------------------
 
