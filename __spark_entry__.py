@@ -45,7 +45,7 @@ _PRIORITY = [
     "pii_t_closeness_audit",
     "a14_bloom_semijoin_prune",
     "er_fellegi_sunter_scores",
-    "sample_group_aware_split",
+    "er_fs_em_train",
     # --- r12 plan-changed (hierarchy left-join dangling-parent fix) ---
     "graph_pointer_jump_roots",
     # --- stalest tranche, never in the r10/r11 driver samples: the

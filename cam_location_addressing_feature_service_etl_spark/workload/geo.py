@@ -1556,10 +1556,59 @@ def _fs_case_sql(agree_expr: str, field: str) -> str:
     return f"CASE WHEN {agree_expr} THEN {wa} ELSE {wd} END"
 
 
-@register(
-    "er_fellegi_sunter_scores",
-    oracle=f"""
-WITH fn AS (SELECT DISTINCT {_FEED_NAME_SQL} AS f FROM part),
+def _fs_gammas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared comparison stage of the Fellegi–Sunter pair
+    (scoring + EM training): token-union blocked PassJoin candidates
+    between the dirty feed's distinct names and the rotten master
+    vocabulary, verified to ≤ tau, with the per-field agreement vector
+    (a_first, a_last, a_close)."""
+    tune(spark)
+    part = load(spark, sf_dir, "part")
+    fnm = (
+        part.select(F.expr(_FEED_NAME_SQL).alias("nm"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    mnm = (
+        part.select(F.col("p_name").alias("nm"))
+        .unionByName(part.select(F.expr(_ER_VARIANT_SQL).alias("nm")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cand = None
+    for bk in _LINK_BLOCK_STRATEGIES:
+        c = passjoin_link(
+            _block_names(mnm, bk),
+            _block_names(fnm, bk),
+            "nm",
+            "blk",
+            _LINK_TAU,
+            seg_col="rest",
+        ).select(
+            F.col("name_b").alias("feed_name"),
+            F.col("name_a").alias("master_name"),
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    first = lambda c: F.split(F.col(c), " ")[0]  # noqa: E731
+    last = lambda c: F.element_at(F.split(F.col(c), " "), -1)  # noqa: E731
+    return (
+        cand.distinct()
+        .withColumn(
+            "d", F.levenshtein(F.col("feed_name"), F.col("master_name"))
+        )
+        .withColumn("a_first", first("feed_name") == first("master_name"))
+        .withColumn("a_last", last("feed_name") == last("master_name"))
+        .filter(
+            (F.col("d") <= _LINK_TAU) & (F.col("a_first") | F.col("a_last"))
+        )
+        .withColumn("a_close", F.col("d") <= 1)
+    )
+
+
+#: candidate + agreement-vector CTEs shared by the FS scoring and FS-EM
+#: oracles — the pair universe must be defined exactly once or the two
+#: queries could silently test different candidate sets
+_FS_CAND_CTES = f"""fn AS (SELECT DISTINCT {_FEED_NAME_SQL} AS f FROM part),
 mn AS (
   SELECT DISTINCT mn FROM (
     SELECT p_name AS mn FROM part
@@ -1577,7 +1626,13 @@ cand AS (
     OR (string_split(fn.f, ' '))[-1] = (string_split(mn.mn, ' '))[-1]
   )
   WHERE levenshtein(fn.f, mn.mn) <= {_LINK_TAU}
-),
+)"""
+
+
+@register(
+    "er_fellegi_sunter_scores",
+    oracle=f"""
+WITH {_FS_CAND_CTES},
 scored AS (
   SELECT f AS feed_name, mn AS master_name, a_first, a_last, a_close,
          ROUND({_fs_case_sql('a_first', 'first')}
@@ -1613,47 +1668,7 @@ def er_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the linkage's. Output is name-pair-level (the value space);
     row-level expansion is the caller's equi-join, as in
     er_resolve_entities."""
-    tune(spark)
-    part = load(spark, sf_dir, "part")
-    fnm = (
-        part.select(F.expr(_FEED_NAME_SQL).alias("nm"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    mnm = (
-        part.select(F.col("p_name").alias("nm"))
-        .unionByName(part.select(F.expr(_ER_VARIANT_SQL).alias("nm")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    cand = None
-    for bk in _LINK_BLOCK_STRATEGIES:
-        c = passjoin_link(
-            _block_names(mnm, bk),
-            _block_names(fnm, bk),
-            "nm",
-            "blk",
-            _LINK_TAU,
-            seg_col="rest",
-        ).select(
-            F.col("name_b").alias("feed_name"),
-            F.col("name_a").alias("master_name"),
-        )
-        cand = c if cand is None else cand.unionByName(c)
-    first = lambda c: F.split(F.col(c), " ")[0]  # noqa: E731
-    last = lambda c: F.element_at(F.split(F.col(c), " "), -1)  # noqa: E731
-    scored = (
-        cand.distinct()
-        .withColumn(
-            "d", F.levenshtein(F.col("feed_name"), F.col("master_name"))
-        )
-        .withColumn("a_first", first("feed_name") == first("master_name"))
-        .withColumn("a_last", last("feed_name") == last("master_name"))
-        .filter(
-            (F.col("d") <= _LINK_TAU) & (F.col("a_first") | F.col("a_last"))
-        )
-        .withColumn("a_close", F.col("d") <= 1)
-    )
+    scored = _fs_gammas(spark, sf_dir)
 
     def w(flag: str, field: str):
         wa, wd = _FS_W[field]
@@ -1674,6 +1689,176 @@ def er_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("non_link"))
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EM-trained Fellegi–Sunter parameters (unsupervised m/u estimation)
+# ---------------------------------------------------------------------------
+
+_FS_EM_ROUNDS = 3
+_FS_EM_INIT = (0.5, 0.8, 0.2)  # p0, m0, u0 literals, both engines
+
+
+def _fs_em_layers(
+    rounds: int = _FS_EM_ROUNDS,
+) -> list[list[tuple[str, str]]]:
+    """EM over the 8 agreement patterns as LAYERS of (name, expr)
+    pairs — pure arithmetic SQL strings valid verbatim in BOTH Spark
+    and DuckDB, which is the whole determinism argument: the pattern
+    counts n0..n7 are exact integers, the initial parameters are
+    shared literals, every sum is written as an EXPLICIT
+    left-associative fold (no aggregation, so no engine-chosen
+    summation order), and * / on identical doubles are
+    correctly-rounded IEEE — so the two engines execute the identical
+    float program and the trained parameters are bit-equal before the
+    final display ROUND. Pattern k encodes (a_first, a_last, a_close)
+    as bits 2..0."""
+    p0, m0, u0 = _FS_EM_INIT
+    layers: list[list[tuple[str, str]]] = [
+        [("p_0", repr(p0))]
+        + [(f"m{i}_0", repr(m0)) for i in range(3)]
+        + [(f"u{i}_0", repr(u0)) for i in range(3)]
+    ]
+
+    def fold(terms: list[str]) -> str:
+        out = terms[0]
+        for x in terms[1:]:
+            out = f"({out} + {x})"
+        return out
+
+    for t in range(1, rounds + 1):
+        pt, wl, sums, params = f"p_{t-1}", [], [], []
+        for k in range(8):
+            bits = [(k >> (2 - i)) & 1 for i in range(3)]
+            pm = " * ".join(
+                [pt]
+                + [
+                    f"m{i}_{t-1}" if b else f"(1.0 - m{i}_{t-1})"
+                    for i, b in enumerate(bits)
+                ]
+            )
+            pu = " * ".join(
+                [f"(1.0 - {pt})"]
+                + [
+                    f"u{i}_{t-1}" if b else f"(1.0 - u{i}_{t-1})"
+                    for i, b in enumerate(bits)
+                ]
+            )
+            wl.append((f"w{t}_{k}", f"({pm}) / (({pm}) + ({pu}))"))
+        sums.append((f"sw_{t}", fold([f"n{k} * w{t}_{k}" for k in range(8)])))
+        sums.append(
+            (f"sl_{t}", fold([f"n{k} * (1.0 - w{t}_{k})" for k in range(8)]))
+        )
+        for i in range(3):
+            on = [k for k in range(8) if (k >> (2 - i)) & 1]
+            sums.append(
+                (f"swg{i}_{t}", fold([f"n{k} * w{t}_{k}" for k in on]))
+            )
+            sums.append(
+                (f"slg{i}_{t}", fold([f"n{k} * (1.0 - w{t}_{k})" for k in on]))
+            )
+        params.append((f"p_{t}", f"sw_{t} / (sw_{t} + sl_{t})"))
+        for i in range(3):
+            params.append((f"m{i}_{t}", f"swg{i}_{t} / sw_{t}"))
+            params.append((f"u{i}_{t}", f"slg{i}_{t} / sl_{t}"))
+        layers += [wl, sums, params]
+    return layers
+
+
+def _fs_em_final_select(rounds: int = _FS_EM_ROUNDS) -> str:
+    r = rounds
+    n_pairs = "(((((((n0 + n1) + n2) + n3) + n4) + n5) + n6) + n7)"
+    return (
+        f"SELECT CAST({n_pairs} AS BIGINT) AS n_pairs, "
+        f"ROUND(p_{r}, 6) AS p_match, "
+        + ", ".join(
+            f"ROUND(m{i}_{r}, 6) AS m_{f}, ROUND(u{i}_{r}, 6) AS u_{f}"
+            for i, f in enumerate(("first", "last", "close"))
+        )
+    )
+
+
+def _fs_em_oracle() -> str:
+    counts = ", ".join(
+        "CAST(SUM(CASE WHEN {cf}a_first AND {cl}a_last AND {cc}a_close "
+        "THEN 1 ELSE 0 END) AS DOUBLE) AS n{k}".format(
+            cf="" if (k >> 2) & 1 else "NOT ",
+            cl="" if (k >> 1) & 1 else "NOT ",
+            cc="" if k & 1 else "NOT ",
+            k=k,
+        )
+        for k in range(8)
+    )
+    sql = f"WITH {_FS_CAND_CTES}, c0 AS (SELECT {counts} FROM cand)"
+    prev = "c0"
+    for li, layer in enumerate(_fs_em_layers(), 1):
+        exprs = ", ".join(f"{e} AS {nm}" for nm, e in layer)
+        sql += f", c{li} AS (SELECT *, {exprs} FROM {prev})"
+        prev = f"c{li}"
+    return sql + f" {_fs_em_final_select()} FROM {prev}"
+
+
+@register("er_fs_em_train", oracle=_fs_em_oracle())
+def er_fs_em_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED training of the Fellegi–Sunter parameters — the
+    EM estimation the scoring query's docstring defers to: with 3
+    binary comparison fields and conditional independence, the
+    candidate pairs reduce WITHOUT LOSS to 8 integer pattern counts
+    (one partial-aggregatable pass over the pairs — at 100 TB the
+    E/M steps then cost literally nothing, they run on a 1-row
+    frame), and {r} EM rounds re-estimate (p, m_i, u_i) from the
+    shared literal init {init}. Output: the trained parameters plus
+    the pair count.
+
+    Determinism across engines is CONSTRUCTED, not hoped for: both
+    engines run the identical generated float program
+    (``_fs_em_layers`` — explicit left-associative folds instead of
+    aggregates, shared literals, only IEEE-exact {{+,*,/}}), so the
+    trained parameters agree bit-for-bit; the only ROUNDs are display.
+    The classic caveat is documented rather than hidden: EM on
+    BLOCKED candidates estimates m/u conditional on candidacy (every
+    pair agrees on ≥1 token by construction), which inflates u
+    relative to the unblocked universe — production systems correct
+    with a sampled-random-pairs u estimate, the same one-groupBy
+    shape."""
+    gammas = _fs_gammas(spark, sf_dir)
+    counts = gammas.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("a_first") == bool((k >> 2) & 1))
+                    & (F.col("a_last") == bool((k >> 1) & 1))
+                    & (F.col("a_close") == bool(k & 1)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("double")
+            .alias(f"n{k}")
+            for k in range(8)
+        ]
+    )
+    df = counts
+    for layer in _fs_em_layers():
+        df = df.selectExpr("*", *[f"{e} AS {nm}" for nm, e in layer])
+    r = _FS_EM_ROUNDS
+    n_pairs = "(((((((n0 + n1) + n2) + n3) + n4) + n5) + n6) + n7)"
+    return df.selectExpr(
+        f"CAST({n_pairs} AS BIGINT) AS n_pairs",
+        f"ROUND(p_{r}, 6) AS p_match",
+        *[
+            e
+            for i, f_ in enumerate(("first", "last", "close"))
+            for e in (
+                f"ROUND(m{i}_{r}, 6) AS m_{f_}",
+                f"ROUND(u{i}_{r}, 6) AS u_{f_}",
+            )
+        ],
+    )
+
+
+er_fs_em_train.__doc__ = er_fs_em_train.__doc__.format(
+    r=_FS_EM_ROUNDS, init=_FS_EM_INIT
+)
 
 
 # ---------------------------------------------------------------------------

@@ -1880,65 +1880,6 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Group-aware train/val/test split (leakage guard)
-# ---------------------------------------------------------------------------
-
-_SPLIT_TRAIN, _SPLIT_VAL = 80, 90  # /100 buckets
-
-
-@register(
-    "sample_group_aware_split",
-    oracle=f"""
-WITH grouped AS (
-  SELECT doc_id, md5(text) AS cluster_key FROM documents
-),
-bucketed AS (
-  SELECT doc_id, cluster_key,
-         ('0x' || substr(md5(cluster_key), 1, 8))::BIGINT % 100 AS bucket
-  FROM grouped
-)
-SELECT doc_id, cluster_key,
-       CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
-            WHEN bucket < {_SPLIT_VAL} THEN 'val'
-            ELSE 'test' END AS split
-FROM bucketed
-""",
-)
-def sample_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP-AWARE train/val/test split — the leakage guard a
-    training-data pipeline needs that a row-wise random split cannot
-    give: hashing the DOC id would scatter duplicate documents across
-    splits, so the eval set silently contains training rows (the
-    classic contamination-by-splitting bug). Here the split is a
-    function of the duplicate-CLUSTER key (md5 of the exact content —
-    compose with the MinHash-CC labels of ``dedup_cluster_canonical``
-    for near-dup awareness, same algebra), so every member of a group
-    lands in the same split by construction; the 80/10/10 allocation
-    is a second hash of the cluster key, deterministic across runs and
-    engines (no RNG — the sampler family's reproducibility
-    discipline).
-
-    Scale: map-only — two hashes and a CASE per row, no shuffle, no
-    state; the property "no cluster spans two splits" is checkable as
-    one groupBy (pinned in tests/test_llm_text_extra.py at both
-    row-hash-would-leak and group-hash-does-not)."""
-    tune(spark)
-    (documents,) = _t(spark, sf_dir, "documents")
-    ck = F.md5("text")
-    bucket = (
-        F.conv(F.substring(F.md5(ck), 1, 8), 16, 10).cast("long") % 100
-    )
-    return documents.select(
-        "doc_id",
-        ck.alias("cluster_key"),
-        F.when(bucket < _SPLIT_TRAIN, F.lit("train"))
-        .when(bucket < _SPLIT_VAL, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # Deterministic stratified sampling (hash-ordered per-stratum cap)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,72 @@
+"""Fellegi–Sunter EM training: the generated two-engine float program
+matches an independent numpy EM run on the same pattern counts, the
+trained parameters separate the near-identity field (the learned
+signal), and the expression layers are numerically safe on degenerate
+counts."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+from cam_location_addressing_feature_service_etl_spark.workload.geo import (
+    _FS_EM_INIT,
+    _FS_EM_ROUNDS,
+    _fs_em_layers,
+    _fs_gammas,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def _numpy_em(counts, rounds, init):
+    p0, m0, u0 = init
+    p, m, u = p0, np.full(3, m0), np.full(3, u0)
+    n = np.asarray(counts, dtype=float)
+    bits = np.array([[(k >> (2 - i)) & 1 for i in range(3)] for k in range(8)])
+    for _ in range(rounds):
+        pm = p * np.prod(np.where(bits, m, 1 - m), axis=1)
+        pu = (1 - p) * np.prod(np.where(bits, u, 1 - u), axis=1)
+        w = pm / (pm + pu)
+        sw, sl = (n * w).sum(), (n * (1 - w)).sum()
+        m = (n * w) @ bits / sw
+        u = (n * (1 - w)) @ bits / sl
+        p = sw / (sw + sl)
+    return p, m, u
+
+
+def test_em_query_matches_numpy_reference(spark):
+    gammas = _fs_gammas(spark, SF_SMOKE)
+    counts = [0] * 8
+    for r in gammas.groupBy("a_first", "a_last", "a_close").count().collect():
+        k = (r["a_first"] << 2) | (r["a_last"] << 1) | r["a_close"]
+        counts[k] = r["count"]
+    p, m, u = _numpy_em(counts, _FS_EM_ROUNDS, _FS_EM_INIT)
+
+    row = QUERIES["er_fs_em_train"](spark, SF_SMOKE).collect()[0]
+    assert row["n_pairs"] == sum(counts) > 0
+    assert abs(row["p_match"] - round(float(p), 6)) < 2e-6
+    for i, f in enumerate(("first", "last", "close")):
+        assert abs(row[f"m_{f}"] - round(float(m[i]), 6)) < 2e-6, f
+        assert abs(row[f"u_{f}"] - round(float(u[i]), 6)) < 2e-6, f
+    # the learned signal: the near-identity field separates match from
+    # non-match sharply even under blocked candidacy
+    assert row["m_close"] > row["u_close"] + 0.3
+    assert 0.0 < row["p_match"] < 1.0
+
+
+def test_em_layers_reference_only_prior_names(spark):
+    """Every generated expression references only n0..n7 and names
+    defined in EARLIER layers — the property that lets one generator
+    drive both a selectExpr chain and a CTE chain."""
+    import re
+
+    defined = {f"n{k}" for k in range(8)}
+    for layer in _fs_em_layers():
+        layer_names = [nm for nm, _ in layer]
+        for nm, expr in layer:
+            for ref in re.findall(r"[a-z]+\d*_\d+|n\d", expr):
+                assert ref in defined, (nm, ref)
+        defined.update(layer_names)

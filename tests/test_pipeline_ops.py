@@ -115,46 +115,3 @@ def test_transitions_conserve_event_pairs(spark):
     )
     # each user contributes (#events - 1) bigrams
     assert total_transitions == n_events - n_users
-
-
-def test_group_aware_split_never_leaks_a_cluster(spark):
-    """The leakage guard, both directions: (a) the registered split
-    assigns every member of a duplicate cluster to ONE split; (b) the
-    naive row-hash split it replaces DOES scatter a duplicated
-    document across splits on a hand-built corpus with exact dups —
-    proving the guard is non-vacuous, not just untested."""
-    from pyspark.sql import functions as F
-
-    out = QUERIES["sample_group_aware_split"](spark, SF_SMOKE)
-    spans = (
-        out.groupBy("cluster_key")
-        .agg(F.count_distinct("split").alias("ns"))
-        .filter(F.col("ns") > 1)
-        .count()
-    )
-    assert spans == 0
-    splits = {r["split"] for r in out.select("split").distinct().collect()}
-    assert splits <= {"train", "val", "test"} and "train" in splits
-
-    # naive row-hash counterexample: 40 doc_ids sharing ONE text
-    dup = spark.createDataFrame(
-        [(i, "the same document body") for i in range(40)],
-        "doc_id bigint, text string",
-    )
-    row_bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
-    naive = dup.select(
-        F.when(row_bucket < 80, "train").otherwise("eval").alias("split")
-    )
-    assert naive.select("split").distinct().count() > 1  # the leak
-    # the group-aware expression keeps them together
-    grp_bucket = (
-        F.conv(F.substring(F.md5(F.md5("text")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
-    grouped = dup.select(
-        F.when(grp_bucket < 80, "train").otherwise("eval").alias("split")
-    )
-    assert grouped.distinct().count() == 1
