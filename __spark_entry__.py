@@ -46,6 +46,8 @@ _PRIORITY = [
     "a14_bloom_semijoin_prune",
     "er_fellegi_sunter_scores",
     "er_fs_em_train",
+    "dq_psi_drift",
+    "dq_benford_audit",
     # --- r12 plan-changed (hierarchy left-join dangling-parent fix) ---
     "graph_pointer_jump_roots",
     # --- stalest tranche, never in the r10/r11 driver samples: the

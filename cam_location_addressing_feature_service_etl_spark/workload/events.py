@@ -1198,6 +1198,98 @@ def mv_max_maintenance_targeted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_PSI_SPLIT_MS = 1_705_708_800_000  # 2024-01-20 UTC, the a8 boundary
+_PSI_BANDS = 10
+_PSI_BAND_W = 50  # value in [0.01, ~490] → bands 0..9
+
+
+@register(
+    "dq_psi_drift",
+    oracle=f"""
+WITH banded AS (
+  SELECT LEAST({_PSI_BANDS - 1},
+               CAST(FLOOR(value / {_PSI_BAND_W}) AS BIGINT)) AS band,
+         CAST(epoch_ms(ts) AS BIGINT) < {_PSI_SPLIT_MS} AS is_ref
+  FROM events
+),
+grid AS (SELECT UNNEST(range({_PSI_BANDS})) AS band),
+cnt AS (
+  SELECT g.band,
+         -- NOT NULL-safe: an empty band's single left-join row has
+         -- is_ref NULL and must count on NEITHER side
+         CAST(SUM(CASE WHEN b.is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN NOT b.is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM grid g LEFT JOIN banded b ON b.band = g.band GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS tr, CAST(SUM(n_cur) AS BIGINT) AS tc
+  FROM cnt
+)
+SELECT band, n_ref, n_cur,
+       ROUND(
+         (CAST(n_cur + 1 AS DOUBLE) / (tc + {_PSI_BANDS})
+          - CAST(n_ref + 1 AS DOUBLE) / (tr + {_PSI_BANDS}))
+         * LN((CAST(n_cur + 1 AS DOUBLE) / (tc + {_PSI_BANDS}))
+              / (CAST(n_ref + 1 AS DOUBLE) / (tr + {_PSI_BANDS}))), 6)
+         AS psi_part
+FROM cnt CROSS JOIN tot
+""",
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift monitor — the continuous
+    companion to ``dq_profile_orders``: the event-value distribution
+    BEFORE the a8 increment boundary is the reference, everything
+    after is the monitored window, and each of the {b} value bands
+    reports its PSI contribution (p_cur − p_ref)·ln(p_cur/p_ref) —
+    the feature-drift gate every production scoring pipeline runs
+    (rule of thumb: Σ > 0.25 = retrain). Laplace-smoothed
+    ((n+1)/(N+{b})) so empty bands neither divide by zero nor
+    saturate the log; both engines build the probabilities from the
+    same exact integers so the single ln/multiply agree (the
+    text_unigram_logprob float-discipline precedent), and per-band
+    rows avoid any engine-ordered summation entirely.
+
+    Scale: one partial-aggregatable groupBy over (band, side) —
+    network ∝ {b} rows — plus a broadcast of the 1-row totals; at
+    100 TB this is a metadata-priced query, which is the point of PSI
+    as a standing monitor."""
+    events = _events(spark, sf_dir)
+    banded = events.select(
+        F.least(
+            F.lit(_PSI_BANDS - 1),
+            F.floor(F.col("value") / _PSI_BAND_W).cast("long"),
+        ).alias("band"),
+        (F.unix_millis("ts") < _PSI_SPLIT_MS).alias("is_ref"),
+    )
+    grid = spark.range(_PSI_BANDS).select(F.col("id").alias("band"))
+    cnt = (
+        grid.join(banded, "band", "left")
+        .groupBy("band")
+        .agg(
+            F.sum(
+                F.when(F.col("is_ref"), 1).otherwise(F.lit(0))
+            ).alias("n_ref"),
+            F.sum(
+                F.when(~F.col("is_ref"), 1).otherwise(F.lit(0))
+            ).alias("n_cur"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    p_cur = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + _PSI_BANDS)
+    p_ref = (F.col("n_ref") + 1).cast("double") / (F.col("tr") + _PSI_BANDS)
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_part"),
+    )
+
+
+dq_psi_drift.__doc__ = dq_psi_drift.__doc__.format(b=_PSI_BANDS)
+
+
 @register("a8_incremental_agg_merge", oracle=_A8_ORACLE)
 def a8_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance — the reference's A4 rowcount

@@ -1582,6 +1582,106 @@ a14_bloom_semijoin_prune.__doc__ = a14_bloom_semijoin_prune.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud/synthetic-data smell test)
+# ---------------------------------------------------------------------------
+
+#: log10(1 + 1/d) for d = 1..9, pre-computed once and embedded as the
+#: SAME literals in both engines (never let two libms derive a log)
+_BENFORD_P = {
+    d: p
+    for d, p in zip(
+        range(1, 10),
+        (
+            0.301029996,
+            0.176091259,
+            0.124938737,
+            0.096910013,
+            0.079181246,
+            0.06694679,
+            0.057991947,
+            0.051152522,
+            0.045757491,
+        ),
+    )
+}
+
+#: the CAST is load-bearing in BOTH engines: bare 0.301029996 parses
+#: as DECIMAL (the _ev_pos_sql lesson), and the whole audit must run
+#: in IEEE doubles
+_BENFORD_CASE = (
+    "CAST(CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items())
+    + " END AS DOUBLE)"
+)
+
+
+@register(
+    "dq_benford_audit",
+    oracle=f"""
+WITH cents AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders
+),
+digits AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM cents WHERE c > 0
+),
+cnt AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS big_n FROM cnt)
+SELECT digit, n_obs,
+       ROUND(big_n * ({_BENFORD_CASE}), 6) AS expected_n,
+       ROUND(
+         (n_obs - big_n * ({_BENFORD_CASE}))
+         * (n_obs - big_n * ({_BENFORD_CASE}))
+         / (big_n * ({_BENFORD_CASE})), 6) AS chi2_part
+FROM cnt CROSS JOIN tot
+""",
+)
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    fabricated-/synthetic-data smell test a DQ suite runs beside the
+    profile: naturally-occurring multiplicative amounts follow
+    P(d) = log10(1 + 1/d), so per-digit observed counts vs N·P(d)
+    with the χ² contribution localize WHERE a distribution was
+    manufactured (TPC-H prices are uniform-ish, so this corpus
+    legitimately FAILS Benford — large chi2_part on every digit — and
+    the audit showing that loudly is the demonstration).
+
+    Determinism: the first digit comes from exact integer cents (a
+    double → string first-char would expose engine float formatting),
+    the nine Benford probabilities are pre-computed literals shared by
+    both engines, and each output row's arithmetic is per-digit —
+    no engine-ordered summation anywhere. Scale: a 9-group partial-
+    aggregatable count plus a broadcast 1-row total."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    cnt = (
+        orders.select(cents.alias("c"))
+        .filter(F.col("c") > 0)
+        .select(
+            F.substring(F.col("c").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = cnt.agg(F.sum("n_obs").alias("big_n"))
+    p = F.expr(_BENFORD_CASE)
+    exp_n = F.col("big_n") * p
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.round(exp_n, 6).alias("expected_n"),
+        F.round(
+            (F.col("n_obs") - exp_n) * (F.col("n_obs") - exp_n) / exp_n, 6
+        ).alias("chi2_part"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Data-quality column profile (expectation-suite input)
 # ---------------------------------------------------------------------------
 
