@@ -168,13 +168,22 @@ def reorder_stream(
     seq_col: str = "vec_id",
     ts_col: str = "ts",
     payload_cols: tuple[str, ...] = ("nv",),
+    assume_watermarked: bool = False,
 ) -> DataFrame:
     """Buffer an out-of-order keyed stream and emit
     (seq, key, *payloads, status): rows whose event time the watermark
     has passed come out ``released`` in seq order per key; rows
     arriving beyond ``lateness`` (their slot already released) come
     out ``dropped_late``. Feed the released leg to the downstream
-    ordering-contract operator — the contract holds by construction."""
+    ordering-contract operator — the contract holds by construction.
+
+    ``assume_watermarked``: pass True when ``timed`` ALREADY carries a
+    watermark on ``ts_col`` (e.g. it went through
+    ``dropDuplicatesWithinWatermark`` upstream — the chained-stateful
+    CDC pipeline of tests/test_streaming_pipeline_e2e.py); Spark
+    forbids redefining a watermark, and the upstream one governs this
+    operator's event-time timeouts identically as long as its delay is
+    >= the disorder bound (``lateness`` is then unused)."""
     from ..session import _ship_package
 
     _ship_package(timed.sparkSession)
@@ -204,9 +213,11 @@ def reorder_stream(
     select_cols = [seq_col, key_col, *payload_cols]
     if ts_col not in select_cols:  # ts may itself be a payload
         select_cols.append(ts_col)
+    selected = timed.select(*select_cols)
+    if not assume_watermarked:
+        selected = selected.withWatermark(ts_col, lateness)
     return (
-        timed.select(*select_cols)
-        .withWatermark(ts_col, lateness)
+        selected
         .groupBy(key_col)
         .applyInPandasWithState(
             _make_update(
