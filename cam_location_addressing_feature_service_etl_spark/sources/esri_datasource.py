@@ -73,17 +73,30 @@ class EsriReader(DataSourceReader):
     def pushFilters(self, filters):
         """Best-effort pushdown (P5 at the DSv2 layer): supported
         comparison filters are translated into the server-side ``where``
-        clause — the page COUNT shrinks, so fewer partitions and fewer
-        rows transfer — and are ALSO returned so Spark re-applies them
-        (safe even if the server's evaluation differs; the reference
-        trusts the server the same way for last_edited_date)."""
+        clause (ArcGIS REST accepts SQL-92 where syntax) — the page
+        COUNT shrinks, so fewer partitions and fewer rows transfer —
+        and are ALSO returned so Spark re-applies them (safe even if
+        the server's evaluation differs; the reference trusts the
+        server the same way for last_edited_date). Covers numeric AND
+        string comparisons, IN lists, NULL probes, and prefix LIKE."""
         from pyspark.sql.datasource import (
             EqualTo,
             GreaterThan,
             GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
             LessThan,
             LessThanOrEqual,
+            StringStartsWith,
         )
+
+        def lit(v) -> str | None:
+            if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+                return None
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            return str(v)
 
         ops = {
             EqualTo: "=",
@@ -94,11 +107,30 @@ class EsriReader(DataSourceReader):
         }
         fragments = []
         for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr is None or len(attr) != 1:
+                continue
+            col = attr[0]
             op = ops.get(type(f))
-            if op is not None and len(f.attribute) == 1 and isinstance(
-                f.value, (int, float)
-            ):
-                fragments.append(f"{f.attribute[0]} {op} {f.value}")
+            if op is not None:
+                v = lit(f.value)
+                if v is not None:
+                    fragments.append(f"{col} {op} {v}")
+            elif isinstance(f, In):
+                vals = [lit(x) for x in f.value]
+                if vals and all(v is not None for v in vals):
+                    fragments.append(f"{col} IN ({', '.join(vals)})")
+            elif isinstance(f, IsNull):
+                fragments.append(f"{col} IS NULL")
+            elif isinstance(f, IsNotNull):
+                fragments.append(f"{col} IS NOT NULL")
+            elif isinstance(f, StringStartsWith) and isinstance(f.value, str):
+                # a % or _ in the prefix would be a LIKE wildcard —
+                # pushing a NARROWER predicate than Spark's would LOSE
+                # rows (re-application can't resurrect them), so skip
+                if "%" not in f.value and "_" not in f.value:
+                    pfx = f.value.replace("'", "''")
+                    fragments.append(f"{col} LIKE '{pfx}%'")
         if fragments:
             self.pushed = fragments
             self.where = " AND ".join([self.where, *fragments])

@@ -98,8 +98,6 @@ def _fake_transport_factory(options: dict):
 
     def transport(_url: str, form: dict) -> dict:
         q = form["query"]
-        if "(COUNT(*) AS ?n)" in q:
-            return {"results": {"bindings": [{"n": {"value": str(total)}}]}}
         values = re.search(r"VALUES\s+\?\w+\s*\{([^}]*)\}", q)
         if values:
             keys = re.findall(r"<([^>]+)>", values.group(1))
@@ -107,6 +105,15 @@ def _fake_transport_factory(options: dict):
             rows = [_fake_binding(variables, i) for i in sorted(idx) if i < total]
         else:
             rows = [_fake_binding(variables, i) for i in range(total)]
+        # honor pushed-down equality/BOUND filters so the COUNT a
+        # pushdown plans against genuinely shrinks (the live server
+        # does the same; anything fancier Spark re-applies anyway)
+        for v, val in re.findall(r'FILTER\(STR\(\?(\w+)\) = "([^"]*)"\)', q):
+            rows = [r for r in rows if r.get(v, {}).get("value") == val]
+        for v in re.findall(r"FILTER\(BOUND\(\?(\w+)\)\)", q):
+            rows = [r for r in rows if v in r]
+        if "(COUNT(*) AS ?n)" in q:
+            return {"results": {"bindings": [{"n": {"value": str(len(rows))}}]}}
         limit = re.search(r"\bLIMIT\s+(\d+)", q)
         offset = re.search(r"\bOFFSET\s+(\d+)", q)
         lo = int(offset.group(1)) if offset else 0
@@ -116,26 +123,100 @@ def _fake_transport_factory(options: dict):
     return transport
 
 
-def _subselect(query: str) -> str:
+def _subselect(query: str, filters: Sequence[str] = ()) -> str:
     """The user's query wrapped as a SPARQL subselect ``{ <query> }``
     so appended solution modifiers (ORDER BY / LIMIT / OFFSET, or the
     COUNT projection) compose with a query that already carries its
     own modifiers — appending them directly after a query ending in
     ORDER BY/LIMIT would be invalid SPARQL or silently mis-page. The
     newline before ``}`` keeps a trailing ``# comment`` from swallowing
-    the closing brace."""
-    return f"{{\n{query}\n}}"
+    the closing brace. ``filters``: pushed-down FILTER expressions,
+    applied OUTSIDE the subselect (over its projected variables) so
+    they compose with any inner modifiers."""
+    body = f"{{\n{query}\n}}"
+    for frag in filters:
+        body += f"\nFILTER({frag})"
+    return f"{{ {body} }}" if filters else body
 
 
-def _count_query(query: str) -> str:
-    return f"SELECT (COUNT(*) AS ?n) WHERE {_subselect(query)}"
+def _count_query(query: str, filters: Sequence[str] = ()) -> str:
+    return f"SELECT (COUNT(*) AS ?n) WHERE {_subselect(query, filters)}"
 
 
-def _page_query(query: str, order_var: str, limit: int, offset: int) -> str:
+def _page_query(
+    query: str,
+    order_var: str,
+    limit: int,
+    offset: int,
+    filters: Sequence[str] = (),
+) -> str:
     return (
-        f"SELECT * WHERE {_subselect(query)}"
+        f"SELECT * WHERE {_subselect(query, filters)}"
         f"\nORDER BY ?{order_var}\nLIMIT {limit}\nOFFSET {offset}"
     )
+
+
+def _sparql_str(value) -> str:
+    """A SPARQL string literal with quotes/backslashes escaped."""
+    s = str(value).replace("\\", "\\\\").replace('"', '\\"')
+    return f'"{s}"'
+
+
+def translate_filters(filters, variables) -> tuple[list[str], list]:
+    """Best-effort Catalyst-filter → SPARQL FILTER translation for the
+    pushdown path. Returns (fragments, all filters) — every filter is
+    handed back to Spark for re-application, so a server whose string
+    semantics differ cannot corrupt results (partial-pushdown
+    discipline, same as the ESRI source). Supported: (in)equality and
+    lexicographic comparisons on projection variables (STR-compared —
+    this source surfaces every variable as a string), IN lists,
+    BOUND/!BOUND for null probes, and prefix/suffix/contains string
+    predicates."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+        StringContains,
+        StringEndsWith,
+        StringStartsWith,
+    )
+
+    ops = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+    fns = {
+        StringStartsWith: "STRSTARTS",
+        StringEndsWith: "STRENDS",
+        StringContains: "CONTAINS",
+    }
+    frags: list[str] = []
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if attr is None or len(attr) != 1 or attr[0] not in variables:
+            continue
+        v = f"?{attr[0]}"
+        op = ops.get(type(f))
+        if op is not None:
+            frags.append(f"STR({v}) {op} {_sparql_str(f.value)}")
+        elif isinstance(f, In):
+            vals = ", ".join(_sparql_str(x) for x in f.value)
+            frags.append(f"STR({v}) IN ({vals})")
+        elif isinstance(f, IsNotNull):
+            frags.append(f"BOUND({v})")
+        elif isinstance(f, IsNull):
+            frags.append(f"!BOUND({v})")
+        elif type(f) in fns:
+            frags.append(f"{fns[type(f)]}(STR({v}), {_sparql_str(f.value)})")
+    return frags, list(filters)
 
 
 def _variables(options: dict) -> list[str]:
@@ -172,6 +253,17 @@ class SparqlReader(DataSourceReader):
         # OFFSET paging is only a stable order when the query is
         # ordered; default to the first projection variable
         self.order_var = options.get("order_var", self.variables[0])
+        self.filter_frags: list[str] = []
+
+    def pushFilters(self, filters):
+        """Filter pushdown at the DSv2 layer (the SPARQL twin of the
+        ESRI reader's P5 pushdown): supported predicates become
+        FILTER(...) clauses composed OUTSIDE the subselect wrap — the
+        server-side COUNT shrinks, so fewer page partitions plan and
+        fewer bindings transfer. Every filter is returned so Spark
+        re-applies it (partial-pushdown safety)."""
+        self.filter_frags, back = translate_filters(filters, self.variables)
+        return back
 
     # -- planning ----------------------------------------------------------
     def partitions(self) -> Sequence[InputPartition]:
@@ -189,9 +281,9 @@ class SparqlReader(DataSourceReader):
                 for o in range(0, max(len(keys), 1), self.key_batch)
             ]
         total = int(
-            _client(self.options).query(_count_query(self.query))[0]["n"][
-                "value"
-            ]
+            _client(self.options).query(
+                _count_query(self.query, self.filter_frags)
+            )[0]["n"]["value"]
         )
         return [
             PagePartition(offset=o, count=self.page_size)
@@ -218,6 +310,7 @@ class SparqlReader(DataSourceReader):
                     self.order_var,
                     partition.count,
                     partition.offset,
+                    self.filter_frags,
                 )
             )
         for r in rows:

@@ -45,12 +45,47 @@ def test_push_filters_translate_to_where(registered):
     r = EsriReader({"mode": "fake"}, StructType([]))
     filters = [
         GreaterThan(("objectid",), 100),
-        IsNotNull(("pid",)),             # unsupported → not translated
-        StringStartsWith(("type",), "x"),  # unsupported → not translated
+        IsNotNull(("pid",)),
+        StringStartsWith(("type",), "x"),
     ]
     remaining = list(r.pushFilters(filters))
-    assert r.where == "1=1 AND objectid > 100"
+    assert r.where == (
+        "1=1 AND objectid > 100 AND pid IS NOT NULL AND type LIKE 'x%'"
+    )
     assert remaining == filters  # partial pushdown: Spark re-applies all
+
+
+def test_push_filters_string_in_null_and_wildcard_safety(registered):
+    """The widened translation set: quoted string equality (with
+    embedded-quote escaping), IN lists, IS NULL — and the safety rail:
+    a StringStartsWith whose prefix contains a LIKE wildcard must NOT
+    be pushed (a narrower server predicate would LOSE rows that
+    Spark's re-application cannot resurrect)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        In,
+        IsNull,
+        StringStartsWith,
+    )
+    from pyspark.sql.types import StructType
+
+    from cam_location_addressing_feature_service_etl_spark.sources.esri_datasource import (
+        EsriReader,
+    )
+
+    r = EsriReader({"mode": "fake"}, StructType([]))
+    r.pushFilters(
+        [
+            EqualTo(("pid",), "o'brien"),
+            In(("type",), ("a", "b")),
+            IsNull(("x",)),
+            StringStartsWith(("pid",), "10%"),  # wildcard → skipped
+            EqualTo(("pid",), True),  # bool → skipped (not SQL-92 here)
+        ]
+    )
+    assert r.where == (
+        "1=1 AND pid = 'o''brien' AND type IN ('a', 'b') AND x IS NULL"
+    )
 
 
 def test_filtered_read_is_correct_end_to_end(registered):

@@ -290,3 +290,69 @@ def test_modifier_composition_with_self_modified_query():
         closing = built.rfind("}")
         comment = built.rfind("# trailing comment")
         assert comment < closing, built  # brace survives the comment
+
+
+def test_push_filters_translate_and_shrink_partitions():
+    """SPARQL filter pushdown (the ESRI P5 twin): supported predicates
+    become FILTER clauses outside the subselect wrap, the planning
+    COUNT shrinks (fewer page partitions), and the page reads return
+    only matching bindings — while every filter is handed back for
+    Spark re-application."""
+    from pyspark.sql.datasource import EqualTo, IsNotNull, StringStartsWith
+    from pyspark.sql.types import StructType
+
+    from cam_location_addressing_feature_service_etl_spark.sources.sparql_datasource import (
+        SparqlReader,
+        translate_filters,
+    )
+
+    frags, back = translate_filters(
+        [
+            EqualTo(("street",), 'say "hi"'),
+            IsNotNull(("unit_opt",)),
+            StringStartsWith(("pid",), "urn:"),
+            EqualTo(("not_projected",), "x"),  # unknown var → skipped
+        ],
+        ["pid", "street", "unit_opt"],
+    )
+    assert frags == [
+        'STR(?street) = "say \\"hi\\""',
+        "BOUND(?unit_opt)",
+        'STRSTARTS(STR(?pid), "urn:")',
+    ]
+    assert len(back) == 4  # everything returned for re-application
+
+    reader = SparqlReader(
+        {
+            "query": "SELECT ?pid ?street WHERE { ?pid :street ?street }",
+            "variables": "pid,street",
+            "page_size": "10",
+            "mode": "fake",
+            "fake_rows": "100",
+        },
+        StructType(),
+    )
+    assert len(reader.partitions()) == 10  # unfiltered: 100 rows
+    reader.pushFilters([EqualTo(("street",), "street-7")])
+    parts = reader.partitions()
+    assert len(parts) == 1  # COUNT shrank to the single match
+    rows = list(reader.read(parts[0]))
+    assert rows == [("urn:pid:7", "street-7")]
+
+
+def test_filtered_read_is_correct_end_to_end(registered):
+    """spark.read + .filter on the registered source: whether or not
+    the fake server honors the pushed FILTER, re-application keeps the
+    result exact."""
+    from pyspark.sql import functions as F
+
+    df = (
+        registered.read.format("sparql")
+        .option("mode", "fake")
+        .option("fake_rows", "60")
+        .option("variables", "pid,street")
+        .option("query", "SELECT ?pid ?street WHERE { ?pid :street ?street }")
+        .load()
+        .filter(F.col("street") == "street-41")
+    )
+    assert [tuple(r) for r in df.collect()] == [("urn:pid:41", "street-41")]
