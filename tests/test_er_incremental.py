@@ -176,3 +176,19 @@ def test_streaming_registry_stream_reconciles(spark, tmp_path):
     got = _rows(read_registry(spark, reg_dir))
     want = _rows(QUERIES["er_incremental_registry"](spark, SF_SMOKE))
     assert got == want and len(want) > 0
+
+
+def test_empty_batch_is_identity(spark, tmp_path):
+    """foreachBatch delivers EMPTY micro-batches under availableNow
+    triggers with no new files — the fold must be an identity, not an
+    error and not a state reset."""
+    mk_mn = "mk bigint, mn string"
+    registry = er_resolve_increment(
+        er_empty_registry(spark),
+        spark.createDataFrame([(3, "xy zw"), (4, "ab cd")], mk_mn),
+    ).localCheckpoint()
+    before = _rows(registry)
+    after = er_resolve_increment(
+        registry, spark.createDataFrame([], mk_mn)
+    )
+    assert _rows(after) == before and len(before) == 2

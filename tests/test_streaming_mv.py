@@ -178,3 +178,50 @@ def test_cross_batch_disorder_negative_carry_survives(spark, tmp_path):
     assert _rows(read_view(spark, view_dir)) == set()  # hidden, not lost
     apply_delta_batch(insert, 1, view_dir)
     assert _rows(read_view(spark, view_dir)) == set()  # cancelled exactly
+
+
+def test_stream_restart_from_checkpoint_continues(spark, tmp_path):
+    """A REAL stop/restart, not just batch replay: the maintenance
+    stream processes two CDC files and stops (availableNow); two more
+    files land; a NEW query restarted on the SAME checkpoint resumes
+    past the committed offsets — the final view equals the batch
+    aggregate over all four files, with no double-fold of the first
+    two."""
+    b1, b2 = _signed_deltas(spark)
+    halves = [
+        b1.filter(F.col("user_id") % 2 == 0),
+        b1.filter(F.col("user_id") % 2 == 1),
+        b2.filter(F.col("user_id") % 2 == 0),
+        b2.filter(F.col("user_id") % 2 == 1),
+    ]
+    d = tmp_path / "cdc"
+    d.mkdir()
+    now = 1_700_000_000
+
+    def _land(i):
+        f = d / f"b{i}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(halves[i].toPandas(), preserve_index=False), f
+        )
+        os.utime(f, (now + 60 * i, now + 60 * i))
+
+    view_dir = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    _land(0)
+    _land(1)
+    q = maintain_view_stream(
+        read_delta_stream(spark, str(d), max_files_per_trigger=1),
+        view_dir,
+        ckpt,
+    )
+    q.awaitTermination(180)
+    _land(2)
+    _land(3)
+    q2 = maintain_view_stream(  # same checkpoint: resumes, not replays
+        read_delta_stream(spark, str(d), max_files_per_trigger=1),
+        view_dir,
+        ckpt,
+    )
+    q2.awaitTermination(180)
+    want = _rows(QUERIES["mv_retractable_agg_maintenance"](spark, SF_SMOKE))
+    assert _rows(read_view(spark, view_dir)) == want
