@@ -91,6 +91,16 @@ class EsriReader(DataSourceReader):
             StringStartsWith,
         )
 
+        # Safety invariant for every pushed fragment: it must be a
+        # SUPERSET of Spark's own predicate under ANY backend collation
+        # — a narrower server predicate silently LOSES rows that
+        # re-application cannot resurrect. Equality / IN / prefix-LIKE
+        # are supersets under case-insensitive collations (byte-equal
+        # strings compare equal everywhere; CI matching only ADDS rows,
+        # which Spark filters back out). ORDERING comparisons are NOT:
+        # a CI collation can order 'abc' < 'Z' where Spark's binary
+        # comparison keeps it, so > < >= <= push for NUMERIC values
+        # only (collation-independent).
         def lit(v) -> str | None:
             if isinstance(v, bool) or not isinstance(v, (int, float, str)):
                 return None
@@ -99,7 +109,6 @@ class EsriReader(DataSourceReader):
             return str(v)
 
         ops = {
-            EqualTo: "=",
             GreaterThan: ">",
             GreaterThanOrEqual: ">=",
             LessThan: "<",
@@ -113,9 +122,15 @@ class EsriReader(DataSourceReader):
             col = attr[0]
             op = ops.get(type(f))
             if op is not None:
+                if isinstance(f.value, bool) or not isinstance(
+                    f.value, (int, float)
+                ):
+                    continue  # string ordering is collation-dependent
+                fragments.append(f"{col} {op} {f.value}")
+            elif isinstance(f, EqualTo):
                 v = lit(f.value)
                 if v is not None:
-                    fragments.append(f"{col} {op} {v}")
+                    fragments.append(f"{col} = {v}")
             elif isinstance(f, In):
                 vals = [lit(x) for x in f.value]
                 if vals and all(v is not None for v in vals):
@@ -125,10 +140,10 @@ class EsriReader(DataSourceReader):
             elif isinstance(f, IsNotNull):
                 fragments.append(f"{col} IS NOT NULL")
             elif isinstance(f, StringStartsWith) and isinstance(f.value, str):
-                # a % or _ in the prefix would be a LIKE wildcard —
-                # pushing a NARROWER predicate than Spark's would LOSE
-                # rows (re-application can't resurrect them), so skip
-                if "%" not in f.value and "_" not in f.value:
+                # %/_ are LIKE wildcards everywhere; [ opens a character
+                # class on SQL-Server-backed geodatabases — any of them
+                # in the prefix would push a NARROWER predicate, so skip
+                if not any(ch in f.value for ch in "%_["):
                     pfx = f.value.replace("'", "''")
                     fragments.append(f"{col} LIKE '{pfx}%'")
         if fragments:

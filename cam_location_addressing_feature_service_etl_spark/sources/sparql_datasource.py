@@ -171,7 +171,11 @@ def translate_filters(filters, variables) -> tuple[list[str], list]:
     lexicographic comparisons on projection variables (STR-compared —
     this source surfaces every variable as a string), IN lists,
     BOUND/!BOUND for null probes, and prefix/suffix/contains string
-    predicates."""
+    predicates. String ORDERING is safe to push here where the ESRI
+    source must refuse it: SPARQL pins plain-literal comparison to
+    Unicode codepoint order (fn:compare, simple collation), which is
+    exactly Spark's binary UTF8 ordering — there is no
+    backend-collation degree of freedom to narrow the predicate."""
     from pyspark.sql.datasource import (
         EqualTo,
         GreaterThan,

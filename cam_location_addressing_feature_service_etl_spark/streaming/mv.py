@@ -61,8 +61,12 @@ def apply_delta_batch(
     delta: DataFrame, batch_id: int, view_dir: str, retain_versions: int = 3
 ) -> None:
     """Apply one signed-delta micro-batch: merge into the latest prior
-    view version (union + one groupBy, keys reaching zero count drop
-    out) and write ``v=<batch_id>``. Replays are idempotent."""
+    view version (union + one groupBy) and write ``v=<batch_id>``.
+    Replays are idempotent. The STORED state may carry non-positive
+    keys (negative carries from CDC disorder; only exactly-balanced
+    (0, 0) keys are garbage-collected) — consumers read through
+    ``read_view``, which filters to live keys, never ``read_latest``
+    directly."""
     fold_version(
         delta, batch_id, view_dir, _VIEW_SCHEMA, _merge, retain_versions
     )

@@ -186,24 +186,45 @@ def read_max_view(
         )
     )
 
-    # targeted recompute: only keys WITHOUT a surviving heap value
+    # targeted recompute: only keys WITHOUT a surviving heap value.
+    # The semi-join prune comes FIRST — every candidate key appears in
+    # state (base arrivals create heap rows, inserts create ins rows),
+    # so exhausted = state keys minus survivors, and the base table is
+    # grouped only AFTER shrinking to those keys. Grouping the whole
+    # base and anti-joining after would rescan/shuffle the full base
+    # on every read (Catalyst does not push anti-joins below
+    # aggregates) — the exact rebuild this operator exists to avoid.
+    from ..runtime import materialize
+
+    exhausted = (
+        state.select("user_id")
+        .distinct()
+        .join(surv.select("user_id"), "user_id", "left_anti")
+        .transform(materialize)  # feeds three semi-join branches
+    )
     del_tot = (
         state.filter(F.col("n_del") > 0)
+        .join(exhausted, "user_id", "left_semi")
         .groupBy("user_id", "v")
         .agg(F.sum("n_del").alias("n_del"))
     )
-    base_cnt = base.groupBy("user_id", "v").agg(
-        F.count(F.lit(1)).alias("n_base")
+    base_cnt = (
+        base.join(exhausted, "user_id", "left_semi")
+        .groupBy("user_id", "v")
+        .agg(F.count(F.lit(1)).alias("n_base"))
     )
     eff = (
         base_cnt.join(del_tot, ["user_id", "v"], "left")
         .filter(F.col("n_base") > F.coalesce(F.col("n_del"), F.lit(0)))
         .select("user_id", "v")
-        .unionByName(ins.select("user_id", F.col("ins_max").alias("v")))
+        .unionByName(
+            ins.join(exhausted, "user_id", "left_semi").select(
+                "user_id", F.col("ins_max").alias("v")
+            )
+        )
     )
     recomputed = (
-        eff.join(surv.select("user_id"), "user_id", "left_anti")
-        .groupBy("user_id")
+        eff.groupBy("user_id")
         .agg(F.max("v").alias("max_centi"))
         .select("user_id", "max_centi", F.lit(True).alias("recomputed"))
     )

@@ -18,19 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..workload.events import _PSI_BAND_W, _PSI_BANDS
+from ..workload.events import _PSI_BANDS, psi_band_col as band_col
 from .versioned import fold_version, read_latest
 
 _STATE_SCHEMA = "band bigint, n bigint"
-
-
-def band_col(value_col: str = "value"):
-    """The shared banding expression — one definition for the batch
-    query, the reference freeze, and the stream fold."""
-    return F.least(
-        F.lit(_PSI_BANDS - 1),
-        F.floor(F.col(value_col) / _PSI_BAND_W).cast("long"),
-    ).alias("band")
 
 
 def freeze_reference(events: DataFrame, ref_dir: str) -> None:

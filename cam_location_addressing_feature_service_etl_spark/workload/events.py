@@ -1203,6 +1203,18 @@ _PSI_BANDS = 10
 _PSI_BAND_W = 50  # value in [0.01, ~490] → bands 0..9
 
 
+def psi_band_col(value_col: str = "value"):
+    """THE banding expression — the batch query, the streaming
+    monitor's reference freeze, and its per-batch fold all call this
+    one definition (``streaming/psi.py`` imports it), so a band-width
+    or clamping change can never leave the standing monitor on stale
+    banding while the oracle-checked batch query moves on."""
+    return F.least(
+        F.lit(_PSI_BANDS - 1),
+        F.floor(F.col(value_col) / _PSI_BAND_W).cast("long"),
+    ).alias("band")
+
+
 @register(
     "dq_psi_drift",
     oracle=f"""
@@ -1255,10 +1267,7 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a standing monitor."""
     events = _events(spark, sf_dir)
     banded = events.select(
-        F.least(
-            F.lit(_PSI_BANDS - 1),
-            F.floor(F.col("value") / _PSI_BAND_W).cast("long"),
-        ).alias("band"),
+        psi_band_col(),
         (F.unix_millis("ts") < _PSI_SPLIT_MS).alias("is_ref"),
     )
     grid = spark.range(_PSI_BANDS).select(F.col("id").alias("band"))

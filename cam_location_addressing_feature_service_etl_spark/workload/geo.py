@@ -787,9 +787,10 @@ def geo_locality_assign_nearest_fallback(
     from pyspark.sql import Window
 
     pts = _points(spark, sf_dir)
-    inside = (
-        _banded_locality_assign(spark, pts, _HOLE_EDGES)
-        .localCheckpoint(eager=False)
+    from ..runtime import materialize
+
+    inside = _banded_locality_assign(spark, pts, _HOLE_EDGES).transform(
+        materialize
     )
     rest = pts.join(inside, "point_id", "left_anti")
     band_rows = edge_band_rows(
@@ -1145,8 +1146,10 @@ def link_feed_to_masters(
     if len(block_keys) > 1:
         # each pass re-reads both distinct-name frames: checkpoint the
         # fan-out or the distinct subtree runs once per pass
-        m_names = m_names.localCheckpoint(eager=False)
-        f_names = f_names.localCheckpoint(eager=False)
+        from ..runtime import materialize
+
+        m_names = m_names.transform(materialize)
+        f_names = f_names.transform(materialize)
     cand = None
     for bk in block_keys:
         c = passjoin_link(
@@ -1475,6 +1478,7 @@ def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive reachability CTE for the converged components."""
     from ..operators.dedup import connected_components_star
     from ..operators.fuzzy import passjoin_candidates
+    from ..runtime import materialize
 
     tune(spark)
     part = load(spark, sf_dir, "part")
@@ -1494,8 +1498,8 @@ def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as the multiblock linkage — a variant whose corruption landed in
     # one token still shares the other), PassJoin candidates per pass,
     # one distinct, one verify
-    nm_names = m.select(F.col("mn").alias("nm")).distinct().localCheckpoint(
-        eager=False
+    nm_names = (
+        m.select(F.col("mn").alias("nm")).distinct().transform(materialize)
     )
     cand = None
     for bk in _LINK_BLOCK_STRATEGIES:
@@ -1562,18 +1566,20 @@ def _fs_gammas(spark: SparkSession, sf_dir: str) -> DataFrame:
     between the dirty feed's distinct names and the rotten master
     vocabulary, verified to ≤ tau, with the per-field agreement vector
     (a_first, a_last, a_close)."""
+    from ..runtime import materialize
+
     tune(spark)
     part = load(spark, sf_dir, "part")
     fnm = (
         part.select(F.expr(_FEED_NAME_SQL).alias("nm"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     mnm = (
         part.select(F.col("p_name").alias("nm"))
         .unionByName(part.select(F.expr(_ER_VARIANT_SQL).alias("nm")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     cand = None
     for bk in _LINK_BLOCK_STRATEGIES:

@@ -73,6 +73,8 @@ def test_push_filters_string_in_null_and_wildcard_safety(registered):
         EsriReader,
     )
 
+    from pyspark.sql.datasource import GreaterThan
+
     r = EsriReader({"mode": "fake"}, StructType([]))
     r.pushFilters(
         [
@@ -80,7 +82,11 @@ def test_push_filters_string_in_null_and_wildcard_safety(registered):
             In(("type",), ("a", "b")),
             IsNull(("x",)),
             StringStartsWith(("pid",), "10%"),  # wildcard → skipped
+            StringStartsWith(("pid",), "1[a"),  # SQL-Server class → skipped
             EqualTo(("pid",), True),  # bool → skipped (not SQL-92 here)
+            # string ORDERING is collation-dependent server-side (a CI
+            # collation narrows it and loses rows) → never pushed
+            GreaterThan(("type",), "Z"),
         ]
     )
     assert r.where == (
