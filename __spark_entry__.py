@@ -48,6 +48,7 @@ _PRIORITY = [
     "er_fs_em_train",
     "dq_psi_drift",
     "dq_benford_audit",
+    "agg_woe_price_bins",
     # --- r12 plan-changed (hierarchy left-join dangling-parent fix) ---
     "graph_pointer_jump_roots",
     # --- stalest tranche, never in the r10/r11 driver samples: the

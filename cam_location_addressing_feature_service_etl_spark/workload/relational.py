@@ -1846,3 +1846,93 @@ def agg_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(dx) / n.cast("double") / 100.0, 6).alias("stddev_pop_price"),
         F.round(F.sqrt(dy) / n.cast("double") / 100.0, 6).alias("stddev_pop_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence feature binning (supervised encoding)
+# ---------------------------------------------------------------------------
+
+_WOE_BIN_W = 50_000
+
+
+@register(
+    "agg_woe_price_bins",
+    oracle=f"""
+WITH labeled AS (
+  SELECT CAST(FLOOR(o_totalprice / {_WOE_BIN_W}) AS BIGINT) AS bin,
+         o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_event
+  FROM orders
+),
+cnt AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS n_event,
+         CAST(SUM(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_nonevent
+  FROM labeled GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_event) AS BIGINT) AS te,
+         CAST(SUM(n_nonevent) AS BIGINT) AS tn
+  FROM cnt
+),
+w AS (
+  SELECT bin, n_event, n_nonevent,
+         LN((CAST(n_event + 1 AS DOUBLE) / (te + 1))
+            / (CAST(n_nonevent + 1 AS DOUBLE) / (tn + 1))) AS woe_raw,
+         (CAST(n_event + 1 AS DOUBLE) / (te + 1)
+          - CAST(n_nonevent + 1 AS DOUBLE) / (tn + 1)) AS pdiff
+  FROM cnt CROSS JOIN tot
+)
+SELECT bin, n_event, n_nonevent,
+       ROUND(woe_raw, 6) AS woe, ROUND(pdiff * woe_raw, 6) AS iv_part
+FROM w
+""",
+)
+def agg_woe_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence encoding + Information Value — the classic
+    supervised binning of credit scoring, here binning order totals
+    against the "urgent order" event: per bin,
+    WOE = ln(P(bin|event) / P(bin|non-event)) (Laplace-smoothed) and
+    the IV contribution (P_e − P_n)·WOE, whose sum ranks the feature's
+    predictive power. Completes the stats family next to the exact-
+    moment bivariate query: WOE is the categorical-feature counterpart
+    a model-prep pipeline materializes as an encoding dimension table
+    (broadcastable — it is |bins| rows).
+
+    Determinism: counts are exact integers, probabilities exact
+    rationals, ONE ln/multiply per bin on identical doubles (the PSI
+    precedent), per-bin output rows so no engine-ordered summation.
+    Scale: one partial-aggregatable groupBy on the bin (network ∝
+    bins) + a broadcast 1-row total."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    cnt = (
+        orders.select(
+            F.floor(F.col("o_totalprice") / _WOE_BIN_W)
+            .cast("long")
+            .alias("bin"),
+            F.col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH")
+            .alias("is_event"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("n_event"),
+            F.sum(F.when(~F.col("is_event"), 1).otherwise(0)).alias(
+                "n_nonevent"
+            ),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("n_event").alias("te"), F.sum("n_nonevent").alias("tn")
+    )
+    pe = (F.col("n_event") + 1).cast("double") / (F.col("te") + 1)
+    pn = (F.col("n_nonevent") + 1).cast("double") / (F.col("tn") + 1)
+    woe_raw = F.log(pe / pn)
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_event",
+        "n_nonevent",
+        F.round(woe_raw, 6).alias("woe"),
+        F.round((pe - pn) * woe_raw, 6).alias("iv_part"),
+    )
