@@ -49,8 +49,15 @@ _PRIORITY = [
     "dq_psi_drift",
     "dq_benford_audit",
     "agg_woe_price_bins",
-    # --- r12 plan-changed (hierarchy left-join dangling-parent fix) ---
+    # --- r12 plan-changed: hierarchy left-join dangling-parent fix;
+    # materialize conversions (plan-ref retention) touched the ER
+    # composite and the linkage family ---
     "graph_pointer_jump_roots",
+    "er_resolve_entities",
+    "geo_fuzzy_link_feed",
+    "geo_fuzzy_link_feed_multiblock",
+    "geo_fuzzy_link_feed_full",
+    "geo_locality_assign_holes",
     # --- stalest tranche, never in the r10/r11 driver samples: the
     # a5-a13 sketch block + ev_* window family + dedup_* family the
     # r11 verdict called out ---
@@ -202,14 +209,11 @@ _PRIORITY = [
     "ev_sessionize_gap30",
     "ev_tumbling_window_hourly",
     # --- sampled in r11 (back of rotation) ---
-    "geo_fuzzy_link_feed_multiblock",
-    "geo_fuzzy_link_feed_full",
     "text_nb_langid_classifier",
     "text_lr_quality_classifier",
     "text_nb_incremental_train",
     "sim_hard_negative_mining",
     "ev_ewma_value",
-    "er_resolve_entities",
     "mv_retractable_agg_maintenance",
     "mv_max_maintenance_targeted",
     "pii_dp_bounded_contribution",
@@ -219,9 +223,7 @@ _PRIORITY = [
     "m7_cdc_apply_tombstones",
     "geo_locality_assign_nearest_fallback",
     "pii_l_diversity_audit",
-    "geo_fuzzy_link_feed",
     "geo_locality_assign_banded",
-    "geo_locality_assign_holes",
     "ev_user_running_total",
     "flagship_current_address",
     "geo_gridcell_agg",

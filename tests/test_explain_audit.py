@@ -60,6 +60,9 @@ CARTESIAN_ALLOWED = {
     "a9_key_skew_profile",          # 1-row total/cardinality frame
     "text_bm25_topk",               # 1-row corpus stats frame
     "sample_importance_dsir",       # 1-row LM totals frame
+    "dq_psi_drift",                 # 1-row (ref_total, cur_total) frame
+    "dq_benford_audit",             # 1-row grand-total frame
+    "agg_woe_price_bins",           # 1-row (event, non-event) totals frame
     # inequality join against a 3-row literal dimension
     "ev_value_band_join",
     # NB classifier: test tokens fanned against the 5-row label-stats
