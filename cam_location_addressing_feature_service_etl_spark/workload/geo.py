@@ -1782,10 +1782,22 @@ def _fs_em_layers(
             sums.append(
                 (f"slg{i}_{t}", fold([f"n{k} * (1.0 - w{t}_{k})" for k in on]))
             )
-        params.append((f"p_{t}", f"sw_{t} / (sw_{t} + sl_{t})"))
+        # M-step with the standard probability clamp: a degenerate
+        # evidence set (e.g. every pair agreeing on one field — real
+        # in the streaming trainer's early batches) drives a parameter
+        # to exactly 0/1, which zeroes a posterior denominator next
+        # round (ANSI Spark raises DIVIDE_BY_ZERO; DuckDB NaNs).
+        # LEAST/GREATEST with shared 1e-9 literals keep every
+        # denominator positive and are a no-op for interior parameters
+        # — non-degenerate results are bit-identical to the unclamped
+        # program.
+        def clamp(e: str) -> str:
+            return f"GREATEST(LEAST({e}, 1.0 - 1e-9), 1e-9)"
+
+        params.append((f"p_{t}", clamp(f"sw_{t} / (sw_{t} + sl_{t})")))
         for i in range(3):
-            params.append((f"m{i}_{t}", f"swg{i}_{t} / sw_{t}"))
-            params.append((f"u{i}_{t}", f"slg{i}_{t} / sl_{t}"))
+            params.append((f"m{i}_{t}", clamp(f"swg{i}_{t} / sw_{t}")))
+            params.append((f"u{i}_{t}", clamp(f"slg{i}_{t} / sl_{t}")))
         layers += [wl, sums, params]
     return layers
 
