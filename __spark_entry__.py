@@ -49,6 +49,7 @@ _PRIORITY = [
     "dq_psi_drift",
     "dq_benford_audit",
     "agg_woe_price_bins",
+    "ev_cusum_drift",
     # --- r12 plan-changed: hierarchy left-join dangling-parent fix;
     # materialize conversions (plan-ref retention) touched the ER
     # composite and the linkage family ---

@@ -1299,6 +1299,87 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 dq_psi_drift.__doc__ = dq_psi_drift.__doc__.format(b=_PSI_BANDS)
 
 
+_CUSUM_K = 10_000  # centi allowance (100.00) — above the ~49.6 mean
+_CUSUM_H = 20_000  # centi alarm threshold (200.00)
+
+
+@register(
+    "ev_cusum_drift",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) - {_CUSUM_K} AS d,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+         ) AS rn
+  FROM events
+),
+c AS (
+  SELECT user_id, event_id, rn,
+         CAST(SUM(d) OVER (PARTITION BY user_id ORDER BY rn) AS BIGINT)
+           AS cum
+  FROM x
+)
+SELECT user_id, event_id,
+       CAST(cum - LEAST(0, MIN(cum) OVER (
+         PARTITION BY user_id ORDER BY rn)) AS BIGINT) AS cusum_centi,
+       (cum - LEAST(0, MIN(cum) OVER (PARTITION BY user_id ORDER BY rn)))
+         > {_CUSUM_H} AS alarm
+FROM c
+""",
+)
+def ev_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM sequential change-point detection (Page 1954) per user —
+    the classic drift alarm whose textbook form is a NON-LINEAR
+    recursion S_t = max(0, S_(t-1) + x_t − k), inexpressible as a
+    plain window aggregate... except through the reflection identity
+    that makes it one: with C_t the plain prefix sum of (x − k),
+    S_t = C_t − min(0, min_(j≤t) C_j). Two ordered windows per user
+    partition (cumulative sum, cumulative min) replace a stateful
+    per-key scan — the same declarative-izing move as the EWMA
+    convolution, so the operator runs as whole-stage-codegen windows
+    instead of a Python UDF. Rows whose statistic exceeds h={h} centi
+    flag ``alarm``; k={k} centi is the allowance (drift below it is
+    absorbed).
+
+    Exact centi-integers end to end (no float fold anywhere); the
+    (ts, event_id) ordering pins ties identically in both engines.
+    Scale: two windows over ONE partitioning/ordering — a single sort
+    + shuffle on user_id, no iteration, no state."""
+    events = _events(spark, sf_dir)
+    w0 = Window.partitionBy("user_id").orderBy(
+        F.unix_millis("ts"), "event_id"
+    )
+    x = events.select(
+        "user_id",
+        "event_id",
+        (F.floor(F.col("value") * 100 + 0.5).cast("long") - _CUSUM_K).alias(
+            "d"
+        ),
+        F.row_number().over(w0).alias("rn"),
+    )
+    w = Window.partitionBy("user_id").orderBy("rn")
+    cum = F.sum("d").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = x.select("user_id", "event_id", "rn", cum.alias("cum"))
+    run_min = F.min("cum").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = F.col("cum") - F.least(F.lit(0).cast("long"), run_min)
+    return c.select(
+        "user_id",
+        "event_id",
+        cusum.alias("cusum_centi"),
+        (cusum > _CUSUM_H).alias("alarm"),
+    )
+
+
+ev_cusum_drift.__doc__ = ev_cusum_drift.__doc__.format(
+    k=_CUSUM_K, h=_CUSUM_H
+)
+
+
 @register("a8_incremental_agg_merge", oracle=_A8_ORACLE)
 def a8_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance — the reference's A4 rowcount

@@ -115,3 +115,45 @@ def test_transitions_conserve_event_pairs(spark):
     )
     # each user contributes (#events - 1) bigrams
     assert total_transitions == n_events - n_users
+
+
+def test_cusum_reflection_identity_matches_textbook_recursion(spark):
+    """The windowable form S_t = C_t − min(0, min_{j<=t} C_j) equals
+    the textbook S_t = max(0, S_{t-1} + x_t − k) — checked row-by-row
+    against a pure-Python recursion over every user at smoke scale,
+    and the alarm flag is non-vacuous in both directions."""
+    from collections import defaultdict
+
+    from cam_location_addressing_feature_service_etl_spark.workload.events import (
+        _CUSUM_H,
+        _CUSUM_K,
+        _events,
+    )
+    from pyspark.sql import functions as F
+
+    events = _events(spark, SF_SMOKE)
+    rows = (
+        events.select(
+            "user_id",
+            "event_id",
+            F.unix_millis("ts").alias("ms"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+        )
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append((r["ms"], r["event_id"], r["v"]))
+    want = {}
+    for uid, evs in per_user.items():
+        s = 0
+        for _, eid, v in sorted(evs):
+            s = max(0, s + v - _CUSUM_K)
+            want[(uid, eid)] = (s, s > _CUSUM_H)
+    got = {
+        (r["user_id"], r["event_id"]): (r["cusum_centi"], r["alarm"])
+        for r in QUERIES["ev_cusum_drift"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) > 0
+    flags = {a for _, a in got.values()}
+    assert flags == {True, False}
