@@ -41,7 +41,9 @@ Use as ``df.transform(materialize)`` so call sites stay chainable.
 from __future__ import annotations
 
 import os
+import threading
 from collections import deque
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
@@ -73,6 +75,29 @@ def release_plan_refs() -> None:
     _PLAN_REFS.clear()
 
 
+#: thread-local override for scoped retention (see scoped_plan_refs)
+_SCOPED = threading.local()
+
+
+@contextmanager
+def scoped_plan_refs():
+    """Collect this thread's ``materialize`` plan refs into a scope
+    dropped at exit, instead of the process-wide 512-deque — for
+    long-lived services (the ``streaming/versioned.py`` foreachBatch
+    folds) where every plan's final action completes INSIDE the scope,
+    so nothing needs retention beyond it. Without this, a standing
+    stream pins the last 512 plans (and their JVM Datasets)
+    indefinitely; with it, retention is bounded by one fold's plans.
+    Thread-local so a fold never drops refs belonging to queries on
+    other threads; nests by restoring the enclosing scope."""
+    prev = getattr(_SCOPED, "refs", None)
+    _SCOPED.refs = []
+    try:
+        yield
+    finally:
+        _SCOPED.refs = prev
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Cut lineage and materialize ``df`` lazily (on first action).
 
@@ -93,6 +118,11 @@ def materialize(df: DataFrame) -> DataFrame:
         out = df.localCheckpoint(eager=False)
     else:
         raise ValueError(f"unknown SPARK_GRAFT_MATERIALIZE mode: {mode!r}")
-    _PLAN_REFS.append(df)
-    _PLAN_REFS.append(out)
+    refs = getattr(_SCOPED, "refs", None)
+    if refs is not None:
+        refs.append(df)
+        refs.append(out)
+    else:
+        _PLAN_REFS.append(df)
+        _PLAN_REFS.append(out)
     return out

@@ -162,20 +162,30 @@ def _sparql_str(value) -> str:
     return f'"{s}"'
 
 
-def translate_filters(filters, variables) -> tuple[list[str], list]:
+def translate_filters(
+    filters, variables, push_string_ordering: bool = False
+) -> tuple[list[str], list]:
     """Best-effort Catalyst-filter → SPARQL FILTER translation for the
     pushdown path. Returns (fragments, all filters) — every filter is
     handed back to Spark for re-application, so a server whose string
     semantics differ cannot corrupt results (partial-pushdown
-    discipline, same as the ESRI source). Supported: (in)equality and
-    lexicographic comparisons on projection variables (STR-compared —
-    this source surfaces every variable as a string), IN lists,
-    BOUND/!BOUND for null probes, and prefix/suffix/contains string
-    predicates. String ORDERING is safe to push here where the ESRI
-    source must refuse it: SPARQL pins plain-literal comparison to
-    Unicode codepoint order (fn:compare, simple collation), which is
-    exactly Spark's binary UTF8 ordering — there is no
-    backend-collation degree of freedom to narrow the predicate."""
+    discipline, same as the ESRI source). Supported: (in)equality
+    on projection variables (STR-compared — this source surfaces every
+    variable as a string), IN lists, BOUND/!BOUND for null probes, and
+    prefix/suffix/contains string predicates.
+
+    String ORDERING comparisons (>, >=, <, <=) push only when
+    ``push_string_ordering`` is True. The SPARQL spec pins
+    plain-literal comparison to Unicode codepoint order (fn:compare,
+    simple collation) — exactly Spark's binary UTF8 ordering — so on a
+    spec-conformant endpoint the push is superset-safe. But a pushed
+    filter SHRINKS the server-side rowset: against a non-conformant
+    endpoint (custom collation) Spark's re-application cannot
+    resurrect rows the server never returned, which is why the ESRI
+    reader refuses this class of push outright. Default is therefore
+    the conservative ESRI behavior; callers opt in per endpoint via
+    the ``push_string_ordering`` reader option when they trust its
+    conformance."""
     from pyspark.sql.datasource import (
         EqualTo,
         GreaterThan,
@@ -190,13 +200,14 @@ def translate_filters(filters, variables) -> tuple[list[str], list]:
         StringStartsWith,
     )
 
-    ops = {
-        EqualTo: "=",
-        GreaterThan: ">",
-        GreaterThanOrEqual: ">=",
-        LessThan: "<",
-        LessThanOrEqual: "<=",
-    }
+    ops = {EqualTo: "="}
+    if push_string_ordering:
+        ops |= {
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
     fns = {
         StringStartsWith: "STRSTARTS",
         StringEndsWith: "STRENDS",
@@ -265,8 +276,16 @@ class SparqlReader(DataSourceReader):
         FILTER(...) clauses composed OUTSIDE the subselect wrap — the
         server-side COUNT shrinks, so fewer page partitions plan and
         fewer bindings transfer. Every filter is returned so Spark
-        re-applies it (partial-pushdown safety)."""
-        self.filter_frags, back = translate_filters(filters, self.variables)
+        re-applies it (partial-pushdown safety). String-ordering
+        comparisons push only with reader option
+        ``push_string_ordering=true`` (endpoint-conformance opt-in —
+        see ``translate_filters``)."""
+        self.filter_frags, back = translate_filters(
+            filters,
+            self.variables,
+            self.options.get("push_string_ordering", "false").lower()
+            == "true",
+        )
         return back
 
     # -- planning ----------------------------------------------------------

@@ -64,12 +64,20 @@ def resolve_registry_stream(
     registry_dir: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    tau: int = _LINK_TAU,
+    block_keys: tuple[str, ...] = _LINK_BLOCK_STRATEGIES,
+    retain_versions: int = 3,
 ) -> StreamingQuery:
     """Run the accreting-registry loop over a (mk, mn) master stream
-    (``MASTER_BATCH_SCHEMA``)."""
+    (``MASTER_BATCH_SCHEMA``). The linkage knobs (``tau``,
+    ``block_keys``) and the fold's ``retain_versions`` thread straight
+    through to ``fold_master_batch`` — a stream caller can configure
+    everything the batch API allows."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        fold_master_batch(batch, batch_id, registry_dir)
+        fold_master_batch(
+            batch, batch_id, registry_dir, tau, block_keys, retain_versions
+        )
 
     return (
         masters_stream.writeStream.foreachBatch(_apply)

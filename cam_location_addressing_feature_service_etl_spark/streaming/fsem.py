@@ -78,7 +78,13 @@ def train_stream(
 def read_trained_params(spark: SparkSession, state_dir: str) -> DataFrame:
     """Run the EM rounds on the folded counts and return the trained
     parameters — the batch query's output shape (n_pairs, p_match,
-    m_*/u_* per field), from the identical generated float program."""
+    m_*/u_* per field), from the identical generated float program.
+
+    Returns an EMPTY frame (same schema) when no pairs have been folded
+    yet: EM on all-zero counts is a 0/0 posterior whose NaN the M-step
+    clamp would silently coerce to 1-1e-9, handing the consumer
+    plausible-looking parameters with n_pairs=0. The guard is a lazy
+    filter on the one aggregated row — no extra action."""
     counts = read_latest(spark, state_dir, _STATE_SCHEMA)
     # widen the ≤8 count rows to the one n0..n7 row the EM program
     # references — disjoint-singleton sums, order-irrelevant, exact
@@ -90,6 +96,9 @@ def read_trained_params(spark: SparkSession, state_dir: str) -> DataFrame:
             for k in range(8)
         ]
     )
+    # empty-state short-circuit: drop the row before EM when no pairs
+    # were ever folded (empty dir or all-zero counts both sum to 0)
+    df = df.filter(sum(F.col(f"n{k}") for k in range(8)) > 0)
     for layer in _fs_em_layers():
         df = df.selectExpr("*", *[f"{e} AS {nm}" for nm, e in layer])
     r = _FS_EM_ROUNDS

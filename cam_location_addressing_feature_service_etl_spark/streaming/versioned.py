@@ -19,6 +19,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..runtime import scoped_plan_refs
+
 
 def _versions(spark: SparkSession, state_dir: str) -> list[int]:
     """COMMITTED versions only: a version directory counts once its
@@ -80,9 +82,14 @@ def fold_version(
         prior = spark.read.parquet(f"{state_dir}/v={prior_ids[-1]}")
     else:
         prior = spark.createDataFrame([], schema)
-    merge(prior, delta).write.mode("overwrite").parquet(
-        f"{state_dir}/v={batch_id}"
-    )
+    # scoped plan-ref retention: any materialize() inside merge() has
+    # its final action run by the write below, so the refs (which keep
+    # SQLMetrics registered — runtime._PLAN_REFS) are needed only for
+    # the fold's duration; a standing stream must not pin 512 plans
+    with scoped_plan_refs():
+        merge(prior, delta).write.mode("overwrite").parquet(
+            f"{state_dir}/v={batch_id}"
+        )
     keep = set(_versions(spark, state_dir)[-retain_versions:])
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()

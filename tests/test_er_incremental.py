@@ -178,6 +178,31 @@ def test_streaming_registry_stream_reconciles(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_stream_threads_linkage_knobs(spark, tmp_path):
+    """resolve_registry_stream must pass tau/block_keys/retain_versions
+    through to fold_master_batch (r12 ADVICE: the inner _apply used to
+    drop them): with tau=1 two names at Levenshtein distance 2 stay
+    separate entities, where the default tau=2 run merges them."""
+    pdf = pa.Table.from_pylist(
+        [{"mk": 1, "mn": "ab cdxx"}, {"mk": 2, "mn": "ab cdyy"}],
+        schema=pa.schema([("mk", pa.int64()), ("mn", pa.string())]),
+    )
+    d = tmp_path / "masters_in"
+    d.mkdir()
+    pq.write_table(pdf, d / "b0.parquet")
+    reg_dir = str(tmp_path / "registry")
+    q = resolve_registry_stream(
+        read_master_stream(spark, str(d)),
+        reg_dir,
+        str(tmp_path / "ckpt"),
+        tau=1,
+        retain_versions=2,
+    )
+    q.awaitTermination(120)
+    got = _rows(read_registry(spark, reg_dir))
+    assert got == {("ab cdxx", "ab cdxx", 1), ("ab cdyy", "ab cdyy", 2)}
+
+
 def test_empty_batch_is_identity(spark, tmp_path):
     """foreachBatch delivers EMPTY micro-batches under availableNow
     triggers with no new files — the fold must be an identity, not an

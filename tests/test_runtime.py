@@ -60,3 +60,23 @@ def test_materialize_rejects_unknown_mode(spark):
             os.environ.pop("SPARK_GRAFT_MATERIALIZE", None)
         else:
             os.environ["SPARK_GRAFT_MATERIALIZE"] = old
+
+
+def test_scoped_plan_refs_bounds_streaming_retention(spark):
+    """materialize() inside a scoped_plan_refs() scope must not touch
+    the process-wide _PLAN_REFS deque (r12 ADVICE: a standing
+    foreachBatch service would otherwise pin the last 512 plans
+    indefinitely) — and the scope's refs are dropped at exit while
+    outside-scope behavior is unchanged."""
+    from cam_location_addressing_feature_service_etl_spark import runtime
+
+    runtime.release_plan_refs()
+    with runtime.scoped_plan_refs():
+        inner = materialize(spark.range(3))
+        assert inner.count() == 3  # the scope's final action
+        assert len(runtime._PLAN_REFS) == 0  # global deque untouched
+        assert len(runtime._SCOPED.refs) == 2
+    assert runtime._SCOPED.refs is None  # scope dropped at exit
+    materialize(spark.range(2))
+    assert len(runtime._PLAN_REFS) == 2  # outside scope: global again
+    runtime.release_plan_refs()

@@ -340,6 +340,38 @@ def test_push_filters_translate_and_shrink_partitions():
     assert rows == [("urn:pid:7", "street-7")]
 
 
+def test_string_ordering_pushdown_is_opt_in():
+    """String ORDERING comparisons narrow the server-side rowset, so
+    (r12 ADVICE) they push only behind push_string_ordering=true —
+    default is the conservative ESRI behavior: a non-spec-conformant
+    endpoint's custom collation could drop rows Spark's re-application
+    can never resurrect. Equality still pushes either way, and every
+    filter is returned for re-application in both modes."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, LessThanOrEqual
+
+    from cam_location_addressing_feature_service_etl_spark.sources.sparql_datasource import (
+        translate_filters,
+    )
+
+    filters = [
+        GreaterThan(("pid",), "urn:pid:5"),
+        LessThanOrEqual(("street",), "street-9"),
+        EqualTo(("street",), "street-7"),
+    ]
+    frags, back = translate_filters(filters, ["pid", "street"])
+    assert frags == ['STR(?street) = "street-7"']  # ordering refused
+    assert len(back) == 3
+    frags_opt, back_opt = translate_filters(
+        filters, ["pid", "street"], push_string_ordering=True
+    )
+    assert frags_opt == [
+        'STR(?pid) > "urn:pid:5"',
+        'STR(?street) <= "street-9"',
+        'STR(?street) = "street-7"',
+    ]
+    assert len(back_opt) == 3
+
+
 def test_filtered_read_is_correct_end_to_end(registered):
     """spark.read + .filter on the registered source: whether or not
     the fake server honors the pushed FILTER, re-application keeps the

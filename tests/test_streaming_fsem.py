@@ -84,3 +84,20 @@ def test_fold_replay_idempotent_and_training_stays_current(spark, tmp_path):
     assert _row(read_trained_params(spark, state_dir)) == full
     # the accreted counts train to the batch query's parameters
     assert full == _row(QUERIES["er_fs_em_train"](spark, SF_SMOKE))
+
+
+def test_read_before_any_fold_returns_empty_not_fabricated(spark, tmp_path):
+    """EM on an empty (or all-zero) count state must NOT manufacture
+    parameters: the 0/0 posterior is NaN and the M-step clamp would
+    silently coerce it to 1-1e-9, handing the consumer a plausible
+    p_match=0.999999 with n_pairs=0 (r12 ADVICE). Empty state reads
+    back as an EMPTY frame with the trained-params schema."""
+    out = read_trained_params(spark, str(tmp_path / "never-written"))
+    assert out.count() == 0
+    assert out.columns[:2] == ["n_pairs", "p_match"]
+    # all-zero counts (a fold of zero rows) short-circuit identically
+    state_dir = str(tmp_path / "state")
+    apply_gamma_batch(
+        spark.createDataFrame([], GAMMA_SCHEMA), 0, state_dir
+    )
+    assert read_trained_params(spark, state_dir).count() == 0
