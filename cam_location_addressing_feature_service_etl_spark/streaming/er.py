@@ -5,8 +5,13 @@ persisted entity registry (name → component label → entity key)
 WITHOUT ever re-running connected components over the corpus. Each
 micro-batch PassJoins only its new names against the accumulated
 vocabulary (plus each other) and merges touched components via a
-bounded re-label — per-batch compute ∝ batch, state IO ∝ |vocabulary|
-(the versioned-fold discipline, same as ``streaming/mv.py``).
+bounded re-label — per-batch compute ∝ batch, and state WRITE-IO
+∝ touched name-hash buckets (``fold_version_partitioned``, r12
+verdict #4: the registry grows with the corpus, so the flat layout's
+full rewrite per micro-batch was the flagged scale hazard; the
+partitioned layout carries untouched buckets forward by manifest
+reference and rewrites only buckets holding new/relabeled/re-keyed
+names).
 
 Exactly-once comes from ``streaming/versioned.py``: batch ``b`` reads
 the latest committed registry version < ``b`` and writes
@@ -26,15 +31,20 @@ from ..workload.geo import (
     ER_REGISTRY_SCHEMA,
     er_resolve_increment,
 )
-from .versioned import fold_version, read_latest
+from .versioned import fold_version_partitioned, read_latest_partitioned
 
 MASTER_BATCH_SCHEMA = "mk bigint, mn string"
+
+#: name-hash buckets of the partitioned registry state. Pinned per
+#: state dir; at 100 TB size so one bucket ≪ executor memory and a
+#: daily batch's names touch a small subset.
+REGISTRY_BUCKETS = 64
 
 
 def read_registry(spark: SparkSession, registry_dir: str) -> DataFrame:
     """The current (max committed version) entity registry; empty
     frame with ``ER_REGISTRY_SCHEMA`` when no version exists yet."""
-    return read_latest(spark, registry_dir, ER_REGISTRY_SCHEMA)
+    return read_latest_partitioned(spark, registry_dir, ER_REGISTRY_SCHEMA)
 
 
 def fold_master_batch(
@@ -46,8 +56,10 @@ def fold_master_batch(
     retain_versions: int = 3,
 ) -> None:
     """Fold one master-record micro-batch into the versioned registry.
-    Idempotent under foreachBatch replay (versioned-fold discipline)."""
-    fold_version(
+    Idempotent under foreachBatch replay (versioned-fold discipline);
+    write-IO ∝ buckets whose names changed label/entity_key, since the
+    fingerprint pass skips buckets the fold left byte-identical."""
+    fold_version_partitioned(
         batch,
         batch_id,
         registry_dir,
@@ -55,6 +67,8 @@ def fold_master_batch(
         lambda prior, delta: er_resolve_increment(
             prior, delta, tau, block_keys
         ),
+        ("nm",),
+        REGISTRY_BUCKETS,
         retain_versions,
     )
 

@@ -11,15 +11,35 @@ construction (the delta-log discipline of a transactional table
 format, reduced to the one sequence number foreachBatch already
 guarantees monotone). Readers take the max committed version; versions
 beyond a retention count are pruned (time travel for free until then).
+
+Two layouts share that rule:
+
+- ``fold_version`` — each version is the FULL state as one parquet
+  dir. Right for kilobyte states (psi bands, fsem's 8 counts); wrong
+  for state that grows with the corpus, where rewriting everything per
+  micro-batch makes fold IO O(|state|) even when the batch touched a
+  sliver (the r12 verdict's watch-item #1).
+- ``fold_version_partitioned`` — the state is hash-partitioned on a
+  key; a fold writes ONLY the partitions whose content changed and
+  carries every untouched partition forward BY REFERENCE through a
+  per-version manifest (pid → owning version), the delta-style
+  copy-forward layout. Fold write-IO is ∝ touched partitions; reads
+  stitch the manifest. Changed-partition detection is a per-partition
+  fingerprint (count + sum of row hashes) compared between the merged
+  state and its predecessor — two partial-aggregated passes, no
+  full-row join, and a fingerprint-equal partition is skipped even if
+  the merge recomputed it.
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..runtime import scoped_plan_refs
+from ..runtime import materialize, scoped_plan_refs
 
 
 def _versions(spark: SparkSession, state_dir: str) -> list[int]:
@@ -96,5 +116,246 @@ def fold_version(
     root = jvm.org.apache.hadoop.fs.Path(state_dir)
     fs = root.getFileSystem(conf)
     for v in _versions(spark, state_dir):
+        if v not in keep:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v={v}"), True)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned layout: fold write-IO ∝ touched partitions, not |state|
+# ---------------------------------------------------------------------------
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(conf), p
+
+
+def _write_manifest(spark: SparkSession, vdir: str, manifest: dict) -> None:
+    """Write ``manifest.json`` (the version's COMMIT MARKER) via a
+    tmp-file + rename — atomic on HDFS and local filesystems, so a
+    reader never sees a half-written manifest."""
+    jvm, fs, _ = _fs(spark, vdir)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{vdir}/manifest.json.tmp")
+    out = fs.create(tmp, True)
+    out.write(json.dumps(manifest, sort_keys=True).encode("utf-8"))
+    out.close()
+    final = jvm.org.apache.hadoop.fs.Path(f"{vdir}/manifest.json")
+    fs.delete(final, False)
+    fs.rename(tmp, final)
+
+
+def _read_manifest(spark: SparkSession, vdir: str) -> dict:
+    jvm, fs, p = _fs(spark, f"{vdir}/manifest.json")
+    stream = fs.open(p)
+    try:
+        content = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(content)
+
+
+def _versions_partitioned(spark: SparkSession, state_dir: str) -> list[int]:
+    """Committed versions of the partitioned layout: a version counts
+    once its ``manifest.json`` exists (written last, atomically)."""
+    jvm, fs, path = _fs(spark, state_dir)
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and name.startswith("v=")
+            and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{state_dir}/{name}/manifest.json"
+                )
+            )
+        ):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def _stitch(
+    spark: SparkSession, state_dir: str, manifest: dict, schema: str
+) -> DataFrame:
+    """The full logical state a manifest describes: each partition read
+    from the version that owns it (``_pid`` partition pruning), owners
+    grouped so each contributing version is scanned once."""
+    cols = spark.createDataFrame([], schema).columns
+    by_owner: dict[int, list[int]] = {}
+    for pid_s, owner in manifest["pids"].items():
+        by_owner.setdefault(int(owner), []).append(int(pid_s))
+    if not by_owner:
+        return spark.createDataFrame([], schema)
+    parts = [
+        spark.read.parquet(f"{state_dir}/v={owner}/data")
+        .filter(F.col("_pid").isin(pids))
+        .select(*cols)
+        for owner, pids in sorted(by_owner.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def read_latest_partitioned(
+    spark: SparkSession, state_dir: str, schema: str
+) -> DataFrame:
+    """The current state of a partitioned-layout dir; empty frame with
+    ``schema`` when no version was ever committed."""
+    versions = _versions_partitioned(spark, state_dir)
+    if not versions:
+        return spark.createDataFrame([], schema)
+    manifest = _read_manifest(spark, f"{state_dir}/v={versions[-1]}")
+    return _stitch(spark, state_dir, manifest, schema)
+
+
+def fold_version_partitioned(
+    delta: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    schema: str,
+    merge: Callable[[DataFrame, DataFrame], DataFrame],
+    key_cols: tuple[str, ...],
+    num_partitions: int = 64,
+    retain_versions: int = 3,
+) -> None:
+    """``fold_version`` for state that GROWS with the corpus (the ER
+    registry's vocabulary, the dedup registry's postings index): the
+    state is hash-partitioned on ``key_cols`` into ``num_partitions``
+    buckets, and a fold WRITES only the buckets whose content changed —
+    every untouched bucket is carried forward by reference in the
+    version's manifest (pid → owning version), so fold write-IO is
+    ∝ touched partitions while ``read_latest_partitioned`` still
+    reconstructs the full state exactly.
+
+    Same exactly-once discipline as ``fold_version``: batch ``b``
+    merges against the latest committed version < ``b``; the manifest
+    (written last, atomic rename) is the commit marker, so a crash
+    mid-write leaves an uncommitted dir the replay decommits and
+    overwrites. A replayed batch recomputes the identical touched set
+    and identical bucket contents, and rewrites its own version.
+
+    Changed-bucket detection compares per-bucket fingerprints
+    (row count + SUM of xxhash64 over all columns, summed as
+    decimal(38,0) — ANSI-safe) between ``merge(prior, delta)`` and
+    ``prior``: two partial-aggregated passes whose output is
+    ``num_partitions`` rows, never a full-row join. A fingerprint
+    collision (a changed bucket summing to its old fingerprint,
+    ~2^-64 per bucket-fold) would skip one rewrite — the standard
+    content-hash trade, same family as every hash-keyed dedup here.
+
+    ``merge`` still receives the FULL prior state (folds like the ER
+    registry need it as the probe index); the savings target is the
+    WRITE side, which was the r12 verdict's O(|state|)-per-micro-batch
+    watch-item. ``num_partitions`` is pinned per state dir (validated
+    against the prior manifest): at 100 TB size it so one bucket ≪
+    executor memory and a typical batch touches a small subset.
+
+    Retention: the last ``retain_versions`` manifests survive, PLUS
+    every older version still owning a bucket referenced by one of
+    them (reference-counted pruning — a bucket untouched for 1000
+    folds lives in a 1000-fold-old version). ``plans/compact.py``-style
+    periodic compaction (fold an empty delta after forcing all buckets
+    touched) is unnecessary: references keep data live indefinitely
+    without copying it forward.
+    """
+    if retain_versions < 2:
+        # same argument as fold_version: the predecessor must survive
+        # until the stream checkpoint commit is durable
+        raise ValueError(f"retain_versions must be >= 2, got {retain_versions}")
+    spark = delta.sparkSession
+    prior_ids = [
+        v for v in _versions_partitioned(spark, state_dir) if v < batch_id
+    ]
+    if prior_ids:
+        prior_manifest = _read_manifest(spark, f"{state_dir}/v={prior_ids[-1]}")
+        if prior_manifest["num_partitions"] != num_partitions:
+            raise ValueError(
+                f"state dir {state_dir} was folded with num_partitions="
+                f"{prior_manifest['num_partitions']}, got {num_partitions} — "
+                "the bucket count is pinned per state dir"
+            )
+        prior = _stitch(spark, state_dir, prior_manifest, schema)
+    else:
+        prior_manifest = {"num_partitions": num_partitions, "pids": {}}
+        prior = spark.createDataFrame([], schema)
+
+    vdir = f"{state_dir}/v={batch_id}"
+    # decommit a previous (crashed or replayed) attempt at this version
+    # BEFORE touching its data, so no reader sees committed-but-
+    # rewriting state
+    jvm, fs, _ = _fs(spark, vdir)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{vdir}/manifest.json"), False)
+
+    cols = spark.createDataFrame([], schema).columns
+    pid = F.pmod(F.xxhash64(*key_cols), F.lit(num_partitions)).cast("int")
+
+    with scoped_plan_refs():
+        # the merged state feeds two consumers (fingerprint agg + the
+        # touched-bucket write); materialize once
+        new_full = materialize(merge(prior, delta).select(*cols))
+
+        def fingerprint(df: DataFrame) -> DataFrame:
+            return df.groupBy(pid.alias("_pid")).agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("fp"),
+            )
+
+        cmp = (
+            fingerprint(new_full)
+            .withColumnsRenamed({"cnt": "cnt_new", "fp": "fp_new"})
+            .join(
+                fingerprint(prior).withColumnsRenamed(
+                    {"cnt": "cnt_old", "fp": "fp_old"}
+                ),
+                ["_pid"],
+                "full_outer",
+            )
+            .collect()
+        )
+        touched = [
+            r["_pid"]
+            for r in cmp
+            if r["cnt_new"] != r["cnt_old"] or r["fp_new"] != r["fp_old"]
+        ]
+        live_touched = {
+            r["_pid"]
+            for r in cmp
+            if r["_pid"] in set(touched) and (r["cnt_new"] or 0) > 0
+        }
+        if touched:
+            (
+                new_full.withColumn("_pid", pid)
+                .filter(F.col("_pid").isin(touched))
+                .write.mode("overwrite")
+                .partitionBy("_pid")
+                .parquet(f"{vdir}/data")
+            )
+
+    pids = {
+        p: o for p, o in prior_manifest["pids"].items()
+        if int(p) not in set(touched)
+    }
+    pids |= {str(p): batch_id for p in live_touched}
+    _write_manifest(
+        spark, vdir, {"num_partitions": num_partitions, "pids": pids}
+    )
+
+    versions = _versions_partitioned(spark, state_dir)
+    keep = set(versions[-retain_versions:])
+    referenced = {
+        int(owner)
+        for v in keep
+        for owner in _read_manifest(spark, f"{state_dir}/v={v}")[
+            "pids"
+        ].values()
+    }
+    keep |= referenced
+    for v in versions:
         if v not in keep:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v={v}"), True)
