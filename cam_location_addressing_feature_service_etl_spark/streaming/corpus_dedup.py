@@ -1,0 +1,136 @@
+"""Streaming incremental corpus-dedup — the production loop around
+``operators/dedup_registry.py dedup_fold_increment`` (r12 verdict #3):
+a continuous stream of document batches accretes into the persisted
+dedup registry (doc → component → canonical → kept) and its shingle
+postings index WITHOUT ever re-clustering the corpus. Per micro-batch,
+candidate generation probes only the batch's postings; the re-label is
+bounded by the batch's edges; kept/canonical recompute only for
+touched components — and both state tables live in the PARTITIONED
+versioned layout (``streaming/versioned.py``), so state write-IO is
+∝ touched doc-hash buckets, not |corpus|.
+
+Exactly-once comes from the versioned-fold discipline: batch ``b``
+reads both states' latest committed version < ``b`` and writes
+``v=<b>`` of each — replays recompute identical content. The two
+commits are ordered postings FIRST, registry LAST: the registry is the
+consumer-visible table (keep-list readers), so a crash between the
+commits leaves the internal index one version ahead for exactly one
+replay, never the visible keep-list ahead of the index it was built
+from.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup_registry import (
+    DEDUP_POSTINGS_SCHEMA,
+    DEDUP_REGISTRY_SCHEMA,
+    dedup_fold_increment,
+)
+from ..runtime import scoped_plan_refs
+from .versioned import (
+    commit_version_partitioned,
+    read_latest_partitioned,
+    read_version_before_partitioned,
+)
+
+DOC_BATCH_SCHEMA = "doc_id bigint, text string"
+
+#: doc-hash buckets of both state tables (pinned per state dir)
+DEDUP_BUCKETS = 64
+
+
+def read_dedup_registry(spark: SparkSession, registry_dir: str) -> DataFrame:
+    """The current dedup registry (``DEDUP_REGISTRY_SCHEMA``); empty
+    frame when no batch was ever folded."""
+    return read_latest_partitioned(spark, registry_dir, DEDUP_REGISTRY_SCHEMA)
+
+
+def fold_doc_batch(
+    batch: DataFrame,
+    batch_id: int,
+    registry_dir: str,
+    postings_dir: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    retain_versions: int = 3,
+) -> None:
+    """Fold one document micro-batch into both versioned state tables.
+    Idempotent under foreachBatch replay; one fold computation feeds
+    both commits (the ``commit_version_partitioned`` split API)."""
+    spark = batch.sparkSession
+    reg_prior, reg_man = read_version_before_partitioned(
+        spark, registry_dir, batch_id, DEDUP_REGISTRY_SCHEMA, DEDUP_BUCKETS
+    )
+    post_prior, post_man = read_version_before_partitioned(
+        spark, postings_dir, batch_id, DEDUP_POSTINGS_SCHEMA, DEDUP_BUCKETS
+    )
+    with scoped_plan_refs():
+        new_reg, new_post = dedup_fold_increment(
+            reg_prior, post_prior, batch, threshold, shingle_n
+        )
+        commit_version_partitioned(
+            new_post,
+            batch_id,
+            postings_dir,
+            DEDUP_POSTINGS_SCHEMA,
+            ("doc_id",),
+            post_prior,
+            post_man,
+            retain_versions,
+        )
+        commit_version_partitioned(
+            new_reg,
+            batch_id,
+            registry_dir,
+            DEDUP_REGISTRY_SCHEMA,
+            ("doc_id",),
+            reg_prior,
+            reg_man,
+            retain_versions,
+        )
+
+
+def dedup_registry_stream(
+    docs_stream: DataFrame,
+    registry_dir: str,
+    postings_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    retain_versions: int = 3,
+) -> StreamingQuery:
+    """Run the accreting corpus-dedup loop over a (doc_id, text)
+    document stream (``DOC_BATCH_SCHEMA``)."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        fold_doc_batch(
+            batch,
+            batch_id,
+            registry_dir,
+            postings_dir,
+            threshold,
+            shingle_n,
+            retain_versions,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+        .start()
+    )
+
+
+def read_doc_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of document rows — the test stand-in for an
+    ingest topic."""
+    reader = spark.readStream.schema(DOC_BATCH_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)

@@ -269,22 +269,73 @@ def fold_version_partitioned(
         # until the stream checkpoint commit is durable
         raise ValueError(f"retain_versions must be >= 2, got {retain_versions}")
     spark = delta.sparkSession
+    prior, prior_manifest = read_version_before_partitioned(
+        spark, state_dir, batch_id, schema, num_partitions
+    )
+    with scoped_plan_refs():
+        new_full = merge(prior, delta)
+        commit_version_partitioned(
+            new_full,
+            batch_id,
+            state_dir,
+            schema,
+            key_cols,
+            prior,
+            prior_manifest,
+            retain_versions,
+        )
+
+
+def read_version_before_partitioned(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    schema: str,
+    num_partitions: int,
+) -> tuple[DataFrame, dict]:
+    """(state, manifest) of the latest committed version with id <
+    ``batch_id`` — the replay-safe prior read (a crashed/replayed
+    attempt at ``batch_id`` itself is never its own predecessor).
+    Returns an empty frame and a fresh manifest when none exists."""
     prior_ids = [
         v for v in _versions_partitioned(spark, state_dir) if v < batch_id
     ]
-    if prior_ids:
-        prior_manifest = _read_manifest(spark, f"{state_dir}/v={prior_ids[-1]}")
-        if prior_manifest["num_partitions"] != num_partitions:
-            raise ValueError(
-                f"state dir {state_dir} was folded with num_partitions="
-                f"{prior_manifest['num_partitions']}, got {num_partitions} — "
-                "the bucket count is pinned per state dir"
-            )
-        prior = _stitch(spark, state_dir, prior_manifest, schema)
-    else:
-        prior_manifest = {"num_partitions": num_partitions, "pids": {}}
-        prior = spark.createDataFrame([], schema)
+    if not prior_ids:
+        return (
+            spark.createDataFrame([], schema),
+            {"num_partitions": num_partitions, "pids": {}},
+        )
+    prior_manifest = _read_manifest(spark, f"{state_dir}/v={prior_ids[-1]}")
+    if prior_manifest["num_partitions"] != num_partitions:
+        raise ValueError(
+            f"state dir {state_dir} was folded with num_partitions="
+            f"{prior_manifest['num_partitions']}, got {num_partitions} — "
+            "the bucket count is pinned per state dir"
+        )
+    return _stitch(spark, state_dir, prior_manifest, schema), prior_manifest
 
+
+def commit_version_partitioned(
+    new_full: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    schema: str,
+    key_cols: tuple[str, ...],
+    prior: DataFrame,
+    prior_manifest: dict,
+    retain_versions: int = 3,
+) -> None:
+    """Write ``new_full`` as version ``batch_id`` of the partitioned
+    layout: fingerprint-diff against ``prior``, write only changed
+    buckets, manifest-reference the rest, prune. The lower half of
+    ``fold_version_partitioned``, public for folds that maintain
+    SEVERAL state tables from one computation (``streaming/
+    corpus_dedup.py`` reads both priors, computes once, commits each
+    table) — such folds order their commits so the consumer-visible
+    table commits LAST: a crash between commits leaves internal state
+    ahead of the visible table for one replay, never behind it."""
+    spark = new_full.sparkSession
+    num_partitions = prior_manifest["num_partitions"]
     vdir = f"{state_dir}/v={batch_id}"
     # decommit a previous (crashed or replayed) attempt at this version
     # BEFORE touching its data, so no reader sees committed-but-
@@ -295,51 +346,50 @@ def fold_version_partitioned(
     cols = spark.createDataFrame([], schema).columns
     pid = F.pmod(F.xxhash64(*key_cols), F.lit(num_partitions)).cast("int")
 
-    with scoped_plan_refs():
-        # the merged state feeds two consumers (fingerprint agg + the
-        # touched-bucket write); materialize once
-        new_full = materialize(merge(prior, delta).select(*cols))
+    # the merged state feeds two consumers (fingerprint agg + the
+    # touched-bucket write); materialize once
+    new_full = materialize(new_full.select(*cols))
 
-        def fingerprint(df: DataFrame) -> DataFrame:
-            return df.groupBy(pid.alias("_pid")).agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("fp"),
-            )
-
-        cmp = (
-            fingerprint(new_full)
-            .withColumnsRenamed({"cnt": "cnt_new", "fp": "fp_new"})
-            .join(
-                fingerprint(prior).withColumnsRenamed(
-                    {"cnt": "cnt_old", "fp": "fp_old"}
-                ),
-                ["_pid"],
-                "full_outer",
-            )
-            .collect()
+    def fingerprint(df: DataFrame) -> DataFrame:
+        return df.groupBy(pid.alias("_pid")).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("fp"),
         )
-        touched = [
-            r["_pid"]
-            for r in cmp
-            if r["cnt_new"] != r["cnt_old"] or r["fp_new"] != r["fp_old"]
-        ]
-        live_touched = {
-            r["_pid"]
-            for r in cmp
-            if r["_pid"] in set(touched) and (r["cnt_new"] or 0) > 0
-        }
-        if touched:
-            (
-                new_full.withColumn("_pid", pid)
-                .filter(F.col("_pid").isin(touched))
-                .write.mode("overwrite")
-                .partitionBy("_pid")
-                .parquet(f"{vdir}/data")
-            )
+
+    cmp = (
+        fingerprint(new_full)
+        .withColumnsRenamed({"cnt": "cnt_new", "fp": "fp_new"})
+        .join(
+            fingerprint(prior).withColumnsRenamed(
+                {"cnt": "cnt_old", "fp": "fp_old"}
+            ),
+            ["_pid"],
+            "full_outer",
+        )
+        .collect()
+    )
+    touched = {
+        r["_pid"]
+        for r in cmp
+        if r["cnt_new"] != r["cnt_old"] or r["fp_new"] != r["fp_old"]
+    }
+    live_touched = {
+        r["_pid"]
+        for r in cmp
+        if r["_pid"] in touched and (r["cnt_new"] or 0) > 0
+    }
+    if touched:
+        (
+            new_full.withColumn("_pid", pid)
+            .filter(F.col("_pid").isin(list(touched)))
+            .write.mode("overwrite")
+            .partitionBy("_pid")
+            .parquet(f"{vdir}/data")
+        )
 
     pids = {
         p: o for p, o in prior_manifest["pids"].items()
-        if int(p) not in set(touched)
+        if int(p) not in touched
     }
     pids |= {str(p): batch_id for p in live_touched}
     _write_manifest(

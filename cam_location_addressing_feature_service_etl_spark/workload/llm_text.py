@@ -2771,6 +2771,88 @@ dedup_cluster_canonical.__doc__ = dedup_cluster_canonical.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# Incremental corpus-dedup registry (r12 verdict #3): the keep-list
+# accretes batch by batch, clustering never re-runs from zero
+# ---------------------------------------------------------------------------
+
+def _incremental_registry_oracle() -> str:
+    """Converged one-shot canonicalization: recursive reachability CC
+    over the trigram-Jaccard edges + the keep-longest window — the
+    order-independence argument makes ANY batching of the incremental
+    fold reconcile with this exactly (``operators/dedup_registry.py``)."""
+    return f"""
+{_cc_star_cte()},
+docs AS (
+  SELECT doc_id, CAST(len({TOKENS_SQL.format(col='text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+comp AS (SELECT node, MIN(label) AS label FROM cc GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, d.n_tokens, COALESCE(c.label, d.doc_id) AS component_id
+  FROM docs d LEFT JOIN comp c ON c.node = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, n_tokens, component_id,
+         ROW_NUMBER() OVER (PARTITION BY component_id
+                            ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+         FIRST_VALUE(doc_id) OVER (PARTITION BY component_id
+                                   ORDER BY n_tokens DESC, doc_id ASC)
+           AS canonical_id
+  FROM labeled
+)
+SELECT doc_id, component_id, canonical_id, n_tokens,
+       rn = 1 AS kept
+FROM ranked
+"""
+
+
+@register("dedup_incremental_registry", oracle=_incremental_registry_oracle())
+def dedup_incremental_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL fuzzy dedup — ``dedup_cluster_canonical``'s
+    registry built by folding the corpus in THREE deterministic
+    batches (doc_id % 3) through ``dedup_fold_increment``, never
+    re-clustering the accumulated corpus: each fold probes ONLY the
+    batch's shingle postings against the standing inverted index,
+    verifies candidates with exact Jaccard, merges touched components
+    via a bounded label-level re-label, and recomputes kept/canonical
+    for touched components only. The oracle is the CONVERGED one-shot
+    (recursive reachability CTE + keep-longest window) — passing means
+    the accreting fold and the from-zero clustering land on identical
+    keep-lists, including the merge-DEMOTION case (a component merge
+    can strip `kept` from a previously-kept doc — the case the
+    one-shot never sees; pinned with a forced demotion in
+    tests/test_dedup_registry.py). Streaming twin:
+    ``streaming/corpus_dedup.py`` over the partitioned versioned
+    state, write-IO ∝ touched doc-hash buckets."""
+    from ..operators.dedup_registry import (
+        dedup_fold_increment,
+        empty_dedup_postings,
+        empty_dedup_registry,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    registry = empty_dedup_registry(spark)
+    postings = empty_dedup_postings(spark)
+    for i in range(3):
+        registry, postings = dedup_fold_increment(
+            registry,
+            postings,
+            documents.filter(F.col("doc_id") % 3 == i),
+            threshold=_CC_THRESHOLD,
+            shingle_n=_NJ_SHINGLE_N,
+        )
+        registry = materialize(registry)
+        postings = materialize(postings)
+    return registry.select(
+        "doc_id",
+        F.col("label").alias("component_id"),
+        "canonical_id",
+        "n_tokens",
+        "kept",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Zipf exponent fit over the corpus token-frequency curve
 # ---------------------------------------------------------------------------
 
