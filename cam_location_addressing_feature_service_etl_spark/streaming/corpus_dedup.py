@@ -56,16 +56,17 @@ def fold_doc_batch(
     threshold: float = 0.5,
     shingle_n: int = 3,
     retain_versions: int = 3,
+    num_buckets: int = DEDUP_BUCKETS,
 ) -> None:
     """Fold one document micro-batch into both versioned state tables.
     Idempotent under foreachBatch replay; one fold computation feeds
     both commits (the ``commit_version_partitioned`` split API)."""
     spark = batch.sparkSession
     reg_prior, reg_man = read_version_before_partitioned(
-        spark, registry_dir, batch_id, DEDUP_REGISTRY_SCHEMA, DEDUP_BUCKETS
+        spark, registry_dir, batch_id, DEDUP_REGISTRY_SCHEMA, num_buckets
     )
     post_prior, post_man = read_version_before_partitioned(
-        spark, postings_dir, batch_id, DEDUP_POSTINGS_SCHEMA, DEDUP_BUCKETS
+        spark, postings_dir, batch_id, DEDUP_POSTINGS_SCHEMA, num_buckets
     )
     with scoped_plan_refs():
         new_reg, new_post = dedup_fold_increment(

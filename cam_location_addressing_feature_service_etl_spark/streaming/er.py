@@ -54,6 +54,7 @@ def fold_master_batch(
     tau: int = _LINK_TAU,
     block_keys: tuple[str, ...] = _LINK_BLOCK_STRATEGIES,
     retain_versions: int = 3,
+    num_buckets: int = REGISTRY_BUCKETS,
 ) -> None:
     """Fold one master-record micro-batch into the versioned registry.
     Idempotent under foreachBatch replay (versioned-fold discipline);
@@ -68,7 +69,7 @@ def fold_master_batch(
             prior, delta, tau, block_keys
         ),
         ("nm",),
-        REGISTRY_BUCKETS,
+        num_buckets,
         retain_versions,
     )
 
