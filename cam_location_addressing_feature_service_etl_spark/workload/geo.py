@@ -1815,7 +1815,12 @@ def _fs_em_final_select(rounds: int = _FS_EM_ROUNDS) -> str:
     )
 
 
-def _fs_em_oracle() -> str:
+def _fs_em_chain_sql(
+    extra_layers: list[list[tuple[str, str]]] | None = None,
+) -> tuple[str, str]:
+    """(CTE chain, last CTE name) for the candidate counts + EM rounds
+    — the shared prefix of the FS-EM oracle and the decision-rule
+    oracle, optionally extended with further generated layers."""
     counts = ", ".join(
         "CAST(SUM(CASE WHEN {cf}a_first AND {cl}a_last AND {cc}a_close "
         "THEN 1 ELSE 0 END) AS DOUBLE) AS n{k}".format(
@@ -1828,11 +1833,44 @@ def _fs_em_oracle() -> str:
     )
     sql = f"WITH {_FS_CAND_CTES}, c0 AS (SELECT {counts} FROM cand)"
     prev = "c0"
-    for li, layer in enumerate(_fs_em_layers(), 1):
+    layers = _fs_em_layers() + (extra_layers or [])
+    for li, layer in enumerate(layers, 1):
         exprs = ", ".join(f"{e} AS {nm}" for nm, e in layer)
         sql += f", c{li} AS (SELECT *, {exprs} FROM {prev})"
         prev = f"c{li}"
+    return sql, prev
+
+
+def _fs_em_oracle() -> str:
+    sql, prev = _fs_em_chain_sql()
     return sql + f" {_fs_em_final_select()} FROM {prev}"
+
+
+def _fs_em_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1-row frame holding the exact pattern counts n0..n7 and
+    every EM layer's columns (trained p/m/u at round ``_FS_EM_ROUNDS``
+    UNROUNDED) — the shared Spark-side prefix of ``er_fs_em_train``
+    and the decision-rule query."""
+    gammas = _fs_gammas(spark, sf_dir)
+    counts = gammas.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("a_first") == bool((k >> 2) & 1))
+                    & (F.col("a_last") == bool((k >> 1) & 1))
+                    & (F.col("a_close") == bool(k & 1)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("double")
+            .alias(f"n{k}")
+            for k in range(8)
+        ]
+    )
+    df = counts
+    for layer in _fs_em_layers():
+        df = df.selectExpr("*", *[f"{e} AS {nm}" for nm, e in layer])
+    return df
 
 
 @register("er_fs_em_train", oracle=_fs_em_oracle())
@@ -1858,25 +1896,7 @@ def er_fs_em_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to the unblocked universe — production systems correct
     with a sampled-random-pairs u estimate, the same one-groupBy
     shape."""
-    gammas = _fs_gammas(spark, sf_dir)
-    counts = gammas.agg(
-        *[
-            F.sum(
-                F.when(
-                    (F.col("a_first") == bool((k >> 2) & 1))
-                    & (F.col("a_last") == bool((k >> 1) & 1))
-                    & (F.col("a_close") == bool(k & 1)),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("double")
-            .alias(f"n{k}")
-            for k in range(8)
-        ]
-    )
-    df = counts
-    for layer in _fs_em_layers():
-        df = df.selectExpr("*", *[f"{e} AS {nm}" for nm, e in layer])
+    df = _fs_em_trained(spark, sf_dir)
     r = _FS_EM_ROUNDS
     n_pairs = "(((((((n0 + n1) + n2) + n3) + n4) + n5) + n6) + n7)"
     return df.selectExpr(
@@ -1896,6 +1916,177 @@ def er_fs_em_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 er_fs_em_train.__doc__ = er_fs_em_train.__doc__.format(
     r=_FS_EM_ROUNDS, init=_FS_EM_INIT
 )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter DECISION RULE: λ/μ thresholds from target error rates
+# ---------------------------------------------------------------------------
+
+#: target conditional error rates (Fellegi–Sunter 1969 §3): μ bounds
+#: P(link | unmatched), λ bounds P(non_link | matched) — as EXACT
+#: 1e-12-quantized integers, so the threshold comparisons are integer.
+#: The targets read loose because they are CONDITIONAL ON CANDIDACY:
+#: blocked EM inflates u (every candidate already agrees on a token —
+#: er_fs_em_train's documented caveat), so the unmatched mass
+#: concentrates at higher ratios than in the unblocked universe.
+_FS_Q = 10**12
+_FS_MU_Q = int(0.05 * _FS_Q)  # μ: ≤5% of unmatched mass may link
+_FS_LAMBDA_Q = int(0.15 * _FS_Q)  # λ: ≤15% of matched mass may non-link
+
+
+def _fs_decision_layers(r: int = _FS_EM_ROUNDS) -> list[list[tuple[str, str]]]:
+    """The optimal-decision-rule layers appended to the EM program —
+    same generated-float-program discipline (shared strings, explicit
+    folds, integer accumulation): per-pattern class-conditional
+    probabilities under the TRAINED parameters, likelihood ratios, and
+    the cumulative error masses of FS's theorem 1 ordering (patterns
+    sorted by ratio descending; ties broken by pattern id — the order
+    agrees across engines because the ratios are bit-identical outputs
+    of the shared float program). The cumulative masses accumulate as
+    1e-12-quantized INTEGERS — a SUM aggregate over doubles would let
+    each engine pick its own summation order."""
+
+    def prob(pref: str, k: int) -> str:
+        bits = [(k >> (2 - i)) & 1 for i in range(3)]
+        return " * ".join(
+            f"{pref}{i}_{r}" if b else f"(1.0 - {pref}{i}_{r})"
+            for i, b in enumerate(bits)
+        )
+
+    def fold(terms: list[str]) -> str:
+        out = terms[0]
+        for x in terms[1:]:
+            out = f"({out} + {x})"
+        return out
+
+    probs = [
+        (f"mp_{k}", f"({prob('m', k)})") for k in range(8)
+    ] + [(f"up_{k}", f"({prob('u', k)})") for k in range(8)]
+    quant = (
+        [(f"lr_{k}", f"mp_{k} / up_{k}") for k in range(8)]
+        + [
+            (f"uq_{k}", f"CAST(FLOOR(up_{k} * {_FS_Q} + 0.5) AS BIGINT)")
+            for k in range(8)
+        ]
+        + [
+            (f"mq_{k}", f"CAST(FLOOR(mp_{k} * {_FS_Q} + 0.5) AS BIGINT)")
+            for k in range(8)
+        ]
+        + [("np", fold([f"n{k}" for k in range(8)]))]
+    )
+    cums = []
+    for k in range(8):
+        cu_terms, cm_terms = [], []
+        for j in range(8):
+            if j == k:
+                cu_terms.append(f"uq_{k}")
+                cm_terms.append(f"mq_{k}")
+            else:
+                # total order: ratio DESC, pattern id ASC
+                above = ">=" if j < k else ">"
+                below = "<=" if j > k else "<"
+                cu_terms.append(
+                    f"CASE WHEN lr_{j} {above} lr_{k} THEN uq_{j} ELSE 0 END"
+                )
+                cm_terms.append(
+                    f"CASE WHEN lr_{j} {below} lr_{k} THEN mq_{j} ELSE 0 END"
+                )
+        cums.append((f"cu_{k}", fold(cu_terms)))
+        cums.append((f"cm_{k}", fold(cm_terms)))
+    decisions = [
+        (
+            f"dec_{k}",
+            f"CASE WHEN cu_{k} <= {_FS_MU_Q} THEN 'link' "
+            f"WHEN cm_{k} <= {_FS_LAMBDA_Q} THEN 'non_link' "
+            f"ELSE 'clerical' END",
+        )
+        for k in range(8)
+    ]
+    return [probs, quant, cums, decisions]
+
+
+def _fs_decision_select() -> list[str]:
+    """Per-pattern output expressions over the exploded k column —
+    shared verbatim by both engines."""
+
+    def by_k(tpl: str) -> str:
+        return (
+            "CASE k "
+            + " ".join(f"WHEN {k} THEN {tpl.format(k=k)}" for k in range(8))
+            + " END"
+        )
+
+    r = _FS_EM_ROUNDS
+    return [
+        "CAST(k AS INT) AS pattern",
+        "k IN (4, 5, 6, 7) AS a_first",
+        "k IN (2, 3, 6, 7) AS a_last",
+        "k IN (1, 3, 5, 7) AS a_close",
+        f"CAST({by_k('n{k}')} AS BIGINT) AS n",
+        f"ROUND({by_k('mp_{k}')}, 6) AS m_prob",
+        f"ROUND({by_k('up_{k}')}, 6) AS u_prob",
+        f"ROUND({by_k('lr_{k}')}, 6) AS lr",
+        f"ROUND(CAST({by_k('cu_{k}')} AS DOUBLE) / {_FS_Q}, 6) AS u_cum",
+        f"ROUND(CAST({by_k('cm_{k}')} AS DOUBLE) / {_FS_Q}, 6) AS m_cum",
+        f"ROUND(np * p_{r} * ({by_k('mp_{k}')}), 6) AS exp_matched",
+        f"ROUND(np * (1.0 - p_{r}) * ({by_k('up_{k}')}), 6) AS exp_unmatched",
+        f"{by_k('dec_{k}')} AS decision",
+    ]
+
+
+def _fs_decision_oracle() -> str:
+    sql, prev = _fs_em_chain_sql(_fs_decision_layers())
+    cols = ",\n       ".join(_fs_decision_select())
+    return (
+        sql
+        + f", pat AS (SELECT *, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS k "
+        f"FROM {prev})\nSELECT {cols} FROM pat"
+    )
+
+
+@register("er_fs_decision_rule", oracle=_fs_decision_oracle())
+def er_fs_decision_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Fellegi–Sunter OPTIMAL decision rule (1969, theorem 1) —
+    the layer that closes the linkage loop over the trained model:
+    agreement patterns are ordered by likelihood ratio
+    P(γ|M)/P(γ|U) under the EM-TRAINED m/u (``er_fs_em_train``'s
+    exact program, reused unrounded), and the λ/μ thresholds are
+    DERIVED from target error rates rather than hand-picked scores —
+    'link' is the largest ratio-prefix whose cumulative u-mass (the
+    false-match rate a random unmatched pair would incur) stays ≤ μ,
+    'non_link' the largest ratio-suffix whose cumulative m-mass (the
+    false-non-match rate) stays ≤ λ, and the middle band is the
+    clerical-review queue whose size the rule provably minimizes.
+    Output: one row per agreement pattern with its exact pair count,
+    class-conditional probabilities, ratio, the cumulative error
+    masses at its cut, expected matched/unmatched pair counts
+    (n_pairs × p × P(γ|·) — the expected-error accounting), and the
+    decision.
+
+    Determinism discipline as the EM trainer: both engines run the
+    identical generated float program; the only data-dependent
+    ORDERING (ratio sort) compares bit-identical doubles with a
+    pattern-id tiebreak; cumulative masses accumulate as 1e-12
+    integers via explicit folds (never a float SUM aggregate); ROUND
+    is display-only. Scale: everything after the one
+    partial-aggregatable gamma pass runs on a 1-row frame — the
+    decision layer is free at 100 TB, and applying it to pairs is a
+    broadcast join of this 8-row table onto the gamma frame."""
+    from ..runtime import materialize
+
+    # cut the Catalyst expression tree at the trained 1-row frame: the
+    # decision folds reference each EM output ~64× (8 patterns × 8
+    # comparison terms), and inlined EM expressions blow analysis up
+    # measurably (10.6s → see below); checkpointing stores the same
+    # bits the inlined program would produce
+    df = _fs_em_trained(spark, sf_dir).transform(materialize)
+    for layer in _fs_decision_layers():
+        df = df.selectExpr("*", *[f"{e} AS {nm}" for nm, e in layer])
+    pat = df.select(
+        "*",
+        F.explode(F.array(*[F.lit(k) for k in range(8)])).alias("k"),
+    )
+    return pat.selectExpr(*_fs_decision_select())
 
 
 # ---------------------------------------------------------------------------

@@ -35,8 +35,13 @@ from cam_location_addressing_feature_service_etl_spark.streaming.corpus_dedup im
 )
 
 _BATCH = 500
-_BUCKETS = 256  # finer than the default 64 so a small batch's touched
-                # set is visibly a sliver of the bucket space
+#: buckets per 5k docs — the bucket count is sized ∝ corpus (each scale
+#: is its own state dir, as a production deployment sizes partitions
+#: for its target corpus) so BUCKET SIZE stays constant; write-IO is
+#: then touched_buckets × bucket_size ≈ batch × const. With a pinned
+#: bucket count, write-IO per fold would instead grow ∝ |state|/P per
+#: touched bucket — the granularity trade the layout docstring states.
+_BUCKETS_PER_5K = 256
 
 
 def _docs(spark, n, id_offset=0, tokens=12):
@@ -89,10 +94,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     print(
         f"constant batch = {_BATCH} docs (half variants, half fresh); "
-        f"corpus grows 1x..8x; streaming fold uses {_BUCKETS} buckets"
+        f"corpus grows 1x..8x; buckets sized {_BUCKETS_PER_5K} per 5k docs"
     )
     for scale in (1, 2, 4, 8):
         n = 5_000 * scale
+        buckets = _BUCKETS_PER_5K * scale
         base = _docs(spark, n).localCheckpoint()
         registry = empty_dedup_registry(spark)
         postings = empty_dedup_postings(spark)
@@ -115,11 +121,11 @@ def main() -> int:
             post_dir = os.path.join(tmp, "post")
             fold_doc_batch(
                 base.select("doc_id", "text"), 0, reg_dir, post_dir,
-                num_buckets=_BUCKETS,
+                num_buckets=buckets,
             )
             base_bytes = _du(reg_dir) + _du(post_dir)
             fold_doc_batch(
-                batch, 1, reg_dir, post_dir, num_buckets=_BUCKETS
+                batch, 1, reg_dir, post_dir, num_buckets=buckets
             )
             v1_bytes = _du(os.path.join(reg_dir, "v=1")) + _du(
                 os.path.join(post_dir, "v=1")
@@ -135,10 +141,70 @@ def main() -> int:
             f"corpus={n_reg:6d} docs  batch={n_batch}  fold={dt:6.2f}s  "
             f"out={n_out:6d}  state={base_bytes/1e6:7.1f}MB  "
             f"fold_write={v1_bytes/1e6:6.2f}MB  "
-            f"touched_reg_buckets={touched}/{_BUCKETS}"
+            f"touched_reg_buckets={touched}/{buckets}"
+        )
+
+    # --- ER registry: the same write-IO measurement (verdict #4's
+    # named target) — constant 50-name batch, growing vocabulary ------
+    from cam_location_addressing_feature_service_etl_spark.streaming.er import (
+        fold_master_batch,
+    )
+
+    print("ER registry: constant 50-name batch; buckets 256 per 10k names")
+    for scale in (1, 2, 4, 8):
+        v = 10_000 * scale
+        buckets = 256 * scale
+        base = _er_names(spark, v).localCheckpoint()
+        batch = (
+            _er_names(spark, v)
+            .filter(F.col("mk") % (v // 50) == 0)
+            .select(
+                (F.col("mk") + 10_000_000).alias("mk"),
+                F.concat(
+                    F.substring("mn", 1, 3),
+                    F.lit("z"),
+                    F.expr("substring(mn, 5)"),
+                ).alias("mn"),
+            )
+            .localCheckpoint()
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            reg_dir = os.path.join(tmp, "reg")
+            fold_master_batch(base, 0, reg_dir, num_buckets=buckets)
+            base_bytes = _du(reg_dir)
+            t0 = time.perf_counter()
+            fold_master_batch(batch, 1, reg_dir, num_buckets=buckets)
+            dt = time.perf_counter() - t0
+            v1_bytes = _du(os.path.join(reg_dir, "v=1"))
+            touched = len(
+                [
+                    p
+                    for p in os.listdir(os.path.join(reg_dir, "v=1", "data"))
+                    if p.startswith("_pid=")
+                ]
+            )
+        print(
+            f"vocab={v:6d} names  batch=50  fold={dt:6.2f}s  "
+            f"state={base_bytes/1e6:6.2f}MB  fold_write={v1_bytes/1e3:6.1f}kB  "
+            f"touched_buckets={touched}/{buckets}"
         )
     spark.stop()
     return 0
+
+
+def _er_names(spark, n):
+    """n distinct two-token md5-derived names (mutually dissimilar —
+    the er_incremental_probe lesson)."""
+    return spark.range(n).select(
+        F.col("id").alias("mk"),
+        F.concat(
+            F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+            F.lit(" "),
+            F.substring(
+                F.md5(F.concat(F.lit("t"), F.col("id").cast("string"))), 1, 8
+            ),
+        ).alias("mn"),
+    )
 
 
 if __name__ == "__main__":

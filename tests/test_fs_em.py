@@ -70,3 +70,50 @@ def test_em_layers_reference_only_prior_names(spark):
             for ref in re.findall(r"[a-z]+\d*_\d+|n\d", expr):
                 assert ref in defined, (nm, ref)
         defined.update(layer_names)
+
+
+def test_decision_rule_is_the_fs_optimal_rule(spark):
+    """The decision table is Fellegi–Sunter's theorem-1 rule: ordered
+    by likelihood ratio the decisions form contiguous link / clerical /
+    non_link bands; every link row's cumulative u-mass respects μ and
+    every non_link row's cumulative m-mass respects λ; both cuts are
+    MAXIMAL (the first clerical row violates the corresponding bound);
+    and the expected matched+unmatched accounting totals n_pairs."""
+    from cam_location_addressing_feature_service_etl_spark.workload.geo import (
+        _FS_LAMBDA_Q,
+        _FS_MU_Q,
+        _FS_Q,
+    )
+
+    rows = QUERIES["er_fs_decision_rule"](spark, SF_SMOKE).collect()
+    assert len(rows) == 8
+    assert {r["pattern"] for r in rows} == set(range(8))
+    mu, lam = _FS_MU_Q / _FS_Q, _FS_LAMBDA_Q / _FS_Q
+    ordered = sorted(rows, key=lambda r: (-r["lr"], r["pattern"]))
+    decisions = [r["decision"] for r in ordered]
+    assert set(decisions) == {"link", "clerical", "non_link"}  # non-vacuous
+    # contiguous bands in ratio order
+    import itertools
+
+    bands = [k for k, _ in itertools.groupby(decisions)]
+    assert bands == ["link", "clerical", "non_link"]
+    for r in rows:
+        if r["decision"] == "link":
+            assert r["u_cum"] <= mu + 1e-9
+        if r["decision"] == "non_link":
+            assert r["m_cum"] <= lam + 1e-9
+    # maximality: the rows adjacent to each cut violate the bounds
+    first_clerical = next(r for r in ordered if r["decision"] == "clerical")
+    assert first_clerical["u_cum"] > mu
+    last_clerical = next(
+        r for r in reversed(ordered) if r["decision"] == "clerical"
+    )
+    assert last_clerical["m_cum"] > lam
+    # expected-error accounting: the per-pattern expectations total the
+    # pair count (Σ_k m_k = Σ_k u_k = 1)
+    n_pairs = sum(r["n"] for r in rows)
+    total = sum(r["exp_matched"] + r["exp_unmatched"] for r in rows)
+    assert abs(total - n_pairs) < 0.01
+    # the count-bearing patterns' ratio ordering matches the trained
+    # parameters' implied ordering (sanity: full agreement ranks first)
+    assert ordered[0]["a_first"] or ordered[0]["a_last"]
