@@ -40,87 +40,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (committed as PARITY_r{N}.txt) proves the full registry every round
 #: regardless.
 _PRIORITY = [
-    # --- r12 new queries (front of sample; names appended as built) ---
-    "er_incremental_registry",
-    "pii_t_closeness_audit",
-    "a14_bloom_semijoin_prune",
-    "er_fellegi_sunter_scores",
+    # --- r13 new + plan-changed (er_fs_em_train internals factored) ---
+    "dedup_incremental_registry",
+    "er_fs_decision_rule",
     "er_fs_em_train",
-    "dq_psi_drift",
-    "dq_benford_audit",
-    "agg_woe_price_bins",
-    "ev_cusum_drift",
-    # --- r12 plan-changed: hierarchy left-join dangling-parent fix;
-    # materialize conversions (plan-ref retention) touched the ER
-    # composite and the linkage family ---
-    "graph_pointer_jump_roots",
-    "er_resolve_entities",
-    "geo_fuzzy_link_feed",
-    "geo_fuzzy_link_feed_multiblock",
-    "geo_fuzzy_link_feed_full",
-    "geo_locality_assign_holes",
-    # --- stalest tranche, never in the r10/r11 driver samples: the
-    # a5-a13 sketch block + ev_* window family + dedup_* family the
-    # r11 verdict called out ---
-    "dedup_exact_hash",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_boiler_naive",
-    "dedup_jaccard_boiler_prefix",
-    "dedup_simhash",
-    "dedup_exact_substring_spans",
-    "dedup_minhash_estimate",
-    "dedup_remove_spans",
-    "dedup_cluster_canonical",
-    "a7_sketch_union_reaggregate",
-    "ev_scd2_state_intervals",
-    "a8_incremental_agg_merge",
-    "ev_window_rank_suite",
-    "ev_anomaly_mad_flags",
-    "ev_attribution_window_join",
-    "ev_ewma_dyadic",
-    "ev_value_histogram",
-    "ev_gapfill_forward",
-    "ev_rolling_mad_outliers",
-    "ev_interval_overlap_join",
-    "a13_theta_join_cardinality",
-    "a12_cms_heavy_hitters",
-    "a11_kll_quantile_rollup",
-    "ev_agg_pricing_summary",
-    "ev_asof_last_purchase",
-    "ev_event_transitions",
-    "ev_funnel_conversion",
-    "ev_latency_percentiles",
-    "ev_pivot_type_counts",
-    "ev_user_value_quartiles",
-    "ev_value_band_join",
-    "ev_decayed_engagement",
-    "a10_theta_audience_overlap",
-    "ev_sessionize_native_window",
-    "ev_sliding_distinct_hll",
-    "a9_key_skew_profile",
-    "dedup_cc_star_converged",
-    # --- remaining never-sampled-in-r10/r11 names ---
-    "text_repetition_ratio",
-    "text_shingle_containment",
-    "text_tfidf_topk",
-    "text_token_counts",
-    "text_train_order_interleave",
-    "text_unigram_logprob",
-    "text_winnow_fingerprint",
-    "j1_multiway_equijoin",
-    "j10_cache_merge_fetched_wins",
-    "a1_grouped_max_latest",
-    "a1_latest_row_window",
-    "a2_count_with_predicate",
-    "a4_rowcount_delta",
-    "d1_distinct_projection",
-    "d2_first_wins_dedup",
-    "d3_distinct_keys_sorted",
-    "d4_distinct_values_pushdown",
-    "f12_validation_checks",
-    "agg_rollup_region_nation",
-    "j11_fuzzy_blocked_match",
+    # --- the r5/r6-stale 36-query tranche the r12 verdict named:
+    # f*/d*/a1-a4/j1,j10,j11/m3/geo_pip-knn-geohash/graph_triangle-
+    # kcore-cosine/text_* statistics — none driver-sampled since r5/r6 ---
     "f1_f2_synthetic_keys",
     "f3_conditional_rewrite",
     "f5_vocab_lookup",
@@ -128,40 +54,63 @@ _PRIORITY = [
     "f7_string_casts",
     "f8_f9_f10_time_suite",
     "f11_prefix_ops",
+    "f12_validation_checks",
     "f_json_extract_props",
+    "d1_distinct_projection",
+    "d2_first_wins_dedup",
+    "d3_distinct_keys_sorted",
+    "d4_distinct_values_pushdown",
+    "a1_grouped_max_latest",
+    "a1_latest_row_window",
+    "a2_count_with_predicate",
+    "a4_rowcount_delta",
+    "j1_multiway_equijoin",
+    "j10_cache_merge_fetched_wins",
+    "j11_fuzzy_blocked_match",
+    "m3_stable_surrogate_ids",
+    "geo_point_in_polygon",
+    "geo_point_in_polygon_raycast",
+    "geo_knn_topk",
+    "geo_geohash_agg",
+    "graph_triangle_counts",
+    "graph_kcore_peel3",
+    "graph_copurchase_cosine",
+    "text_tfidf_topk",
+    "text_winnow_fingerprint",
+    "text_zipf_slope",
+    "text_repetition_ratio",
+    "text_shingle_containment",
+    "text_token_counts",
+    "text_train_order_interleave",
+    "text_unigram_logprob",
+    # --- remaining not-in-r12-sample names, prior order kept ---
+    "ev_sliding_distinct_hll",
+    "a9_key_skew_profile",
+    "dedup_cc_star_converged",
+    "agg_rollup_region_nation",
     "text_bigram_logprob",
     "text_pmi_collocations",
     "text_shard_manifest",
-    "graph_kcore_peel3",
-    "graph_copurchase_cosine",
     "sim_ann_ivf_nprobe2",
     "emb_matryoshka_recall",
     "geo_zorder_layout",
-    "text_zipf_slope",
     "geo_fuzzy_match_blocked",
-    "geo_point_in_polygon_raycast",
     "geo_fence_transitions",
-    "geo_point_in_polygon",
-    "geo_knn_topk",
-    "geo_geohash_agg",
     "geo_nearest_within_radius",
     "emb_ivfpq_incremental",
     "sample_cluster_diversity",
     "sim_ann_ivfpq_filtered",
     "sim_ann_ivfpq_search",
     "sim_ann_ivfpq_rerank",
-    "m3_stable_surrogate_ids",
     "agg_cube_order_status",
     "agg_top_revenue_segments",
     "graph_copurchase_cosine_dimsum",
     "sample_weighted_reservoir",
     "sample_split_leakfree",
     "text_bm25_topk",
-    "graph_triangle_counts",
     "sample_importance_dsir",
     "sim_kmeans_assignments",
     "text_vocab_coverage",
-    # --- sampled in r10 only ---
     "sim_semdedup_prune",
     "pii_k_anonymity_audit",
     "graph_label_propagation",
@@ -209,7 +158,6 @@ _PRIORITY = [
     "ev_retention_cohorts",
     "ev_sessionize_gap30",
     "ev_tumbling_window_hourly",
-    # --- sampled in r11 (back of rotation) ---
     "text_nb_langid_classifier",
     "text_lr_quality_classifier",
     "text_nb_incremental_train",
@@ -254,6 +202,56 @@ _PRIORITY = [
     "text_pack_sequences",
     "text_postings_index",
     "text_quality_score",
+    # --- sampled in r12 (back of rotation) ---
+    "er_incremental_registry",
+    "pii_t_closeness_audit",
+    "a14_bloom_semijoin_prune",
+    "er_fellegi_sunter_scores",
+    "dq_psi_drift",
+    "dq_benford_audit",
+    "agg_woe_price_bins",
+    "ev_cusum_drift",
+    "graph_pointer_jump_roots",
+    "er_resolve_entities",
+    "geo_fuzzy_link_feed",
+    "geo_fuzzy_link_feed_multiblock",
+    "geo_fuzzy_link_feed_full",
+    "geo_locality_assign_holes",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_boiler_naive",
+    "dedup_jaccard_boiler_prefix",
+    "dedup_simhash",
+    "dedup_exact_substring_spans",
+    "dedup_minhash_estimate",
+    "dedup_remove_spans",
+    "dedup_cluster_canonical",
+    "a7_sketch_union_reaggregate",
+    "ev_scd2_state_intervals",
+    "a8_incremental_agg_merge",
+    "ev_window_rank_suite",
+    "ev_anomaly_mad_flags",
+    "ev_attribution_window_join",
+    "ev_ewma_dyadic",
+    "ev_value_histogram",
+    "ev_gapfill_forward",
+    "ev_rolling_mad_outliers",
+    "ev_interval_overlap_join",
+    "a13_theta_join_cardinality",
+    "a12_cms_heavy_hitters",
+    "a11_kll_quantile_rollup",
+    "ev_agg_pricing_summary",
+    "ev_asof_last_purchase",
+    "ev_event_transitions",
+    "ev_funnel_conversion",
+    "ev_latency_percentiles",
+    "ev_pivot_type_counts",
+    "ev_user_value_quartiles",
+    "ev_value_band_join",
+    "ev_decayed_engagement",
+    "a10_theta_audience_overlap",
+    "ev_sessionize_native_window",
 ]
 
 
