@@ -43,6 +43,7 @@ _PRIORITY = [
     # --- r13 new + plan-changed (er_fs_em_train internals factored) ---
     "dedup_incremental_registry",
     "er_fs_decision_rule",
+    "er_fs_decision_apply",
     "er_fs_em_train",
     # --- the r5/r6-stale 36-query tranche the r12 verdict named:
     # f*/d*/a1-a4/j1,j10,j11/m3/geo_pip-knn-geohash/graph_triangle-

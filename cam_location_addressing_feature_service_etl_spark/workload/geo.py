@@ -1846,12 +1846,17 @@ def _fs_em_oracle() -> str:
     return sql + f" {_fs_em_final_select()} FROM {prev}"
 
 
-def _fs_em_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fs_em_trained(
+    spark: SparkSession, sf_dir: str, gammas: DataFrame | None = None
+) -> DataFrame:
     """The 1-row frame holding the exact pattern counts n0..n7 and
     every EM layer's columns (trained p/m/u at round ``_FS_EM_ROUNDS``
     UNROUNDED) — the shared Spark-side prefix of ``er_fs_em_train``
-    and the decision-rule query."""
-    gammas = _fs_gammas(spark, sf_dir)
+    and the decision-rule queries. Pass ``gammas`` when the caller
+    also consumes the pair frame (materialize it first — the
+    comparison stage must not run twice)."""
+    if gammas is None:
+        gammas = _fs_gammas(spark, sf_dir)
     counts = gammas.agg(
         *[
             F.sum(
@@ -2071,15 +2076,22 @@ def er_fs_decision_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     is display-only. Scale: everything after the one
     partial-aggregatable gamma pass runs on a 1-row frame — the
     decision layer is free at 100 TB, and applying it to pairs is a
-    broadcast join of this 8-row table onto the gamma frame."""
+    broadcast join of this 8-row table onto the gamma frame
+    (``er_fs_decision_apply`` is exactly that join)."""
+    return _fs_decision_table(spark, sf_dir)
+
+
+def _fs_decision_table(
+    spark: SparkSession, sf_dir: str, gammas: DataFrame | None = None
+) -> DataFrame:
     from ..runtime import materialize
 
     # cut the Catalyst expression tree at the trained 1-row frame: the
     # decision folds reference each EM output ~64× (8 patterns × 8
     # comparison terms), and inlined EM expressions blow analysis up
-    # measurably (10.6s → see below); checkpointing stores the same
-    # bits the inlined program would produce
-    df = _fs_em_trained(spark, sf_dir).transform(materialize)
+    # measurably (10.6s cold → 2.5s warm with the checkpoint);
+    # checkpointing stores the same bits the inlined program produces
+    df = _fs_em_trained(spark, sf_dir, gammas).transform(materialize)
     for layer in _fs_decision_layers():
         df = df.selectExpr("*", *[f"{e} AS {nm}" for nm, e in layer])
     pat = df.select(
@@ -2087,6 +2099,57 @@ def er_fs_decision_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(k) for k in range(8)])).alias("k"),
     )
     return pat.selectExpr(*_fs_decision_select())
+
+
+#: the pair's agreement pattern id — shared verbatim by both engines
+_FS_PATTERN_SQL = (
+    "(CAST(a_first AS INT) * 4 + CAST(a_last AS INT) * 2 "
+    "+ CAST(a_close AS INT))"
+)
+
+
+def _fs_decision_apply_oracle() -> str:
+    sql, prev = _fs_em_chain_sql(_fs_decision_layers())
+    cols = ",\n       ".join(_fs_decision_select())
+    return (
+        sql
+        + f", patx AS (SELECT *, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS k "
+        f"FROM {prev}),\n"
+        f"pat AS (SELECT {cols} FROM patx)\n"
+        f"SELECT c.f AS feed_name, c.mn AS master_name, p.pattern,\n"
+        f"       p.lr, p.decision\n"
+        f"FROM cand c JOIN pat p ON p.pattern = "
+        f"{_FS_PATTERN_SQL.replace('a_first', 'c.a_first').replace('a_last', 'c.a_last').replace('a_close', 'c.a_close')}"
+    )
+
+
+@register("er_fs_decision_apply", oracle=_fs_decision_apply_oracle())
+def er_fs_decision_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision rule APPLIED to the full candidate set — the
+    pair-level output a production linkage actually emits: every
+    candidate pair tagged with its agreement pattern, likelihood
+    ratio, and the λ/μ-derived link / clerical / non_link decision
+    (``er_fs_decision_rule``'s 8-row table broadcast back onto the
+    gamma frame). The 'clerical' rows ARE the review queue; 'link'
+    rows flow to the entity stage.
+
+    Scale: the comparison stage runs ONCE (materialized; it feeds
+    both the 8-integer training counts and the pair output), the
+    trained decision table is 8 rows broadcast onto the pairs — the
+    apply step adds one map-side hash join over the candidate frame,
+    nothing else."""
+    from ..runtime import materialize
+
+    gammas = _fs_gammas(spark, sf_dir).transform(materialize)
+    table = _fs_decision_table(spark, sf_dir, gammas)
+    pairs = gammas.selectExpr(
+        "feed_name",
+        "master_name",
+        f"{_FS_PATTERN_SQL} AS pattern",
+    )
+    return pairs.join(
+        F.broadcast(table.select("pattern", "lr", "decision")), "pattern"
+    ).select("feed_name", "master_name", "pattern", "lr", "decision")
 
 
 # ---------------------------------------------------------------------------

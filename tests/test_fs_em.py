@@ -117,3 +117,23 @@ def test_decision_rule_is_the_fs_optimal_rule(spark):
     # the count-bearing patterns' ratio ordering matches the trained
     # parameters' implied ordering (sanity: full agreement ranks first)
     assert ordered[0]["a_first"] or ordered[0]["a_last"]
+
+
+def test_decision_apply_tags_every_candidate_pair(spark):
+    """The pair-level apply: every gamma pair appears exactly once,
+    tagged with its pattern's decision from the 8-row table, and the
+    count-bearing decisions are non-vacuous."""
+    from cam_location_addressing_feature_service_etl_spark.workload.geo import (
+        _fs_gammas,
+    )
+
+    pairs = QUERIES["er_fs_decision_apply"](spark, SF_SMOKE).collect()
+    n_gammas = _fs_gammas(spark, SF_SMOKE).count()
+    assert len(pairs) == n_gammas > 0
+    table = {
+        r["pattern"]: r["decision"]
+        for r in QUERIES["er_fs_decision_rule"](spark, SF_SMOKE).collect()
+    }
+    assert all(r["decision"] == table[r["pattern"]] for r in pairs)
+    decisions = {r["decision"] for r in pairs}
+    assert "link" in decisions and "non_link" in decisions
