@@ -57,6 +57,7 @@ def fold_doc_batch(
     shingle_n: int = 3,
     retain_versions: int = 3,
     num_buckets: int = DEDUP_BUCKETS,
+    compact_every: int | None = None,
 ) -> None:
     """Fold one document micro-batch into both versioned state tables.
     Idempotent under foreachBatch replay; one fold computation feeds
@@ -72,6 +73,11 @@ def fold_doc_batch(
         new_reg, new_post = dedup_fold_increment(
             reg_prior, post_prior, batch, threshold, shingle_n
         )
+        compact = (
+            compact_every is not None
+            and batch_id > 0
+            and batch_id % compact_every == 0
+        )
         commit_version_partitioned(
             new_post,
             batch_id,
@@ -81,6 +87,7 @@ def fold_doc_batch(
             post_prior,
             post_man,
             retain_versions,
+            force_rewrite_all=compact,
         )
         commit_version_partitioned(
             new_reg,
@@ -91,6 +98,7 @@ def fold_doc_batch(
             reg_prior,
             reg_man,
             retain_versions,
+            force_rewrite_all=compact,
         )
 
 

@@ -55,6 +55,7 @@ def fold_master_batch(
     block_keys: tuple[str, ...] = _LINK_BLOCK_STRATEGIES,
     retain_versions: int = 3,
     num_buckets: int = REGISTRY_BUCKETS,
+    compact_every: int | None = None,
 ) -> None:
     """Fold one master-record micro-batch into the versioned registry.
     Idempotent under foreachBatch replay (versioned-fold discipline);
@@ -71,6 +72,7 @@ def fold_master_batch(
         ("nm",),
         num_buckets,
         retain_versions,
+        compact_every,
     )
 
 

@@ -223,6 +223,7 @@ def fold_version_partitioned(
     key_cols: tuple[str, ...],
     num_partitions: int = 64,
     retain_versions: int = 3,
+    compact_every: int | None = None,
 ) -> None:
     """``fold_version`` for state that GROWS with the corpus (the ER
     registry's vocabulary, the dedup registry's postings index): the
@@ -258,12 +259,23 @@ def fold_version_partitioned(
 
     Retention: the last ``retain_versions`` manifests survive, PLUS
     every older version still owning a bucket referenced by one of
-    them (reference-counted pruning — a bucket untouched for 1000
-    folds lives in a 1000-fold-old version). ``plans/compact.py``-style
-    periodic compaction (fold an empty delta after forcing all buckets
-    touched) is unnecessary: references keep data live indefinitely
-    without copying it forward.
+    them (reference-counted pruning). References keep data live
+    indefinitely without copying it forward — but they also DISPERSE:
+    a bucket untouched for 1000 folds lives in a 1000-fold-old
+    version, so reads stitch ever more owner versions (each a
+    file-listing + footer round) and old dirs never prune. Pass
+    ``compact_every=N`` to make every Nth fold a COMPACTING fold that
+    force-rewrites all live buckets into its own version — the
+    manifest re-homes to one owner, dispersion resets, and every
+    older version prunes once it ages past retention. Replay-safe:
+    whether a fold compacts depends only on ``batch_id``, so a replay
+    makes the identical choice.
     """
+    compact = (
+        compact_every is not None
+        and batch_id > 0
+        and batch_id % compact_every == 0
+    )
     if retain_versions < 2:
         # same argument as fold_version: the predecessor must survive
         # until the stream checkpoint commit is durable
@@ -283,6 +295,7 @@ def fold_version_partitioned(
             prior,
             prior_manifest,
             retain_versions,
+            force_rewrite_all=compact,
         )
 
 
@@ -324,6 +337,7 @@ def commit_version_partitioned(
     prior: DataFrame,
     prior_manifest: dict,
     retain_versions: int = 3,
+    force_rewrite_all: bool = False,
 ) -> None:
     """Write ``new_full`` as version ``batch_id`` of the partitioned
     layout: fingerprint-diff against ``prior``, write only changed
@@ -333,7 +347,10 @@ def commit_version_partitioned(
     corpus_dedup.py`` reads both priors, computes once, commits each
     table) — such folds order their commits so the consumer-visible
     table commits LAST: a crash between commits leaves internal state
-    ahead of the visible table for one replay, never behind it."""
+    ahead of the visible table for one replay, never behind it.
+    ``force_rewrite_all``: write EVERY live bucket (compaction — the
+    fingerprint compare is skipped; one fingerprint pass still finds
+    the live pids)."""
     spark = new_full.sparkSession
     num_partitions = prior_manifest["num_partitions"]
     vdir = f"{state_dir}/v={batch_id}"
@@ -356,28 +373,34 @@ def commit_version_partitioned(
             F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("fp"),
         )
 
-    cmp = (
-        fingerprint(new_full)
-        .withColumnsRenamed({"cnt": "cnt_new", "fp": "fp_new"})
-        .join(
-            fingerprint(prior).withColumnsRenamed(
-                {"cnt": "cnt_old", "fp": "fp_old"}
-            ),
-            ["_pid"],
-            "full_outer",
+    if force_rewrite_all:
+        live = {r["_pid"] for r in fingerprint(new_full).collect()}
+        # every bucket ever owned plus every live bucket re-homes here
+        touched = live | {int(p) for p in prior_manifest["pids"]}
+        live_touched = live
+    else:
+        cmp = (
+            fingerprint(new_full)
+            .withColumnsRenamed({"cnt": "cnt_new", "fp": "fp_new"})
+            .join(
+                fingerprint(prior).withColumnsRenamed(
+                    {"cnt": "cnt_old", "fp": "fp_old"}
+                ),
+                ["_pid"],
+                "full_outer",
+            )
+            .collect()
         )
-        .collect()
-    )
-    touched = {
-        r["_pid"]
-        for r in cmp
-        if r["cnt_new"] != r["cnt_old"] or r["fp_new"] != r["fp_old"]
-    }
-    live_touched = {
-        r["_pid"]
-        for r in cmp
-        if r["_pid"] in touched and (r["cnt_new"] or 0) > 0
-    }
+        touched = {
+            r["_pid"]
+            for r in cmp
+            if r["cnt_new"] != r["cnt_old"] or r["fp_new"] != r["fp_old"]
+        }
+        live_touched = {
+            r["_pid"]
+            for r in cmp
+            if r["_pid"] in touched and (r["cnt_new"] or 0) > 0
+        }
     if touched:
         (
             new_full.withColumn("_pid", pid)

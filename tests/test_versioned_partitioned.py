@@ -161,3 +161,44 @@ def test_empty_first_fold_commits_empty_state(spark, tmp_path):
     _fold(spark.createDataFrame([], SCHEMA), 0, d)
     assert _state(spark, d) == set()
     assert _manifest(d, 0)["pids"] == {}
+
+
+def test_compacting_fold_rehomes_buckets_and_bounds_versions(spark, tmp_path):
+    """compact_every=N: the Nth fold force-rewrites every live bucket
+    into its own version — owner dispersion resets to one version, and
+    every older version prunes once it ages past retention (without
+    compaction, v=0 lives forever as the owner of untouched buckets).
+    Replaying the compacting fold is idempotent."""
+    d = str(tmp_path / "st")
+    _fold(spark.createDataFrame([(k, k) for k in range(64)], SCHEMA), 0, d)
+    want = {(k, k) for k in range(64)}
+
+    def step(i):
+        fold_version_partitioned(
+            spark.createDataFrame([(i, 100 + i)], SCHEMA),
+            i, d, SCHEMA, _merge, ("k",), P, 2, compact_every=4,
+        )
+
+    for i in range(1, 5):
+        step(i)
+        want = (want - {(i, i)}) | {(i, 100 + i)}
+    # fold 4 compacted: every live bucket rewritten into its version
+    assert _data_pids(d, 4) == set(range(P))
+    assert _state(spark, d) == want
+    # replaying the compacting fold (foreachBatch re-delivery of the
+    # LATEST batch — the only replay the contract allows) is
+    # byte-identical: its predecessor v=3 survives retention
+    man4 = _manifest(d, 4)
+    step(4)
+    assert _manifest(d, 4) == man4
+    assert _state(spark, d) == want
+    for i in range(5, 7):
+        step(i)
+        want = (want - {(i, i)}) | {(i, 100 + i)}
+    assert _state(spark, d) == want
+    # dispersion reset: the latest manifest references only the
+    # compaction version onward, and v=0 (which owned every untouched
+    # bucket before compaction, immortal without it) was pruned
+    assert set(_manifest(d, 6)["pids"].values()) <= {4, 5, 6}
+    live = {int(n[2:]) for n in os.listdir(d) if n.startswith("v=")}
+    assert 0 not in live
