@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..workload.geo import _fs_em_layers, _FS_EM_ROUNDS
+from ..workload.geo import (
+    _fs_decision_layers,
+    _fs_decision_select,
+    _fs_em_layers,
+    _FS_EM_ROUNDS,
+)
 from .versioned import fold_version, read_latest
 
 #: one row per agreement pattern k = a_first*4 + a_last*2 + a_close
@@ -75,16 +80,14 @@ def train_stream(
     )
 
 
-def read_trained_params(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Run the EM rounds on the folded counts and return the trained
-    parameters — the batch query's output shape (n_pairs, p_match,
-    m_*/u_* per field), from the identical generated float program.
-
-    Returns an EMPTY frame (same schema) when no pairs have been folded
-    yet: EM on all-zero counts is a 0/0 posterior whose NaN the M-step
-    clamp would silently coerce to 1-1e-9, handing the consumer
-    plausible-looking parameters with n_pairs=0. The guard is a lazy
-    filter on the one aggregated row — no extra action."""
+def _trained_frame(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The 1-row trained frame (counts + every EM layer) from the
+    folded state — the streaming analogue of ``_fs_em_trained``.
+    Empty (zero rows) when no pairs were ever folded: EM on all-zero
+    counts is a 0/0 posterior whose NaN the M-step clamp would
+    silently coerce to 1-1e-9, handing the consumer plausible-looking
+    parameters with n_pairs=0. The guard is a lazy filter on the one
+    aggregated row — no extra action."""
     counts = read_latest(spark, state_dir, _STATE_SCHEMA)
     # widen the ≤8 count rows to the one n0..n7 row the EM program
     # references — disjoint-singleton sums, order-irrelevant, exact
@@ -101,6 +104,32 @@ def read_trained_params(spark: SparkSession, state_dir: str) -> DataFrame:
     df = df.filter(sum(F.col(f"n{k}") for k in range(8)) > 0)
     for layer in _fs_em_layers():
         df = df.selectExpr("*", *[f"{e} AS {nm}" for nm, e in layer])
+    return df
+
+
+def read_decision_table(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The λ/μ decision table trained on everything folded so far —
+    the batch ``er_fs_decision_rule`` output shape from the standing
+    counts, via the SAME generated layers, so a stream whose folded
+    counts equal the batch candidate counts yields the identical
+    8-row table (pinned in tests/test_streaming_fsem.py). Empty when
+    nothing was folded."""
+    df = _trained_frame(spark, state_dir)
+    for layer in _fs_decision_layers():
+        df = df.selectExpr("*", *[f"{e} AS {nm}" for nm, e in layer])
+    pat = df.select(
+        "*",
+        F.explode(F.array(*[F.lit(k) for k in range(8)])).alias("k"),
+    )
+    return pat.selectExpr(*_fs_decision_select())
+
+
+def read_trained_params(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Run the EM rounds on the folded counts and return the trained
+    parameters — the batch query's output shape (n_pairs, p_match,
+    m_*/u_* per field), from the identical generated float program.
+    Empty when nothing was folded (see ``_trained_frame``)."""
+    df = _trained_frame(spark, state_dir)
     r = _FS_EM_ROUNDS
     n_pairs = "(((((((n0 + n1) + n2) + n3) + n4) + n5) + n6) + n7)"
     return df.selectExpr(

@@ -101,3 +101,27 @@ def test_read_before_any_fold_returns_empty_not_fabricated(spark, tmp_path):
         spark.createDataFrame([], GAMMA_SCHEMA), 0, state_dir
     )
     assert read_trained_params(spark, state_dir).count() == 0
+
+
+def test_streamed_decision_table_matches_batch_rule(spark, tmp_path):
+    """The standing decision table read from folded counts equals the
+    batch er_fs_decision_rule 8-row table once all evidence is folded
+    (same generated layers over the same integer counts); empty state
+    reads back as an empty table, never a fabricated rule."""
+    from cam_location_addressing_feature_service_etl_spark.streaming.fsem import (
+        read_decision_table,
+    )
+
+    assert read_decision_table(spark, str(tmp_path / "never")).count() == 0
+    g = _gammas(spark).localCheckpoint()
+    state_dir = str(tmp_path / "state")
+    apply_gamma_batch(g.filter(F.col("a_close")), 0, state_dir)
+    apply_gamma_batch(g.filter(~F.col("a_close")), 1, state_dir)
+    got = {
+        tuple(r) for r in read_decision_table(spark, state_dir).collect()
+    }
+    want = {
+        tuple(r)
+        for r in QUERIES["er_fs_decision_rule"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) == 8
