@@ -111,9 +111,13 @@ def dedup_registry_stream(
     threshold: float = 0.5,
     shingle_n: int = 3,
     retain_versions: int = 3,
+    num_buckets: int = DEDUP_BUCKETS,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Run the accreting corpus-dedup loop over a (doc_id, text)
-    document stream (``DOC_BATCH_SCHEMA``)."""
+    document stream (``DOC_BATCH_SCHEMA``). Every fold knob threads
+    through to ``fold_doc_batch`` — a stream caller can configure
+    everything the batch API allows."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         fold_doc_batch(
@@ -124,6 +128,8 @@ def dedup_registry_stream(
             threshold,
             shingle_n,
             retain_versions,
+            num_buckets,
+            compact_every,
         )
 
     return (

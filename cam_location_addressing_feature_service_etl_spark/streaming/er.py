@@ -84,16 +84,26 @@ def resolve_registry_stream(
     tau: int = _LINK_TAU,
     block_keys: tuple[str, ...] = _LINK_BLOCK_STRATEGIES,
     retain_versions: int = 3,
+    num_buckets: int = REGISTRY_BUCKETS,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Run the accreting-registry loop over a (mk, mn) master stream
-    (``MASTER_BATCH_SCHEMA``). The linkage knobs (``tau``,
-    ``block_keys``) and the fold's ``retain_versions`` thread straight
-    through to ``fold_master_batch`` — a stream caller can configure
-    everything the batch API allows."""
+    (``MASTER_BATCH_SCHEMA``). Every fold knob (linkage ``tau``/
+    ``block_keys``, ``retain_versions``, ``num_buckets``,
+    ``compact_every``) threads straight through to
+    ``fold_master_batch`` — a stream caller can configure everything
+    the batch API allows."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         fold_master_batch(
-            batch, batch_id, registry_dir, tau, block_keys, retain_versions
+            batch,
+            batch_id,
+            registry_dir,
+            tau,
+            block_keys,
+            retain_versions,
+            num_buckets,
+            compact_every,
         )
 
     return (
