@@ -41,6 +41,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: regardless.
 _PRIORITY = [
     # --- r13 new + plan-changed (er_fs_em_train internals factored) ---
+    "ev_acf_lags",
+    "dq_calibration_ece",
+    "dq_classifier_agreement_kappa",
+    "sample_mix_epoch_plan",
     "dedup_incremental_registry",
     "er_fs_decision_rule",
     "er_fs_decision_apply",

@@ -2667,3 +2667,119 @@ def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 ev_value_histogram.__doc__ = ev_value_histogram.__doc__.format(
     b=_HIST_BINS, w=_HIST_WIDTH
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-key autocorrelation at fixed lags (time-series diagnostics)
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3)
+
+
+def _acf_oracle() -> str:
+    lead_cols = ",\n         ".join(
+        f"LEAD(x, {k}) OVER w AS y{k}" for k in _ACF_LAGS
+    )
+    moment_cols = ",\n         ".join(
+        f"""CAST(COUNT(y{k}) AS HUGEINT) AS c{k},
+         SUM(CASE WHEN y{k} IS NOT NULL THEN x END) AS sxl{k},
+         SUM(y{k}) AS sy{k},
+         SUM(x * y{k}) AS sxy{k}"""
+        for k in _ACF_LAGS
+    )
+    acf_cols = ",\n       ".join(
+        f"""CASE WHEN n * sxx - sx * sx > 0 THEN
+         ROUND(CAST(n * n * sxy{k} - n * sx * (sxl{k} + sy{k})
+                    + c{k} * sx * sx AS DOUBLE)
+               / CAST(n * n * sxx - n * sx * sx AS DOUBLE), 6)
+       END AS acf_lag{k}"""
+        for k in _ACF_LAGS
+    )
+    return f"""
+WITH q AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(value * 1000000 + 0.5) AS HUGEINT) AS x
+  FROM events
+),
+led AS (
+  SELECT user_id, x,
+         {lead_cols}
+  FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+m AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx,
+         SUM(x * x) AS sxx,
+         {moment_cols}
+  FROM led GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       {acf_cols}
+FROM m WHERE n >= {max(_ACF_LAGS) + 1}
+"""
+
+
+@register("ev_acf_lags", oracle=_acf_oracle())
+def ev_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of each user's value series at lags
+    1..{kmax} — the time-series diagnostic behind seasonality checks,
+    anomaly-detector tuning, and "is this signal white noise?" gates
+    on sensor/event feeds. Estimator: the standard full-mean form
+    r_k = sum_t (x_t - mean)(x_t+k - mean) / sum_t (x_t - mean)^2,
+    assembled from EXACT integer moments (micro-quantized values, the
+    ``agg_corr_price_quantity`` discipline): LEAD(x, k) over the
+    per-user (ts, event_id) order gives the pair sums, and the
+    rational identity n^2*num = n^2*Sxy_k - n*Sx*(Sxl_k + Sy_k) +
+    c_k*Sx^2 keeps everything in DECIMAL/HUGEINT until ONE final
+    double division per lag, so both engines divide identical
+    integers (built-in float accumulation order never enters).
+    Constant series (zero variance) yield NULL, matching on both
+    sides.
+
+    Scale shape: one shuffle to sort each user's series (the window),
+    then a partial-aggregatable groupBy on the SAME user_id
+    partitioning — Catalyst reuses the exchange, so the whole query
+    is a single repartition of the fact table no matter the lag
+    count; per-user state is ~4 integers per lag. Skewed users cost
+    one long sorted run each (the ev_sessionize_salted treatment
+    applies unchanged if a key dominates)."""
+    events = _events(spark, sf_dir)
+    x = F.floor(F.col("value") * 1000000 + 0.5).cast("decimal(38,0)")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    q = events.select("user_id", "ts", "event_id", x.alias("x"))
+    led = q.select(
+        "user_id",
+        "x",
+        *[F.lead("x", k).over(w).alias(f"y{k}") for k in _ACF_LAGS],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ]
+    for k in _ACF_LAGS:
+        yk = F.col(f"y{k}")
+        aggs += [
+            F.count(yk).cast("decimal(38,0)").alias(f"c{k}"),
+            F.sum(F.when(yk.isNotNull(), F.col("x"))).alias(f"sxl{k}"),
+            F.sum(yk).alias(f"sy{k}"),
+            F.sum(F.col("x") * yk).alias(f"sxy{k}"),
+        ]
+    m = led.groupBy("user_id").agg(*aggs).filter(
+        F.col("n") >= max(_ACF_LAGS) + 1
+    )
+    n, sx = F.col("n"), F.col("sx")
+    den = (n * n * F.col("sxx") - n * sx * sx).cast("double")
+    out_cols = ["user_id", n.cast("long").alias("n_events")]
+    for k in _ACF_LAGS:
+        num = (
+            n * n * F.col(f"sxy{k}")
+            - n * sx * (F.col(f"sxl{k}") + F.col(f"sy{k}"))
+            + F.col(f"c{k}") * sx * sx
+        ).cast("double")
+        out_cols.append(F.when(den > 0, F.round(num / den, 6)).alias(f"acf_lag{k}"))
+    return m.select(*out_cols)
+
+
+ev_acf_lags.__doc__ = ev_acf_lags.__doc__.format(kmax=max(_ACF_LAGS))

@@ -2918,3 +2918,288 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_zipf_slope.__doc__ = text_zipf_slope.__doc__.format(k=_ZIPF_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration audit (reliability bins / ECE contributions)
+# ---------------------------------------------------------------------------
+
+_ECE_BINS = 10
+
+
+def _ece_oracle() -> str:
+    return f"""
+WITH scored AS ({_lr_oracle()}),
+b AS (
+  SELECT LEAST(CAST(FLOOR(p_quality * 1000000 + 0.5) AS BIGINT) // 100000,
+               {_ECE_BINS - 1}) AS bin,
+         CAST(FLOOR(p_quality * 1000000 + 0.5) AS BIGINT) AS conf_micro,
+         CASE WHEN gold THEN 1 ELSE 0 END AS pos
+  FROM scored
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(SUM(conf_micro) * 1.0 / (COUNT(*) * 1000000.0), 6) AS avg_conf,
+       ROUND(SUM(pos) * 1.0 / COUNT(*), 6) AS frac_pos,
+       ROUND(ABS(SUM(conf_micro) - SUM(pos) * 1000000) * 1.0
+             / (COUNT(*) * 1000000.0), 6) AS abs_gap
+FROM b GROUP BY bin
+"""
+
+
+@register("dq_calibration_ece", oracle=_ece_oracle())
+def dq_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability audit of the trained quality classifier — the
+    per-bin table behind Expected Calibration Error: held-out
+    predictions bucketed into {b} equal-width confidence bins, each
+    reporting size, mean confidence, empirical positive rate, and the
+    |confidence - accuracy| gap. This is the model-DQ gate a training
+    pipeline runs before TRUSTING a quality classifier's scores as
+    sampling weights (``sample_quality_weighted``): a well-ranked but
+    mis-calibrated model silently skews the mixture.
+
+    Determinism discipline: ``p_quality`` is already pinned to the
+    6-digit grid by the LR query both engines hash-match on, so
+    ``conf_micro = floor(p * 1e6 + 0.5)`` is an exact integer and the
+    BIN assignment is integer division — no float comparison sits on
+    a bin edge. All three ratios divide exact integer sums, so the
+    doubles agree bit-for-bit before the display round.
+
+    Scale: scoring is embarrassingly parallel; the audit itself is a
+    {b}-key partial-aggregatable groupBy — shuffle is {b} rows of 3
+    integers per partition, mergeable across shards/batches (the
+    streaming twin folds the same counts)."""
+    tune(spark)
+    (documents,) = _t(spark, sf_dir, "documents")
+    scored = lr_train_score(documents, _NB_TEST_MOD)
+    b = scored.select(
+        F.floor(F.col("p_quality") * 1000000 + 0.5)
+        .cast("long")
+        .alias("conf_micro"),
+        F.when(F.col("gold"), 1).otherwise(0).alias("pos"),
+    ).select(
+        F.least(
+            F.expr("conf_micro DIV 100000"), F.lit(_ECE_BINS - 1)
+        ).alias("bin"),
+        "conf_micro",
+        "pos",
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum("conf_micro") * 1.0 / (F.count(F.lit(1)) * 1000000.0), 6
+        ).alias("avg_conf"),
+        F.round(F.sum("pos") * 1.0 / F.count(F.lit(1)), 6).alias("frac_pos"),
+        F.round(
+            F.abs(F.sum("conf_micro") - F.sum("pos") * 1000000)
+            * 1.0
+            / (F.count(F.lit(1)) * 1000000.0),
+            6,
+        ).alias("abs_gap"),
+    )
+
+
+dq_calibration_ece.__doc__ = dq_calibration_ece.__doc__.format(b=_ECE_BINS)
+
+
+# ---------------------------------------------------------------------------
+# Inter-classifier / classifier-vs-gold agreement (Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+
+def _kappa_oracle() -> str:
+    return f"""
+WITH nb AS ({_nb_oracle()}),
+conf AS (
+  SELECT gold_lang AS g, pred_lang AS p, CAST(COUNT(*) AS BIGINT) AS c
+  FROM nb GROUP BY 1, 2
+),
+rows_ AS (SELECT g, SUM(c) AS r FROM conf GROUP BY 1),
+cols_ AS (SELECT p, SUM(c) AS cc FROM conf GROUP BY 1),
+tot AS (
+  SELECT SUM(c) AS n,
+         SUM(CASE WHEN g = p THEN c ELSE 0 END) AS agree
+  FROM conf
+),
+rc AS (
+  SELECT COALESCE(SUM(r * cc), 0) AS s
+  FROM rows_ JOIN cols_ ON rows_.g = cols_.p
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(agree AS BIGINT) AS n_agree,
+       ROUND(agree * 1.0 / n, 6) AS po,
+       ROUND(s * 1.0 / (n * n), 6) AS pe,
+       CASE WHEN n * n <> s THEN
+         ROUND(CAST(n * agree - s AS DOUBLE) / CAST(n * n - s AS DOUBLE), 6)
+       END AS kappa
+FROM tot, rc
+"""
+
+
+@register("dq_classifier_agreement_kappa", oracle=_kappa_oracle())
+def dq_classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the NB language classifier against the gold
+    labels — chance-corrected agreement, the standard acceptance
+    metric for auto-labelers and annotator pools before their labels
+    feed a training mix (accuracy alone is inflated by the majority
+    class; kappa subtracts the agreement two independent raters with
+    these marginals would reach by luck).
+
+    Exact-arithmetic discipline: the confusion matrix, its row/column
+    marginals, the observed-agreement count, and the chance term
+    s = sum_l row_l * col_l are all exact BIGINTs; kappa collapses to
+    the integer rational (n*agree - s) / (n^2 - s) and po/pe divide
+    the same integers, so one final double division per output column
+    is the only float op on either engine. Degenerate marginals
+    (pe = 1, i.e. n^2 = s) yield NULL on both sides.
+
+    Scale: one groupBy on (gold, pred) — label-pair cardinality, not
+    corpus cardinality — then label-sized marginal aggregates joined
+    label-to-label; every frame after the first aggregate is
+    vocabulary-of-labels sized, and the final combine is two 1-row
+    broadcasts. The confusion counts are mergeable, so the same audit
+    runs incrementally over scoring batches."""
+    tune(spark)
+    (documents,) = _t(spark, sf_dir, "documents")
+    preds = nb_train_score(documents, _NB_TEST_MOD)
+    conf = preds.groupBy("gold_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rows = conf.groupBy("gold_lang").agg(F.sum("c").alias("r"))
+    cols = conf.groupBy("pred_lang").agg(F.sum("c").alias("cc"))
+    tot = conf.agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.when(F.col("gold_lang") == F.col("pred_lang"), F.col("c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("agree"),
+    )
+    rc = (
+        rows.join(cols, rows["gold_lang"] == cols["pred_lang"])
+        .agg(F.coalesce(F.sum(F.col("r") * F.col("cc")), F.lit(0)).alias("s"))
+    )
+    n, agree, s = F.col("n"), F.col("agree"), F.col("s")
+    return (
+        tot.crossJoin(F.broadcast(rc))
+        .select(
+            n.cast("long").alias("n_docs"),
+            agree.cast("long").alias("n_agree"),
+            F.round(agree * 1.0 / n, 6).alias("po"),
+            F.round(s * 1.0 / (n * n), 6).alias("pe"),
+            F.when(
+                n * n != s,
+                F.round(
+                    (n * agree - s).cast("double") / (n * n - s).cast("double"), 6
+                ),
+            ).alias("kappa"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture planning (epochs / repeat factors per source)
+# ---------------------------------------------------------------------------
+
+_MIX_TOKEN_BUDGET = 12000
+_MIX_EPOCH_CAP = 4
+
+
+def _mix_epoch_oracle() -> str:
+    toks = TOKENS_SQL.format(col="text")
+    return f"""
+WITH avail AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({toks})) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, avail_tokens,
+         CAST(FLOOR(sqrt(CAST(avail_tokens AS DOUBLE)) * 1000000) AS HUGEINT) AS w
+  FROM avail
+),
+tot AS (SELECT SUM(w) AS tw FROM w),
+quota AS (
+  SELECT source, n_docs, avail_tokens,
+         CAST((w * {_MIX_TOKEN_BUDGET}) // tw AS BIGINT) AS quota_tokens
+  FROM w, tot
+)
+SELECT source, n_docs, avail_tokens, quota_tokens,
+       CAST(LEAST({_MIX_EPOCH_CAP} * 1000000,
+                  (CAST(quota_tokens AS HUGEINT) * 1000000) // avail_tokens)
+            AS BIGINT) AS epochs_micro,
+       CAST((CAST(avail_tokens AS HUGEINT)
+             * LEAST({_MIX_EPOCH_CAP} * 1000000,
+                     (CAST(quota_tokens AS HUGEINT) * 1000000) // avail_tokens))
+            // 1000000 AS BIGINT) AS planned_tokens
+FROM quota
+"""
+
+
+@register("sample_mix_epoch_plan", oracle=_mix_epoch_oracle())
+def sample_mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning under a token budget — the table a
+    training run derives its per-source sampling/repeat factors from:
+    each source's share of a {b}-token budget is temperature-weighted
+    (t=0.5: weight ∝ sqrt of its available token mass, the standard
+    rare-source upsampling), then converted to EPOCHS over that
+    source, capped at {c}× (repeating data beyond a few epochs stops
+    helping — the data-constrained scaling regime), reporting the
+    planned token draw. Complements ``sample_temperature_mix``: that
+    query picks documents for a doc-count budget; this one sizes the
+    repeat factor per source for a token budget, which is how mixes
+    are actually specified for LLM training.
+
+    Exact-arithmetic discipline: available token mass is an exact
+    integer sum of per-doc token counts; weights land on the 1e-6 grid
+    via floor(sqrt·1e6) (sqrt is correctly-rounded IEEE on both
+    engines); quota, epochs (micro-units), and planned tokens are
+    integer division all the way down — no float ever crosses an
+    engine boundary.
+
+    Scale: one partial-aggregatable groupBy on the source key (the
+    whole fact-table pass), then source-cardinality frames and a
+    1-row total broadcast — the plan is a metadata computation after
+    the first aggregate, identical at any corpus size."""
+    tune(spark)
+    (documents,) = _t(spark, sf_dir, "documents")
+    avail = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens_col(F.col("text")))).cast("long").alias("avail_tokens"),
+    )
+    w = avail.withColumn(
+        "w",
+        F.floor(F.sqrt(F.col("avail_tokens").cast("double")) * 1000000)
+        .cast("decimal(38,0)"),
+    )
+    tot = w.agg(F.sum("w").alias("tw"))
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        F.expr(
+            f"CAST((w * {_MIX_TOKEN_BUDGET}) DIV tw AS BIGINT)"
+        ).alias("quota_tokens"),
+    )
+    epochs_micro = F.expr(
+        f"LEAST(CAST({_MIX_EPOCH_CAP} * 1000000 AS BIGINT), "
+        f"CAST((CAST(quota_tokens AS DECIMAL(38,0)) * 1000000) "
+        f"DIV avail_tokens AS BIGINT))"
+    )
+    return quota.select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        "quota_tokens",
+        epochs_micro.alias("epochs_micro"),
+        F.expr(
+            "CAST((CAST(avail_tokens AS DECIMAL(38,0)) * epochs_micro) "
+            "DIV 1000000 AS BIGINT)"
+        ).alias("planned_tokens"),
+    )
+
+
+sample_mix_epoch_plan.__doc__ = sample_mix_epoch_plan.__doc__.format(
+    b=_MIX_TOKEN_BUDGET, c=_MIX_EPOCH_CAP
+)

@@ -73,6 +73,13 @@ CARTESIAN_ALLOWED = {
     # weight frame (train-side gradient crossjoins sit behind
     # materialize boundaries)
     "text_lr_quality_classifier",
+    # LR scoring stage: held-out docs vs the broadcast 1-ROW weight
+    # frame (same shape as text_lr_quality_classifier, reused core)
+    "dq_calibration_ece",
+    # two 1-row scalar frames combined (totals x chance-agreement sum)
+    "dq_classifier_agreement_kappa",
+    # 1-row total source-weight frame (the sample_temperature_mix shape)
+    "sample_mix_epoch_plan",
     # t-closeness grid: each quasi-id cell fanned by the broadcast
     # sensitive-value DOMAIN (≤10 rows) for the cumulative-distance
     # sum, plus 1-row scalar totals (N, m−1)
