@@ -42,6 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # --- r13 new + plan-changed (er_fs_em_train internals factored) ---
     "ev_acf_lags",
+    "a15_bootstrap_poisson_ci",
+    "ev_seasonal_baseline_zscore",
     "dq_calibration_ece",
     "dq_classifier_agreement_kappa",
     "sample_mix_epoch_plan",

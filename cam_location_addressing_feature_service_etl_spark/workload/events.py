@@ -2783,3 +2783,221 @@ def ev_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ev_acf_lags.__doc__ = ev_acf_lags.__doc__.format(kmax=max(_ACF_LAGS))
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (one-pass resampling at scale)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 40
+
+#: cumulative Poisson(1) CDF in exact 2^52 units — u < _BOOT_T[k] means
+#: the resample weight is k; beyond the last cutoff the weight caps at
+#: len(_BOOT_T) = 9 (P < 1.2e-6). The SAME integer literals are
+#: embedded in the Spark builder and the oracle, so weight assignment
+#: is an exact integer comparison on both engines.
+_BOOT_T = [
+    1656781714176974,
+    3313563428353948,
+    4141954285442435,
+    4418084571138597,
+    4487117142562638,
+    4500923656847446,
+    4503224742561580,
+    4503553469092171,
+    4503594559908495,
+]
+
+
+def _boot_oracle() -> str:
+    w_sql = " + ".join(
+        f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _BOOT_T
+    )
+    return f"""
+WITH ex AS (
+  SELECT CAST(e.event_id AS VARCHAR) AS eid,
+         CAST(FLOOR(e.value * 1000000 + 0.5) AS HUGEINT) AS x,
+         b.b
+  FROM events e CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
+),
+uw AS (
+  SELECT b, x,
+         ('0x' || substr(md5(eid || '-' || CAST(b AS VARCHAR)), 1, 13))::BIGINT AS u
+  FROM ex
+),
+wtd AS (SELECT b, x, {w_sql} AS w FROM uw),
+per_b AS (
+  SELECT b,
+         SUM(CAST(w AS HUGEINT) * x) AS s,
+         CAST(SUM(w) AS HUGEINT) AS wt,
+         SUM(x) AS t,
+         CAST(COUNT(*) AS HUGEINT) AS n
+  FROM wtd GROUP BY b
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+       ROUND(CAST(MAX(t) AS DOUBLE) / (CAST(MAX(n) AS DOUBLE) * 1000000.0), 6)
+         AS point_mean,
+       ROUND(list_extract(list_sort(
+               list(CAST(s AS DOUBLE) / (CAST(wt AS DOUBLE) * 1000000.0))), 2), 6)
+         AS boot_lo,
+       ROUND(list_extract(list_sort(
+               list(CAST(s AS DOUBLE) / (CAST(wt AS DOUBLE) * 1000000.0))),
+             {_BOOT_B - 1}), 6) AS boot_hi
+FROM per_b
+"""
+
+
+@register("a15_bootstrap_poisson_ci", oracle=_boot_oracle())
+def a15_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean event value via the
+    POISSON BOOTSTRAP — the resampling scheme that actually works on
+    distributed data: instead of drawing n rows with replacement
+    (which needs global coordination), each row independently receives
+    a Poisson(1) count in each of {B} resamples, and all {B} weighted
+    means come out of ONE scan + ONE {B}-group aggregate. The interval
+    is the central order-statistic band of the resample means (2nd and
+    {B1}th of {B} sorted means = a 95% percentile interval at 2.5% per
+    tail).
+
+    Determinism discipline: the per-(row, resample) weight derives
+    from md5(event_id '-' b) — the first 13 hex chars are an exact
+    integer in [0, 2^52), compared against the SAME embedded integer
+    Poisson-CDF cutoffs on both engines (no RNG, no float compare);
+    micro-quantized values keep every resample sum an exact
+    DECIMAL/HUGEINT, so the {B} means are identical doubles on both
+    sides before the display round.
+
+    Scale: the explode is a constant {B}× fan-out that never shuffles
+    (weights are computed where the row lives); the aggregate
+    map-side-combines to {B} rows of 3 integers per partition; the
+    final order statistics sort {B} numbers. Total cost = one pass,
+    independent of cluster size — the reason Poisson bootstrap
+    replaced classical resampling for terabyte-scale error bars."""
+    events = _events(spark, sf_dir)
+    x = F.floor(F.col("value") * 1000000 + 0.5).cast("decimal(38,0)")
+    ex = events.select(
+        F.col("event_id").cast("string").alias("eid"), x.alias("x")
+    ).select(
+        "eid", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("-", F.col("eid"), F.col("b"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    w_expr = None
+    for t in _BOOT_T:
+        term = (u >= F.lit(t)).cast("int")
+        w_expr = term if w_expr is None else w_expr + term
+    per_b = (
+        ex.select("b", "x", w_expr.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w").cast("decimal(38,0)") * F.col("x")).alias("s"),
+            F.sum("w").cast("decimal(38,0)").alias("wt"),
+            F.sum("x").alias("t"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        )
+    )
+    mean_b = F.col("s").cast("double") / (F.col("wt").cast("double") * 1000000.0)
+    sorted_means = F.sort_array(F.collect_list(mean_b))
+    return per_b.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.round(
+            F.max("t").cast("double") / (F.max("n").cast("double") * 1000000.0), 6
+        ).alias("point_mean"),
+        F.round(F.element_at(sorted_means, 2), 6).alias("boot_lo"),
+        F.round(F.element_at(sorted_means, _BOOT_B - 1), 6).alias("boot_hi"),
+    )
+
+
+a15_bootstrap_poisson_ci.__doc__ = a15_bootstrap_poisson_ci.__doc__.format(
+    B=_BOOT_B, B1=_BOOT_B - 1
+)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-baseline anomaly flags (hour-of-day profile, exact moments)
+# ---------------------------------------------------------------------------
+
+_SEASONAL_Z = 3
+
+
+def _seasonal_oracle() -> str:
+    return f"""
+WITH q AS (
+  SELECT event_id, event_type, hour(ts) AS hod,
+         CAST(FLOOR(value * 1000000 + 0.5) AS HUGEINT) AS x
+  FROM events
+),
+base AS (
+  SELECT event_type, hod,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx,
+         SUM(x * x) AS sxx
+  FROM q GROUP BY event_type, hod
+)
+SELECT q.event_id, q.event_type, CAST(q.hod AS BIGINT) AS hod,
+       ROUND(CAST(b.n * q.x - b.sx AS DOUBLE)
+             / sqrt(CAST(b.n * b.sxx - b.sx * b.sx AS DOUBLE)), 6) AS z
+FROM q JOIN base b ON b.event_type = q.event_type AND b.hod = q.hod
+WHERE b.n * b.sxx - b.sx * b.sx > 0
+  AND ABS(CAST(b.n * q.x - b.sx AS DOUBLE)
+          / sqrt(CAST(b.n * b.sxx - b.sx * b.sx AS DOUBLE))) > {_SEASONAL_Z}
+"""
+
+
+@register("ev_seasonal_baseline_zscore", oracle=_seasonal_oracle())
+def ev_seasonal_baseline_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-profile anomaly detection: every event is z-scored
+    against the (event_type, hour-of-day) baseline — the standard
+    time-of-day-aware alternative to a global threshold (traffic at
+    3am is compared to other 3am traffic, so diurnal swing is not an
+    anomaly). Flags |z| > {z}.
+
+    Exact-moment discipline: per-cell (n, Σx, Σx²) on micro-quantized
+    values make the identity z = (n·x − Σx) / sqrt(n·Σx² − (Σx)²) an
+    integer rational under ONE sqrt — both engines divide identical
+    integers, the quantization scale cancels, and zero-variance cells
+    are excluded exactly. Unlike the rolling-window MAD flags
+    (``ev_rolling_mad_outliers``), the baseline here is the GLOBAL
+    per-cell profile — two complementary anomaly lenses.
+
+    Scale: the baseline is a partial-aggregatable groupBy collapsing
+    to ≤ |types|×24 rows of 3 integers — broadcast back onto the fact
+    scan, so the whole query is one map-side-combined pass plus a
+    broadcast hash join; no window, no repartition of the fact
+    table."""
+    events = _events(spark, sf_dir)
+    q = events.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") * 1000000 + 0.5).cast("decimal(38,0)").alias("x"),
+    )
+    base = q.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    j = q.join(F.broadcast(base), ["event_type", "hod"])
+    num = (F.col("n") * F.col("x") - F.col("sx")).cast("double")
+    den2 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    z = num / F.sqrt(den2)
+    return (
+        j.filter((den2 > 0) & (F.abs(z) > _SEASONAL_Z))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("hod").cast("long").alias("hod"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+ev_seasonal_baseline_zscore.__doc__ = ev_seasonal_baseline_zscore.__doc__.format(
+    z=_SEASONAL_Z
+)

@@ -146,6 +146,45 @@ def gen_documents(rng, n):
     )
 
 
+def gen_events(rng, n, n_users):
+    """Driver-matched events: 5 uniform types, value ~ Exp(mean 50)
+    (driver sf0.1 measures mean≈50, sd≈50, min 0 — exponential), ts
+    uniform over Jan 2024 at microsecond grain, props a 1-key JSON."""
+    lo = np.datetime64("2024-01-01T00:00:00")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = lo + rng.integers(0, span_us, n).astype("timedelta64[us]")
+    types = np.array(["click", "error", "purchase", "signup", "view"])
+    ks = rng.integers(0, 100, n)
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts),
+            "user_id": pa.array(rng.integers(0, n_users, n).astype(np.int64)),
+            "event_type": pa.array(types[rng.integers(0, 5, n)]),
+            "value": pa.array(np.round(rng.exponential(50.0, n), 2)),
+            "props": pa.array([f'{{"k": {k}}}' for k in ks]),
+        }
+    )
+
+
+def gen_embeddings(rng, n, dim=64, k=10):
+    """Driver-matched embeddings: unit-norm {dim}-d float32 vectors in
+    {k} label clusters (center + noise, renormalized) — the shape the
+    ANN/k-means/SemDeDup probes need (in-cluster cosine ≫ cross)."""
+    centers = rng.normal(size=(k, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, k, n)
+    vecs = centers[labels] + 0.35 * rng.normal(size=(n, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(vecs.astype(np.float32))),
+            "label": pa.array(labels.astype(np.int32)),
+        }
+    )
+
+
 def main() -> int:
     sf = float(sys.argv[1])
     outdir = sys.argv[2]
@@ -157,11 +196,16 @@ def main() -> int:
     n_cust = int(150_000 * sf)
     n_supp = int(10_000 * sf)
     n_docs = int(50_000 * sf)
+    n_events = int(1_000_000 * sf)
+    n_users = int(15_000 * sf)
+    n_vecs = int(20_000 * sf)
     for name, tbl in (
         ("part", gen_part(rng, n_part)),
         ("orders", gen_orders(rng, n_orders, n_cust)),
         ("lineitem", gen_lineitem(rng, n_li, n_orders, n_part, n_supp)),
         ("documents", gen_documents(rng, n_docs)),
+        ("events", gen_events(rng, n_events, n_users)),
+        ("embeddings", gen_embeddings(rng, n_vecs)),
     ):
         pq.write_table(tbl, os.path.join(outdir, f"{name}.parquet"))
         print(f"{name}: {tbl.num_rows} rows -> {outdir}/{name}.parquet")

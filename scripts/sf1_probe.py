@@ -36,6 +36,15 @@ _QUERIES = [
     "graph_copurchase_cosine",
     "graph_copurchase_cosine_dimsum",
     "dedup_cc_star_converged",
+    # r13 widening: one decade point per remaining top family —
+    # LSH dedup, lexical ranking, ANN (bucketed vs brute-force pair),
+    # and the windowed time-series aggregate
+    "dedup_minhash_lsh",
+    "text_bm25_topk",
+    "sim_cosine_topk_bruteforce",
+    "sim_ann_ivf_bucketed",
+    "ev_acf_lags",
+    "ev_sessionize_gap30",
 ]
 
 _DIRS = [
