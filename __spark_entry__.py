@@ -43,6 +43,7 @@ _PRIORITY = [
     # --- r13 new + plan-changed (er_fs_em_train internals factored) ---
     "ev_acf_lags",
     "a15_bootstrap_poisson_ci",
+    "dq_constraint_suite",
     "ev_seasonal_baseline_zscore",
     "dq_calibration_ece",
     "dq_classifier_agreement_kappa",

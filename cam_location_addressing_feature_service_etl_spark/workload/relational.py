@@ -1936,3 +1936,157 @@ def agg_woe_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(woe_raw, 6).alias("woe"),
         F.round((pe - pn) * woe_raw, 6).alias("iv_part"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative constraint-suite verification (Deequ-style, one pass/table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_constraint_suite",
+    oracle="""
+WITH o AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd,
+         CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                         OR o_orderdate >= TIMESTAMP '1999-01-01'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_date,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                         OR o_orderstatus IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+  FROM orders
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS nd
+  FROM customer
+),
+fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS viol,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n
+  FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT rule, n_checked, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'orders_orderkey_unique' AS rule, n AS n_checked,
+         n - nd AS n_violations FROM o
+  UNION ALL
+  SELECT 'orders_totalprice_positive', n, bad_price FROM o
+  UNION ALL
+  SELECT 'orders_orderdate_in_window', n, bad_date FROM o
+  UNION ALL
+  SELECT 'orders_status_domain', n, bad_status FROM o
+  UNION ALL
+  SELECT 'orders_custkey_fk_customer', n, viol FROM fk
+  UNION ALL
+  SELECT 'customer_custkey_unique', n, n - nd FROM c
+)
+""",
+)
+def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite — the Deequ-style
+    verification run a pipeline gates ingest on: uniqueness,
+    referential integrity, domain membership, value positivity, and
+    freshness-window rules evaluated together, emitting one
+    (rule, n_checked, n_violations, passed) row each. The suite
+    INTENTIONALLY contains a failing rule on this data (the order-date
+    window ends 1999; the table runs to 2001) so downstream consumers
+    exercise the non-green path.
+
+    Scale shape: all per-row rules on a table fold into ONE
+    partial-aggregatable pass (conditional counts + a two-phase
+    COUNT(DISTINCT) Catalyst plans as expand+reaggregate); the
+    referential rule is a shuffle-free-when-broadcastable anti-join
+    COUNT. Each 1-row stats frame explodes into its rule rows —
+    nothing here materializes more than the violation COUNTS (row-level
+    violation SAMPLES are a LIMIT away from the same predicates).
+    Rules are data-independent of each other, so the suite extends by
+    appending structs, not by adding passes."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    o = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("o_orderkey").cast("long").alias("nd"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_price"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_date"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P")
+                | F.col("o_orderstatus").isNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_status"),
+    )
+
+    def _rule(name: str, checked, viol):
+        return F.struct(
+            F.lit(name).alias("rule"),
+            checked.cast("long").alias("n_checked"),
+            viol.cast("long").alias("n_violations"),
+        )
+
+    o_rules = o.select(
+        F.explode(
+            F.array(
+                _rule(
+                    "orders_orderkey_unique", F.col("n"), F.col("n") - F.col("nd")
+                ),
+                _rule("orders_totalprice_positive", F.col("n"), F.col("bad_price")),
+                _rule("orders_orderdate_in_window", F.col("n"), F.col("bad_date")),
+                _rule("orders_status_domain", F.col("n"), F.col("bad_status")),
+            )
+        ).alias("r")
+    ).select("r.*")
+    c = customer.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("c_custkey").cast("long").alias("nd"),
+    )
+    c_rules = c.select(
+        F.explode(
+            F.array(
+                _rule(
+                    "customer_custkey_unique", F.col("n"), F.col("n") - F.col("nd")
+                )
+            )
+        ).alias("r")
+    ).select("r.*")
+    n_orders = orders.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    fk_viol = (
+        orders.join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("viol"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.lit("orders_custkey_fk_customer").alias("rule"),
+            F.col("n").alias("n_checked"),
+            F.col("viol").alias("n_violations"),
+        )
+    )
+    return (
+        o_rules.unionByName(c_rules)
+        .unionByName(fk_viol)
+        .withColumn("passed", F.col("n_violations") == 0)
+    )

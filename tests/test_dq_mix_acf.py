@@ -128,3 +128,25 @@ def test_mix_epoch_plan_respects_budget_and_cap(spark):
                 r["avail_tokens"] / 1_000_000
             ) - 1
     assert sum(r["quota_tokens"] for r in rows) <= _MIX_TOKEN_BUDGET
+
+
+def test_constraint_suite_rules_and_outcomes(spark):
+    rows = {r["rule"]: r for r in QUERIES["dq_constraint_suite"](spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "orders_orderkey_unique",
+        "orders_totalprice_positive",
+        "orders_orderdate_in_window",
+        "orders_status_domain",
+        "orders_custkey_fk_customer",
+        "customer_custkey_unique",
+    }
+    n_orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    for name, r in rows.items():
+        expected_n = n_orders if name.startswith("orders") else None
+        if expected_n is not None:
+            assert r["n_checked"] == expected_n
+        assert r["passed"] == (r["n_violations"] == 0)
+    # the date-window rule is the designed failure on this data
+    assert not rows["orders_orderdate_in_window"]["passed"]
+    assert rows["orders_orderkey_unique"]["passed"]
+    assert rows["orders_custkey_fk_customer"]["passed"]

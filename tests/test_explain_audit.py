@@ -78,6 +78,8 @@ CARTESIAN_ALLOWED = {
     "dq_calibration_ece",
     # two 1-row scalar frames combined (totals x chance-agreement sum)
     "dq_classifier_agreement_kappa",
+    # FK-violation count x 1-row table-total frame
+    "dq_constraint_suite",
     # 1-row total source-weight frame (the sample_temperature_mix shape)
     "sample_mix_epoch_plan",
     # t-closeness grid: each quasi-id cell fanned by the broadcast
