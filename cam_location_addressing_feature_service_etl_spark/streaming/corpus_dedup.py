@@ -58,6 +58,7 @@ def fold_doc_batch(
     retain_versions: int = 3,
     num_buckets: int = DEDUP_BUCKETS,
     compact_every: int | None = None,
+    compact_dispersion: int | None = None,
 ) -> None:
     """Fold one document micro-batch into both versioned state tables.
     Idempotent under foreachBatch replay; one fold computation feeds
@@ -73,11 +74,20 @@ def fold_doc_batch(
         new_reg, new_post = dedup_fold_increment(
             reg_prior, post_prior, batch, threshold, shingle_n
         )
-        compact = (
+        every = (
             compact_every is not None
             and batch_id > 0
             and batch_id % compact_every == 0
         )
+
+        def _disperse(man: dict) -> bool:
+            # adaptive policy (versioned.py): compact when the PRIOR
+            # manifest already references >= K owner versions — a
+            # metadata-only, per-table, replay-deterministic choice
+            return compact_dispersion is not None and len(
+                {int(o) for o in man["pids"].values()}
+            ) >= compact_dispersion
+
         commit_version_partitioned(
             new_post,
             batch_id,
@@ -87,7 +97,7 @@ def fold_doc_batch(
             post_prior,
             post_man,
             retain_versions,
-            force_rewrite_all=compact,
+            force_rewrite_all=every or _disperse(post_man),
         )
         commit_version_partitioned(
             new_reg,
@@ -98,7 +108,7 @@ def fold_doc_batch(
             reg_prior,
             reg_man,
             retain_versions,
-            force_rewrite_all=compact,
+            force_rewrite_all=every or _disperse(reg_man),
         )
 
 
@@ -113,6 +123,7 @@ def dedup_registry_stream(
     retain_versions: int = 3,
     num_buckets: int = DEDUP_BUCKETS,
     compact_every: int | None = None,
+    compact_dispersion: int | None = None,
 ) -> StreamingQuery:
     """Run the accreting corpus-dedup loop over a (doc_id, text)
     document stream (``DOC_BATCH_SCHEMA``). Every fold knob threads
@@ -130,6 +141,7 @@ def dedup_registry_stream(
             retain_versions,
             num_buckets,
             compact_every,
+            compact_dispersion,
         )
 
     return (

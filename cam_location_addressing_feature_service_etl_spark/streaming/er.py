@@ -56,6 +56,7 @@ def fold_master_batch(
     retain_versions: int = 3,
     num_buckets: int = REGISTRY_BUCKETS,
     compact_every: int | None = None,
+    compact_dispersion: int | None = None,
 ) -> None:
     """Fold one master-record micro-batch into the versioned registry.
     Idempotent under foreachBatch replay (versioned-fold discipline);
@@ -73,6 +74,7 @@ def fold_master_batch(
         num_buckets,
         retain_versions,
         compact_every,
+        compact_dispersion,
     )
 
 
@@ -86,11 +88,12 @@ def resolve_registry_stream(
     retain_versions: int = 3,
     num_buckets: int = REGISTRY_BUCKETS,
     compact_every: int | None = None,
+    compact_dispersion: int | None = None,
 ) -> StreamingQuery:
     """Run the accreting-registry loop over a (mk, mn) master stream
     (``MASTER_BATCH_SCHEMA``). Every fold knob (linkage ``tau``/
     ``block_keys``, ``retain_versions``, ``num_buckets``,
-    ``compact_every``) threads straight through to
+    ``compact_every``/``compact_dispersion``) threads straight through to
     ``fold_master_batch`` — a stream caller can configure everything
     the batch API allows."""
 
@@ -104,6 +107,7 @@ def resolve_registry_stream(
             retain_versions,
             num_buckets,
             compact_every,
+            compact_dispersion,
         )
 
     return (

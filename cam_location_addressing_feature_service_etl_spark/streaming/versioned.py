@@ -224,6 +224,7 @@ def fold_version_partitioned(
     num_partitions: int = 64,
     retain_versions: int = 3,
     compact_every: int | None = None,
+    compact_dispersion: int | None = None,
 ) -> None:
     """``fold_version`` for state that GROWS with the corpus (the ER
     registry's vocabulary, the dedup registry's postings index): the
@@ -270,12 +271,20 @@ def fold_version_partitioned(
     older version prunes once it ages past retention. Replay-safe:
     whether a fold compacts depends only on ``batch_id``, so a replay
     makes the identical choice.
+
+    ``compact_dispersion=K`` is the ADAPTIVE policy: compact whenever
+    the PRIOR manifest already references >= K distinct owner
+    versions — the cost model the SCALING.md granularity probe prices
+    (each extra owner version is one more file-listing + footer round
+    per stitch; compaction trades ONE full-state write for resetting
+    that read amplification to 1). The decision reads only the prior
+    manifest — metadata, no data scan — and the prior manifest of
+    batch ``b`` is the same on every replay of ``b``, so the choice is
+    replay-deterministic exactly like the modulo policy. Both policies
+    compose (either trigger compacts); a workload with uniform touch
+    patterns sizes ``compact_every``, one with skewed/bursty touches
+    lets dispersion decide.
     """
-    compact = (
-        compact_every is not None
-        and batch_id > 0
-        and batch_id % compact_every == 0
-    )
     if retain_versions < 2:
         # same argument as fold_version: the predecessor must survive
         # until the stream checkpoint commit is durable
@@ -284,6 +293,12 @@ def fold_version_partitioned(
     prior, prior_manifest = read_version_before_partitioned(
         spark, state_dir, batch_id, schema, num_partitions
     )
+    dispersion = len({int(o) for o in prior_manifest["pids"].values()})
+    compact = (
+        compact_every is not None
+        and batch_id > 0
+        and batch_id % compact_every == 0
+    ) or (compact_dispersion is not None and dispersion >= compact_dispersion)
     with scoped_plan_refs():
         new_full = merge(prior, delta)
         commit_version_partitioned(

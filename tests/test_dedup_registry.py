@@ -190,3 +190,37 @@ def test_stream_e2e_and_touched_bucket_write_io(spark, tmp_path):
     data1 = os.path.join(reg_dir, "v=1", "data")
     pids1 = [n for n in os.listdir(data1) if n.startswith("_pid=")]
     assert len(pids1) == 1
+
+
+def test_stream_fold_dispersion_policy_threads_through(spark, tmp_path):
+    """compact_dispersion reaches both per-table commits: folds that
+    would disperse ownership across many versions stay capped."""
+    import json
+    import os
+
+    from cam_location_addressing_feature_service_etl_spark.streaming.corpus_dedup import (
+        fold_doc_batch,
+        read_dedup_registry,
+    )
+
+    reg = str(tmp_path / "reg")
+    post = str(tmp_path / "post")
+    docs = [
+        (i, f"alpha beta gamma delta epsilon zeta token{i} eta theta iota")
+        for i in range(12)
+    ]
+    for b in range(4):
+        batch = spark.createDataFrame(
+            [d for d in docs if d[0] % 4 == b], "doc_id bigint, text string"
+        )
+        fold_doc_batch(
+            batch, b, reg, post, num_buckets=8, compact_dispersion=2
+        )
+    # every ingested doc present exactly once
+    out = read_dedup_registry(spark, reg)
+    assert out.count() == 12
+    # dispersion stayed capped on the registry manifests
+    for b in range(1, 4):
+        with open(os.path.join(reg, f"v={b}", "manifest.json")) as f:
+            owners = {int(o) for o in json.load(f)["pids"].values()}
+        assert len(owners) <= 3

@@ -202,3 +202,40 @@ def test_compacting_fold_rehomes_buckets_and_bounds_versions(spark, tmp_path):
     assert set(_manifest(d, 6)["pids"].values()) <= {4, 5, 6}
     live = {int(n[2:]) for n in os.listdir(d) if n.startswith("v=")}
     assert 0 not in live
+
+
+def test_dispersion_policy_caps_owner_versions(spark, tmp_path):
+    """Adaptive compaction: with compact_dispersion=K, the manifest's
+    distinct-owner count stays < K+1 forever under a touch pattern that
+    would otherwise disperse one version per fold; the compacting fold
+    re-homes every live bucket; reads stay exact; replay of a
+    compacting fold makes the identical choice (metadata-only)."""
+    d = str(tmp_path / "st")
+    K = 3
+
+    def fold(df, bid):
+        fold_version_partitioned(
+            df, bid, d, SCHEMA, _merge, ("k",), P, 3, None, K
+        )
+
+    # batch b touches only key b -> each fold owns one new bucket
+    fold(spark.createDataFrame([(k, k) for k in range(64)], SCHEMA), 0)
+    owners_seen = []
+    for b in range(1, 9):
+        fold(spark.createDataFrame([(b, 100 + b)], SCHEMA), b)
+        man = _manifest(d, b)
+        owners = {int(o) for o in man["pids"].values()}
+        owners_seen.append(len(owners))
+        # the PRIOR manifest triggers at >= K, so post-fold dispersion
+        # never exceeds K+1 (one fold's worth of new ownership on top
+        # of a just-compacted single owner)
+        assert len(owners) <= K + 1
+    # compaction actually fired: some fold re-homed everything to itself
+    assert 1 in owners_seen or 2 in owners_seen
+    want = {(k, k) for k in range(64) if k not in range(1, 9)} | {
+        (b, 100 + b) for b in range(1, 9)
+    }
+    assert _state(spark, d) == want
+    # replaying the LAST fold (whatever it chose) is idempotent
+    fold(spark.createDataFrame([(8, 108)], SCHEMA), 8)
+    assert _state(spark, d) == want
