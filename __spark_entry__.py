@@ -44,6 +44,7 @@ _PRIORITY = [
     "ev_acf_lags",
     "a15_bootstrap_poisson_ci",
     "dq_constraint_suite",
+    "graph_adamic_adar_linkpred",
     "ev_seasonal_baseline_zscore",
     "dq_calibration_ece",
     "dq_classifier_agreement_kappa",

@@ -659,3 +659,114 @@ def graph_pointer_jump_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_pointer_jump_roots.__doc__ = graph_pointer_jump_roots.__doc__.format(
     r=_PJ_ROUNDS
 )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: Adamic-Adar + neighbor-Jaccard over co-purchase
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_adamic_adar_linkpred",
+    oracle=f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+cdeg AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS bc FROM cp GROUP BY c
+),
+cpw AS (
+  SELECT cp.c, cp.p,
+         CAST(FLOOR(1000000.0 / ln(d.bc) + 0.5) AS BIGINT) AS w_micro
+  FROM cp JOIN cdeg d ON d.c = cp.c WHERE d.bc >= 2
+),
+pdeg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM cp GROUP BY p),
+pairs AS (
+  SELECT a.p AS u, b.p AS v,
+         CAST(COUNT(*) AS BIGINT) AS cooc,
+         CAST(SUM(a.w_micro) AS BIGINT) AS aa_micro
+  FROM cpw a JOIN cpw b ON a.c = b.c AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_COSIM_MIN_COOC}
+)
+SELECT pr.u, pr.v, pr.cooc,
+       ROUND(pr.aa_micro / 1000000.0, 6) AS adamic_adar,
+       ROUND(pr.cooc * 1.0 / (da.d + db.d - pr.cooc), 6) AS jaccard
+FROM pairs pr JOIN pdeg da ON da.p = pr.u JOIN pdeg db ON db.p = pr.v
+""",
+)
+def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores over the co-purchase graph — the two
+    classical common-neighbor indices side by side for every item pair
+    sharing >= {t} customers: Adamic-Adar (each shared customer
+    contributes 1/ln(basket size) — rare shared neighbors count more
+    than hubs, the signal that beats raw co-occurrence for "will these
+    co-occur next week?") and neighbor-set Jaccard (|Γu∩Γv| /
+    |Γu∪Γv|). Complements ``graph_copurchase_cosine``: cosine ranks
+    by normalized volume, AA by the INFORMATIVENESS of the shared
+    neighbors.
+
+    Determinism discipline: the per-customer AA weight is quantized
+    ONCE to integer micro-units (floor(1e6/ln(bc)+0.5) — ln of an
+    exact integer is the same IEEE double on both engines), so the
+    pair score is an exact integer SUM in any aggregation order;
+    Jaccard is the integer rational cooc/(du+dv-cooc). One final
+    division per column, rounded at the output edge.
+
+    Scale shape: identical to the cosine twin — weights attach to the
+    basket frame BEFORE pairing (a key-sized join, AQE-broadcast when
+    small), the self-join is bounded by Σ basket², map-side combine
+    collapses each customer's pairs before the shuffle, and the
+    integer HAVING prunes before the degree joins. Hub baskets bound
+    exactly as there: at web scale the DIMSUM 1/√deg sampler slots in
+    front unchanged (the AA weight rides the sampled rows, its
+    Horvitz-Thompson correction mirroring cooc's)."""
+    (orders, lineitem) = _t(spark, sf_dir, "orders", "lineitem")
+    cp = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .transform(materialize)
+    )
+    cdeg = cp.groupBy("c").agg(F.count(F.lit(1)).alias("bc"))
+    cpw = (
+        cp.join(cdeg.filter(F.col("bc") >= 2), "c")
+        .select(
+            "c",
+            "p",
+            F.floor(1000000.0 / F.log(F.col("bc")) + 0.5)
+            .cast("long")
+            .alias("w_micro"),
+        )
+        .transform(materialize)
+    )
+    pdeg = cp.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b = cpw.alias("a"), cpw.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cooc"),
+            F.sum(F.col("a.w_micro")).cast("long").alias("aa_micro"),
+        )
+        .filter(F.col("cooc") >= _COSIM_MIN_COOC)
+    )
+    return (
+        pairs.join(pdeg.select(F.col("p").alias("u"), F.col("d").alias("da")), "u")
+        .join(pdeg.select(F.col("p").alias("v"), F.col("d").alias("db")), "v")
+        .select(
+            "u",
+            "v",
+            "cooc",
+            F.round(F.col("aa_micro") / 1000000.0, 6).alias("adamic_adar"),
+            F.round(
+                F.col("cooc") * 1.0 / (F.col("da") + F.col("db") - F.col("cooc")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+graph_adamic_adar_linkpred.__doc__ = graph_adamic_adar_linkpred.__doc__.format(
+    t=_COSIM_MIN_COOC
+)
