@@ -45,6 +45,7 @@ _PRIORITY = [
     "a15_bootstrap_poisson_ci",
     "dq_constraint_suite",
     "graph_adamic_adar_linkpred",
+    "text_textrank_keywords",
     "ev_seasonal_baseline_zscore",
     "dq_calibration_ece",
     "dq_classifier_agreement_kappa",

@@ -3203,3 +3203,148 @@ def sample_mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 sample_mix_epoch_plan.__doc__ = sample_mix_epoch_plan.__doc__.format(
     b=_MIX_TOKEN_BUDGET, c=_MIX_EPOCH_CAP
 )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (weighted PageRank on the co-occurrence
+# graph, fixed rounds — the graph_pagerank_3round discipline on text)
+# ---------------------------------------------------------------------------
+
+_TR_ROUNDS = 3
+_TR_DAMP = 0.85
+#: the SAME literal on both engines (1.0 - 0.85 is 1 ulp off "0.15")
+_TR_TELEPORT = 0.15
+_TR_TOP = 20
+
+
+def _textrank_oracle() -> str:
+    toks = TOKENS_SQL.format(col="text")
+    parts = [
+        f"""
+WITH tokl AS (SELECT doc_id, {toks} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS i
+  FROM tokl
+),
+adj AS (
+  SELECT LEAST(a.tok, b.tok) AS u, GREATEST(a.tok, b.tok) AS v
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE a.tok <> b.tok
+),
+wedge AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w FROM adj GROUP BY 1, 2),
+edges AS (
+  SELECT u AS src, v AS dst, w FROM wedge
+  UNION ALL
+  SELECT v AS src, u AS dst, w FROM wedge
+),
+wdeg AS (SELECT src, SUM(w) AS tw FROM edges GROUP BY src),
+r0 AS (SELECT src, CAST(1.0 AS DOUBLE) AS pr FROM wdeg)"""
+    ]
+    for i in range(1, _TR_ROUNDS + 1):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT e.dst AS node, SUM(r.pr * e.w / d.tw) AS s
+  FROM edges e JOIN r{i - 1} r ON e.src = r.src JOIN wdeg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT wdeg.src,
+         ROUND(CAST({_TR_TELEPORT!r} AS DOUBLE)
+               + CAST({_TR_DAMP!r} AS DOUBLE) * COALESCE(c{i}.s, 0), 6) AS pr
+  FROM wdeg LEFT JOIN c{i} ON wdeg.src = c{i}.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT src AS token, pr AS rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, src ASC) AS BIGINT) AS rnk
+FROM r{_TR_ROUNDS} ORDER BY pr DESC, src ASC LIMIT {_TR_TOP}"""
+    )
+    return "".join(parts)
+
+
+@register("text_textrank_keywords", oracle=_textrank_oracle())
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction — weighted PageRank ({n} fixed
+    rounds, d={d}) over the corpus token co-occurrence graph (an
+    undirected edge per adjacent-token pair, weighted by corpus
+    adjacency count), top-{k} tokens by stationary score. The
+    graph-centrality complement to frequency-based ``text_tfidf_topk``
+    /``text_bm25_topk``: a token ranks high when its NEIGHBORS are
+    central, not merely when it is common — the classic
+    unsupervised keyword/keyphrase primitive.
+
+    Spark-first shapes: the adjacency pairs come from ONE
+    ``transform(sequence(...))`` over each doc's token array —
+    adjacent-pair extraction is array algebra in whole-stage codegen,
+    no positional self-join, no shuffle before the pair count (the
+    oracle states the same pairs as a positional join, plan-free
+    semantics). Ranking follows the ``graph_pagerank_3round``
+    discipline exactly: fixed rounds, 6-digit per-round rounding on
+    both engines, teleport constant passed as one shared literal; the
+    top-k is TakeOrderedAndProject + the windowless array rank
+    (``operators/topk.py``), never an unpartitioned window over the
+    vocabulary.
+
+    Scale: the vocabulary graph is corpus-vocabulary-sized (≪ corpus);
+    each round is one edge join + partial-aggregatable groupBy with
+    lineage cut per round; hub words (stopwords) are AQE skew
+    territory, and a stopword filter slots in front unchanged."""
+    tune(spark)
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    pairs = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> struct(toks[i] AS x, toks[i + 1] AS y))"
+                )
+            ).alias("pr")
+        )
+        .select(
+            F.least(F.col("pr.x"), F.col("pr.y")).alias("u"),
+            F.greatest(F.col("pr.x"), F.col("pr.y")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    wedge = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    edges = wedge.selectExpr("u AS src", "v AS dst", "w").unionByName(
+        wedge.selectExpr("v AS src", "u AS dst", "w")
+    ).transform(materialize)
+    wdeg = edges.groupBy("src").agg(F.sum("w").alias("tw")).transform(materialize)
+    r = wdeg.select("src", F.lit(1.0).alias("pr"))
+    for _ in range(_TR_ROUNDS):
+        c = (
+            edges.join(r, "src")
+            .join(wdeg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("tw")).alias("s"))
+        )
+        r = (
+            wdeg.join(c, wdeg["src"] == c["node"], "left")
+            .select(
+                "src",
+                F.round(
+                    F.lit(_TR_TELEPORT) + F.lit(_TR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    6,
+                ).alias("pr"),
+            )
+            .transform(materialize)
+        )
+    ranked = global_topk_ranked(
+        r.select(F.col("src").alias("token"), F.col("pr").alias("rank")),
+        keys=[(F.col("rank"), DESC), (F.col("token"), ASC)],
+        k=_TR_TOP,
+        cols=["token", "rank"],
+        rank_name="rnk",
+    )
+    return ranked
+
+
+text_textrank_keywords.__doc__ = text_textrank_keywords.__doc__.format(
+    n=_TR_ROUNDS, d=_TR_DAMP, k=_TR_TOP
+)
