@@ -46,6 +46,8 @@ _PRIORITY = [
     "dq_constraint_suite",
     "graph_adamic_adar_linkpred",
     "text_textrank_keywords",
+    "ev_conversion_latency_histogram",
+    "graph_deterministic_walks",
     "ev_seasonal_baseline_zscore",
     "dq_calibration_ece",
     "dq_classifier_agreement_kappa",

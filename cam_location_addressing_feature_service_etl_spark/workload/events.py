@@ -3001,3 +3001,110 @@ def ev_seasonal_baseline_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 ev_seasonal_baseline_zscore.__doc__ = ev_seasonal_baseline_zscore.__doc__.format(
     z=_SEASONAL_Z
 )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion-latency histogram (exact-integer minute buckets)
+# ---------------------------------------------------------------------------
+
+_LAT_BIN_MIN = 60
+_LAT_BINS = 48
+
+
+@register(
+    "ev_conversion_latency_histogram",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+lat AS (
+  SELECT v.user_id,
+         CAST(epoch_ms(p.t_purchase) - epoch_ms(v.t_view) AS BIGINT) AS ms
+  FROM v JOIN c ON c.user_id = v.user_id JOIN p ON p.user_id = v.user_id
+)
+SELECT bin,
+       bin * {_LAT_BIN_MIN} AS lo_min,
+       (bin + 1) * {_LAT_BIN_MIN} AS hi_min,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (
+  SELECT LEAST(ms // ({_LAT_BIN_MIN} * 60000), {_LAT_BINS - 1}) AS bin
+  FROM lat
+) GROUP BY bin
+""",
+)
+def ev_conversion_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion-latency distribution — for every user who
+    completed the ordered view → click → purchase funnel
+    (``ev_funnel_conversion``'s stage semantics: each stage's FIRST
+    event strictly after the prior stage's first), the view→purchase
+    latency bucketed into {w}-minute bins (capped at {b}) — the "how
+    long does conversion take" histogram product teams watch next to
+    the conversion rate itself.
+
+    Determinism: latencies are exact epoch-millisecond differences and
+    bin assignment is integer division — no float touches the
+    pipeline; the histogram rows are exact counts.
+
+    Scale: three per-stage groupBys (each partial-aggregatable, keyed
+    on user) joined user-to-user — the same shuffle the funnel query
+    already prices — then a {b}-key aggregate whose shuffle is the bin
+    count per partition. The per-user latency frame is the reusable
+    intermediate: p50/p90 quantile summaries (KLL, a11's sketch) ride
+    the same frame at no extra pass."""
+    events = _events(spark, sf_dir)
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lat = (
+        v.join(c, "user_id")
+        .join(p, "user_id")
+        .select(
+            (F.unix_millis("t_purchase") - F.unix_millis("t_view")).alias("ms")
+        )
+    )
+    bin_col = F.least(
+        F.expr(f"ms DIV ({_LAT_BIN_MIN} * 60000)"), F.lit(_LAT_BINS - 1)
+    )
+    return (
+        lat.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            "bin",
+            (F.col("bin") * _LAT_BIN_MIN).alias("lo_min"),
+            ((F.col("bin") + 1) * _LAT_BIN_MIN).alias("hi_min"),
+            "n_users",
+        )
+    )
+
+
+ev_conversion_latency_histogram.__doc__ = (
+    ev_conversion_latency_histogram.__doc__.format(w=_LAT_BIN_MIN, b=_LAT_BINS)
+)

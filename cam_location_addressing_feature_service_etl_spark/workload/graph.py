@@ -770,3 +770,147 @@ def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_adamic_adar_linkpred.__doc__ = graph_adamic_adar_linkpred.__doc__.format(
     t=_COSIM_MIN_COOC
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks (node2vec-style corpus prep, hash coins)
+# ---------------------------------------------------------------------------
+
+_WALK_STEPS = 3
+_WALK_SEED = "wseed7"
+
+
+def _walks_oracle() -> str:
+    parts = [
+        """
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS c,
+                  's:' || CAST(l.l_suppkey AS VARCHAR) AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+nbr AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+  FROM edges
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+w0 AS (SELECT src AS start, src AS cur FROM deg WHERE src LIKE 's:%')"""
+    ]
+    for t in range(1, _WALK_STEPS + 1):
+        parts.append(
+            f""",
+w{t} AS (
+  SELECT w.start, n.dst AS cur, w.cur AS prev{t}
+  FROM w{t - 1} w
+  JOIN deg d ON d.src = w.cur
+  JOIN nbr n ON n.src = w.cur
+   AND n.rn = 1 + ('0x' || substr(md5(
+         '{_WALK_SEED}:' || w.start || ':' || {t} || ':' || w.cur
+       ), 1, 8))::BIGINT % d.d
+)"""
+        )
+    return "".join(parts) + (
+        """
+SELECT w1.start, w1.cur AS hop1,
+       w2.cur AS hop2, w3.cur AS hop3
+FROM w1 JOIN w2 ON w2.prev2 = w1.cur AND w2.start = w1.start
+        JOIN w3 ON w3.prev3 = w2.cur AND w3.start = w2.start
+"""
+    )
+
+
+@register("graph_deterministic_walks", oracle=_walks_oracle())
+def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks over the customer↔supplier graph —
+    the corpus-generation step of DeepWalk/node2vec embedding training
+    (walk sequences ARE the "sentences" the skip-gram model consumes),
+    with the RNG replaced by hash coins so the walk corpus is
+    reproducible across runs AND engines: at step t from node u, the
+    walk started at s takes the neighbor ranked
+    1 + md5(seed:s:t:u) mod deg(u) in the per-node (dst-sorted)
+    adjacency ranking. One {n}-hop walk starts from every supplier
+    node.
+
+    Determinism: the neighbor rank is an exact integer from the md5
+    hex prefix (the DIMSUM/bootstrap coin discipline), the adjacency
+    ranking is a totally-ordered window per node — no RNG state, no
+    float.
+
+    Scale: the ranked adjacency builds once (one window per node
+    partition — the SAME shuffle key every step reuses); each hop is
+    an equi-join of the walk frontier against (src, rank) — walk
+    count × 1 row each — so L hops cost L frontier joins, embarrass-
+    ingly parallel in the number of walks. Hub-node rank skew is
+    AQE-split like every key join here. The walk table feeds skip-
+    gram windows exactly like ``text_train_order_interleave`` feeds
+    packing."""
+    (orders, lineitem) = _t(spark, sf_dir, "orders", "lineitem")
+    from pyspark.sql.window import Window
+
+    pairs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("c AS src", "s AS dst").unionByName(
+        pairs.selectExpr("s AS src", "c AS dst")
+    ).transform(materialize)
+    nbr = edges.select(
+        "src",
+        "dst",
+        F.row_number()
+        .over(Window.partitionBy("src").orderBy("dst"))
+        .alias("rn"),
+    ).transform(materialize)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    walk = (
+        deg.filter(F.col("src").startswith("s:"))
+        .select(F.col("src").alias("start"), F.col("src").alias("cur"))
+    )
+    hops = []
+    for t in range(1, _WALK_STEPS + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(_WALK_SEED),
+                            F.col("start"),
+                            F.lit(str(t)),
+                            F.col("cur"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("d")
+            + 1
+        )
+        walk = (
+            walk.join(deg, deg["src"] == walk["cur"])
+            .withColumn("_pick", pick)
+            .join(
+                nbr,
+                (nbr["src"] == walk["cur"]) & (nbr["rn"] == F.col("_pick")),
+            )
+            .select(
+                "start",
+                *[F.col(f"hop{i}") for i in range(1, t)],
+                F.col("dst").alias(f"hop{t}"),
+            )
+            .withColumn("cur", F.col(f"hop{t}"))
+        )
+        hops.append(f"hop{t}")
+    return walk.select("start", *hops)
