@@ -48,6 +48,7 @@ _PRIORITY = [
     "text_textrank_keywords",
     "ev_conversion_latency_histogram",
     "graph_deterministic_walks",
+    "sim_mmr_rerank",
     "ev_seasonal_baseline_zscore",
     "dq_calibration_ece",
     "dq_classifier_agreement_kappa",

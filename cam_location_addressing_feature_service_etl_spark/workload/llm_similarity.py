@@ -817,3 +817,153 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 emb_matryoshka_recall.__doc__ = emb_matryoshka_recall.__doc__.format(
     k=_MRL_K, d=_MRL_DIMS
 )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank (greedy relevance/diversity trade-off)
+# ---------------------------------------------------------------------------
+
+_MMR_QID = 0
+_MMR_CAND = 25
+_MMR_K = 8
+_MMR_LAMBDA = 0.7
+#: shared literal (1.0 - 0.7 is 1 ulp off "0.3" — the teleport lesson)
+_MMR_ONE_MINUS = 0.3
+
+
+def _mmr_oracle() -> str:
+    cos = _COS_SQL
+    parts = [
+        f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT e FROM v WHERE vec_id = {_MMR_QID}),
+cand AS MATERIALIZED (
+  SELECT v.vec_id, v.e,
+         {cos.format(a="v.e", b="q.e")} AS rel
+  FROM v CROSS JOIN q
+  WHERE v.vec_id <> {_MMR_QID}
+  ORDER BY rel DESC, v.vec_id ASC LIMIT {_MMR_CAND}
+),
+sel1 AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, e, rel, rel AS mmr_score
+  FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1
+)"""
+    ]
+    for i in range(2, _MMR_K + 1):
+        prev = f"sel{i - 1}"
+        parts.append(
+            f""",
+pick{i} AS MATERIALIZED (
+  SELECT CAST({i} AS BIGINT) AS sel_rank, c.vec_id, c.e, c.rel,
+         ROUND({_MMR_LAMBDA!r} * c.rel - {_MMR_ONE_MINUS!r} * mx.m, 6)
+           AS mmr_score
+  FROM cand c JOIN (
+    SELECT c2.vec_id, MAX({cos.format(a="c2.e", b="s.e")}) AS m
+    FROM cand c2 CROSS JOIN {prev} s
+    GROUP BY c2.vec_id
+  ) mx ON mx.vec_id = c.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+  ORDER BY mmr_score DESC, c.vec_id ASC LIMIT 1
+),
+sel{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})"""
+        )
+    parts.append(
+        f"""
+SELECT sel_rank, vec_id, rel AS relevance, mmr_score
+FROM sel{_MMR_K}"""
+    )
+    return "".join(parts)
+
+
+@register("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank — the greedy diversification
+    pass retrieval pipelines run AFTER top-k: from the query's
+    {c}-candidate shortlist, select {k} items one at a time by
+    argmax λ·relevance − (1−λ)·max-similarity-to-already-selected
+    (λ={l}), so the result covers the query's neighborhood instead of
+    returning {k} near-duplicates of the best hit — the
+    retrieval-side sibling of SemDeDup (which prunes the CORPUS; MMR
+    diversifies the RESPONSE). First pick is pure relevance.
+
+    Determinism: dot products left-fold in array order on both
+    engines (``operators/similarity.py dot_col`` ≡ DuckDB
+    ``list_dot_product`` over DOUBLE[]); relevance, pairwise sims and
+    the per-step score are all ROUNDed to 6 digits BEFORE every argmax
+    and max, ties break on vec_id — the greedy trajectory is
+    bit-reproducible. λ and 1−λ are shared literals.
+
+    Scale shape: candidate generation is the brute/IVF top-k's plan
+    (its cost story lives there); the rerank itself touches only the
+    {c}-row shortlist — each of the {k} steps is a broadcast of the
+    ≤{k}-row selected set against the shortlist (tiny BNLJ by
+    design), a {c}-key max, and a TakeOrdered(1). Per-query rerank
+    cost is O(k·c) sims REGARDLESS of corpus size, and queries
+    parallelize embarrassingly — the standard production deployment
+    reranks millions of query shortlists per hour on exactly this
+    shape."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    v = embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("e"))
+    q = v.filter(F.col("vec_id") == _MMR_QID).select(F.col("e").alias("qe"))
+    cand = (
+        v.filter(F.col("vec_id") != _MMR_QID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "e",
+            F.round(cosine_col(F.col("e"), F.col("qe")), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_CAND)
+        .transform(materialize)
+    )
+    selected = (
+        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("sel_rank"),
+            "vec_id",
+            "e",
+            "rel",
+            F.col("rel").alias("mmr_score"),
+        )
+        .transform(materialize)
+    )
+    for i in range(2, _MMR_K + 1):
+        sel_vecs = selected.select(
+            F.col("vec_id").alias("sid"), F.col("e").alias("se")
+        )
+        mx = (
+            cand.join(sel_vecs, cand["vec_id"] == sel_vecs["sid"], "left_anti")
+            .crossJoin(F.broadcast(sel_vecs))
+            .select(
+                "vec_id",
+                "e",
+                "rel",
+                F.round(cosine_col(F.col("e"), F.col("se")), 6).alias("sim"),
+            )
+            .groupBy("vec_id", "rel")
+            .agg(F.first("e").alias("e"), F.max("sim").alias("m"))
+        )
+        pick = (
+            mx.select(
+                F.lit(i).cast("long").alias("sel_rank"),
+                "vec_id",
+                "e",
+                "rel",
+                F.round(
+                    F.lit(_MMR_LAMBDA) * F.col("rel")
+                    - F.lit(_MMR_ONE_MINUS) * F.col("m"),
+                    6,
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+            .limit(1)
+        )
+        selected = selected.unionByName(pick).transform(materialize)
+        # force the checkpoint NOW: each step references the previous
+        # selected set in TWO branches (anti-join + broadcast), so a
+        # deferred plan would nest 2^k copies and stall analysis — the
+        # per-round action is the star-CC discipline on a <= k-row frame
+        selected.count()
+    return selected.select("sel_rank", "vec_id", F.col("rel").alias("relevance"), "mmr_score")
