@@ -49,6 +49,7 @@ _PRIORITY = [
     "ev_conversion_latency_histogram",
     "graph_deterministic_walks",
     "sim_mmr_rerank",
+    "a16_ddsketch_quantiles",
     "ev_seasonal_baseline_zscore",
     "dq_calibration_ece",
     "dq_classifier_agreement_kappa",

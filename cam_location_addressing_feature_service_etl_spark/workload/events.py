@@ -3108,3 +3108,119 @@ def ev_conversion_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFra
 ev_conversion_latency_histogram.__doc__ = (
     ev_conversion_latency_histogram.__doc__.format(w=_LAT_BIN_MIN, b=_LAT_BINS)
 )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style relative-error quantiles (mergeable log buckets)
+# ---------------------------------------------------------------------------
+
+#: alpha = 0.01 -> gamma = 1.01/0.99; BOTH constants embedded as the
+#: same literals on both engines (the teleport-constant lesson)
+_DD_GAMMA = 1.02020202020202
+_DD_LN_GAMMA = 0.020000666706669435
+#: DDSketch guarantees <= alpha relative error vs the rank item; the
+#: check allows 3% vs the INTERPOLATED exact quantile (rank-vs-
+#: interpolation adds sub-alpha slack at these counts)
+_DD_TOL = 0.03
+_DD_QS = (50, 95, 99)
+
+
+def _dd_oracle() -> str:
+    exact = ",\n       ".join(
+        f"ROUND(quantile_cont(value, 0.{q}), 4) AS exact_p{q}" for q in _DD_QS
+    )
+    flags = ",\n       ".join(
+        f"TRUE AS p{q}_within_3pct" for q in _DD_QS
+    )
+    return f"""
+SELECT event_type,
+       {exact},
+       {flags}
+FROM events WHERE value > 0 GROUP BY event_type
+"""
+
+
+@register("a16_ddsketch_quantiles", oracle=_dd_oracle())
+def a16_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style quantiles, self-verified — the RELATIVE-error
+    quantile sketch (log-γ buckets: bucket(v) = ceil(ln v / ln γ),
+    γ=(1+α)/(1−α), α=1%): per event type the query builds the bucket
+    histogram, reads p50/p95/p99 as the bucket where the cumulative
+    count crosses ceil(q·n) (estimate 2γ^i/(γ+1), the bucket
+    midpoint), and asserts each estimate lands within {t}% of the
+    exact interpolated quantile — the a5/a6 sketch discipline: the
+    exact values carry the oracle hash, the sketch carries the scale
+    story. Vs the rank-error KLL (a11): DDSketch's guarantee is
+    RELATIVE to the VALUE, so tail quantiles of heavy-tailed
+    latencies (p99 of a distribution spanning decades) keep 1%
+    accuracy where rank sketches blur — which is why it is the
+    standard for latency SLOs.
+
+    Mergeability at 100 TB: the state is (bucket → count) integer
+    pairs, ~ln(max/min)/ln γ ≈ a few hundred buckets per group at ANY
+    row count — shards union and re-sum exactly like the PSI/Benford
+    monitor folds (a streaming twin is the same fold_version shape).
+    Determinism: bucket indices are ceil of IEEE-identical doubles
+    over shared literals; counts are exact integers; only the
+    TOLERANCE BOOLEAN consumes γ^i (pow's last-ulp engine drift is
+    6 orders below the 3% gate)."""
+    events = _events(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    pos = events.filter(F.col("value") > 0).select(
+        "event_type",
+        F.ceil(F.log(F.col("value")) / F.lit(_DD_LN_GAMMA))
+        .cast("long")
+        .alias("bucket"),
+        "value",
+    )
+    hist = pos.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    cum = hist.select(
+        "event_type",
+        "bucket",
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("total"),
+    )
+    est_cols = []
+    for q in _DD_QS:
+        hit = (
+            cum.filter(F.col("cum") >= F.ceil(F.col("total") * q / 100.0))
+            .groupBy("event_type")
+            .agg(F.min("bucket").alias(f"b{q}"))
+        )
+        est_cols.append(hit)
+    exact = pos.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, 0.{q})"), 4).alias(f"exact_p{q}")
+            for q in _DD_QS
+        ]
+    )
+    out = exact
+    for q, hit in zip(_DD_QS, est_cols):
+        out = out.join(hit, "event_type")
+    sel = ["event_type"] + [F.col(f"exact_p{q}") for q in _DD_QS]
+    for q in _DD_QS:
+        est = (
+            2.0
+            * F.pow(F.lit(_DD_GAMMA), F.col(f"b{q}"))
+            / (F.lit(_DD_GAMMA) + 1.0)
+        )
+        sel.append(
+            (
+                F.abs(est - F.col(f"exact_p{q}"))
+                <= F.lit(_DD_TOL) * F.col(f"exact_p{q}")
+            ).alias(f"p{q}_within_3pct")
+        )
+    return out.select(*sel)
+
+
+a16_ddsketch_quantiles.__doc__ = a16_ddsketch_quantiles.__doc__.format(
+    t=int(_DD_TOL * 100)
+)
