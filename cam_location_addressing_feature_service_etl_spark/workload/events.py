@@ -3126,17 +3126,51 @@ _DD_QS = (50, 95, 99)
 
 
 def _dd_oracle() -> str:
+    b_ctes = ",\n".join(
+        f"""b{q} AS (
+  SELECT event_type, MIN(bucket) AS b FROM cum
+  WHERE cum >= CEIL((total * {q}) / 100.0) GROUP BY event_type
+)"""
+        for q in _DD_QS
+    )
     exact = ",\n       ".join(
         f"ROUND(quantile_cont(value, 0.{q}), 4) AS exact_p{q}" for q in _DD_QS
     )
     flags = ",\n       ".join(
-        f"TRUE AS p{q}_within_3pct" for q in _DD_QS
+        f"""(ABS(2.0 * POWER({_DD_GAMMA!r}, b{q}.b) / ({_DD_GAMMA!r} + 1.0)
+             - e.exact_p{q}) <= {_DD_TOL!r} * e.exact_p{q})
+         AS p{q}_within_3pct"""
+        for q in _DD_QS
+    )
+    joins = " ".join(
+        f"JOIN b{q} ON b{q}.event_type = e.event_type" for q in _DD_QS
     )
     return f"""
-SELECT event_type,
-       {exact},
+WITH pos AS (
+  SELECT event_type, value,
+         CAST(CEIL(ln(value) / {_DD_LN_GAMMA!r}) AS BIGINT) AS bucket
+  FROM events WHERE value > 0
+),
+hist AS (
+  SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pos GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bucket,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM hist
+),
+{b_ctes},
+exact AS (
+  SELECT event_type, {exact}
+  FROM pos GROUP BY event_type
+)
+SELECT e.event_type,
+       {", ".join(f"e.exact_p{q}" for q in _DD_QS)},
        {flags}
-FROM events WHERE value > 0 GROUP BY event_type
+FROM exact e {joins}
 """
 
 
@@ -3148,9 +3182,11 @@ def a16_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram, reads p50/p95/p99 as the bucket where the cumulative
     count crosses ceil(q·n) (estimate 2γ^i/(γ+1), the bucket
     midpoint), and asserts each estimate lands within {t}% of the
-    exact interpolated quantile — the a5/a6 sketch discipline: the
-    exact values carry the oracle hash, the sketch carries the scale
-    story. Vs the rank-error KLL (a11): DDSketch's guarantee is
+    exact interpolated quantile. Unlike the a5/a6 TRUE-literal
+    discipline, the oracle REPLAYS the whole sketch (buckets, rank
+    crossing, midpoint, tolerance) in SQL, so the within-bounds flags
+    hash-match at every scale factor — at smoke scale the p95 gap
+    legitimately exceeds 3% and BOTH engines say so. Vs the rank-error KLL (a11): DDSketch's guarantee is
     RELATIVE to the VALUE, so tail quantiles of heavy-tailed
     latencies (p99 of a distribution spanning decades) keep 1%
     accuracy where rank sketches blur — which is why it is the
