@@ -3137,8 +3137,8 @@ def _dd_oracle() -> str:
         f"ROUND(quantile_cont(value, 0.{q}), 4) AS exact_p{q}" for q in _DD_QS
     )
     flags = ",\n       ".join(
-        f"""(ABS(2.0 * POWER({_DD_GAMMA!r}, b{q}.b) / ({_DD_GAMMA!r} + 1.0)
-             - e.exact_p{q}) <= {_DD_TOL!r} * e.exact_p{q})
+        f"""(ROUND(ABS(2.0 * POWER({_DD_GAMMA!r}, b{q}.b) / ({_DD_GAMMA!r} + 1.0)
+             - e.exact_p{q}), 6) <= ROUND({_DD_TOL!r} * e.exact_p{q}, 6))
          AS p{q}_within_3pct"""
         for q in _DD_QS
     )
@@ -3248,10 +3248,13 @@ def a16_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.pow(F.lit(_DD_GAMMA), F.col(f"b{q}"))
             / (F.lit(_DD_GAMMA) + 1.0)
         )
+        # both comparison operands rounded to 6 digits on BOTH engines:
+        # pow/percentile ulp drift between engines could otherwise flip
+        # a flag for a gap sitting exactly at the 3% gate (r13 ADVICE)
         sel.append(
             (
-                F.abs(est - F.col(f"exact_p{q}"))
-                <= F.lit(_DD_TOL) * F.col(f"exact_p{q}")
+                F.round(F.abs(est - F.col(f"exact_p{q}")), 6)
+                <= F.round(F.lit(_DD_TOL) * F.col(f"exact_p{q}"), 6)
             ).alias(f"p{q}_within_3pct")
         )
     return out.select(*sel)

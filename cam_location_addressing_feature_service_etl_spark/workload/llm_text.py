@@ -3117,7 +3117,7 @@ WITH avail AS (
 w AS (
   SELECT source, n_docs, avail_tokens,
          CAST(FLOOR(sqrt(CAST(avail_tokens AS DOUBLE)) * 1000000) AS HUGEINT) AS w
-  FROM avail
+  FROM avail WHERE avail_tokens > 0
 ),
 tot AS (SELECT SUM(w) AS tw FROM w),
 quota AS (
@@ -3167,7 +3167,10 @@ def sample_mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     avail = documents.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size(tokens_col(F.col("text")))).cast("long").alias("avail_tokens"),
-    )
+    # a source whose docs ALL tokenize to zero tokens would otherwise
+    # divide by avail_tokens below — NULL under Spark's non-ANSI DIV,
+    # an error under DuckDB; filtered identically on both engines
+    ).filter(F.col("avail_tokens") > 0)
     w = avail.withColumn(
         "w",
         F.floor(F.sqrt(F.col("avail_tokens").cast("double")) * 1000000)
@@ -3211,9 +3214,10 @@ sample_mix_epoch_plan.__doc__ = sample_mix_epoch_plan.__doc__.format(
 # ---------------------------------------------------------------------------
 
 _TR_ROUNDS = 3
+#: d=0.85 / teleport 0.15, carried as the INTEGER pair 850/150000 in
+#: the micro-unit recurrence (see the query docstring) — no float
+#: damping constant ever crosses an engine boundary
 _TR_DAMP = 0.85
-#: the SAME literal on both engines (1.0 - 0.85 is 1 ulp off "0.15")
-_TR_TELEPORT = 0.15
 _TR_TOP = 20
 
 
@@ -3239,28 +3243,30 @@ edges AS (
   SELECT v AS src, u AS dst, w FROM wedge
 ),
 wdeg AS (SELECT src, SUM(w) AS tw FROM edges GROUP BY src),
-r0 AS (SELECT src, CAST(1.0 AS DOUBLE) AS pr FROM wdeg)"""
+r0 AS (SELECT src, CAST(1000000 AS BIGINT) AS prm FROM wdeg)"""
     ]
     for i in range(1, _TR_ROUNDS + 1):
         parts.append(
             f""",
 c{i} AS (
-  SELECT e.dst AS node, SUM(r.pr * e.w / d.tw) AS s
+  SELECT e.dst AS node,
+         SUM(CAST((CAST(r.prm AS HUGEINT) * e.w * 1000) // d.tw AS BIGINT))
+           AS s_nano
   FROM edges e JOIN r{i - 1} r ON e.src = r.src JOIN wdeg d ON e.src = d.src
   GROUP BY e.dst
 ),
 r{i} AS (
   SELECT wdeg.src,
-         ROUND(CAST({_TR_TELEPORT!r} AS DOUBLE)
-               + CAST({_TR_DAMP!r} AS DOUBLE) * COALESCE(c{i}.s, 0), 6) AS pr
+         150000 + CAST((CAST(COALESCE(c{i}.s_nano, 0) AS HUGEINT) * 850)
+                       // 1000000 AS BIGINT) AS prm
   FROM wdeg LEFT JOIN c{i} ON wdeg.src = c{i}.node
 )"""
         )
     parts.append(
         f"""
-SELECT src AS token, pr AS rank,
-       CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, src ASC) AS BIGINT) AS rnk
-FROM r{_TR_ROUNDS} ORDER BY pr DESC, src ASC LIMIT {_TR_TOP}"""
+SELECT src AS token, CAST(prm AS DOUBLE) / 1000000.0 AS rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY prm DESC, src ASC) AS BIGINT) AS rnk
+FROM r{_TR_ROUNDS} ORDER BY prm DESC, src ASC LIMIT {_TR_TOP}"""
     )
     return "".join(parts)
 
@@ -3281,9 +3287,13 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent-pair extraction is array algebra in whole-stage codegen,
     no positional self-join, no shuffle before the pair count (the
     oracle states the same pairs as a positional join, plan-free
-    semantics). Ranking follows the ``graph_pagerank_3round``
-    discipline exactly: fixed rounds, 6-digit per-round rounding on
-    both engines, teleport constant passed as one shared literal; the
+    semantics). Ranking is fixed-round weighted PageRank in EXACT
+    INTEGER MICRO-UNITS: pr is a bigint (1.0 = 1e6), each edge
+    contribution (pr·w/tw) lands on the nano grid via integer DIV, and
+    the per-round reduce is an integer SUM — order-independent across
+    partitions and engines, unlike the float-sum + round-6 form, whose
+    accumulation order could flip parity within an ulp of a rounding
+    boundary (r13 ADVICE); damping is the integer pair 850/150000; the
     top-k is TakeOrderedAndProject + the windowless array rank
     (``operators/topk.py``), never an unpartitioned window over the
     vocabulary.
@@ -3316,27 +3326,46 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         wedge.selectExpr("v AS src", "u AS dst", "w")
     ).transform(materialize)
     wdeg = edges.groupBy("src").agg(F.sum("w").alias("tw")).transform(materialize)
-    r = wdeg.select("src", F.lit(1.0).alias("pr"))
+    # pr carried as INTEGER micro-units (1.0 = 1_000_000); each edge's
+    # contribution pr*w/tw lands on the nano grid by exact integer DIV,
+    # so the per-round SUM is an order-independent integer — no float
+    # accumulation ever crosses an engine or partition boundary (the
+    # adamic_adar micro-unit discipline; closes the r13 ADVICE ulp risk
+    # that the old round-to-6 float sum carried)
+    r = wdeg.select("src", F.lit(1000000).cast("long").alias("prm"))
     for _ in range(_TR_ROUNDS):
         c = (
             edges.join(r, "src")
             .join(wdeg, "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("pr") * F.col("w") / F.col("tw")).alias("s"))
+            .agg(
+                F.sum(
+                    F.expr(
+                        "CAST((CAST(prm AS DECIMAL(38,0)) * w * 1000) DIV tw"
+                        " AS BIGINT)"
+                    )
+                ).alias("s_nano")
+            )
         )
         r = (
             wdeg.join(c, wdeg["src"] == c["node"], "left")
             .select(
                 "src",
-                F.round(
-                    F.lit(_TR_TELEPORT) + F.lit(_TR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0)),
-                    6,
-                ).alias("pr"),
+                (
+                    F.lit(150000).cast("long")
+                    + F.expr(
+                        "CAST((CAST(COALESCE(s_nano, 0) AS DECIMAL(38,0)) * 850)"
+                        " DIV 1000000 AS BIGINT)"
+                    )
+                ).alias("prm"),
             )
             .transform(materialize)
         )
     ranked = global_topk_ranked(
-        r.select(F.col("src").alias("token"), F.col("pr").alias("rank")),
+        r.select(
+            F.col("src").alias("token"),
+            (F.col("prm").cast("double") / F.lit(1000000.0)).alias("rank"),
+        ),
         keys=[(F.col("rank"), DESC), (F.col("token"), ASC)],
         k=_TR_TOP,
         cols=["token", "rank"],
