@@ -336,6 +336,13 @@ def ngram_jaccard_pairs(
     # postings feed three branches (both self-join sides + the size
     # aggregate): materialize the tokenize+shingle+explode subtree once
     sh = shingle_postings(df, id_col, text_col, shingle_n).transform(materialize)
+    return _nj_pairs_naive(sh, id_col, threshold)
+
+
+def _nj_pairs_naive(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Count-join pair stage over materialized shingle postings — the
+    inverted-index probe of :func:`ngram_jaccard_pairs` (rationale
+    there), shared with the adaptive :func:`near_dup_edges`."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -433,22 +440,44 @@ def ngram_jaccard_pairs_prefix(
         .repartition(F.col(id_col))
         .transform(materialize)
     )
+    return _nj_pairs_prefix(sh, _nj_ranked(sh, id_col), id_col, threshold)
+
+
+def _nj_ranked(sh: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc ascending-df rank + doc size + df for each posting —
+    the AllPairs total order both the prefix pair stage and the
+    adaptive gate (:func:`near_dup_edges`) read."""
     # df ranking: one aggregate per distinct shingle. NOT broadcast-
     # hinted — at corpus scale the distinct-shingle table is huge and
     # must stay a shuffle join; locally AQE broadcasts it from runtime
     # stats.
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return _nj_ranked_from_freq(sh, freq, id_col)
+
+
+def _nj_ranked_from_freq(
+    sh: DataFrame, freq: DataFrame, id_col: str
+) -> DataFrame:
     # row_number + count reuse the checkpoint's id partitioning — the
     # join with freq is broadcast (AQE), so no re-exchange before the
     # windows.
     w = Window.partitionBy(id_col).orderBy("df", "shingle")
     wsz = Window.partitionBy(id_col)
-    ranked = sh.join(freq, "shingle").select(
+    return sh.join(freq, "shingle").select(
         id_col,
         "shingle",
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(wsz).alias("sz"),
+        "df",
     )
+
+
+def _nj_pairs_prefix(
+    sh: DataFrame, ranked: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Prefix-filtered pair stage from the ranked postings — the body
+    of :func:`ngram_jaccard_pairs_prefix` (rationale there), shared
+    with the adaptive :func:`near_dup_edges`."""
     prefix = ranked.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     )
@@ -502,14 +531,24 @@ def ngram_jaccard_pairs_prefix(
     # rows are distinct (a doc's shingles are distinct postings) and
     # survive the b-join iff the shingle is also in B. Partial
     # aggregation collapses the probe join's output before the final
-    # per-pair shuffle. If a corpus ever defeats the prefix economics,
-    # remove the broadcast hint rather than broadcast an unbounded
-    # candidate set.
-    candd = cand.distinct()
+    # per-pair shuffle. If a corpus defeats the prefix economics (no
+    # rare tail), the candidate set is NOT small and the hint is
+    # withheld (measured-count gate below) rather than broadcast an
+    # unbounded candidate set.
+    # Adaptive hint (r14): when the corpus has NO rare tail (a fixed
+    # tiny vocabulary — every shingle hot), the prefix cannot prune
+    # and the candidate set is pair-scale, not small; broadcasting it
+    # was measured at 129s on the 50k-doc fixed-31-word-vocab sf1
+    # corpus where the unhinted shuffle join takes a fraction of that.
+    # The candidate count is one bounded scalar action on the
+    # materialized frame (the convergence-check pattern below).
+    candd = cand.distinct().transform(materialize)
     pa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     pb = sh.select(F.col(id_col).alias("id_b"), "shingle")
     return (
-        pa.join(F.broadcast(candd), "id_a")
+        pa.join(
+            F.broadcast(candd) if candd.count() <= 200_000 else candd, "id_a"
+        )
         .join(pb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -520,6 +559,106 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+#: choose the prefix pair stage only when it cuts measured probe
+#: volume by at least this factor over the naive count-join — below
+#: that, prefix's extra stage boundaries + per-candidate intersection
+#: recount cost more than they save (measured: fixed-31-word-vocab
+#: sf1, ratio ≈ 0.5, prefix 129–195s vs naive 35s; boilerplate corpus,
+#: ratio ≈ 0.004, prefix flat vs naive ∝ N per hot shingle)
+NEAR_DUP_PREFIX_GAIN = 4.0
+
+
+def near_dup_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+    prefix_gain: float = NEAR_DUP_PREFIX_GAIN,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs with a MEASURED choice of pair
+    stage — the edge source the CC/canonical dedup family uses.
+
+    Both stages are exact, so the choice is pure economics, and the
+    economics hinge on whether the corpus has a RARE TAIL:
+
+    - a real web/document corpus (rich vocabulary + hot boilerplate)
+      is the prefix stage's regime — hot shingles fall out of every
+      prefix and candidates stay near clean-corpus volume while the
+      naive probe's Σ df² collisions grow ∝ N² per hot shingle;
+    - a corpus with NO rare tail (the driver's fixed-31-word-vocab
+      synthetic: every shingle df ≈ N/|vocab|) defeats prefix
+      filtering — its prefixes still hold hot-ish shingles, so the
+      candidate set is pair-scale AND it pays the intersection
+      recount the naive count-join gets for free. Measured at the
+      generated sf1 (50k docs, 29.8k distinct shingles, mean df 88):
+      naive 34.6s vs prefix 129s (hinted broadcast) / 195s (shuffle
+      verify) for the identical 2,380-pair output.
+
+    The gate is TWO-STAGE so the common (naive) path pays almost
+    nothing beyond the postings it needs anyway:
+
+    1. df-profile screen — one aggregate over the per-shingle df
+       table: does a hot head (df ≥ max(20×mean, 100)) carry the
+       MAJORITY of Σ df·(df−1) collision volume? If not, no prefix
+       order can remove the dominant cost — run naive, never build
+       the rank window.
+    2. exact confirm — only when a hot head dominates, build the
+       df-ranked postings and read both probe volumes exactly
+       (Σ df over ALL postings bounds the naive collision join's
+       output; Σ df over PREFIX postings bounds the prefix probe's).
+       This catches the corpus the screen cannot: documents whose
+       boilerplate EXCEEDS the 1−τ prefix fraction must keep hot
+       shingles inside their prefixes, so prefix would pay its
+       recount for no candidate reduction. Prefix runs only when it
+       wins by ``prefix_gain``×.
+
+    Each stage is one bounded scalar action (the convergence-check
+    pattern). At 100 TB the df profile is a metadata-scale statistic
+    a deployment caches per corpus snapshot; the decision is
+    deterministic given the corpus, so replays/oracles are unaffected
+    (both branches emit the same pair set)."""
+    sh = (
+        shingle_postings(df, id_col, text_col, shingle_n)
+        .repartition(F.col(id_col))
+        .transform(materialize)
+    )
+    freq = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .transform(materialize)
+    )
+    # collision volumes as doubles: gate heuristics, not results —
+    # exactness lives in the pair stages, which are identical-output
+    dfd = F.col("df").cast("double")
+    st = freq.agg(
+        F.sum("df").alias("p"),
+        F.count(F.lit(1)).alias("s"),
+        F.sum(dfd * (dfd - 1)).alias("coll"),
+    ).collect()[0]
+    if not st["p"]:
+        return _nj_pairs_naive(sh, id_col, threshold)
+    # hotness is RELATIVE (20× the mean posting-list length): an
+    # absolute floor would blind the screen on small corpora where a
+    # footer shared by all N docs has df = N; the tiny floor of 10
+    # only suppresses noise on toy inputs
+    hot_df = max(20.0 * st["p"] / st["s"], 10.0)
+    hot = freq.filter(F.col("df") >= hot_df).agg(
+        F.sum(dfd * (dfd - 1)).alias("hc")
+    ).collect()[0]["hc"]
+    if hot is None or hot * 2.0 < st["coll"]:
+        return _nj_pairs_naive(sh, id_col, threshold)
+    ranked = _nj_ranked_from_freq(sh, freq, id_col).transform(materialize)
+    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    st2 = ranked.agg(
+        F.sum("df").alias("full"),
+        F.sum(F.when(F.col("rn") <= plen, F.col("df"))).alias("pre"),
+    ).collect()[0]
+    if st2["pre"] is not None and st2["pre"] * prefix_gain <= st2["full"]:
+        return _nj_pairs_prefix(sh, ranked, id_col, threshold)
+    return _nj_pairs_naive(sh, id_col, threshold)
 
 
 def connected_components(

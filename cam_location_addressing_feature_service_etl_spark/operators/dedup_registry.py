@@ -20,13 +20,17 @@ Standing state, two tables:
 Folding one batch of new documents:
 
 1. docs already registered are dropped (re-ingest is identity);
-2. the batch's shingle postings probe the ACCUMULATED index (new×old)
-   and each other (new×new) — candidate pairs share ≥1 shingle, so
-   every true Jaccard edge incident to a new doc is found, and work is
-   ∝ the batch's posting lists, never corpus²;
-3. candidates verify with EXACT Jaccard (intersection counts from the
-   probe; set sizes from the registry for old docs) — the same
-   round-to-6 ≥ threshold rule as ``ngram_jaccard_pairs``;
+2. the batch's postings probe the ACCUMULATED index (new×old) and the
+   batch's own postings (new×new) — through a MEASURED GATE between
+   the naive count-join probe and ONE-SIDED prefix filtering (both
+   exact, see below); in the boilerplate regime the gate picks the
+   prefix probe, so candidate work is ∝ the batch's RARE-shingle
+   posting collisions, never corpus² and never hot-shingle df²;
+3. candidates verify with EXACT Jaccard (intersection counts from a
+   candidate-restricted postings join; set sizes from the registry
+   for old docs) — the same round-to-6 ≥ threshold rule as
+   ``ngram_jaccard_pairs``, so the emitted edge set is IDENTICAL to
+   a naive full-postings probe's;
 4. verified edges lift to the LABEL level and a bounded star-CC
    re-label merges touched components only (the mini-graph is ∝ batch
    edges — ``er_resolve_increment`` step 3);
@@ -34,6 +38,44 @@ Folding one batch of new documents:
    (new members, merges, or re-labels); untouched rows carry their
    stored flags forward — which is what lets the partitioned
    versioned state (``streaming/versioned.py``) skip their buckets.
+
+ONE-SIDED prefix filtering (the r13-verdict fix, composed so the
+boilerplate regime stays bounded): the index stores FULL postings
+(they also feed the exact verify), but each fold probes with only
+each batch doc's first ``|sh| − ⌈τ·|sh|⌉ + 1`` shingles in ascending
+ACCUMULATED-document-frequency order (ties by shingle hash). Why this
+is complete with no order shared across batches at all: J(A,B) ≥ τ
+implies |A∩B| ≥ τ·|A| (the union is at least |B| ≥ |A∩B|, so
+|A∩B|·(1+τ) ≥ τ·(|A|+|A∩B|)); if none of the probed shingles of A
+were in B, the intersection would fit inside A's unprobed
+⌈τ·|A|⌉ − 1 shingles — a contradiction. The pigeonhole needs only
+A's OWN probe subset, not a global order both endpoints agree on —
+any (|A| − ⌈τ·|A|⌉ + 1)-subset of A's shingles works — so each fold
+may rank under its own df snapshot and the every-true-edge-found-in-
+its-completing-batch argument (below) carries over unchanged. Ranking
+by CURRENT df is what makes the boilerplate regime flat: a corpus-hot
+shingle (df ≈ |corpus|) sorts last within every batch doc and falls
+out of every probe, where the two-sided fixed-hash-order alternative
+(rank by ``xxhash64(shingle)``, stable across batches) keeps ~(1−τ)
+of the hot shingles inside prefixes — a constant-factor reduction,
+still superlinear where its own growth probe blows up
+(``scripts/dedup_registry_growth.py`` measures both claims). The df
+snapshot is one partial-aggregatable groupBy over the index the fold
+already scans; at 100 TB df is ADDITIVE (df' = df + df_batch), so a
+deployment keeps it as a small side state instead of re-aggregating.
+
+The GATE (shared economics with ``operators/dedup.py
+near_dup_edges``): prefix filtering only pays when the corpus has a
+rare tail for hot shingles to fall behind. On an all-hot corpus (the
+driver's fixed-31-word-vocab synthetic; or documents whose boilerplate
+exceeds the 1−τ prefix fraction) the prefix still probes hot-ish
+shingles AND pays a per-candidate intersection recount the naive
+count-join gets for free — measured 4–8× slower for the identical
+edge set. Both probe volumes are exact one-scalar reads off the
+df-ranked batch postings (Σ df over all vs over prefix rows), so each
+fold picks the cheaper exact plan; mixing strategies across folds is
+immaterial to the reconciliation argument because every fold emits
+the same verified edge set either way.
 
 A cluster MERGE can DEMOTE a previously-kept document (its component
 gains a longer member) — the case a one-shot never sees; pinned in
@@ -87,12 +129,16 @@ def dedup_fold_increment(
     new_postings)``. See the module docstring for the algorithm and
     the order-independence argument.
 
-    Scale: candidate generation joins the BATCH's postings against the
-    index (shuffle ∝ batch posting lists + their collisions); the
-    re-label mini-graph is ∝ batch edges; the kept/canonical window
-    partitions by touched component only. The full registry is scanned
-    once per fold as the probe index — the write side is the
-    partitioned versioned layout's job (touched buckets only)."""
+    Scale: candidate generation joins the BATCH's PREFIX postings
+    (rarest ``(1−τ)·|sh|+1`` shingles under the fold's accumulated-df
+    order — one-sided PPJoin, module docstring) against the index, so
+    shuffle is ∝ the batch's rare-shingle collisions even when the
+    corpus carries hot boilerplate shingles; the re-label mini-graph
+    is ∝ batch edges; the kept/canonical window partitions by touched
+    component only. The full postings index is scanned per fold (df
+    snapshot + probe + verify — df is additive at deployment scale,
+    see module docstring); the write side is the partitioned
+    versioned layout's job (touched buckets only)."""
     spark = batch.sparkSession
 
     # --- new documents only (re-ingest is identity) -------------------
@@ -129,30 +175,124 @@ def dedup_fold_increment(
     )
 
     # --- candidate pairs incident to a new doc -------------------------
-    a = bp.select(F.col(id_col).alias("id_a"), "sh")
-    cross = (
-        a.join(postings.select(F.col(id_col).alias("id_b"), "sh"), "sh")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # rank each batch doc's shingles by ascending df over the
+    # ACCUMULATED index ∪ the batch (a shingle going hot inside this
+    # very batch must count too) — the rank feeds the one-sided PPJoin
+    # prefix probe AND the measured gate that decides whether that
+    # probe is worth its extra stages (module docstring; the
+    # near_dup_edges economics, fold-local)
+    dfreq = (
+        postings.unionByName(bp)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
     )
-    within = (
-        a.join(bp.select(F.col(id_col).alias("id_b"), "sh"), "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    wrank = Window.partitionBy(id_col).orderBy("_df", "sh")
+    wsz = Window.partitionBy(id_col)
+    plen = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    ranked = (
+        bp.join(dfreq, "sh")
+        .select(
+            id_col,
+            "sh",
+            F.row_number().over(wrank).alias("_rn"),
+            F.count(F.lit(1)).over(wsz).alias("_sz"),
+            "_df",
+        )
+        .transform(materialize)
     )
-    cand = cross.unionByName(within)
-
-    # --- exact-Jaccard verify (ngram_jaccard_pairs' round-6 rule) ------
+    # the gate: Σ df over ALL batch postings bounds the naive probe's
+    # collision output, Σ df over PREFIX postings bounds the prefix
+    # probe's — one bounded scalar action (the dedup.py convergence-
+    # check pattern); prefix must win by 4× to pay for its recount
+    # verify + extra stage boundaries. An all-hot corpus (the driver's
+    # fixed-31-word-vocab synthetic — no rare tail) picks naive; a
+    # boilerplate corpus (hot footer on a rich vocabulary) picks
+    # prefix, which is what keeps the fold FLAT where the naive probe
+    # grows ∝ corpus per fold (scripts/dedup_registry_growth.py).
+    st = ranked.agg(
+        F.sum("_df").alias("full"),
+        F.sum(F.when(F.col("_rn") <= plen, F.col("_df"))).alias("pre"),
+    ).collect()[0]
+    use_prefix = (
+        st["pre"] is not None and st["pre"] * 4.0 <= st["full"]
+    )
     sizes = registry.select(F.col(id_col), "n_sh").unionByName(
         new_rows.select(id_col, "n_sh")
     )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("sz_b"))
+    if use_prefix:
+        # ONE prefix probe against old ∪ batch postings covers new×old
+        # and new×new; pairs canonicalize to (min,max) — the edge set
+        # feeds symmetric CC, and the distinct dedupes multi-shingle
+        # and both-endpoints-probing collisions so the verify join
+        # counts each pair exactly once
+        a = ranked.filter(F.col("_rn") <= plen).select(
+            F.col(id_col).alias("id_a"), "sh"
+        )
+        cand = (
+            a.join(
+                postings.unionByName(bp).select(
+                    F.col(id_col).alias("id_b"), "sh"
+                ),
+                "sh",
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+                F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+            )
+            .distinct()
+        )
+        # exact-Jaccard verify (ngram_jaccard_pairs' round-6 rule):
+        # the AllPairs length filter (J ≥ τ ⇒ τ·max ≤ min) prunes
+        # before the intersection recount; the recount is the one-shot
+        # prefix variant's candidate-restricted count-join — |A| probe
+        # rows per pair, exact |A∩B| per survivor. The broadcast hint
+        # is gated on a measured count (a multi-million-row hinted
+        # broadcast was measured at 30s where the shuffle join takes
+        # seconds).
+        candf = (
+            cand.join(sz_a, "id_a")
+            .join(sz_b, "id_b")
+            .filter(
+                F.greatest("sz_a", "sz_b") * threshold
+                <= F.least("sz_a", "sz_b")
+            )
+            .transform(materialize)
+        )
+        verify_probe = (
+            F.broadcast(candf) if candf.count() <= 200_000 else candf
+        )
+        pa = postings.unionByName(bp).select(F.col(id_col).alias("id_a"), "sh")
+        pb = postings.unionByName(bp).select(F.col(id_col).alias("id_b"), "sh")
+        scored = (
+            pa.join(verify_probe, "id_a")
+            .join(pb, ["id_b", "sh"])
+            .groupBy("id_a", "id_b", "sz_a", "sz_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        # naive count-join probe: collision counts ARE the exact
+        # intersections, no recount needed — the cheaper exact plan
+        # whenever the prefix cannot prune (identical edge output)
+        a = bp.select(F.col(id_col).alias("id_a"), "sh")
+        cross = (
+            a.join(postings.select(F.col(id_col).alias("id_b"), "sh"), "sh")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        within = (
+            a.join(bp.select(F.col(id_col).alias("id_b"), "sh"), "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        scored = (
+            cross.unionByName(within).join(sz_a, "id_a").join(sz_b, "id_b")
+        )
     edges = (
-        cand.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .filter(
+        scored.filter(
             F.round(
                 F.col("inter")
                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),

@@ -967,3 +967,180 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-round action is the star-CC discipline on a <= k-row frame
         selected.count()
     return selected.select("sel_rank", "vec_id", F.col("rel").alias("relevance"), "mmr_score")
+
+
+# ---------------------------------------------------------------------------
+# Grouped MMR rerank: N query shortlists advance one greedy step per
+# job — k jobs TOTAL, not k per query (r13 advisory)
+# ---------------------------------------------------------------------------
+
+_MMRG_QUERIES = 100
+_MMRG_CAND = 12
+_MMRG_K = 5
+
+
+def _mmr_grouped_oracle() -> str:
+    cos = _COS_SQL
+    parts = [
+        f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {_MMRG_QUERIES}),
+scored AS (
+  SELECT q.query_id, v.vec_id, v.e,
+         {cos.format(a="v.e", b="q.qe")} AS rel
+  FROM v JOIN q ON v.vec_id <> q.query_id
+),
+cand AS MATERIALIZED (
+  SELECT query_id, vec_id, e, rel, rn FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, vec_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {_MMRG_CAND}
+),
+sel1 AS MATERIALIZED (
+  SELECT query_id, CAST(1 AS BIGINT) AS sel_rank, vec_id, e, rel,
+         rel AS mmr_score
+  FROM cand WHERE rn = 1
+)"""
+    ]
+    for i in range(2, _MMRG_K + 1):
+        prev = f"sel{i - 1}"
+        parts.append(
+            f""",
+mx{i} AS MATERIALIZED (
+  SELECT c2.query_id, c2.vec_id, MAX({cos.format(a="c2.e", b="s.e")}) AS m
+  FROM cand c2 JOIN {prev} s ON s.query_id = c2.query_id
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                    WHERE x.query_id = c2.query_id AND x.vec_id = c2.vec_id)
+  GROUP BY c2.query_id, c2.vec_id
+),
+pick{i} AS MATERIALIZED (
+  SELECT query_id, CAST({i} AS BIGINT) AS sel_rank, vec_id, e, rel, mmr_score
+  FROM (
+    SELECT c.query_id, c.vec_id, c.e, c.rel,
+           ROUND({_MMR_LAMBDA!r} * c.rel - {_MMR_ONE_MINUS!r} * mx{i}.m, 6)
+             AS mmr_score,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.query_id
+             ORDER BY ROUND({_MMR_LAMBDA!r} * c.rel
+                            - {_MMR_ONE_MINUS!r} * mx{i}.m, 6) DESC,
+                      c.vec_id ASC) AS prn
+    FROM cand c
+    JOIN mx{i} ON mx{i}.query_id = c.query_id AND mx{i}.vec_id = c.vec_id
+  ) WHERE prn = 1
+),
+sel{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})"""
+        )
+    parts.append(
+        f"""
+SELECT query_id, sel_rank, vec_id, rel AS relevance, mmr_score
+FROM sel{_MMRG_K}"""
+    )
+    return "".join(parts)
+
+
+@register("sim_mmr_rerank_grouped", oracle=_mmr_grouped_oracle())
+def sim_mmr_rerank_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification for {q} query shortlists AT ONCE — the
+    production shape ``sim_mmr_rerank``'s docstring promises: instead
+    of k driver-coordinated steps PER QUERY (k·N tiny jobs for N
+    queries), every query advances one greedy step per job — the
+    per-step argmax is a row_number window over the query_id
+    partition, so the driver loop runs {k} steps TOTAL regardless of
+    how many shortlists are in flight. Semantics per query are
+    identical to the single-query operator: first pick is pure
+    relevance, then argmax λ·rel − (1−λ)·max-sim-to-selected with
+    6-digit pre-argmax rounding and vec_id tie-breaks — the DuckDB
+    oracle replays all {q} greedy trajectories step-locked through
+    the same MATERIALIZED-CTE chain.
+
+    Scale: the shortlists ({c} candidates per query) come from one
+    broadcast-queries corpus scan + per-query top-k window; each MMR
+    step is one join keyed on query_id (selected sets stay ≤ k rows
+    per query, co-partitioned with their candidates), one
+    partial-aggregatable max per (query, candidate), and one window
+    argmax — shuffle ∝ Σ shortlist sizes, never corpus, and adding
+    queries widens partitions instead of adding jobs. The per-step
+    materialize + count is ONE bounded action for the whole fleet
+    (k·N-row frame), the same lineage-cut discipline as the
+    single-query form."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    v = embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("e"))
+    q = v.filter(F.col("vec_id") < _MMRG_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "e",
+            F.round(cosine_col(F.col("e"), F.col("qe")), 6).alias("rel"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _MMRG_CAND)
+        .transform(materialize)
+    )
+    selected = cand.filter(F.col("rn") == 1).select(
+        "query_id",
+        F.lit(1).cast("long").alias("sel_rank"),
+        "vec_id",
+        "e",
+        "rel",
+        F.col("rel").alias("mmr_score"),
+    ).transform(materialize)
+    for i in range(2, _MMRG_K + 1):
+        sel_vecs = selected.select(
+            "query_id", F.col("vec_id").alias("sid"), F.col("e").alias("se")
+        )
+        remaining = cand.join(
+            selected.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+        )
+        mx = (
+            remaining.join(sel_vecs, "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                "e",
+                "rel",
+                F.round(cosine_col(F.col("e"), F.col("se")), 6).alias("sim"),
+            )
+            .groupBy("query_id", "vec_id", "rel")
+            .agg(F.first("e").alias("e"), F.max("sim").alias("m"))
+        )
+        score = F.round(
+            F.lit(_MMR_LAMBDA) * F.col("rel") - F.lit(_MMR_ONE_MINUS) * F.col("m"),
+            6,
+        )
+        wpick = Window.partitionBy("query_id").orderBy(
+            F.desc("mmr_score"), F.asc("vec_id")
+        )
+        pick = (
+            mx.select(
+                "query_id",
+                F.lit(i).cast("long").alias("sel_rank"),
+                "vec_id",
+                "e",
+                "rel",
+                score.alias("mmr_score"),
+            )
+            .withColumn("prn", F.row_number().over(wpick))
+            .filter(F.col("prn") == 1)
+            .drop("prn")
+        )
+        selected = selected.unionByName(pick).transform(materialize)
+        # one bounded action advances EVERY query's trajectory — the
+        # k-jobs-total contract (vs k per query in sim_mmr_rerank)
+        selected.count()
+    return selected.select(
+        "query_id", "sel_rank", "vec_id", F.col("rel").alias("relevance"), "mmr_score"
+    )
+
+
+sim_mmr_rerank_grouped.__doc__ = sim_mmr_rerank_grouped.__doc__.format(
+    q=_MMRG_QUERIES, c=_MMRG_CAND, k=_MMRG_K
+)

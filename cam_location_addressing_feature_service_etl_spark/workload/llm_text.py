@@ -25,7 +25,9 @@ from ..operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
+    near_dup_edges,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     shingle_postings,
     simhash_from_postings,
     simhash_pairs_exact,
@@ -1002,7 +1004,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
     (documents,) = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
+    # edge stage: measured-gate choice between the naive count-join
+    # and PPJoin prefix filtering (identical pair set either way, so
+    # the oracle is unchanged) — prefix wins exactly when the corpus
+    # has a rare shingle tail for hot boilerplate to fall behind; the
+    # df profile decides (operators/dedup.py near_dup_edges, SCALING.md)
+    pairs = near_dup_edges(
         documents, id_col="doc_id", text_col="text",
         threshold=_CC_THRESHOLD, shingle_n=_NJ_SHINGLE_N,
     )
@@ -1075,7 +1082,12 @@ def dedup_cc_star_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components_star
 
     (documents,) = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
+    # edge stage: measured-gate choice between the naive count-join
+    # and PPJoin prefix filtering (identical pair set either way, so
+    # the oracle is unchanged) — prefix wins exactly when the corpus
+    # has a rare shingle tail for hot boilerplate to fall behind; the
+    # df profile decides (operators/dedup.py near_dup_edges, SCALING.md)
+    pairs = near_dup_edges(
         documents, id_col="doc_id", text_col="text",
         threshold=_CC_THRESHOLD, shingle_n=_NJ_SHINGLE_N,
     )
@@ -1131,7 +1143,12 @@ def sample_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components_star
 
     (documents,) = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
+    # edge stage: measured-gate choice between the naive count-join
+    # and PPJoin prefix filtering (identical pair set either way, so
+    # the oracle is unchanged) — prefix wins exactly when the corpus
+    # has a rare shingle tail for hot boilerplate to fall behind; the
+    # df profile decides (operators/dedup.py near_dup_edges, SCALING.md)
+    pairs = near_dup_edges(
         documents, id_col="doc_id", text_col="text",
         threshold=_CC_THRESHOLD, shingle_n=_NJ_SHINGLE_N,
     )
@@ -2734,7 +2751,12 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
     (documents,) = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
+    # edge stage: measured-gate choice between the naive count-join
+    # and PPJoin prefix filtering (identical pair set either way, so
+    # the oracle is unchanged) — prefix wins exactly when the corpus
+    # has a rare shingle tail for hot boilerplate to fall behind; the
+    # df profile decides (operators/dedup.py near_dup_edges, SCALING.md)
+    pairs = near_dup_edges(
         documents, id_col="doc_id", text_col="text",
         threshold=_CC_THRESHOLD, shingle_n=_NJ_SHINGLE_N,
     )

@@ -58,25 +58,144 @@ def _docs(spark, n, id_offset=0, tokens=12):
     )
 
 
-def _batch(spark, corpus_docs):
+def _batch(spark, corpus_docs, tokens=12):
     """Constant-size batch: half fresh singletons, half near-dup
     variants of existing docs (drop the last 2 tokens — trigram
     Jaccard vs the original ≈ (n-4)/(n+... ) well above 0.5), ids
     sampled across the corpus so touched components spread."""
     step = corpus_docs // (_BATCH // 2)
     variants = (
-        _docs(spark, corpus_docs)
+        _docs(spark, corpus_docs, tokens=tokens)
         .filter(F.col("doc_id") % step == 0)
         .limit(_BATCH // 2)
         .select(
             (F.col("doc_id") + 50_000_000).alias("doc_id"),
             F.array_join(
-                F.slice(F.split(F.col("text"), " "), 1, 10), " "
+                F.slice(F.split(F.col("text"), " "), 1, tokens - 2), " "
             ).alias("text"),
         )
     )
-    fresh = _docs(spark, _BATCH // 2, id_offset=90_000_000)
+    fresh = _docs(spark, _BATCH // 2, id_offset=90_000_000, tokens=tokens)
     return variants.unionByName(fresh)
+
+
+#: one boilerplate footer line appended to EVERY doc in the forced-
+#: boilerplate probe — each footer trigram's df equals the corpus size,
+#: the regime the r13 verdict measured superlinear in the naive fold
+_FOOTER = (
+    "copyright footer terms of service all rights reserved"
+    " privacy policy do not reproduce"
+)
+
+
+def _boiler(df):
+    return df.withColumn("text", F.concat(F.col("text"), F.lit(" " + _FOOTER)))
+
+
+def _naive_edge_stage(registry, postings, batch, threshold=0.5, shingle_n=3):
+    """The PRE-r14 fold's candidate+verify stage (full batch postings
+    probe the full index, no prefix guard) — kept ONLY as this probe's
+    blowup reference; the engine fold now probes one-sided PPJoin
+    prefixes (operators/dedup_registry.py). Returns (n_cand, n_edges)."""
+    from cam_location_addressing_feature_service_etl_spark.operators.dedup import (
+        shingles_col,
+        tokens_col,
+    )
+    from cam_location_addressing_feature_service_etl_spark.runtime import (
+        materialize,
+    )
+
+    new_docs = (
+        batch.dropDuplicates(["doc_id"])
+        .join(registry.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    toks = new_docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("_toks")
+    ).transform(materialize)
+    bp = toks.select(
+        "doc_id",
+        F.explode(shingles_col(F.col("_toks"), shingle_n)).alias("shingle"),
+    ).select("doc_id", F.md5("shingle").alias("sh")).transform(materialize)
+    bsizes = bp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = bp.select(F.col("doc_id").alias("id_a"), "sh")
+    cross = (
+        a.join(postings.select(F.col("doc_id").alias("id_b"), "sh"), "sh")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    within = (
+        a.join(bp.select(F.col("doc_id").alias("id_b"), "sh"), "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cand = cross.unionByName(within).localCheckpoint()
+    n_cand = cand.count()
+    sizes = registry.select("doc_id", "n_sh").unionByName(bsizes)
+    n_edges = (
+        cand.join(sizes.selectExpr("doc_id AS id_a", "n_sh AS sz_a"), "id_a")
+        .join(sizes.selectExpr("doc_id AS id_b", "n_sh AS sz_b"), "id_b")
+        .filter(
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            )
+            >= threshold
+        )
+        .count()
+    )
+    return n_cand, n_edges
+
+
+#: content tokens per doc in the boilerplate probe. The footer must be
+#: a MINORITY of each doc (< the 1−τ prefix fraction): prefix
+#: completeness requires probing (1−τ)·|sh|+1 shingles, so a doc whose
+#: boilerplate EXCEEDS that fraction must probe hot shingles no matter
+#: the order — with 12-token docs and the 13-token footer (>50%
+#: boilerplate at τ=0.5) the fold was measured emitting batch×corpus
+#: candidates exactly like naive. 40 content tokens (~25% boilerplate)
+#: is the realistic shape the prefix design targets.
+_BOILER_TOKENS = 40
+
+
+def _boiler_probe(spark) -> None:
+    """Forced-boilerplate growth A/B (r13 verdict #1 done-bar): the
+    constant batch folds into corpora of growing size where EVERY doc
+    shares one footer line. The naive probe's candidate volume grows
+    ∝ corpus per fold (each hot footer shingle collides batch × df);
+    the shipped one-sided-prefix fold never probes the hot shingles,
+    so its fold time stays flat."""
+    print(
+        f"forced-boilerplate regime: every doc + batch doc carries the "
+        f"{len(_FOOTER.split())}-token footer on {_BOILER_TOKENS} content "
+        f"tokens; constant batch={_BATCH}"
+    )
+    for scale in (1, 2, 4, 8, 16):
+        n = 5_000 * scale
+        base = _boiler(_docs(spark, n, tokens=_BOILER_TOKENS)).localCheckpoint()
+        registry = empty_dedup_registry(spark)
+        postings = empty_dedup_postings(spark)
+        registry, postings = dedup_fold_increment(registry, postings, base)
+        registry = registry.localCheckpoint()
+        postings = postings.localCheckpoint()
+        batch = _boiler(
+            _batch(spark, n, tokens=_BOILER_TOKENS)
+        ).localCheckpoint()
+
+        t0 = time.perf_counter()
+        out_reg, _ = dedup_fold_increment(registry, postings, batch)
+        n_out = out_reg.count()
+        dt_prefix = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_cand, n_edges = _naive_edge_stage(registry, postings, batch)
+        dt_naive = time.perf_counter() - t0
+        print(
+            f"corpus={n:6d}  prefix_fold={dt_prefix:6.2f}s (out={n_out})  "
+            f"naive_edge_stage={dt_naive:6.2f}s "
+            f"(cand={n_cand}, edges={n_edges})"
+        )
 
 
 def _du(path):
@@ -143,6 +262,8 @@ def main() -> int:
             f"fold_write={v1_bytes/1e6:6.2f}MB  "
             f"touched_reg_buckets={touched}/{buckets}"
         )
+
+    _boiler_probe(spark)
 
     # --- ER registry: the same write-IO measurement (verdict #4's
     # named target) — constant 50-name batch, growing vocabulary ------

@@ -832,3 +832,83 @@ def test_desc_topk_key_must_be_numeric(spark):
     # numeric DESC still works
     got = global_topk_ranked(df, [(F.col("v"), DESC)], 2, ["s", "v"]).collect()
     assert [r["s"] for r in sorted(got, key=lambda r: r["rnk"])] == ["a", "b"]
+
+
+def test_near_dup_edges_gate_picks_branch_and_output_invariant(spark):
+    """near_dup_edges (r14): the measured df-profile gate must pick the
+    prefix stage on a boilerplate corpus (hot head dominates collision
+    volume) and the naive stage on a rich-vocabulary corpus — and BOTH
+    branches must emit the identical exact pair set (the gate is pure
+    economics, never semantics)."""
+    import cam_location_addressing_feature_service_etl_spark.operators.dedup as dd
+
+    footer = (
+        " shared footer terms of service all rights reserved"
+        " privacy policy applies to every document"
+    )
+    # 40 rich-vocab docs + 5 near-dup variants of docs 0..4
+    base = [
+        (i, " ".join(f"t{i}x{j}" for j in range(30)))
+        for i in range(40)
+    ]
+    variants = [
+        (100 + i, " ".join(f"t{i}x{j}" for j in range(28)))
+        for i in range(5)
+    ]
+    rich = spark.createDataFrame(base + variants, "id long, text string")
+    boiler = rich.selectExpr("id", f"text || '{footer}' AS text")
+
+    calls: list[str] = []
+    orig_naive, orig_prefix = dd._nj_pairs_naive, dd._nj_pairs_prefix
+
+    def naive_spy(*a, **k):
+        calls.append("naive")
+        return orig_naive(*a, **k)
+
+    def prefix_spy(*a, **k):
+        calls.append("prefix")
+        return orig_prefix(*a, **k)
+
+    dd._nj_pairs_naive, dd._nj_pairs_prefix = naive_spy, prefix_spy
+    try:
+        for df, want_branch in ((rich, "naive"), (boiler, "prefix")):
+            want = {
+                (r["id_a"], r["id_b"], r["jaccard"])
+                for r in dd.ngram_jaccard_pairs(df, "id", "text", 0.5).collect()
+            }
+            calls.clear()
+            got = {
+                (r["id_a"], r["id_b"], r["jaccard"])
+                for r in dd.near_dup_edges(df, "id", "text", 0.5).collect()
+            }
+            assert got == want and len(want) >= 5
+            assert calls == [want_branch]
+    finally:
+        dd._nj_pairs_naive, dd._nj_pairs_prefix = orig_naive, orig_prefix
+
+
+def test_mmr_grouped_trajectories_valid(spark):
+    """sim_mmr_rerank_grouped: every query gets exactly k distinct
+    picks from its own shortlist, pick 1 is the pure-relevance argmax,
+    and no pick repeats within a query — the per-query greedy contract
+    of the single-query operator, held across the whole fleet."""
+    from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+    from cam_location_addressing_feature_service_etl_spark.workload.llm_similarity import (
+        _MMRG_K,
+        _MMRG_QUERIES,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["sim_mmr_rerank_grouped"](spark, SF_SMOKE).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == _MMRG_QUERIES
+    for qid, picks in by_q.items():
+        assert len(picks) == _MMRG_K
+        assert len({p["vec_id"] for p in picks}) == _MMRG_K
+        assert qid not in {p["vec_id"] for p in picks}
+        first = min(picks, key=lambda p: p["sel_rank"])
+        assert first["mmr_score"] == first["relevance"]
+        # relevance of pick 1 dominates the shortlist's later picks
+        assert all(first["relevance"] >= p["relevance"] for p in picks)
