@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.labelprop import label_propagation
 from ..operators.pagerank import pagerank
@@ -914,3 +915,227 @@ def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         hops.append(f"hop{t}")
     return walk.select("start", *hops)
+
+
+# ---------------------------------------------------------------------------
+# Second-order (p,q-biased) node2vec walks — the return/in-out bias
+# needs the PREVIOUS node in both the coin and the transition weights
+# ---------------------------------------------------------------------------
+
+_N2V_STEPS = 3
+_N2V_SEED = "n2vseed3"
+#: node2vec bias: p=4, q=2 — the alpha weights (1/p, 1, 1/q) scaled by
+#: 4 to the EXACT integers (return, common-neighbor, far) = (1, 4, 2),
+#: so the cumulative-weight inversion below never touches a float
+_N2V_W_RETURN = 1
+_N2V_W_COMMON = 4
+_N2V_W_FAR = 2
+
+
+def node2vec_walk_frame(
+    edges: DataFrame, starts: DataFrame, steps: int, seed: str
+) -> DataFrame:
+    """Deterministic second-order walks over a symmetric, distinct
+    ``(src, dst)`` edge frame from the ``(start)`` nodes: at step t the
+    walk at ``cur`` (arrived from ``prev``) assigns every neighbor x
+    its integer node2vec weight — ``_N2V_W_RETURN`` when x = prev,
+    ``_N2V_W_COMMON`` when (prev, x) is an edge (x closes a triangle
+    with where we came from), else ``_N2V_W_FAR``; the first hop has
+    no prev and is uniform — and takes the neighbor whose cumulative-
+    weight interval (dst-sorted) contains
+    ``md5(seed:start:t:cur:prev) mod Σweights``. The RNG of node2vec
+    replaced by the hash-coin discipline: exact integers end to end,
+    reproducible across runs AND engines (the DuckDB oracle replays
+    the identical algebra).
+
+    Per hop: one frontier×neighbors equi-join, one LEFT probe of the
+    edge set for the triangle check (the "(prev, cur) edge check" —
+    this join is the whole cost delta vs first-order walks), one
+    per-walk window cumsum, one interval filter. Returns
+    ``(start, hop1..hopN)``.
+
+    Scale: each hop shuffles frontier×degree rows keyed by the walk
+    id — walks parallelize embarrassingly; the triangle probe is an
+    equi-join on (prev, dst) against the same materialized edge set
+    every hop reuses; hub-degree skew is AQE territory exactly as in
+    the first-order operator. node2vec's alias-table preprocessing
+    (per (prev,cur) pair) trades this per-hop join for O(Σ deg(u)·
+    deg(v)) state — the join form is the one that survives 100 TB."""
+    walk = starts.select(
+        F.col("start"),
+        F.col("start").alias("cur"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+    pe = edges.select(F.col("src").alias("_ps"), F.col("dst").alias("_pd"))
+    wcum = Window.partitionBy("start").orderBy("dst")
+    wtot = Window.partitionBy("start")
+    for t in range(1, steps + 1):
+        cand = (
+            walk.join(edges, edges["src"] == walk["cur"]).drop("src")
+            .join(
+                pe,
+                (F.col("_ps") == F.col("prev")) & (F.col("_pd") == F.col("dst")),
+                "left",
+            )
+        )
+        wt = (
+            F.when(F.col("prev").isNull(), F.lit(1))
+            .when(F.col("dst") == F.col("prev"), F.lit(_N2V_W_RETURN))
+            .when(F.col("_ps").isNotNull(), F.lit(_N2V_W_COMMON))
+            .otherwise(F.lit(_N2V_W_FAR))
+        ).cast("long")
+        coin = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(seed),
+                            F.col("start"),
+                            F.lit(str(t)),
+                            F.col("cur"),
+                            F.coalesce(F.col("prev"), F.lit("-")),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("_tot")
+        )
+        scored = (
+            cand.select(
+                "start",
+                *[F.col(f"hop{i}") for i in range(1, t)],
+                "cur",
+                "prev",
+                "dst",
+                wt.alias("_w"),
+            )
+            .select(
+                "*",
+                F.sum("_w")
+                .over(wcum.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                .alias("_cum"),
+                F.sum("_w")
+                .over(
+                    wtot.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+                .alias("_tot"),
+            )
+            .withColumn("_coin", coin)
+        )
+        walk = scored.filter(
+            (F.col("_coin") >= F.col("_cum") - F.col("_w"))
+            & (F.col("_coin") < F.col("_cum"))
+        ).select(
+            "start",
+            *[F.col(f"hop{i}") for i in range(1, t)],
+            F.col("dst").alias(f"hop{t}"),
+            F.col("dst").alias("cur"),
+            F.col("cur").alias("prev"),
+        )
+    return walk.select("start", *[f"hop{i}" for i in range(1, steps + 1)])
+
+
+def _n2v_oracle() -> str:
+    parts = [
+        """
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS c,
+                  's:' || CAST(l.l_suppkey AS VARCHAR) AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+w0 AS (
+  SELECT DISTINCT src AS start, src AS cur, CAST(NULL AS VARCHAR) AS prev
+  FROM edges WHERE src LIKE 's:%'
+)"""
+    ]
+    for t in range(1, _N2V_STEPS + 1):
+        hops_in = ", ".join(f"w.hop{i}" for i in range(1, t))
+        hops_mid = ", ".join(f"hop{i}" for i in range(1, t))
+        sel_in = (hops_in + ", ") if hops_in else ""
+        sel_mid = (hops_mid + ", ") if hops_mid else ""
+        parts.append(
+            f""",
+w{t} AS (
+  SELECT start, {sel_mid}dst AS hop{t}, dst AS cur, cur AS prev
+  FROM (
+    SELECT x.*,
+           SUM(wt) OVER (PARTITION BY start ORDER BY dst
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(wt) OVER (PARTITION BY start) AS tot
+    FROM (
+      SELECT w.start, {sel_in}w.cur, w.prev, e.dst,
+             CAST(CASE WHEN w.prev IS NULL THEN 1
+                       WHEN e.dst = w.prev THEN {_N2V_W_RETURN}
+                       WHEN pe.src IS NOT NULL THEN {_N2V_W_COMMON}
+                       ELSE {_N2V_W_FAR} END AS BIGINT) AS wt
+      FROM w{t - 1} w
+      JOIN edges e ON e.src = w.cur
+      LEFT JOIN edges pe ON pe.src = w.prev AND pe.dst = e.dst
+    ) x
+  ) y
+  WHERE ('0x' || substr(md5('{_N2V_SEED}:' || start || ':' || {t} || ':'
+                            || cur || ':' || COALESCE(prev, '-')), 1, 8)
+        )::BIGINT % tot BETWEEN cum - wt AND cum - 1
+)"""
+        )
+    hops_out = ", ".join(f"hop{i}" for i in range(1, _N2V_STEPS + 1))
+    parts.append(f"\nSELECT start, {hops_out} FROM w{_N2V_STEPS}")
+    return "".join(parts)
+
+
+@register("graph_node2vec_walks", oracle=_n2v_oracle())
+def graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec SECOND-ORDER walks over the customer↔supplier graph —
+    ``graph_deterministic_walks`` upgraded with the return/in-out bias
+    that makes node2vec node2vec: the transition weight depends on the
+    PREVIOUS node (return to prev gets α=1/p, a neighbor that closes a
+    triangle with prev gets α=1, a farther node gets α=1/q; p={p},
+    q={q}, carried as the exact integers {wr}/{wc}/{wf} so the
+    cumulative-weight inversion is float-free), and the hash coin
+    includes prev so identical (cur, prev) states draw identical
+    transitions. One {n}-hop walk per supplier node, hop 1 uniform
+    (no prev yet).
+
+    Determinism/oracle: the coin is the md5-prefix integer mod the
+    integer weight total; the picked neighbor is the one whose
+    cumulative interval (dst-sorted per walk) contains the coin — the
+    DuckDB oracle replays the identical joins, CASE weights, window
+    cumsum and interval pick, hop by hop.
+
+    Scale: see ``node2vec_walk_frame`` — the extra cost over
+    first-order is exactly one (prev, dst) edge-set probe per hop."""
+    (orders, lineitem) = _t(spark, sf_dir, "orders", "lineitem")
+    pairs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("c AS src", "s AS dst").unionByName(
+        pairs.selectExpr("s AS src", "c AS dst")
+    ).transform(materialize)
+    starts = (
+        edges.filter(F.col("src").startswith("s:"))
+        .select(F.col("src").alias("start"))
+        .distinct()
+    )
+    return node2vec_walk_frame(edges, starts, _N2V_STEPS, _N2V_SEED)
+
+
+graph_node2vec_walks.__doc__ = graph_node2vec_walks.__doc__.format(
+    p=4, q=2, wr=_N2V_W_RETURN, wc=_N2V_W_COMMON, wf=_N2V_W_FAR, n=_N2V_STEPS
+)

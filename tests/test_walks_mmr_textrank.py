@@ -121,3 +121,96 @@ def test_adamic_adar_discounts_hub_customers(spark):
         assert [
             (r["u"], r["v"]) for r in by_cooc
         ] != [(r["u"], r["v"]) for r in by_aa]
+
+
+def test_node2vec_walks_follow_edges_and_alternate_sides(spark):
+    """Second-order walks: same edge-validity/reproducibility contract
+    as the first-order operator, over the same bipartite graph."""
+    rows1 = sorted(
+        tuple(r) for r in QUERIES["graph_node2vec_walks"](spark, SF_DIR).collect()
+    )
+    rows2 = sorted(
+        tuple(r) for r in QUERIES["graph_node2vec_walks"](spark, SF_DIR).collect()
+    )
+    assert rows1 == rows2 and rows1
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    pairs = {
+        (f"c:{r['o_custkey']}", f"s:{r['l_suppkey']}")
+        for r in orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .collect()
+    }
+    edges = pairs | {(b, a) for a, b in pairs}
+    for start, h1, h2, h3 in rows1:
+        assert (start, h1) in edges and (h1, h2) in edges and (h2, h3) in edges
+        assert start.startswith("s:") and h2.startswith("s:")
+        assert h1.startswith("c:") and h3.startswith("c:")
+
+
+def test_node2vec_bias_replays_python_mini_oracle(spark):
+    """The p,q bias is PINNED: on a toy triangle+tail graph a Python
+    replay of the exact algebra (md5 coin, integer weights 1/4/2 for
+    return/common/far, dst-sorted cumulative inversion) must equal
+    node2vec_walk_frame hop for hop — and the replay must hit at least
+    one mixed-weight state, so all three bias arms are exercised."""
+    import hashlib
+    from collections import defaultdict
+
+    from cam_location_addressing_feature_service_etl_spark.workload.graph import (
+        node2vec_walk_frame,
+    )
+
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    eset = set(und) | {(y, x) for x, y in und}
+    adj = defaultdict(list)
+    for x, y in sorted(eset):
+        adj[x].append(y)
+    steps, seed = 4, "toyseed"
+
+    def replay(start):
+        cur, prev, hops = start, None, []
+        mixed = 0
+        for t in range(1, steps + 1):
+            nbrs = sorted(adj[cur])
+            wts = [
+                1 if prev is None
+                else 1 if x == prev
+                else 4 if (prev, x) in eset
+                else 2
+                for x in nbrs
+            ]
+            if len(set(wts)) > 1:
+                mixed += 1
+            h = hashlib.md5(
+                f"{seed}:{start}:{t}:{cur}:{prev or '-'}".encode()
+            ).hexdigest()
+            c = int(h[:8], 16) % sum(wts)
+            cum = 0
+            for x, w in zip(nbrs, wts):
+                cum += w
+                if c < cum:
+                    nxt = x
+                    break
+            hops.append(nxt)
+            prev, cur = cur, nxt
+        return tuple(hops), mixed
+
+    starts = sorted(adj)
+    want, total_mixed = {}, 0
+    for s in starts:
+        hops, mixed = replay(s)
+        want[s] = hops
+        total_mixed += mixed
+    assert total_mixed > 0  # the bias arms actually fired
+
+    edges_df = spark.createDataFrame(sorted(eset), "src string, dst string")
+    starts_df = spark.createDataFrame([(s,) for s in starts], "start string")
+    got = {
+        r["start"]: tuple(r[f"hop{i}"] for i in range(1, steps + 1))
+        for r in node2vec_walk_frame(edges_df, starts_df, steps, seed).collect()
+    }
+    assert got == want
