@@ -40,27 +40,63 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (committed as PARITY_r{N}.txt) proves the full registry every round
 #: regardless.
 _PRIORITY = [
-    # --- r13 new + plan-changed (er_fs_em_train internals factored) ---
+    # --- r14 new + changed (gated near-dup edge stage, prefixed
+    # incremental fold, grouped MMR, node2vec walks, advice fixes) ---
+    "sim_mmr_rerank_grouped",
+    "graph_node2vec_walks",
+    "dedup_incremental_registry",
+    "dedup_cc_star_converged",
+    "dedup_cluster_canonical",
+    "dedup_connected_components",
+    "sample_split_leakfree",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_jaccard_boiler_prefix",
+    "text_textrank_keywords",
+    "a16_ddsketch_quantiles",
+    "sample_mix_epoch_plan",
+    # --- the r7/r8-stale tranche the r13 verdict named: o*/p*/u*/
+    # m1-m2/s7-s8 relational + snapshot rows and the a5-a14 sketch
+    # suite — oldest driver rows in the registry ---
+    "o1_latest_snapshot_top1",
+    "o2_limit_guard",
+    "p1_column_projection",
+    "p2_computed_projection",
+    "p3_typed_literal_filter",
+    "p4_anti_join_open_lifecycle",
+    "p5_incremental_predicate",
+    "p7_notnull_filter",
+    "p8_debug_subset_semijoin",
+    "u1_union_distinct",
+    "u2_carry_forward_reshape",
+    "u3_intersect_nations",
+    "u4_except_nations",
+    "u5_snapshot_diff",
+    "m1_upsert_last_write_wins",
+    "m2_upsert_reset_column",
+    "a5_approx_distinct_check",
+    "a6_approx_percentile_check",
+    "a7_sketch_union_reaggregate",
+    "a8_incremental_agg_merge",
+    "a9_key_skew_profile",
+    "a10_theta_audience_overlap",
+    "a11_kll_quantile_rollup",
+    "a12_cms_heavy_hitters",
+    "a13_theta_join_cardinality",
+    "a14_bloom_semijoin_prune",
+    # --- remaining names, prior order kept ---
     "ev_acf_lags",
     "a15_bootstrap_poisson_ci",
     "dq_constraint_suite",
     "graph_adamic_adar_linkpred",
-    "text_textrank_keywords",
     "ev_conversion_latency_histogram",
     "graph_deterministic_walks",
     "sim_mmr_rerank",
-    "a16_ddsketch_quantiles",
     "ev_seasonal_baseline_zscore",
     "dq_calibration_ece",
     "dq_classifier_agreement_kappa",
-    "sample_mix_epoch_plan",
-    "dedup_incremental_registry",
     "er_fs_decision_rule",
     "er_fs_decision_apply",
     "er_fs_em_train",
-    # --- the r5/r6-stale 36-query tranche the r12 verdict named:
-    # f*/d*/a1-a4/j1,j10,j11/m3/geo_pip-knn-geohash/graph_triangle-
-    # kcore-cosine/text_* statistics — none driver-sampled since r5/r6 ---
     "f1_f2_synthetic_keys",
     "f3_conditional_rewrite",
     "f5_vocab_lookup",
@@ -97,10 +133,7 @@ _PRIORITY = [
     "text_token_counts",
     "text_train_order_interleave",
     "text_unigram_logprob",
-    # --- remaining not-in-r12-sample names, prior order kept ---
     "ev_sliding_distinct_hll",
-    "a9_key_skew_profile",
-    "dedup_cc_star_converged",
     "agg_rollup_region_nation",
     "text_bigram_logprob",
     "text_pmi_collocations",
@@ -120,7 +153,6 @@ _PRIORITY = [
     "agg_top_revenue_segments",
     "graph_copurchase_cosine_dimsum",
     "sample_weighted_reservoir",
-    "sample_split_leakfree",
     "text_bm25_topk",
     "sample_importance_dsir",
     "sim_kmeans_assignments",
@@ -135,23 +167,8 @@ _PRIORITY = [
     "j7_anti_union_newkeys",
     "j8_update_join_enrich",
     "j9_lookup_join_miss_skip",
-    "m1_upsert_last_write_wins",
-    "m2_upsert_reset_column",
-    "o1_latest_snapshot_top1",
-    "o2_limit_guard",
-    "p1_column_projection",
-    "p2_computed_projection",
-    "p3_typed_literal_filter",
-    "p4_anti_join_open_lifecycle",
-    "p5_incremental_predicate",
-    "p7_notnull_filter",
-    "p8_debug_subset_semijoin",
     "pipeline_prune_enrich_composite",
     "text_fingerprint",
-    "u1_union_distinct",
-    "u2_carry_forward_reshape",
-    "u3_intersect_nations",
-    "u4_except_nations",
     "agg_grouping_sets",
     "ev_asof_salted",
     "ev_sessionize_salted",
@@ -159,12 +176,7 @@ _PRIORITY = [
     "ev_unpivot_metrics",
     "geo_bbox_filter",
     "geo_haversine_within",
-    "u5_snapshot_diff",
-    "a5_approx_distinct_check",
-    "a6_approx_percentile_check",
-    "dedup_connected_components",
     "dedup_incremental_minhash",
-    "dedup_ngram_jaccard_prefix",
     "dedup_semantic_embedding",
     "emb_ivfpq_index",
     "emb_pca_power_projection",
@@ -216,10 +228,8 @@ _PRIORITY = [
     "text_pack_sequences",
     "text_postings_index",
     "text_quality_score",
-    # --- sampled in r12 (back of rotation) ---
     "er_incremental_registry",
     "pii_t_closeness_audit",
-    "a14_bloom_semijoin_prune",
     "er_fellegi_sunter_scores",
     "dq_psi_drift",
     "dq_benford_audit",
@@ -235,15 +245,11 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_jaccard_boiler_naive",
-    "dedup_jaccard_boiler_prefix",
     "dedup_simhash",
     "dedup_exact_substring_spans",
     "dedup_minhash_estimate",
     "dedup_remove_spans",
-    "dedup_cluster_canonical",
-    "a7_sketch_union_reaggregate",
     "ev_scd2_state_intervals",
-    "a8_incremental_agg_merge",
     "ev_window_rank_suite",
     "ev_anomaly_mad_flags",
     "ev_attribution_window_join",
@@ -252,9 +258,6 @@ _PRIORITY = [
     "ev_gapfill_forward",
     "ev_rolling_mad_outliers",
     "ev_interval_overlap_join",
-    "a13_theta_join_cardinality",
-    "a12_cms_heavy_hitters",
-    "a11_kll_quantile_rollup",
     "ev_agg_pricing_summary",
     "ev_asof_last_purchase",
     "ev_event_transitions",
@@ -264,7 +267,6 @@ _PRIORITY = [
     "ev_user_value_quartiles",
     "ev_value_band_join",
     "ev_decayed_engagement",
-    "a10_theta_audience_overlap",
     "ev_sessionize_native_window",
 ]
 
