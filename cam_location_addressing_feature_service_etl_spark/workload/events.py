@@ -1299,6 +1299,155 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 dq_psi_drift.__doc__ = dq_psi_drift.__doc__.format(b=_PSI_BANDS)
 
 
+# ---------------------------------------------------------------------------
+# Kolmogorov–Smirnov two-sample drift (binless companion to PSI)
+# ---------------------------------------------------------------------------
+
+#: KS critical-value coefficient at alpha = 0.05 — one shared literal
+#: on both engines (the teleport-constant lesson)
+_KS_C_05 = 1.358
+
+
+def ks_value_counts(events_df: DataFrame) -> DataFrame:
+    """THE mergeable KS state form — per (event_type, centi-value)
+    ref/cur counts, ref = before the a8/PSI increment boundary. One
+    definition feeds the batch query, the streaming fold
+    (``streaming/ks.py``) and its read, so the value grid or the split
+    can never drift between the oracle-checked query and the standing
+    monitor. Centi-integer values make the ECDF grid an exact integer
+    key on both engines."""
+    return (
+        events_df.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+            (F.unix_millis("ts") < F.lit(_PSI_SPLIT_MS)).alias("is_ref"),
+        )
+        .groupBy("event_type", "v")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+
+
+def ks_table_from_counts(cnt: DataFrame) -> DataFrame:
+    """Derive the KS drift table from the mergeable counts — shared by
+    the batch query and the streaming monitor's read. D is computed in
+    EXACT integers: max |cum_ref·tot_cur − cum_cur·tot_ref| per type,
+    divided once at the end (both cum·tot products ≤ 10¹² at any
+    plausible per-type count, far inside bigint and exact-double
+    range); the α=0.05 gate rounds BOTH comparison operands to 6
+    digits (the DDSketch-tolerance discipline)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cnt.select(
+        "event_type",
+        F.sum("n_ref").over(w).cast("long").alias("cr"),
+        F.sum("n_cur").over(w).cast("long").alias("cc"),
+        F.sum("n_ref").over(wt).cast("long").alias("tr"),
+        F.sum("n_cur").over(wt).cast("long").alias("tc"),
+    )
+    agg = cum.groupBy("event_type").agg(
+        F.max(F.abs(F.col("cr") * F.col("tc") - F.col("cc") * F.col("tr"))).alias(
+            "num"
+        ),
+        F.max("tr").alias("n_ref"),
+        F.max("tc").alias("n_cur"),
+    )
+    nm = F.col("n_ref").cast("double") * F.col("n_cur")
+    ks = F.round(F.col("num").cast("double") / nm, 6)
+    crit = F.round(
+        F.lit(_KS_C_05) * F.sqrt((F.col("n_ref") + F.col("n_cur")) / nm), 6
+    )
+    return agg.filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0)).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        ks.alias("ks_stat"),
+        crit.alias("ks_crit_05"),
+        (ks > crit).alias("drift_flag"),
+    )
+
+
+@register(
+    "dq_ks_drift",
+    oracle=f"""
+WITH x AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+         CAST(epoch_ms(ts) AS BIGINT) < {_PSI_SPLIT_MS} AS is_ref
+  FROM events
+),
+cnt AS (
+  SELECT event_type, v,
+         CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM x GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type,
+         CAST(SUM(n_ref) OVER w AS BIGINT) AS cr,
+         CAST(SUM(n_cur) OVER w AS BIGINT) AS cc,
+         CAST(SUM(n_ref) OVER wt AS BIGINT) AS tr,
+         CAST(SUM(n_cur) OVER wt AS BIGINT) AS tc
+  FROM cnt
+  WINDOW w AS (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING),
+         wt AS (PARTITION BY event_type)
+),
+agg AS (
+  SELECT event_type,
+         CAST(MAX(ABS(cr * tc - cc * tr)) AS BIGINT) AS num,
+         MAX(tr) AS n_ref, MAX(tc) AS n_cur
+  FROM cum GROUP BY event_type
+)
+SELECT event_type, n_ref, n_cur,
+       ROUND(CAST(num AS DOUBLE) / (CAST(n_ref AS DOUBLE) * n_cur), 6)
+         AS ks_stat,
+       ROUND({_KS_C_05!r} * sqrt((n_ref + n_cur)
+             / (CAST(n_ref AS DOUBLE) * n_cur)), 6) AS ks_crit_05,
+       ROUND(CAST(num AS DOUBLE) / (CAST(n_ref AS DOUBLE) * n_cur), 6)
+         > ROUND({_KS_C_05!r} * sqrt((n_ref + n_cur)
+                 / (CAST(n_ref AS DOUBLE) * n_cur)), 6) AS drift_flag
+FROM agg WHERE n_ref > 0 AND n_cur > 0
+""",
+)
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift per event type — the
+    BINLESS companion to ``dq_psi_drift``: same reference/current
+    split (before/after the a8 increment boundary), but instead of
+    banding the value range it compares the full empirical CDFs —
+    D = max |F_ref(x) − F_cur(x)| over every observed value — so a
+    shift PSI's 10 fixed bands would smear (within-band drift, tail
+    moves) still registers. The α=0.05 gate is the classic
+    c(α)·√((n+m)/(n·m)) asymptotic critical value, c = {c}.
+
+    Exactness discipline: values land on the centi-integer grid
+    (exact on both engines), both ECDFs are integer window cumsums,
+    and D's numerator max |cum_ref·m − cum_cur·n| is pure bigint —
+    ONE division and ONE sqrt happen per event type at the very end,
+    with both gate operands rounded to 6 digits before the compare.
+
+    Scale: one partial-aggregatable groupBy to the (type, value)
+    grid — the state the streaming twin (``streaming/ks.py``) folds —
+    then a per-type window over grid-sized (not row-sized) data; the
+    whole query is distinct-value-priced, like every DQ monitor
+    here."""
+    return ks_table_from_counts(ks_value_counts(_events(spark, sf_dir)))
+
+
+dq_ks_drift.__doc__ = dq_ks_drift.__doc__.format(c=_KS_C_05)
+
+
 _CUSUM_K = 10_000  # centi allowance (100.00) — above the ~49.6 mean
 _CUSUM_H = 20_000  # centi alarm threshold (200.00)
 

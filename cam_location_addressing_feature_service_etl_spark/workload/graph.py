@@ -1043,6 +1043,14 @@ def node2vec_walk_frame(
 
 
 def _n2v_oracle() -> str:
+    hops_out = ", ".join(f"hop{i}" for i in range(1, _N2V_STEPS + 1))
+    return _n2v_cte() + f"\nSELECT start, {hops_out} FROM w{_N2V_STEPS}"
+
+
+def _n2v_cte() -> str:
+    """The WITH chain replaying the node2vec walk algebra through
+    ``w{_N2V_STEPS}`` — shared by the walk oracle and the skip-gram
+    corpus oracle."""
     parts = [
         """
 WITH pairs AS (
@@ -1090,8 +1098,6 @@ w{t} AS (
         )::BIGINT % tot BETWEEN cum - wt AND cum - 1
 )"""
         )
-    hops_out = ", ".join(f"hop{i}" for i in range(1, _N2V_STEPS + 1))
-    parts.append(f"\nSELECT start, {hops_out} FROM w{_N2V_STEPS}")
     return "".join(parts)
 
 
@@ -1138,4 +1144,87 @@ def graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 graph_node2vec_walks.__doc__ = graph_node2vec_walks.__doc__.format(
     p=4, q=2, wr=_N2V_W_RETURN, wc=_N2V_W_COMMON, wf=_N2V_W_FAR, n=_N2V_STEPS
+)
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram training pairs from the walk corpus — the step that turns
+# node2vec walks into the (center, context) corpus the embedding
+# trainer consumes
+# ---------------------------------------------------------------------------
+
+_SG_WINDOW = 2
+
+
+def _skipgram_oracle() -> str:
+    pos = ["start"] + [f"hop{i}" for i in range(1, _N2V_STEPS + 1)]
+    legs = []
+    for i in range(len(pos)):
+        for j in range(len(pos)):
+            if i != j and abs(i - j) <= _SG_WINDOW:
+                legs.append(f"SELECT {pos[i]} AS center, {pos[j]} AS context FROM seqs")
+    union = "\n  UNION ALL ".join(legs)
+    return f"""{_n2v_cte()},
+seqs AS (SELECT start, {", ".join(pos[1:])} FROM w{_N2V_STEPS}),
+prs AS (
+  {union}
+)
+SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM prs GROUP BY 1, 2
+"""
+
+
+@register("graph_walk_skipgram_pairs", oracle=_skipgram_oracle())
+def graph_walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair counts from the node2vec walk
+    corpus — the materialization step between walk generation and
+    embedding training: every walk position emits its neighbors within
+    ±{w} positions as ordered training pairs (both directions, the
+    word2vec convention), aggregated corpus-wide. Composes
+    ``graph_node2vec_walks`` exactly (same seed/bias algebra, so the
+    oracle replays the walks THEN the windowing — the full
+    walks→pairs pipeline is engine-checked end to end).
+
+    Scale: pair emission is a map-side explode of a per-walk struct
+    array (no join — positions are columns of the walk frame), and
+    the count is one partial-aggregatable groupBy on (center,
+    context) — vocabulary-sized output no matter how many walks;
+    longer walks or windows only widen the exploded array."""
+    (orders, lineitem) = _t(spark, sf_dir, "orders", "lineitem")
+    pairs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("c AS src", "s AS dst").unionByName(
+        pairs.selectExpr("s AS src", "c AS dst")
+    ).transform(materialize)
+    starts = (
+        edges.filter(F.col("src").startswith("s:"))
+        .select(F.col("src").alias("start"))
+        .distinct()
+    )
+    walks = node2vec_walk_frame(edges, starts, _N2V_STEPS, _N2V_SEED)
+    pos = ["start"] + [f"hop{i}" for i in range(1, _N2V_STEPS + 1)]
+    legs = [
+        F.struct(
+            F.col(pos[i]).alias("center"), F.col(pos[j]).alias("context")
+        )
+        for i in range(len(pos))
+        for j in range(len(pos))
+        if i != j and abs(i - j) <= _SG_WINDOW
+    ]
+    return (
+        walks.select(F.explode(F.array(*legs)).alias("pr"))
+        .select(F.col("pr.center").alias("center"), F.col("pr.context").alias("context"))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+graph_walk_skipgram_pairs.__doc__ = graph_walk_skipgram_pairs.__doc__.format(
+    w=_SG_WINDOW
 )
