@@ -44,6 +44,9 @@ _PRIORITY = [
     # incremental fold, grouped MMR, node2vec walks, advice fixes) ---
     "sim_mmr_rerank_grouped",
     "graph_node2vec_walks",
+    "graph_walk_skipgram_pairs",
+    "dq_ks_drift",
+    "sample_pack_concat_chunks",
     "dedup_incremental_registry",
     "dedup_cc_star_converged",
     "dedup_cluster_canonical",

@@ -3399,3 +3399,99 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_textrank_keywords.__doc__ = text_textrank_keywords.__doc__.format(
     n=_TR_ROUNDS, d=_TR_DAMP, k=_TR_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-and-chunk into fixed context windows
+# ---------------------------------------------------------------------------
+
+_PACK_L = 2048
+#: scan partitions of the two-phase cumsum (per-partition sums +
+#: broadcast prefix offsets); the offsets frame is <= this many rows
+_PACK_SCAN_PARTS = 32
+
+
+@register(
+    "sample_pack_concat_chunks",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({TOKENS_SQL.format(col='text')}) + 1 AS BIGINT) AS sz
+  FROM documents
+),
+c AS (
+  SELECT doc_id, sz,
+         CAST(SUM(sz) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM t
+)
+SELECT CAST((cum - sz) // {_PACK_L} AS BIGINT) AS window_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(sz) AS BIGINT) AS n_pack_tokens,
+       CAST(SUM(CASE WHEN (cum - sz) // {_PACK_L} <> (cum - 1) // {_PACK_L}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+FROM c GROUP BY 1
+""",
+)
+def sample_pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step every LLM training
+    pipeline runs between the document store and the trainer: docs in
+    deterministic doc_id order are concatenated (1 separator token
+    each) and sliced into fixed {l}-token context windows; the
+    manifest reports, per window, how many docs START there, their
+    token mass, and how many straddle a window boundary (the
+    cross-document-attention / truncation cost the packing strategy
+    trades against padding waste).
+
+    Spark-first global scan WITHOUT a global window: range-partition
+    by doc_id, ONE within-partition window cumsum, and a ≤{p}-row
+    per-partition-totals frame whose prefix offsets broadcast back —
+    the classic two-phase distributed scan. The offsets window is
+    over partition COUNTS (bounded metadata), never over rows, so no
+    stage sees the corpus single-threaded. Output is deterministic
+    regardless of where the sampled range boundaries land: a doc's
+    global cumsum is a pure function of the doc_id order.
+
+    The oracle states the same scan as one SQL running sum —
+    plan-free semantics, engine-checked window arithmetic."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id",
+        (F.size(tokens_col(F.col("text"))) + 1).cast("long").alias("sz"),
+    )
+    part = (
+        toks.repartitionByRange(_PACK_SCAN_PARTS, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .transform(materialize)
+    )
+    per = part.groupBy("pid").agg(F.sum("sz").alias("psum"))
+    wofs = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    ofs = per.select(
+        "pid", F.coalesce(F.sum("psum").over(wofs), F.lit(0)).alias("off")
+    )
+    w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = part.join(F.broadcast(ofs), "pid").select(
+        "sz", (F.sum("sz").over(w) + F.col("off")).alias("cum")
+    )
+    start_w = F.floor((F.col("cum") - F.col("sz")) / _PACK_L).cast("long")
+    end_w = F.floor((F.col("cum") - 1) / _PACK_L).cast("long")
+    return (
+        cum.select(
+            start_w.alias("window_id"),
+            "sz",
+            (start_w != end_w).cast("int").alias("crosses"),
+        )
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("sz").cast("long").alias("n_pack_tokens"),
+            F.sum("crosses").cast("long").alias("n_boundary_docs"),
+        )
+    )
+
+
+sample_pack_concat_chunks.__doc__ = sample_pack_concat_chunks.__doc__.format(
+    l=_PACK_L, p=_PACK_SCAN_PARTS
+)

@@ -45,6 +45,14 @@ _QUERIES = [
     "sim_ann_ivf_bucketed",
     "ev_acf_lags",
     "ev_sessionize_gap30",
+    # r14 widening: one decade point per new family — second-order
+    # walks + their skip-gram corpus, the grouped MMR fleet, the KS
+    # drift monitor, and the packing scan
+    "graph_node2vec_walks",
+    "graph_walk_skipgram_pairs",
+    "sim_mmr_rerank_grouped",
+    "dq_ks_drift",
+    "sample_pack_concat_chunks",
 ]
 
 _DIRS = [
