@@ -124,7 +124,13 @@ CARTESIAN = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
 #: above an orderBy().limit(k). Unbounded frames must use the
 #: windowless sorted-array rank in operators/topk.py instead. Keep
 #: EMPTY if at all possible.
-UNPARTITIONED_WINDOW_ALLOWED: dict[str, str] = {}
+UNPARTITIONED_WINDOW_ALLOWED: dict[str, str] = {
+    # two-phase distributed scan: the global window runs over the
+    # per-partition TOTALS frame (<= _PACK_SCAN_PARTS = 32 rows, one
+    # per scan partition — bounded metadata, never rows); the per-doc
+    # cumsum window is partitioned by pid
+    "sample_pack_concat_chunks": "offsets over <=32-row partition totals",
+}
 
 
 def _empty_partition_windows(logical_plan) -> list[str]:
