@@ -620,11 +620,10 @@ def near_dup_edges(
     a deployment caches per corpus snapshot; the decision is
     deterministic given the corpus, so replays/oracles are unaffected
     (both branches emit the same pair set)."""
-    sh = (
-        shingle_postings(df, id_col, text_col, shingle_n)
-        .repartition(F.col(id_col))
-        .transform(materialize)
-    )
+    # no doc-id repartition yet: the naive branch neither needs nor
+    # wants it (its self-join shuffles on the shingle); the prefix
+    # branch repartitions below, where the rank windows run
+    sh = shingle_postings(df, id_col, text_col, shingle_n).transform(materialize)
     freq = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -650,6 +649,7 @@ def near_dup_edges(
     ).collect()[0]["hc"]
     if hot is None or hot * 2.0 < st["coll"]:
         return _nj_pairs_naive(sh, id_col, threshold)
+    sh = sh.repartition(F.col(id_col)).transform(materialize)
     ranked = _nj_ranked_from_freq(sh, freq, id_col).transform(materialize)
     plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     st2 = ranked.agg(

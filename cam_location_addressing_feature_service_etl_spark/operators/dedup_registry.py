@@ -185,37 +185,59 @@ def dedup_fold_increment(
         postings.unionByName(bp)
         .groupBy("sh")
         .agg(F.count(F.lit(1)).alias("_df"))
-    )
-    wrank = Window.partitionBy(id_col).orderBy("_df", "sh")
-    wsz = Window.partitionBy(id_col)
-    plen = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
-    ranked = (
-        bp.join(dfreq, "sh")
-        .select(
-            id_col,
-            "sh",
-            F.row_number().over(wrank).alias("_rn"),
-            F.count(F.lit(1)).over(wsz).alias("_sz"),
-            "_df",
-        )
         .transform(materialize)
     )
-    # the gate: Σ df over ALL batch postings bounds the naive probe's
-    # collision output, Σ df over PREFIX postings bounds the prefix
-    # probe's — one bounded scalar action (the dedup.py convergence-
-    # check pattern); prefix must win by 4× to pay for its recount
-    # verify + extra stage boundaries. An all-hot corpus (the driver's
-    # fixed-31-word-vocab synthetic — no rare tail) picks naive; a
-    # boilerplate corpus (hot footer on a rich vocabulary) picks
-    # prefix, which is what keeps the fold FLAT where the naive probe
-    # grows ∝ corpus per fold (scripts/dedup_registry_growth.py).
-    st = ranked.agg(
-        F.sum("_df").alias("full"),
-        F.sum(F.when(F.col("_rn") <= plen, F.col("_df"))).alias("pre"),
+    # the gate, two-stage (near_dup_edges' economics, fold-local, with
+    # the naive path paying only the df aggregate it shares): first a
+    # df-profile SCREEN over dfreq alone — does a hot head
+    # (df ≥ max(20×mean, 10)) carry the majority of Σ df·(df−1)
+    # collision volume? An all-hot corpus (the driver's fixed-31-word-
+    # vocab synthetic — no rare tail) routes straight to naive and
+    # never builds the rank window. Only when a hot head dominates is
+    # the batch ranked, and the exact confirm (Σ df over PREFIX
+    # postings vs over ALL batch postings, the respective probe-output
+    # bounds) must show a 4× win — this catches docs whose boilerplate
+    # exceeds the 1−τ prefix fraction, where prefixes must keep hot
+    # shingles and prefix would pay its recount for nothing. Each
+    # stage is one bounded scalar action (the dedup.py convergence-
+    # check pattern). In the boilerplate regime the gate picks prefix,
+    # which is what keeps the fold FLAT where the naive probe grows
+    # ∝ corpus per fold (scripts/dedup_registry_growth.py).
+    dfd = F.col("_df").cast("double")
+    scr = dfreq.agg(
+        F.sum("_df").alias("p"),
+        F.count(F.lit(1)).alias("s"),
+        F.sum(dfd * (dfd - 1)).alias("coll"),
     ).collect()[0]
-    use_prefix = (
-        st["pre"] is not None and st["pre"] * 4.0 <= st["full"]
-    )
+    use_prefix = False
+    ranked = None
+    if scr["p"]:
+        hot_df = max(20.0 * scr["p"] / scr["s"], 10.0)
+        hot = dfreq.filter(F.col("_df") >= hot_df).agg(
+            F.sum(dfd * (dfd - 1)).alias("hc")
+        ).collect()[0]["hc"]
+        if hot is not None and hot * 2.0 >= scr["coll"]:
+            wrank = Window.partitionBy(id_col).orderBy("_df", "sh")
+            wsz = Window.partitionBy(id_col)
+            plen = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+            ranked = (
+                bp.join(dfreq, "sh")
+                .select(
+                    id_col,
+                    "sh",
+                    F.row_number().over(wrank).alias("_rn"),
+                    F.count(F.lit(1)).over(wsz).alias("_sz"),
+                    "_df",
+                )
+                .transform(materialize)
+            )
+            st = ranked.agg(
+                F.sum("_df").alias("full"),
+                F.sum(F.when(F.col("_rn") <= plen, F.col("_df"))).alias("pre"),
+            ).collect()[0]
+            use_prefix = (
+                st["pre"] is not None and st["pre"] * 4.0 <= st["full"]
+            )
     sizes = registry.select(F.col(id_col), "n_sh").unionByName(
         new_rows.select(id_col, "n_sh")
     )
