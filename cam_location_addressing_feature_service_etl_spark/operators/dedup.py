@@ -630,24 +630,32 @@ def near_dup_edges(
         .transform(materialize)
     )
     # collision volumes as doubles: gate heuristics, not results —
-    # exactness lives in the pair stages, which are identical-output
+    # exactness lives in the pair stages, which are identical-output.
+    # ONE bounded scalar action: the mean-df threshold comes from a
+    # broadcast 1-row totals frame so hot-head and total collision
+    # volume aggregate in the same job. Hotness is RELATIVE (20× the
+    # mean posting-list length): an absolute floor would blind the
+    # screen on small corpora where a footer shared by all N docs has
+    # df = N; the tiny floor of 10 only suppresses noise on toy inputs.
     dfd = F.col("df").cast("double")
-    st = freq.agg(
-        F.sum("df").alias("p"),
-        F.count(F.lit(1)).alias("s"),
-        F.sum(dfd * (dfd - 1)).alias("coll"),
-    ).collect()[0]
-    if not st["p"]:
-        return _nj_pairs_naive(sh, id_col, threshold)
-    # hotness is RELATIVE (20× the mean posting-list length): an
-    # absolute floor would blind the screen on small corpora where a
-    # footer shared by all N docs has df = N; the tiny floor of 10
-    # only suppresses noise on toy inputs
-    hot_df = max(20.0 * st["p"] / st["s"], 10.0)
-    hot = freq.filter(F.col("df") >= hot_df).agg(
-        F.sum(dfd * (dfd - 1)).alias("hc")
-    ).collect()[0]["hc"]
-    if hot is None or hot * 2.0 < st["coll"]:
+    tot = freq.agg(F.sum("df").alias("p"), F.count(F.lit(1)).alias("s"))
+    st = (
+        freq.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(dfd * (dfd - 1)).alias("coll"),
+            F.sum(
+                F.when(
+                    dfd
+                    >= F.greatest(
+                        F.lit(10.0), F.lit(20.0) * F.col("p") / F.col("s")
+                    ),
+                    dfd * (dfd - 1),
+                )
+            ).alias("hot"),
+        )
+        .collect()[0]
+    )
+    if st["hot"] is None or st["coll"] is None or st["hot"] * 2.0 < st["coll"]:
         return _nj_pairs_naive(sh, id_col, threshold)
     sh = sh.repartition(F.col(id_col)).transform(materialize)
     ranked = _nj_ranked_from_freq(sh, freq, id_col).transform(materialize)

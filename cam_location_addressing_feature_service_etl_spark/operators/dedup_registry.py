@@ -204,19 +204,27 @@ def dedup_fold_increment(
     # which is what keeps the fold FLAT where the naive probe grows
     # ∝ corpus per fold (scripts/dedup_registry_growth.py).
     dfd = F.col("_df").cast("double")
-    scr = dfreq.agg(
-        F.sum("_df").alias("p"),
-        F.count(F.lit(1)).alias("s"),
-        F.sum(dfd * (dfd - 1)).alias("coll"),
-    ).collect()[0]
+    tot = dfreq.agg(F.sum("_df").alias("p"), F.count(F.lit(1)).alias("s"))
+    scr = (
+        dfreq.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(dfd * (dfd - 1)).alias("coll"),
+            F.sum(
+                F.when(
+                    dfd
+                    >= F.greatest(
+                        F.lit(10.0), F.lit(20.0) * F.col("p") / F.col("s")
+                    ),
+                    dfd * (dfd - 1),
+                )
+            ).alias("hot"),
+        )
+        .collect()[0]
+    )
     use_prefix = False
     ranked = None
-    if scr["p"]:
-        hot_df = max(20.0 * scr["p"] / scr["s"], 10.0)
-        hot = dfreq.filter(F.col("_df") >= hot_df).agg(
-            F.sum(dfd * (dfd - 1)).alias("hc")
-        ).collect()[0]["hc"]
-        if hot is not None and hot * 2.0 >= scr["coll"]:
+    if scr["coll"] is not None:
+        if scr["hot"] is not None and scr["hot"] * 2.0 >= scr["coll"]:
             wrank = Window.partitionBy(id_col).orderBy("_df", "sh")
             wsz = Window.partitionBy(id_col)
             plen = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
