@@ -47,6 +47,7 @@ _PRIORITY = [
     "graph_walk_skipgram_pairs",
     "dq_ks_drift",
     "sample_pack_concat_chunks",
+    "dedup_shared_spans",
     "dedup_incremental_registry",
     "dedup_cc_star_converged",
     "dedup_cluster_canonical",

@@ -977,3 +977,56 @@ def remove_duplicated_spans(
         ),
         F.coalesce(F.col("cleaned_hash"), F.md5(F.lit(""))).alias("cleaned_hash"),
     )
+
+
+def shared_token_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_span: int = 8,
+) -> DataFrame:
+    """Pairwise maximal shared token runs (cross-document ExactSubstr
+    alignment) — see the registered ``dedup_shared_spans`` docstring
+    for semantics and the scale story. Returns
+    ``(id_a, id_b, start_a, start_b, span_tokens)``, starts 0-based,
+    ``id_a < id_b``, every run maximal on its diagonal."""
+    tokd = (
+        df.select(F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= k)
+        .transform(materialize)
+    )
+    kg = tokd.select(
+        "_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(_toks) - {k}), "
+                f"i -> struct(CAST(i AS BIGINT) AS pos, "
+                f"md5(array_join(slice(_toks, i + 1, {k}), ' ')) AS kg))"
+            )
+        ).alias("g"),
+    ).select("_id", F.col("g.pos").alias("pos"), F.col("g.kg").alias("kg"))
+    a = kg.select(F.col("_id").alias("id_a"), F.col("pos").alias("pa"), "kg")
+    b = kg.select(F.col("_id").alias("id_b"), F.col("pos").alias("pb"), "kg")
+    j = (
+        a.join(b, "kg")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("d"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "d").orderBy("pa")
+    runs = j.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    return (
+        runs.groupBy("id_a", "id_b", "d", "grp")
+        .agg(
+            F.min("pa").cast("long").alias("start_a"),
+            (F.count(F.lit(1)) + k - 1).cast("long").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span)
+        .select(
+            "id_a",
+            "id_b",
+            "start_a",
+            (F.col("start_a") - F.col("d")).cast("long").alias("start_b"),
+            "span_tokens",
+        )
+    )

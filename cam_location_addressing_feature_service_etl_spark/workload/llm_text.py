@@ -3495,3 +3495,85 @@ def sample_pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 sample_pack_concat_chunks.__doc__ = sample_pack_concat_chunks.__doc__.format(
     l=_PACK_L, p=_PACK_SCAN_PARTS
 )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact shared spans (pairwise ExactSubstr with
+# alignment: WHICH docs share WHICH maximal token runs, and where)
+# ---------------------------------------------------------------------------
+
+_SS_K = 5
+_SS_MIN_SPAN = 8
+
+
+@register(
+    "dedup_shared_spans",
+    oracle=f"""
+WITH tokl AS (
+  SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM documents
+),
+kg AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(toks[i + 1 : i + {_SS_K}], ' ')) AS kg
+  FROM tokl, UNNEST(generate_series(0, len(toks) - {_SS_K})) AS t(i)
+  WHERE len(toks) >= {_SS_K}
+),
+j AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.pos AS pa, a.pos - b.pos AS d
+  FROM kg a JOIN kg b ON a.kg = b.kg AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT id_a, id_b, d, pa,
+         pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, d
+                                 ORDER BY pa) AS grp
+  FROM j
+),
+s AS (
+  SELECT id_a, id_b, d, CAST(MIN(pa) AS BIGINT) AS start_a,
+         CAST(COUNT(*) + {_SS_K} - 1 AS BIGINT) AS span_tokens
+  FROM r GROUP BY id_a, id_b, d, grp
+)
+SELECT id_a, id_b, start_a, CAST(start_a - d AS BIGINT) AS start_b,
+       span_tokens
+FROM s WHERE span_tokens >= {_SS_MIN_SPAN}
+""",
+)
+def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRWISE exact shared-substring spans — the cross-document
+    alignment form of ExactSubstr dedup (Lee et al.): for every doc
+    pair, every MAXIMAL shared run of ≥ {m} tokens, with its 0-based
+    start position in both docs. ``duplicated_token_spans`` reports
+    each doc's duplicated COVERAGE (what to cut); this reports the
+    alignment (who shares what with whom — the evidence table a
+    dedup/licensing/contamination audit drills into).
+
+    Diagonal-islands algebra, no suffix array: a shared substring of
+    length L contributes L−{k}+1 matching {k}-gram alignments at
+    consecutive positions on ONE diagonal (pos_a − pos_b constant),
+    so maximal runs = consecutive-pos islands per (pair, diagonal) —
+    the pos − row_number() grouping trick, one window partitioned by
+    (pair, diagonal). Gram keys travel as md5 (32-byte exchange, the
+    duplicated_token_spans discipline).
+
+    Scale: the alignment join is bounded by Σ df(kg)² over {k}-gram
+    hashes. Unlike the Jaccard pair stage — where corpus-hot shingles
+    are NOISE to prune — a hot {k}-gram here IS the signal (the
+    shared boilerplate those audits hunt); the safety valve for a
+    pathological all-identical corpus is a df cap on gram hashes
+    (drop grams with df > D, losing only spans shared by > D docs —
+    report as a stop-gram ledger), the near_dup_edges gate discipline
+    applied lossy-with-a-ledger. At 100 TB the suffix-array
+    alternative trades this join for a global sort; the join form
+    shards on the gram hash and needs no order."""
+    from ..operators.dedup import shared_token_spans
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return shared_token_spans(
+        documents, "doc_id", "text", k=_SS_K, min_span=_SS_MIN_SPAN
+    )
+
+
+dedup_shared_spans.__doc__ = dedup_shared_spans.__doc__.format(
+    k=_SS_K, m=_SS_MIN_SPAN
+)

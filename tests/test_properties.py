@@ -912,3 +912,29 @@ def test_mmr_grouped_trajectories_valid(spark):
         assert first["mmr_score"] == first["relevance"]
         # relevance of pick 1 dominates the shortlist's later picks
         assert all(first["relevance"] >= p["relevance"] for p in picks)
+
+
+def test_shared_token_spans_maximal_alignment(spark):
+    """shared_token_spans (cross-doc ExactSubstr alignment): exactly
+    one MAXIMAL span per shared run per diagonal — sub-runs merge,
+    positions are 0-based in both docs, unrelated docs emit nothing."""
+    from cam_location_addressing_feature_service_etl_spark.operators.dedup import (
+        shared_token_spans,
+    )
+
+    docs = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y a b c d e f g h q r"),
+        (3, "zz ww vv uu tt ss rr qq"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = shared_token_spans(df, "doc_id", "text", k=5, min_span=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (
+        r["id_a"],
+        r["id_b"],
+        r["start_a"],
+        r["start_b"],
+        r["span_tokens"],
+    ) == (1, 2, 0, 2, 8)
