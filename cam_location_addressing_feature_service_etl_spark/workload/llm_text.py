@@ -1757,7 +1757,9 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     [first_block, last_block] span. One running-sum window partitioned
     by source — the packing key IS the partition key, so at 100 TB
     this is a single shuffle on source with no global ordering
-    bottleneck (the classic mistake is a corpus-wide window)."""
+    bottleneck (the classic mistake is a corpus-wide window). For the
+    keyless CORPUS-GLOBAL packing order see
+    ``sample_pack_concat_chunks`` (two-phase distributed scan)."""
     (documents,) = _t(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
@@ -3441,7 +3443,11 @@ def sample_pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest reports, per window, how many docs START there, their
     token mass, and how many straddle a window boundary (the
     cross-document-attention / truncation cost the packing strategy
-    trades against padding waste).
+    trades against padding waste). Sibling of ``text_pack_sequences``:
+    that one packs WITHIN each source (the packing key is a partition
+    key, one partitioned window); this one packs the WHOLE corpus in
+    one global id order — the shape with no partition key to hide
+    behind, which is exactly what the two-phase scan below exists for.
 
     Spark-first global scan WITHOUT a global window: range-partition
     by doc_id, ONE within-partition window cumsum, and a ≤{p}-row
