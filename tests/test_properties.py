@@ -869,9 +869,27 @@ def test_near_dup_edges_gate_picks_branch_and_output_invariant(spark):
         calls.append("prefix")
         return orig_prefix(*a, **k)
 
+    # third case: docs whose BOILERPLATE EXCEEDS the 1−τ prefix
+    # fraction (tiny 6-token content under the 13-token footer) — the
+    # screen sees a dominant hot head, but the exact confirm must
+    # discover the prefixes cannot shed it (every prefix keeps hot
+    # shingles) and route to naive anyway
+    tiny = [
+        (i, " ".join(f"t{i}x{j}" for j in range(6)) + footer)
+        for i in range(40)
+    ] + [
+        (100 + i, " ".join(f"t{i}x{j}" for j in range(5)) + footer)
+        for i in range(5)
+    ]
+    short_boiler = spark.createDataFrame(tiny, "id long, text string")
+
     dd._nj_pairs_naive, dd._nj_pairs_prefix = naive_spy, prefix_spy
     try:
-        for df, want_branch in ((rich, "naive"), (boiler, "prefix")):
+        for df, want_branch, min_pairs in (
+            (rich, "naive", 5),
+            (boiler, "prefix", 5),
+            (short_boiler, "naive", 1),
+        ):
             want = {
                 (r["id_a"], r["id_b"], r["jaccard"])
                 for r in dd.ngram_jaccard_pairs(df, "id", "text", 0.5).collect()
@@ -881,7 +899,7 @@ def test_near_dup_edges_gate_picks_branch_and_output_invariant(spark):
                 (r["id_a"], r["id_b"], r["jaccard"])
                 for r in dd.near_dup_edges(df, "id", "text", 0.5).collect()
             }
-            assert got == want and len(want) >= 5
+            assert got == want and len(want) >= min_pairs
             assert calls == [want_branch]
     finally:
         dd._nj_pairs_naive, dd._nj_pairs_prefix = orig_naive, orig_prefix
