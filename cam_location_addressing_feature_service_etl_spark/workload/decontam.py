@@ -46,6 +46,42 @@ _DC_THRESHOLD = 0.2
 _DC_BENCH_MOD = 97
 
 
+def contamination_stats(
+    bench: DataFrame,
+    docs: DataFrame | None = None,
+    postings: DataFrame | None = None,
+    threshold: float = _DC_THRESHOLD,
+) -> DataFrame:
+    """THE per-doc contamination derivation — the batch query and the
+    streaming monitor (``streaming/decontam.py``) both call this one
+    definition, so the n-gram width, hit rule and flag threshold can
+    never drift between the oracle-checked query and the standing
+    guard. ``bench`` is any frame with a ``shingle`` column (the
+    benchmark's distinct n-grams); pass ``postings`` when the caller
+    already materialized the corpus side's ``shingle_postings``.
+    Returns (doc_id, n_shingles, n_hit, contamination_rate,
+    contaminated)."""
+    sh = (
+        postings
+        if postings is not None
+        else shingle_postings(docs, "doc_id", "text", _DC_N)
+    )
+    b = bench.select("shingle").distinct().withColumn("_bench", F.lit(True))
+    rate = F.round(
+        F.count(F.when(F.col("_bench"), 1)) / F.count(F.lit(1)), 6
+    )
+    return (
+        sh.join(F.broadcast(b), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("_bench"), 1)).alias("n_hit"),
+            rate.alias("contamination_rate"),
+            (rate >= threshold).alias("contaminated"),
+        )
+    )
+
+
 @register(
     "text_contamination_ngram",
     oracle=f"""
@@ -86,26 +122,9 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # postings: materialize the tokenize+shingle+explode subtree once
     # (it runs twice otherwise — ~2× warm wall-time at sf0.1)
     sh = shingle_postings(documents, "doc_id", "text", _DC_N).transform(materialize)
-    bench = (
-        sh.filter(F.col("doc_id") % _DC_BENCH_MOD == 0)
-        .select("shingle")
-        .distinct()
-        .withColumn("_bench", F.lit(True))
-    )
+    bench = sh.filter(F.col("doc_id") % _DC_BENCH_MOD == 0).select("shingle")
     corpus = sh.filter(F.col("doc_id") % _DC_BENCH_MOD != 0)
-    rate = F.round(
-        F.count(F.when(F.col("_bench"), 1)) / F.count(F.lit(1)), 6
-    )
-    return (
-        corpus.join(F.broadcast(bench), "shingle", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.count(F.when(F.col("_bench"), 1)).alias("n_hit"),
-            rate.alias("contamination_rate"),
-            (rate >= _DC_THRESHOLD).alias("contaminated"),
-        )
-    )
+    return contamination_stats(bench, postings=corpus)
 
 
 text_contamination_ngram.__doc__ = text_contamination_ngram.__doc__.format(
