@@ -356,6 +356,18 @@ def _nj_pairs_naive(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
     return (
         inter.join(sz_a, "id_a")
         .join(sz_b, "id_b")
+        # AllPairs length filter, SAME predicate as the prefix stage
+        # (r15 ADVICE): both branches now share the full guarantee
+        # chain — length filter for J ≥ t exactly, plus the round-6
+        # compare. The two rules disagree only on a knife-edge pair
+        # whose exact J sits within 5e-7 BELOW t while min/max < t,
+        # which needs |A∪B| ≳ 2·10⁶ shingles in one document —
+        # unreachable at any tested scale; the filter makes the
+        # naive/prefix identical-output claim airtight rather than
+        # scale-conditional.
+        .filter(
+            F.greatest("sz_a", "sz_b") * threshold <= F.least("sz_a", "sz_b")
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
@@ -601,7 +613,7 @@ def near_dup_edges(
     nothing beyond the postings it needs anyway:
 
     1. df-profile screen — one aggregate over the per-shingle df
-       table: does a hot head (df ≥ max(20×mean, 100)) carry the
+       table: does a hot head (df ≥ max(20×mean, 10)) carry the
        MAJORITY of Σ df·(df−1) collision volume? If not, no prefix
        order can remove the dominant cost — run naive, never build
        the rank window.
@@ -979,24 +991,19 @@ def remove_duplicated_spans(
     )
 
 
-def shared_token_spans(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 5,
-    min_span: int = 8,
+def _gram_postings(
+    df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
-    """Pairwise maximal shared token runs (cross-document ExactSubstr
-    alignment) — see the registered ``dedup_shared_spans`` docstring
-    for semantics and the scale story. Returns
-    ``(id_a, id_b, start_a, start_b, span_tokens)``, starts 0-based,
-    ``id_a < id_b``, every run maximal on its diagonal."""
+    """Positional k-gram postings ``(_id, pos, kg)`` — kg the md5 of
+    the k consecutive tokens starting at 0-based ``pos``; docs shorter
+    than ``k`` tokens contribute nothing. Shared by the alignment join
+    and its stop-gram ledger."""
     tokd = (
         df.select(F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("_toks"))
         .filter(F.size("_toks") >= k)
         .transform(materialize)
     )
-    kg = tokd.select(
+    return tokd.select(
         "_id",
         F.explode(
             F.expr(
@@ -1006,6 +1013,69 @@ def shared_token_spans(
             )
         ).alias("g"),
     ).select("_id", F.col("g.pos").alias("pos"), F.col("g.kg").alias("kg"))
+
+
+def shared_span_stop_grams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    max_gram_df: int = 50,
+) -> DataFrame:
+    """The STOP-GRAM LEDGER of the capped alignment
+    (:func:`shared_token_spans` with ``max_gram_df``): every k-gram
+    hash whose posting count exceeds the cap, with its posting count
+    and the number of distinct docs carrying it — exactly what the cap
+    dropped from the join, reported instead of silently lost
+    (lossy-with-a-ledger, the ``near_dup_edges`` gate discipline).
+    Returns ``(kg, gram_df, n_docs)``."""
+    kg = _gram_postings(df, id_col, text_col, k)
+    return (
+        kg.groupBy("kg")
+        .agg(
+            F.count(F.lit(1)).alias("gram_df"),
+            F.count_distinct("_id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("gram_df") > max_gram_df)
+    )
+
+
+def shared_token_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_span: int = 8,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Pairwise maximal shared token runs (cross-document ExactSubstr
+    alignment) — see the registered ``dedup_shared_spans`` docstring
+    for semantics and the scale story. Returns
+    ``(id_a, id_b, start_a, start_b, span_tokens)``, starts 0-based,
+    ``id_a < id_b``, every run maximal on its diagonal.
+
+    ``max_gram_df`` is the SAFETY VALVE the uncapped form needs at
+    corpus scale (r14 verdict #2): the alignment join is bounded by
+    Σ df(kg)² over k-gram hashes, and on a real web corpus boilerplate
+    runs are universal — the uncapped join (and the uncapped OUTPUT,
+    which is Ω(doc-pairs sharing the hot footer)) both explode. With a
+    cap, gram hashes whose posting count exceeds ``max_gram_df`` are
+    dropped from the join BEFORE the pair stage (one aggregate over
+    the postings + a broadcast-scale anti join), so candidate volume
+    is bounded by Σ over df ≤ D of df² ≤ D · |postings|; a span crossing a
+    dropped gram splits (or falls under ``min_span``) — the loss is
+    exactly the spans shared hotter than the cap, and
+    :func:`shared_span_stop_grams` reports WHAT was dropped as a
+    ledger instead of losing it silently. ``None`` keeps the exact
+    uncapped semantics (audits of bounded pair sets, and the
+    registered uncapped query's oracle)."""
+    kg = _gram_postings(df, id_col, text_col, k)
+    if max_gram_df is not None:
+        gdf = kg.groupBy("kg").agg(F.count(F.lit(1)).alias("g_df"))
+        hot = gdf.filter(F.col("g_df") > max_gram_df).select("kg")
+        # the hot set is ≤ |postings| / max_gram_df rows — broadcast-
+        # scale by construction (AQE converts from its runtime size)
+        kg = kg.join(hot, "kg", "left_anti")
     a = kg.select(F.col("_id").alias("id_a"), F.col("pos").alias("pa"), "kg")
     b = kg.select(F.col("_id").alias("id_b"), F.col("pos").alias("pb"), "kg")
     j = (

@@ -4,7 +4,8 @@ production shape for continuous ingest, where the corpus keep-list
 accretes batch by batch and the near-dup clustering is NEVER re-run
 from zero (r12 verdict #3).
 
-Standing state, two tables:
+Standing state, three tables (the third is new in r15 — the r14
+verdict's #1):
 
 - the REGISTRY: one row per ingested document —
   ``(doc_id, n_tokens, n_sh, label, canonical_id, kept)`` where
@@ -15,29 +16,43 @@ Standing state, two tables:
 - the POSTINGS index: ``(doc_id, sh)`` — the md5 of each distinct
   token-shingle of each ingested document (the inverted-index side
   every future batch probes; md5 keys keep the exchange narrow, the
-  ``duplicated_token_spans`` discipline — at 100 TB swap xxhash64).
+  ``duplicated_token_spans`` discipline — at 100 TB swap xxhash64);
+- the DFREQ side state: ``(sh, df)`` — the accumulated document
+  frequency of every posted shingle. df is EXACTLY ADDITIVE across
+  folds (df' = df + df_batch; documents are never removed from
+  postings, so nothing is ever subtracted), which is what lets each
+  fold rank and gate WITHOUT re-aggregating the postings index — the
+  r14 fold's one ∝-corpus stage, now gone.
 
-Folding one batch of new documents:
+Folding one batch of new documents — every stage ∝ batch, the full
+corpus is only ever SCANNED (map-side, against a broadcast
+batch-derived frame), never shuffled:
 
 1. docs already registered are dropped (re-ingest is identity);
-2. the batch's postings probe the ACCUMULATED index (new×old) and the
+2. the batch's per-shingle df looks up the DFREQ state restricted to
+   the batch's shingles (broadcast semi — in the partitioned layout
+   this read prunes to the sh-hash buckets the batch touches) and
+   adds the batch's own counts: the merged df for batch shingles is
+   byte-identical to a groupBy over ``postings ∪ batch``;
+3. the batch's postings probe the ACCUMULATED index (new×old) and the
    batch's own postings (new×new) — through a MEASURED GATE between
    the naive count-join probe and ONE-SIDED prefix filtering (both
-   exact, see below); in the boilerplate regime the gate picks the
-   prefix probe, so candidate work is ∝ the batch's RARE-shingle
-   posting collisions, never corpus² and never hot-shingle df²;
-3. candidates verify with EXACT Jaccard (intersection counts from a
+   exact, see below); the probe joins carry the BATCH side as the
+   broadcast build (measured-count gated), so the index is streamed
+   once and shuffle volume is ∝ collisions in both regimes;
+4. candidates verify with EXACT Jaccard (intersection counts from a
    candidate-restricted postings join; set sizes from the registry
-   for old docs) — the same round-to-6 ≥ threshold rule as
-   ``ngram_jaccard_pairs``, so the emitted edge set is IDENTICAL to
-   a naive full-postings probe's;
-4. verified edges lift to the LABEL level and a bounded star-CC
+   for old docs) — the same AllPairs length filter + round-to-6 ≥
+   threshold rule IN BOTH BRANCHES (r15), so the emitted edge set is
+   identical whichever branch the gate picks;
+5. verified edges lift to the LABEL level and a bounded star-CC
    re-label merges touched components only (the mini-graph is ∝ batch
    edges — ``er_resolve_increment`` step 3);
-5. ``kept``/``canonical_id`` recompute ONLY for touched components
-   (new members, merges, or re-labels); untouched rows carry their
-   stored flags forward — which is what lets the partitioned
-   versioned state (``streaming/versioned.py``) skip their buckets.
+6. ``kept``/``canonical_id`` recompute ONLY for touched components;
+   untouched rows carry their stored flags forward (the registry is
+   anti-joined against the bounded touched-label set, map-side) —
+   which is what lets the partitioned versioned state
+   (``streaming/versioned.py``) skip their buckets.
 
 ONE-SIDED prefix filtering (the r13-verdict fix, composed so the
 boilerplate regime stays bounded): the index stores FULL postings
@@ -60,22 +75,32 @@ out of every probe, where the two-sided fixed-hash-order alternative
 of the hot shingles inside prefixes — a constant-factor reduction,
 still superlinear where its own growth probe blows up
 (``scripts/dedup_registry_growth.py`` measures both claims). The df
-snapshot is one partial-aggregatable groupBy over the index the fold
-already scans; at 100 TB df is ADDITIVE (df' = df + df_batch), so a
-deployment keeps it as a small side state instead of re-aggregating.
+values come from the ADDITIVE side state — never a postings
+re-aggregate — and the new state is the old state plus the batch's
+counts, merged only on the batch's shingles.
 
 The GATE (shared economics with ``operators/dedup.py
-near_dup_edges``): prefix filtering only pays when the corpus has a
-rare tail for hot shingles to fall behind. On an all-hot corpus (the
-driver's fixed-31-word-vocab synthetic; or documents whose boilerplate
-exceeds the 1−τ prefix fraction) the prefix still probes hot-ish
-shingles AND pays a per-candidate intersection recount the naive
-count-join gets for free — measured 4–8× slower for the identical
-edge set. Both probe volumes are exact one-scalar reads off the
-df-ranked batch postings (Σ df over all vs over prefix rows), so each
-fold picks the cheaper exact plan; mixing strategies across folds is
-immaterial to the reconciliation argument because every fold emits
-the same verified edge set either way.
+near_dup_edges``, evaluated over the BATCH's shingle-df profile — the
+probe whose cost it prices joins exactly those shingles): prefix
+filtering only pays when the batch's shingles have a rare tail for
+hot shingles to fall behind. On an all-hot profile (the driver's
+fixed-31-word-vocab synthetic; or documents whose boilerplate exceeds
+the 1−τ prefix fraction) the prefix still probes hot-ish shingles AND
+pays a per-candidate intersection recount the naive count-join gets
+for free — measured 4–8× slower for the identical edge set. Both
+probe volumes are exact one-scalar reads off the df-ranked batch
+postings (Σ df over all vs over prefix rows), so each fold picks the
+cheaper exact plan; mixing strategies across folds is immaterial to
+the reconciliation argument because every fold emits the same
+verified edge set either way.
+
+Branch alignment (r15 ADVICE): both branches now apply the AllPairs
+length filter (J ≥ τ ⇒ τ·max ≤ min) before the round-to-6 ≥ τ
+verify. The two rules disagree only on a knife-edge pair whose exact
+Jaccard sits within 5·10⁻⁷ BELOW τ while min/max < τ — which needs a
+single document of ≳ 2·10⁶ shingles; unreachable at any tested scale
+and excluded by contract, so "the same verified edge set either way"
+holds unconditionally rather than scale-conditionally.
 
 A cluster MERGE can DEMOTE a previously-kept document (its component
 gains a longer member) — the case a one-shot never sees; pinned in
@@ -93,7 +118,7 @@ reachability CTE + the canonical window).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -105,6 +130,16 @@ DEDUP_REGISTRY_SCHEMA = (
     "canonical_id bigint, kept boolean"
 )
 DEDUP_POSTINGS_SCHEMA = "doc_id bigint, sh string"
+DEDUP_DFREQ_SCHEMA = "sh string, df bigint"
+
+#: broadcast the batch-derived probe/lookup frames only while they are
+#: measurably bounded (rows; ~32-byte md5 keys ⇒ ≲ 150 MB at the cap).
+#: Above it the fold falls back to shuffle joins — correct either way,
+#: the hint is pure economics (the measured-count gate discipline).
+_FOLD_BCAST_MAX = 4_000_000
+#: broadcast cap for the bounded re-label / verify frames (edges,
+#: candidates, touched labels) — the dedup.py verify hint's 200k rule.
+_FOLD_BCAST_SMALL = 200_000
 
 
 def empty_dedup_registry(spark: SparkSession) -> DataFrame:
@@ -115,6 +150,125 @@ def empty_dedup_postings(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], DEDUP_POSTINGS_SCHEMA)
 
 
+def empty_dedup_dfreq(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], DEDUP_DFREQ_SCHEMA)
+
+
+def _maybe_bcast(df: DataFrame, small: bool) -> DataFrame | Column:
+    return F.broadcast(df) if small else df
+
+
+def _fold_pairs_prefix(
+    postings: DataFrame,
+    bp: DataFrame,
+    ranked: DataFrame,
+    plen: Column,
+    sz_a: DataFrame,
+    sz_b: DataFrame,
+    threshold: float,
+    id_col: str,
+    bcast_batch: bool,
+) -> DataFrame:
+    """ONE-SIDED prefix probe + exact verify — the fold's pair stage in
+    the boilerplate regime. One prefix probe against old ∪ batch
+    postings covers new×old and new×new; pairs canonicalize to
+    (min,max) — the edge set feeds symmetric CC, and the distinct
+    dedupes multi-shingle and both-endpoints-probing collisions so the
+    verify join counts each pair exactly once. The batch-prefix side is
+    the broadcast build (measured-count gated), so the accumulated
+    index is STREAMED, never shuffled: shuffle volume is the collision
+    output, ∝ the batch's rare-shingle collisions."""
+    a = ranked.filter(F.col("_rn") <= plen).select(
+        F.col(id_col).alias("id_a"), "sh"
+    )
+    pall = postings.unionByName(bp)
+    cand = (
+        _maybe_bcast(a, bcast_batch)
+        .join(pall.select(F.col(id_col).alias("id_b"), "sh"), "sh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+        )
+        .distinct()
+    )
+    # exact-Jaccard verify: the AllPairs length filter (J ≥ τ ⇒
+    # τ·max ≤ min) prunes before the intersection recount; the recount
+    # is the one-shot prefix variant's candidate-restricted count-join
+    # — |A| probe rows per pair, exact |A∩B| per survivor. The size
+    # join streams against the bounded candidate set (AQE broadcasts
+    # the small side from runtime stats — the registry is never
+    # hint-pinned because the CANDIDATES are the known-small side).
+    candf = (
+        cand.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .filter(
+            F.greatest("sz_a", "sz_b") * threshold
+            <= F.least("sz_a", "sz_b")
+        )
+        .transform(materialize)
+    )
+    small = candf.count() <= _FOLD_BCAST_SMALL
+    # b-side postings restricted to candidate endpoints FIRST (r15):
+    # without the semi, the (id_b, sh) equi-join shuffles the FULL
+    # accumulated index every fold — the scan is unavoidable in the
+    # in-memory form (the partitioned layout prunes it to the
+    # endpoints' doc-hash buckets), the shuffle is not.
+    ep_b = candf.select("id_b").distinct()
+    pa = pall.select(F.col(id_col).alias("id_a"), "sh")
+    pb = pall.select(F.col(id_col).alias("id_b"), "sh").join(
+        _maybe_bcast(ep_b, small), "id_b", "leftsemi"
+    )
+    return (
+        pa.join(_maybe_bcast(candf, small), "id_a")
+        .join(pb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
+def _fold_pairs_naive(
+    postings: DataFrame,
+    bp: DataFrame,
+    sz_a: DataFrame,
+    sz_b: DataFrame,
+    threshold: float,
+    id_col: str,
+    bcast_batch: bool,
+) -> DataFrame:
+    """Naive count-join probe: collision counts ARE the exact
+    intersections, no recount needed — the cheaper exact plan whenever
+    the prefix cannot prune (identical edge output). The batch side is
+    the broadcast build (measured-count gated): the accumulated index
+    is streamed map-side, and the only shuffle is the per-pair
+    partial-aggregated collision count."""
+    a = bp.select(F.col(id_col).alias("id_a"), "sh")
+    cross = (
+        _maybe_bcast(a, bcast_batch)
+        .join(postings.select(F.col(id_col).alias("id_b"), "sh"), "sh")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    within = (
+        a.join(bp.select(F.col(id_col).alias("id_b"), "sh"), "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        cross.unionByName(within)
+        .join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        # AllPairs length filter — same predicate as the prefix
+        # branch, so both branches share the full guarantee chain
+        # (module docstring: branch alignment, r15 ADVICE)
+        .filter(
+            F.greatest("sz_a", "sz_b") * threshold
+            <= F.least("sz_a", "sz_b")
+        )
+    )
+
+
 def dedup_fold_increment(
     registry: DataFrame,
     postings: DataFrame,
@@ -123,22 +277,32 @@ def dedup_fold_increment(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> tuple[DataFrame, DataFrame]:
+    dfreq: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Fold one batch of ``(doc_id, text)`` documents into the standing
-    registry + postings index; returns ``(new_registry,
-    new_postings)``. See the module docstring for the algorithm and
-    the order-independence argument.
+    registry + postings index + additive df side state; returns
+    ``(new_registry, new_postings, new_dfreq)``. See the module
+    docstring for the algorithm and the order-independence argument.
 
-    Scale: candidate generation joins the BATCH's PREFIX postings
-    (rarest ``(1−τ)·|sh|+1`` shingles under the fold's accumulated-df
-    order — one-sided PPJoin, module docstring) against the index, so
-    shuffle is ∝ the batch's rare-shingle collisions even when the
-    corpus carries hot boilerplate shingles; the re-label mini-graph
-    is ∝ batch edges; the kept/canonical window partitions by touched
-    component only. The full postings index is scanned per fold (df
-    snapshot + probe + verify — df is additive at deployment scale,
-    see module docstring); the write side is the partitioned
-    versioned layout's job (touched buckets only)."""
+    ``dfreq`` is the accumulated ``(sh, df)`` state from the previous
+    fold (``empty_dedup_dfreq`` for a fresh registry). Passing ``None``
+    derives it from ``postings`` with one aggregate — the MIGRATION
+    path for a state dir written before the df state existed; steady
+    state always threads it, because the derivation is the exact
+    ∝-corpus stage the side state eliminates (r14 verdict #1).
+
+    Scale: every stage is ∝ batch. The df lookup, the probe, the
+    verify restriction, and the untouched-row anti-join all carry a
+    bounded batch-derived frame as the broadcast build against the
+    corpus-sized state, so the state is SCANNED once per use, never
+    shuffled — and in the partitioned versioned layout those scans
+    prune to the buckets the batch's keys hash into. The re-label
+    mini-graph is ∝ batch edges; the kept/canonical window partitions
+    by touched component only. The returned states are LAZY: the new
+    postings are old ∪ batch, the new df state is the old state with
+    only the batch's shingle rows replaced (additive merge) — the
+    write side is the partitioned versioned layout's job (touched
+    buckets only)."""
     spark = batch.sparkSession
 
     # --- new documents only (re-ingest is identity) -------------------
@@ -160,6 +324,11 @@ def dedup_fold_increment(
     ).select(F.col(id_col), F.md5(F.col("shingle")).alias("sh")).transform(
         materialize
     )
+    # ONE bounded scalar sizes every batch-side broadcast decision
+    # (the measured-count hint gate); bp is materialized, so the count
+    # is a cache read, not a recompute
+    n_bp = bp.count()
+    bcast_batch = n_bp <= _FOLD_BCAST_MAX
     bsizes = bp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     new_rows = (
         toks.select(
@@ -174,47 +343,67 @@ def dedup_fold_increment(
         .transform(materialize)
     )
 
-    # --- candidate pairs incident to a new doc -------------------------
-    # rank each batch doc's shingles by ascending df over the
-    # ACCUMULATED index ∪ the batch (a shingle going hot inside this
-    # very batch must count too) — the rank feeds the one-sided PPJoin
-    # prefix probe AND the measured gate that decides whether that
-    # probe is worth its extra stages (module docstring; the
-    # near_dup_edges economics, fold-local)
-    dfreq = (
-        postings.unionByName(bp)
-        .groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("_df"))
+    # --- accumulated df for the batch's shingles (additive state) -----
+    # df over postings ∪ batch for a batch shingle = stored df + the
+    # batch's own count (df is additive; module docstring). The state
+    # is only ever restricted to the batch's shingles: a broadcast
+    # semi streams it map-side (bucket-pruned in the partitioned
+    # layout), so no fold stage aggregates or shuffles the index — the
+    # r14 fold's per-batch full-postings groupBy is gone.
+    if dfreq is None:
+        dfreq = postings.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    df_b = bp.groupBy("sh").agg(F.count(F.lit(1)).alias("_dfb"))
+    hit = dfreq.join(
+        _maybe_bcast(df_b.select("sh"), bcast_batch), "sh", "leftsemi"
+    )
+    merged_b = (
+        df_b.join(hit, "sh", "left")
+        .select(
+            "sh",
+            (F.coalesce(F.col("df"), F.lit(0)) + F.col("_dfb")).alias("_df"),
+        )
         .transform(materialize)
     )
-    # the gate, two-stage (near_dup_edges' economics, fold-local, with
-    # the naive path paying only the df aggregate it shares): first a
-    # df-profile SCREEN over dfreq alone — does a hot head
-    # (df ≥ max(20×mean, 10)) carry the majority of Σ df·(df−1)
-    # collision volume? An all-hot corpus (the driver's fixed-31-word-
-    # vocab synthetic — no rare tail) routes straight to naive and
-    # never builds the rank window. Only when a hot head dominates is
-    # the batch ranked, and the exact confirm (Σ df over PREFIX
-    # postings vs over ALL batch postings, the respective probe-output
-    # bounds) must show a 4× win — this catches docs whose boilerplate
-    # exceeds the 1−τ prefix fraction, where prefixes must keep hot
-    # shingles and prefix would pay its recount for nothing. Each
-    # stage is one bounded scalar action (the dedup.py convergence-
-    # check pattern). In the boilerplate regime the gate picks prefix,
-    # which is what keeps the fold FLAT where the naive probe grows
-    # ∝ corpus per fold (scripts/dedup_registry_growth.py).
+
+    # --- candidate pairs incident to a new doc -------------------------
+    # the gate, two-stage (near_dup_edges' economics, fold-local),
+    # evaluated over the BATCH-restricted df profile — exactly the
+    # shingles the probe will join, so the screen prices the actual
+    # probe: first a df-profile SCREEN over the batch's merged df —
+    # does a hot head (df ≥ max(20×MEDIAN, 10)) carry the majority of
+    # Σ df·(df−1) collision volume? The center is the MEDIAN, not the
+    # mean (which near_dup_edges' corpus-wide screen uses): a small
+    # near-dup batch's profile is DOMINATED by its own hot shingles —
+    # a 5-doc batch sharing one footer with a 45-doc corpus has a
+    # handful of df≈45 footer shingles against df≈2 content shingles,
+    # so the hot mass drags the mean (and a 20×mean cutoff) ABOVE the
+    # hot df itself, blinding the screen exactly in its target regime
+    # (measured in tests/test_dedup_registry.py's gate test); the
+    # median stays with the content tail. An all-hot profile (the
+    # driver's fixed-31-word-vocab synthetic — no rare tail) has
+    # median ≈ max df, routes straight to naive and never builds the
+    # rank window. Only when a hot head dominates is the batch ranked,
+    # and the exact confirm (Σ df over PREFIX postings vs over ALL
+    # batch postings, the respective probe-output bounds) must show a
+    # 4× win — this catches docs whose boilerplate exceeds the 1−τ
+    # prefix fraction, where prefixes must keep hot shingles and
+    # prefix would pay its recount for nothing. Each stage is one
+    # bounded scalar action over the batch-sized profile (the dedup.py
+    # convergence-check pattern). In the boilerplate regime the gate
+    # picks prefix, which is what keeps the fold FLAT where the naive
+    # probe grows ∝ corpus per fold (scripts/dedup_registry_growth.py).
     dfd = F.col("_df").cast("double")
-    tot = dfreq.agg(F.sum("_df").alias("p"), F.count(F.lit(1)).alias("s"))
+    tot = merged_b.agg(
+        F.percentile_approx("_df", 0.5).cast("double").alias("med")
+    )
     scr = (
-        dfreq.crossJoin(F.broadcast(tot))
+        merged_b.crossJoin(F.broadcast(tot))
         .agg(
             F.sum(dfd * (dfd - 1)).alias("coll"),
             F.sum(
                 F.when(
                     dfd
-                    >= F.greatest(
-                        F.lit(10.0), F.lit(20.0) * F.col("p") / F.col("s")
-                    ),
+                    >= F.greatest(F.lit(10.0), F.lit(20.0) * F.col("med")),
                     dfd * (dfd - 1),
                 )
             ).alias("hot"),
@@ -223,13 +412,13 @@ def dedup_fold_increment(
     )
     use_prefix = False
     ranked = None
+    plen = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
     if scr["coll"] is not None:
         if scr["hot"] is not None and scr["hot"] * 2.0 >= scr["coll"]:
             wrank = Window.partitionBy(id_col).orderBy("_df", "sh")
             wsz = Window.partitionBy(id_col)
-            plen = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
             ranked = (
-                bp.join(dfreq, "sh")
+                bp.join(_maybe_bcast(merged_b, bcast_batch), "sh")
                 .select(
                     id_col,
                     "sh",
@@ -252,74 +441,13 @@ def dedup_fold_increment(
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("sz_b"))
     if use_prefix:
-        # ONE prefix probe against old ∪ batch postings covers new×old
-        # and new×new; pairs canonicalize to (min,max) — the edge set
-        # feeds symmetric CC, and the distinct dedupes multi-shingle
-        # and both-endpoints-probing collisions so the verify join
-        # counts each pair exactly once
-        a = ranked.filter(F.col("_rn") <= plen).select(
-            F.col(id_col).alias("id_a"), "sh"
-        )
-        cand = (
-            a.join(
-                postings.unionByName(bp).select(
-                    F.col(id_col).alias("id_b"), "sh"
-                ),
-                "sh",
-            )
-            .filter(F.col("id_a") != F.col("id_b"))
-            .select(
-                F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
-                F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
-            )
-            .distinct()
-        )
-        # exact-Jaccard verify (ngram_jaccard_pairs' round-6 rule):
-        # the AllPairs length filter (J ≥ τ ⇒ τ·max ≤ min) prunes
-        # before the intersection recount; the recount is the one-shot
-        # prefix variant's candidate-restricted count-join — |A| probe
-        # rows per pair, exact |A∩B| per survivor. The broadcast hint
-        # is gated on a measured count (a multi-million-row hinted
-        # broadcast was measured at 30s where the shuffle join takes
-        # seconds).
-        candf = (
-            cand.join(sz_a, "id_a")
-            .join(sz_b, "id_b")
-            .filter(
-                F.greatest("sz_a", "sz_b") * threshold
-                <= F.least("sz_a", "sz_b")
-            )
-            .transform(materialize)
-        )
-        verify_probe = (
-            F.broadcast(candf) if candf.count() <= 200_000 else candf
-        )
-        pa = postings.unionByName(bp).select(F.col(id_col).alias("id_a"), "sh")
-        pb = postings.unionByName(bp).select(F.col(id_col).alias("id_b"), "sh")
-        scored = (
-            pa.join(verify_probe, "id_a")
-            .join(pb, ["id_b", "sh"])
-            .groupBy("id_a", "id_b", "sz_a", "sz_b")
-            .agg(F.count(F.lit(1)).alias("inter"))
+        scored = _fold_pairs_prefix(
+            postings, bp, ranked, plen, sz_a, sz_b, threshold, id_col,
+            bcast_batch,
         )
     else:
-        # naive count-join probe: collision counts ARE the exact
-        # intersections, no recount needed — the cheaper exact plan
-        # whenever the prefix cannot prune (identical edge output)
-        a = bp.select(F.col(id_col).alias("id_a"), "sh")
-        cross = (
-            a.join(postings.select(F.col(id_col).alias("id_b"), "sh"), "sh")
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-        within = (
-            a.join(bp.select(F.col(id_col).alias("id_b"), "sh"), "sh")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-        scored = (
-            cross.unionByName(within).join(sz_a, "id_a").join(sz_b, "id_b")
+        scored = _fold_pairs_naive(
+            postings, bp, sz_a, sz_b, threshold, id_col, bcast_batch
         )
     edges = (
         scored.filter(
@@ -337,10 +465,12 @@ def dedup_fold_increment(
     )
 
     # --- bounded label-level re-label (er_resolve_increment step 3) ----
-    labels_now = (
-        registry.select(id_col, "label")
-        .unionByName(new_rows.select(id_col, F.col(id_col).alias("label")))
-        .transform(materialize)
+    # edge endpoints need current labels: new docs start as their own
+    # label, old docs read the registry. The corpus-sized label frame
+    # is only ever joined against the bounded edge set (AQE broadcasts
+    # the small side from its runtime size), never shuffled by key.
+    labels_now = registry.select(id_col, "label").unionByName(
+        new_rows.select(id_col, F.col(id_col).alias("label"))
     )
     la = labels_now.select(F.col(id_col).alias("id_a"), F.col("label").alias("la"))
     lb = labels_now.select(F.col(id_col).alias("id_b"), F.col("label").alias("lb"))
@@ -353,66 +483,105 @@ def dedup_fold_increment(
     relabel = connected_components_star(lbl_edges).select(
         F.col("node").alias("old_lbl"), F.col("label").alias("new_lbl")
     ).transform(materialize)
-
-    doc_label = (
-        labels_now.join(relabel, labels_now["label"] == relabel["old_lbl"], "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("new_lbl"), labels_now["label"]).alias("label"),
-        )
-    )
-    doc_rows = (
-        registry.select(id_col, "n_tokens", "n_sh")
-        .unionByName(new_rows)
-        .join(doc_label, id_col)
-        .transform(materialize)
-    )
+    # the re-label map is ∝ the batch's verified-edge closure — one
+    # bounded scalar gates its broadcast use below (5 consumers)
+    small_rel = relabel.count() <= _FOLD_BCAST_SMALL
 
     # --- kept/canonical: recompute touched components only -------------
-    # touched = components that gained members (every new doc's final
-    # label) or merged/re-labeled (every re-label target — merge
-    # winners map to themselves in the star output, so the gaining
-    # side is covered)
+    # touched = components that gained members (every new doc's FINAL
+    # label — its own id mapped through the re-label) or merged/
+    # re-labeled (every re-label target — merge winners map to
+    # themselves in the star output, so the gaining side is covered).
+    # All bounded ∝ batch + batch edges; built WITHOUT materializing a
+    # corpus-wide label frame (the r14 fold attached new labels to
+    # every doc, then semi-joined — a ∝-corpus join per fold).
+    new_final = (
+        new_rows.select(F.col(id_col).alias("label"))
+        .join(
+            _maybe_bcast(relabel, small_rel),
+            F.col("label") == F.col("old_lbl"),
+            "left",
+        )
+        .select(F.coalesce("new_lbl", "label").alias("label"))
+    )
     touched = (
-        doc_rows.join(new_rows.select(id_col), id_col, "leftsemi")
-        .select("label")
-        .unionByName(relabel.select(F.col("new_lbl").alias("label")))
+        new_final.unionByName(relabel.select(F.col("new_lbl").alias("label")))
         .distinct()
         .transform(materialize)
     )
-    w = Window.partitionBy("label").orderBy(F.desc("n_tokens"), F.asc(id_col))
-    recomputed = (
-        doc_rows.join(touched, "label", "leftsemi")
+    # the anti-join set must ALSO cover the losing side of every
+    # merge: a registry row whose label was re-mapped carries the OLD
+    # label, which is not in `touched` (that holds merge WINNERS and
+    # new-doc labels) — without old_lbl here the row would survive the
+    # anti-join AND reappear re-labeled from the recompute (duplicate)
+    touched_old = touched.unionByName(
+        relabel.select(F.col("old_lbl").alias("label"))
+    ).distinct().transform(materialize)
+    # own measured gate: a batch of sub-shingle-length docs can make
+    # the touched-label set larger than the posting count n_bp bounds
+    small_t = touched_old.count() <= _FOLD_BCAST_MAX
+    # members of touched components: the registry restricted map-side
+    # (broadcast semi on the bounded touched-label set) and re-mapped
+    # through the re-label; plus every new doc under its final label
+    member_old = (
+        registry.select(id_col, "n_tokens", "n_sh", "label")
+        .join(_maybe_bcast(touched_old, small_t), "label", "leftsemi")
+        .join(
+            _maybe_bcast(relabel, small_rel),
+            F.col("label") == F.col("old_lbl"),
+            "left",
+        )
         .select(
             id_col,
             "n_tokens",
             "n_sh",
-            "label",
-            F.first(id_col).over(
-                w.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ).alias("canonical_id"),
-            (F.row_number().over(w) == 1).alias("kept"),
+            F.coalesce("new_lbl", "label").alias("label"),
         )
+    )
+    member_new = (
+        new_rows.join(
+            _maybe_bcast(relabel, small_rel),
+            new_rows[id_col] == F.col("old_lbl"),
+            "left",
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_sh",
+            F.coalesce(F.col("new_lbl"), F.col(id_col)).alias("label"),
+        )
+    )
+    doc_rows = member_old.unionByName(member_new)
+    w = Window.partitionBy("label").orderBy(F.desc("n_tokens"), F.asc(id_col))
+    recomputed = doc_rows.select(
+        id_col,
+        "n_tokens",
+        "n_sh",
+        "label",
+        F.first(id_col).over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("canonical_id"),
+        (F.row_number().over(w) == 1).alias("kept"),
     )
     # untouched components: labels unchanged (not re-labeled), members
     # unchanged (no new docs landed there) — stored flags stand. The
-    # anti-join set must ALSO cover the losing side of every merge:
-    # a registry row whose label was re-mapped carries the OLD label,
-    # which is not in `touched` (that holds merge WINNERS and new-doc
-    # labels) — without old_lbl here the row would survive the
-    # anti-join AND reappear re-labeled from the recompute (duplicate)
-    touched_old = touched.unionByName(
-        relabel.select(F.col("old_lbl").alias("label"))
-    )
-    untouched = registry.join(touched_old, "label", "left_anti").select(
-        id_col, "n_tokens", "n_sh", "label", "canonical_id", "kept"
-    )
+    # anti-join streams the registry against the bounded touched set.
+    untouched = registry.join(
+        _maybe_bcast(touched_old, small_t), "label", "left_anti"
+    ).select(id_col, "n_tokens", "n_sh", "label", "canonical_id", "kept")
     new_registry = untouched.unionByName(
         recomputed.select(
             id_col, "n_tokens", "n_sh", "label", "canonical_id", "kept"
         )
     )
     new_postings = postings.unionByName(bp)
-    return new_registry, new_postings
+    # additive df merge: only the batch's shingle rows change — the
+    # old rows for those shingles drop map-side (broadcast anti) and
+    # the merged rows append. In the partitioned layout only the
+    # batch's sh-hash buckets differ, so write-IO is ∝ touched buckets.
+    new_dfreq = dfreq.join(
+        _maybe_bcast(df_b.select("sh"), bcast_batch), "sh", "left_anti"
+    ).unionByName(merged_b.select("sh", F.col("_df").cast("long").alias("df")))
+    return new_registry, new_postings, new_dfreq

@@ -110,3 +110,38 @@ def lloyd(
             assignments.count()
         centroids = kmeans_update(v, assignments, round_digits)
     return assignments
+
+
+def lloyd_train(
+    vectors: DataFrame,
+    k: int,
+    iterations: int = 3,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Run ``iterations`` FULL assign+update rounds and return the
+    TRAINED centroids ``(cluster, c)`` — the IVF coarse quantizer's
+    training step (``sim_ann_ivf_trained`` composes these with
+    ``similarity.ivf_search``, the composition the r14 ANN probe named
+    as the quality dial). Same init / tie-break / rounding discipline
+    as :func:`lloyd`, so a fixed iteration count stays oracle-
+    unrollable. Clusters that lose all members simply drop out of the
+    mean aggregate (both engines agree — GROUP BY over members).
+
+    Scale: identical per-round plans to :func:`lloyd` — centroids
+    broadcast (k ≪ n), one argmin shuffle + one mean shuffle per
+    round; every round's assignments are persisted because each feeds
+    the next update."""
+    v = vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids = global_topk_ranked(
+        v, [(F.col("vec_id"), ASC)], k, ["v"], rank_name="rn"
+    ).select(
+        (F.col("rn") - 1).cast("int").alias("cluster"), F.col("v").alias("c")
+    )
+    for _ in range(iterations):
+        assignments = kmeans_assign(v, centroids, round_digits)
+        assignments = assignments.persist()
+        assignments.count()
+        centroids = kmeans_update(v, assignments, round_digits)
+    return centroids

@@ -43,9 +43,14 @@ def freeze_benchmark(bench_docs: DataFrame, ref_dir: str) -> None:
 def _merge_with(bench: DataFrame):
     def _merge(state: DataFrame, delta: DataFrame) -> DataFrame:
         fresh = contamination_stats(bench, docs=delta)
-        # one ledger row per doc: recomputed rows are identical by
-        # construction, so first-wins dedup after the union is a pure
-        # idempotence guard (re-ingest / replay), never a choice
+        # one ledger row per doc, DELTA WINS (r15 ADVICE): the prior
+        # row is anti-joined away before the union, so the merge has
+        # deterministic last-write-wins semantics. While the frozen
+        # benchmark never changes the two rows are identical and this
+        # is a pure replay/re-ingest idempotence guard — but if
+        # freeze_benchmark is ever re-run with a different reference
+        # set, the re-scored row deterministically replaces the stale
+        # one instead of an arbitrary dropDuplicates survivor.
         w_cols = [
             "doc_id",
             "n_shingles",
@@ -55,8 +60,8 @@ def _merge_with(bench: DataFrame):
         ]
         return (
             state.select(*w_cols)
-            .unionByName(fresh.select(*w_cols))
-            .dropDuplicates(["doc_id"])
+            .join(fresh.select("doc_id"), "doc_id", "left_anti")
+            .unionByName(fresh.select(*w_cols).dropDuplicates(["doc_id"]))
         )
 
     return _merge

@@ -368,6 +368,142 @@ def sim_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lloyd(embeddings, k=8, iterations=2, round_digits=6)
 
 
+_IVT_ROUNDS = 2
+_IVT_NPROBE = 2
+_IVT_K = 5
+_IVT_QUERIES = 10
+
+
+def _ivf_trained_oracle(
+    rounds: int = _IVT_ROUNDS,
+    nprobe: int = _IVT_NPROBE,
+    topk: int = _IVT_K,
+    n_queries: int = _IVT_QUERIES,
+) -> str:
+    """Trained-IVF oracle: unroll ``rounds`` Lloyd rounds (the
+    ``_kmeans_oracle`` CTE chain, extended one step to the centroid
+    MEANS after the final assignment), then replay the cosine cell
+    assignment and the nprobe search against those trained centroids.
+    Distances, means and cosines are rounded to 6 digits on both
+    engines; all ties break by cluster / neighbor id."""
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         e AS c
+  FROM v ORDER BY vec_id LIMIT {_KM_K}
+)""",
+    ]
+    prev = "c0"
+    for i in range(1, rounds + 1):
+        d = _KM_D.format(a="v.e", b=f"{prev}.c")
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, {prev}.cluster,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d} ASC, {prev}.cluster ASC) AS rn
+    FROM v CROSS JOIN {prev}
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""mem{i} AS (
+  SELECT a{i}.cluster,
+         unnest(range(1, len(v.e) + 1)) AS pos,
+         unnest(v.e) AS val
+  FROM a{i} JOIN v USING (vec_id)
+)""")
+        parts.append(f"""m{i} AS (
+  SELECT cluster, pos, ROUND(AVG(val), 6) AS m
+  FROM mem{i} GROUP BY cluster, pos
+)""")
+        parts.append(f"""c{i} AS (
+  SELECT cluster, list(m ORDER BY pos) AS c FROM m{i} GROUP BY cluster
+)""")
+        prev = f"c{i}"
+    cos_vc = _COS_SQL.format(a="v.e", b=f"{prev}.c")
+    cos_qc = _COS_SQL.format(a="q.qe", b=f"{prev}.c")
+    parts.append(f"""assigned AS (
+  SELECT vec_id, cluster, e FROM (
+    SELECT v.vec_id, {prev}.cluster, v.e,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_vc} DESC, {prev}.cluster ASC) AS rn
+    FROM v CROSS JOIN {prev}
+  ) WHERE rn = 1
+)""")
+    parts.append(
+        f"q AS (SELECT vec_id AS query_id, e AS qe FROM v "
+        f"WHERE vec_id < {n_queries})"
+    )
+    parts.append(f"""probes AS (
+  SELECT query_id, cluster, qe FROM (
+    SELECT q.query_id, {prev}.cluster, q.qe,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_qc} DESC, {prev}.cluster ASC) AS rn
+    FROM q CROSS JOIN {prev}
+  ) WHERE rn <= {nprobe}
+)""")
+    parts.append(f"""scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="p.qe", b="a.e")} AS cosine
+  FROM probes p JOIN assigned a
+    ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+)""")
+    parts.append("""ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)""")
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank"
+        f"\nFROM ranked WHERE rank <= {topk}"
+    )
+
+
+@register("sim_ann_ivf_trained", oracle=_ivf_trained_oracle())
+def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with TRAINED centroids — the production quality tier
+    the r14 ANN probe named: the fixed-first-8-vectors coarse
+    quantizer of ``sim_ann_ivf_bucketed`` is a demonstration (measured
+    recall@3 0.20–0.38 at nprobe=1); this query composes the SAME
+    bucketed search plan with k-means-trained centroids
+    (``operators/kmeans.py lloyd_train``, {r} Lloyd rounds, k={k}) and
+    nprobe={np} — the two dials that move recall, at UNCHANGED
+    join/window plan shape (centroids broadcast, members bucketed by
+    cell, exact top-{tk} over the probed cells). Queries are the same
+    {q} vectors as the brute-force baseline, so recall@k against
+    ``sim_cosine_topk_bruteforce`` is a direct row comparison —
+    ``scripts/ann_decade_probe.py`` measures it at 200k vectors
+    (SCALING.md). The oracle unrolls the Lloyd rounds as the
+    ``sim_kmeans_assignments`` CTE chain extended to the trained
+    centroid MEANS, then replays assignment + probe + search — every
+    distance/mean/cosine rounded to 6 digits on both engines.
+
+    Scale: training is per-round one broadcast-argmin + one partial-
+    aggregated mean (k ≪ n); search is the ``sim_ann_ivf_bucketed``
+    shape — at 100 TB the member side is stored bucketed by cell id
+    and a query touches nprobe buckets."""
+    from ..operators.kmeans import lloyd_train
+    from ..operators.similarity import ivf_search
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    cent = lloyd_train(
+        embeddings, k=_KM_K, iterations=_IVT_ROUNDS, round_digits=6
+    ).select(
+        F.col("cluster").cast("bigint").alias("vec_id"),
+        F.col("c").alias("embedding"),
+    )
+    cent = materialize(cent)
+    queries = embeddings.filter(F.col("vec_id") < _IVT_QUERIES)
+    return ivf_search(
+        embeddings, cent, queries, k=_IVT_K, nprobe=_IVT_NPROBE
+    )
+
+
+sim_ann_ivf_trained.__doc__ = sim_ann_ivf_trained.__doc__.format(
+    r=_IVT_ROUNDS, k=_KM_K, np=_IVT_NPROBE, tk=_IVT_K, q=_IVT_QUERIES
+)
+
+
 _SEMDEDUP_TAU = 0.3
 
 _SEMDEDUP_ORACLE = f"""

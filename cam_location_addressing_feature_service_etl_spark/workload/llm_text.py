@@ -2850,6 +2850,7 @@ def dedup_incremental_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, write-IO ∝ touched doc-hash buckets."""
     from ..operators.dedup_registry import (
         dedup_fold_increment,
+        empty_dedup_dfreq,
         empty_dedup_postings,
         empty_dedup_registry,
     )
@@ -2857,16 +2858,22 @@ def dedup_incremental_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     registry = empty_dedup_registry(spark)
     postings = empty_dedup_postings(spark)
+    # the additive df side state (r15): threading it between folds is
+    # what keeps each fold free of any ∝-corpus aggregate — the fold
+    # only ever looks its batch's shingles up in it
+    dfreq = empty_dedup_dfreq(spark)
     for i in range(3):
-        registry, postings = dedup_fold_increment(
+        registry, postings, dfreq = dedup_fold_increment(
             registry,
             postings,
             documents.filter(F.col("doc_id") % 3 == i),
             threshold=_CC_THRESHOLD,
             shingle_n=_NJ_SHINGLE_N,
+            dfreq=dfreq,
         )
         registry = materialize(registry)
         postings = materialize(postings)
+        dfreq = materialize(dfreq)
     return registry.select(
         "doc_id",
         F.col("label").alias("component_id"),
@@ -3481,8 +3488,13 @@ def sample_pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = part.join(F.broadcast(ofs), "pid").select(
         "sz", (F.sum("sz").over(w) + F.col("off")).alias("cum")
     )
-    start_w = F.floor((F.col("cum") - F.col("sz")) / _PACK_L).cast("long")
-    end_w = F.floor((F.col("cum") - 1) / _PACK_L).cast("long")
+    # integer DIV, not floor(double division) (r15 ADVICE): the
+    # running cumsum is exact long arithmetic end-to-end, so the
+    # window id matches the oracle's `//` algebra at ANY corpus size —
+    # a double division loses exactness once cum exceeds 2^53, which
+    # a 100 TB token count brushes against
+    start_w = F.expr(f"(cum - sz) DIV {_PACK_L}")
+    end_w = F.expr(f"(cum - 1) DIV {_PACK_L}")
     return (
         cum.select(
             start_w.alias("window_id"),
@@ -3582,4 +3594,116 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 dedup_shared_spans.__doc__ = dedup_shared_spans.__doc__.format(
     k=_SS_K, m=_SS_MIN_SPAN
+)
+
+
+#: gram-df cap of the CAPPED alignment variant — a k-gram hash posted
+#: more than this many times is a stop-gram, dropped from the join and
+#: reported in the ledger. 2 is deliberately tight for the synthetic
+#: fixture (max gram df at sf0.01 is 3, so the cap provably bites:
+#: 74 stop-grams, 25 → 22 spans); a production web corpus sets it to
+#: the df where posting lists stop being evidence and start being
+#: boilerplate (10²–10⁴).
+_SS_CAP = 2
+
+_SS_KG_CTE = f"""
+WITH tokl AS (
+  SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM documents
+),
+kg AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(toks[i + 1 : i + {_SS_K}], ' ')) AS kg
+  FROM tokl, UNNEST(generate_series(0, len(toks) - {_SS_K})) AS t(i)
+  WHERE len(toks) >= {_SS_K}
+)"""
+
+
+@register(
+    "dedup_shared_spans_capped",
+    oracle=_SS_KG_CTE + f""",
+hot AS (
+  SELECT kg FROM (SELECT kg, COUNT(*) AS c FROM kg GROUP BY kg)
+  WHERE c > {_SS_CAP}
+),
+kgf AS (SELECT * FROM kg WHERE kg NOT IN (SELECT kg FROM hot)),
+j AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.pos AS pa, a.pos - b.pos AS d
+  FROM kgf a JOIN kgf b ON a.kg = b.kg AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT id_a, id_b, d, pa,
+         pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, d
+                                 ORDER BY pa) AS grp
+  FROM j
+),
+s AS (
+  SELECT id_a, id_b, d, CAST(MIN(pa) AS BIGINT) AS start_a,
+         CAST(COUNT(*) + {_SS_K} - 1 AS BIGINT) AS span_tokens
+  FROM r GROUP BY id_a, id_b, d, grp
+)
+SELECT id_a, id_b, start_a, CAST(start_a - d AS BIGINT) AS start_b,
+       span_tokens
+FROM s WHERE span_tokens >= {_SS_MIN_SPAN}
+""",
+)
+def dedup_shared_spans_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_shared_spans`` with the df-cap safety valve ENGAGED
+    (r14 verdict #2 — the valve the uncapped docstring prescribed is
+    now real): k-gram hashes posted more than {cap} times are
+    stop-grams, dropped from the alignment join BEFORE the pair stage,
+    so candidate volume is bounded by Σ over df ≤ {cap} of df² ≤
+    {cap}·|postings| — LINEAR in the corpus — instead of Σ df(kg)²,
+    which on a boilerplate web corpus is Ω(doc-pairs) in the join AND
+    the output. What the cap drops is not lost: the companion ledger
+    query ``dedup_shared_span_stopgrams`` reports every dropped gram
+    with its posting and doc counts (lossy-with-a-ledger, the
+    near_dup_edges gate discipline). A span crossing a stop-gram
+    splits at it (or falls under the {m}-token floor) — the retained
+    spans are exactly the alignments evidenced by sub-cap grams.
+    SCALING.md measures the uncapped/capped growth A/B on a forced-
+    boilerplate corpus."""
+    from ..operators.dedup import shared_token_spans
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return shared_token_spans(
+        documents, "doc_id", "text",
+        k=_SS_K, min_span=_SS_MIN_SPAN, max_gram_df=_SS_CAP,
+    )
+
+
+dedup_shared_spans_capped.__doc__ = dedup_shared_spans_capped.__doc__.format(
+    cap=_SS_CAP, m=_SS_MIN_SPAN
+)
+
+
+@register(
+    "dedup_shared_span_stopgrams",
+    oracle=_SS_KG_CTE + f"""
+SELECT kg, gram_df, n_docs FROM (
+  SELECT kg, CAST(COUNT(*) AS BIGINT) AS gram_df,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM kg GROUP BY kg
+) WHERE gram_df > {_SS_CAP}
+""",
+)
+def dedup_shared_span_stopgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stop-gram LEDGER of ``dedup_shared_spans_capped``: every
+    k-gram hash the cap dropped from the alignment join, with its
+    posting count and distinct-doc count — the audit artifact that
+    makes the cap lossy-with-a-ledger instead of silently lossy (a
+    reviewer reads the ledger to decide whether a dropped gram was
+    boilerplate or evidence, and re-runs capped higher if the latter).
+    One partial-aggregated groupBy over the gram postings; the ledger
+    is ≤ |postings|/{cap} rows by construction."""
+    from ..operators.dedup import shared_span_stop_grams
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return shared_span_stop_grams(
+        documents, "doc_id", "text", k=_SS_K, max_gram_df=_SS_CAP
+    )
+
+
+dedup_shared_span_stopgrams.__doc__ = (
+    dedup_shared_span_stopgrams.__doc__.format(cap=_SS_CAP)
 )

@@ -179,6 +179,47 @@ def main() -> int:
         f"(nprobe=1, incl. assign) {dt_ivf:.1f}s = x{dt_brute / dt_ivf:.2f}; "
         f"recall@3 {hit}/{len(exact_fleet)} ({hit / len(exact_fleet):.3f})"
     )
+
+    # --- TRAINED centroids (r14 verdict #4: the registered quality
+    # tier, sim_ann_ivf_trained): k-means coarse quantizer + nprobe
+    # dial, recall@3 vs the same exact fleet answer. The generator's
+    # embedding space has 10 latent clusters, so trained k=8 centroids
+    # land on real density modes where the first-8-vectors quantizer
+    # of the demo rows above lands on arbitrary points.
+    from cam_location_addressing_feature_service_etl_spark.operators.kmeans import (
+        lloyd_train,
+    )
+    from cam_location_addressing_feature_service_etl_spark.operators.similarity import (
+        ivf_search,
+    )
+    from cam_location_addressing_feature_service_etl_spark.workload.llm_similarity import (
+        _IVT_ROUNDS,
+    )
+
+    t0 = time.perf_counter()
+    cent = lloyd_train(
+        members, k=_IVF_CENTROIDS, iterations=_IVT_ROUNDS, round_digits=6
+    ).select(
+        F.col("cluster").cast("bigint").alias("vec_id"),
+        F.col("c").alias("embedding"),
+    ).localCheckpoint()
+    dt_train = time.perf_counter() - t0
+    print(f"lloyd_train k={_IVF_CENTROIDS} rounds={_IVT_ROUNDS}: {dt_train:.1f}s")
+    for nprobe in (1, 2, 4):
+        t0 = time.perf_counter()
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_search(
+                members, cent, queries, k=3, nprobe=nprobe
+            ).collect()
+        }
+        dt = time.perf_counter() - t0
+        hit = len(exact_fleet & got)
+        print(
+            f"trained IVF nprobe={nprobe} fleet@200k: {dt:6.1f}s  "
+            f"recall@3 {hit}/{len(exact_fleet)} "
+            f"({hit / len(exact_fleet):.3f})"
+        )
     spark.stop()
     return 0
 

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from cam_location_addressing_feature_service_etl_spark.operators.dedup_registry import (
     dedup_fold_increment,
+    empty_dedup_dfreq,
     empty_dedup_postings,
     empty_dedup_registry,
 )
@@ -176,15 +177,21 @@ def _boiler_probe(spark) -> None:
         base = _boiler(_docs(spark, n, tokens=_BOILER_TOKENS)).localCheckpoint()
         registry = empty_dedup_registry(spark)
         postings = empty_dedup_postings(spark)
-        registry, postings = dedup_fold_increment(registry, postings, base)
+        dfreq = empty_dedup_dfreq(spark)
+        registry, postings, dfreq = dedup_fold_increment(
+            registry, postings, base, dfreq=dfreq
+        )
         registry = registry.localCheckpoint()
         postings = postings.localCheckpoint()
+        dfreq = dfreq.localCheckpoint()
         batch = _boiler(
             _batch(spark, n, tokens=_BOILER_TOKENS)
         ).localCheckpoint()
 
         t0 = time.perf_counter()
-        out_reg, _ = dedup_fold_increment(registry, postings, batch)
+        out_reg, _, _ = dedup_fold_increment(
+            registry, postings, batch, dfreq=dfreq
+        )
         n_out = out_reg.count()
         dt_prefix = time.perf_counter() - t0
 
@@ -221,16 +228,23 @@ def main() -> int:
         base = _docs(spark, n).localCheckpoint()
         registry = empty_dedup_registry(spark)
         postings = empty_dedup_postings(spark)
-        registry, postings = dedup_fold_increment(registry, postings, base)
+        dfreq = empty_dedup_dfreq(spark)
+        registry, postings, dfreq = dedup_fold_increment(
+            registry, postings, base, dfreq=dfreq
+        )
         registry = registry.localCheckpoint()
         postings = postings.localCheckpoint()
+        dfreq = dfreq.localCheckpoint()
         n_reg = registry.count()
         batch = _batch(spark, n).localCheckpoint()
         n_batch = batch.count()
 
-        # (a) compute: in-memory fold wall time
+        # (a) compute: in-memory fold wall time (df side state threaded
+        # — the steady-state shape; no fold stage aggregates postings)
         t0 = time.perf_counter()
-        out_reg, _ = dedup_fold_increment(registry, postings, batch)
+        out_reg, _, _ = dedup_fold_increment(
+            registry, postings, batch, dfreq=dfreq
+        )
         n_out = out_reg.count()
         dt = time.perf_counter() - t0
 
