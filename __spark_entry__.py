@@ -40,27 +40,226 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (committed as PARITY_r{N}.txt) proves the full registry every round
 #: regardless.
 _PRIORITY = [
-    # --- r14 new + changed (gated near-dup edge stage, prefixed
-    # incremental fold, grouped MMR, node2vec walks, advice fixes) ---
-    "sim_mmr_rerank_grouped",
-    "graph_node2vec_walks",
-    "graph_walk_skipgram_pairs",
-    "dq_ks_drift",
-    "sample_pack_concat_chunks",
-    "dedup_shared_spans",
+    # --- r15 new + changed (hybrid RRF fusion, cross-corpus doc
+    # decontam, salted source cap, trained IVF, capped shared spans,
+    # additive-df incremental fold, naive-branch AllPairs filter) ---
+    "sim_rrf_fusion",
+    "dedup_cross_corpus",
+    "sample_source_cap",
+    "sim_ann_ivf_trained",
+    "dedup_shared_spans_capped",
+    "dedup_shared_span_stopgrams",
     "dedup_incremental_registry",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_boiler_naive",
+    "sample_pack_concat_chunks",
+    "dedup_connected_components",
     "dedup_cc_star_converged",
     "dedup_cluster_canonical",
-    "dedup_connected_components",
-    "sample_split_leakfree",
-    "dedup_ngram_jaccard_prefix",
-    "dedup_jaccard_boiler_prefix",
-    "text_textrank_keywords",
+    # --- the stalest driver rows, oldest round first: r5 + r6 + r9
+    # in full (the r14 verdict's #3 rotation), then r10 fills the
+    # 50-sample; the remainder keeps strict staleness order so the
+    # next rotation reads straight off this list ---
+    "text_token_counts",
+    "text_train_order_interleave",
+    "text_unigram_logprob",
+    "agg_rollup_region_nation",
+    "emb_matryoshka_recall",
+    "geo_zorder_layout",
+    "sim_ann_ivf_nprobe2",
+    "text_bigram_logprob",
+    "text_pmi_collocations",
+    "text_shard_manifest",
+    "agg_cube_order_status",
+    "agg_top_revenue_segments",
+    "emb_ivfpq_incremental",
+    "ev_sliding_distinct_hll",
+    "geo_fence_transitions",
+    "geo_fuzzy_match_blocked",
+    "geo_nearest_within_radius",
+    "graph_copurchase_cosine_dimsum",
+    "sample_cluster_diversity",
+    "sample_importance_dsir",
+    "sample_weighted_reservoir",
+    "sim_ann_ivfpq_filtered",
+    "sim_ann_ivfpq_rerank",
+    "sim_ann_ivfpq_search",
+    "sim_kmeans_assignments",
+    "text_bm25_topk",
+    "text_vocab_coverage",
+    "agg_grouping_sets",
+    "dedup_incremental_minhash",
+    "dedup_semantic_embedding",
+    "emb_ivfpq_index",
+    "emb_pca_power_projection",
+    "emb_pq_codes",
+    "ev_asof_salted",
+    "ev_retention_cohorts",
+    "ev_sessionize_gap30",
+    "ev_sessionize_salted",
+    "ev_sliding_value_30min",
+    "ev_tumbling_window_hourly",
+    "ev_unpivot_metrics",
+    "geo_bbox_filter",
+    "geo_haversine_within",
+    "graph_label_propagation",
+    "j2_optional_left_join",
+    "j3_values_batch_semijoin",
+    "j5_left_join_unmapped",
+    "j6_prune_keep_semi",
+    "j7_anti_union_newkeys",
+    "j8_update_join_enrich",
+    "j9_lookup_join_miss_skip",
+    "pii_k_anonymity_audit",
+    "pipeline_prune_enrich_composite",
+    "sim_semdedup_prune",
+    "text_fingerprint",
+    "agg_corr_price_quantity",
+    "dq_profile_orders",
+    "ev_ewma_value",
+    "ev_user_running_total",
+    "flagship_current_address",
+    "geo_gridcell_agg",
+    "geo_locality_assign_banded",
+    "geo_locality_assign_nearest_fallback",
+    "graph_pagerank_3round",
+    "llm_corpus_prep_composite",
+    "m7_cdc_apply_tombstones",
+    "m8_time_travel_asof",
+    "mm_audio_frame_plan",
+    "mm_decode_image_meta",
+    "mm_frame_sample",
+    "mm_phash_near_dup",
+    "mm_resize_plan",
+    "mv_max_maintenance_targeted",
+    "mv_retractable_agg_maintenance",
+    "pii_dp_bounded_contribution",
+    "pii_l_diversity_audit",
+    "pii_redact_props",
+    "sample_quality_weighted",
+    "sample_stratified_hash",
+    "sample_temperature_mix",
+    "sim_ann_ivf_bucketed",
+    "sim_cosine_topk_bruteforce",
+    "sim_embedding_neardup",
+    "sim_embedding_quantize_int8",
+    "sim_hard_negative_mining",
+    "sim_lsh_hyperplane",
+    "text_bpe_encode",
+    "text_bpe_merge_rules",
+    "text_bpe_pair_stats",
+    "text_chunk_for_training",
+    "text_contamination_ngram",
+    "text_langid",
+    "text_length_quantiles",
+    "text_lr_quality_classifier",
+    "text_nb_incremental_train",
+    "text_nb_langid_classifier",
+    "text_pack_sequences",
+    "text_postings_index",
+    "text_quality_score",
+    "agg_woe_price_bins",
+    "dedup_exact_hash",
+    "dedup_exact_substring_spans",
+    "dedup_minhash_estimate",
+    "dedup_minhash_lsh",
+    "dedup_remove_spans",
+    "dedup_simhash",
+    "dq_benford_audit",
+    "dq_psi_drift",
+    "er_fellegi_sunter_scores",
+    "er_incremental_registry",
+    "er_resolve_entities",
+    "ev_agg_pricing_summary",
+    "ev_anomaly_mad_flags",
+    "ev_asof_last_purchase",
+    "ev_attribution_window_join",
+    "ev_cusum_drift",
+    "ev_decayed_engagement",
+    "ev_event_transitions",
+    "ev_ewma_dyadic",
+    "ev_funnel_conversion",
+    "ev_gapfill_forward",
+    "ev_interval_overlap_join",
+    "ev_latency_percentiles",
+    "ev_pivot_type_counts",
+    "ev_rolling_mad_outliers",
+    "ev_scd2_state_intervals",
+    "ev_sessionize_native_window",
+    "ev_user_value_quartiles",
+    "ev_value_band_join",
+    "ev_value_histogram",
+    "ev_window_rank_suite",
+    "geo_fuzzy_link_feed",
+    "geo_fuzzy_link_feed_full",
+    "geo_fuzzy_link_feed_multiblock",
+    "geo_locality_assign_holes",
+    "graph_pointer_jump_roots",
+    "pii_t_closeness_audit",
+    "a1_grouped_max_latest",
+    "a1_latest_row_window",
+    "a2_count_with_predicate",
+    "a4_rowcount_delta",
+    "d1_distinct_projection",
+    "d2_first_wins_dedup",
+    "d3_distinct_keys_sorted",
+    "d4_distinct_values_pushdown",
+    "dq_calibration_ece",
+    "dq_classifier_agreement_kappa",
+    "er_fs_decision_apply",
+    "er_fs_decision_rule",
+    "er_fs_em_train",
+    "f11_prefix_ops",
+    "f12_validation_checks",
+    "f1_f2_synthetic_keys",
+    "f3_conditional_rewrite",
+    "f5_vocab_lookup",
+    "f6_normalize_initialism",
+    "f7_string_casts",
+    "f8_f9_f10_time_suite",
+    "f_json_extract_props",
+    "geo_geohash_agg",
+    "geo_knn_topk",
+    "geo_point_in_polygon",
+    "geo_point_in_polygon_raycast",
+    "graph_copurchase_cosine",
+    "graph_kcore_peel3",
+    "graph_triangle_counts",
+    "j10_cache_merge_fetched_wins",
+    "j11_fuzzy_blocked_match",
+    "j1_multiway_equijoin",
+    "m3_stable_surrogate_ids",
+    "text_repetition_ratio",
+    "text_shingle_containment",
+    "text_tfidf_topk",
+    "text_winnow_fingerprint",
+    "text_zipf_slope",
+    "a10_theta_audience_overlap",
+    "a11_kll_quantile_rollup",
+    "a12_cms_heavy_hitters",
+    "a13_theta_join_cardinality",
+    "a14_bloom_semijoin_prune",
+    "a15_bootstrap_poisson_ci",
     "a16_ddsketch_quantiles",
-    "sample_mix_epoch_plan",
-    # --- the r7/r8-stale tranche the r13 verdict named: o*/p*/u*/
-    # m1-m2/s7-s8 relational + snapshot rows and the a5-a14 sketch
-    # suite — oldest driver rows in the registry ---
+    "a5_approx_distinct_check",
+    "a6_approx_percentile_check",
+    "a7_sketch_union_reaggregate",
+    "a8_incremental_agg_merge",
+    "a9_key_skew_profile",
+    "dedup_jaccard_boiler_prefix",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_shared_spans",
+    "dq_constraint_suite",
+    "dq_ks_drift",
+    "ev_acf_lags",
+    "ev_conversion_latency_histogram",
+    "ev_seasonal_baseline_zscore",
+    "graph_adamic_adar_linkpred",
+    "graph_deterministic_walks",
+    "graph_node2vec_walks",
+    "graph_walk_skipgram_pairs",
+    "m1_upsert_last_write_wins",
+    "m2_upsert_reset_column",
     "o1_latest_snapshot_top1",
     "o2_limit_guard",
     "p1_column_projection",
@@ -70,208 +269,16 @@ _PRIORITY = [
     "p5_incremental_predicate",
     "p7_notnull_filter",
     "p8_debug_subset_semijoin",
+    "sample_mix_epoch_plan",
+    "sample_split_leakfree",
+    "sim_mmr_rerank",
+    "sim_mmr_rerank_grouped",
+    "text_textrank_keywords",
     "u1_union_distinct",
     "u2_carry_forward_reshape",
     "u3_intersect_nations",
     "u4_except_nations",
     "u5_snapshot_diff",
-    "m1_upsert_last_write_wins",
-    "m2_upsert_reset_column",
-    "a5_approx_distinct_check",
-    "a6_approx_percentile_check",
-    "a7_sketch_union_reaggregate",
-    "a8_incremental_agg_merge",
-    "a9_key_skew_profile",
-    "a10_theta_audience_overlap",
-    "a11_kll_quantile_rollup",
-    "a12_cms_heavy_hitters",
-    "a13_theta_join_cardinality",
-    "a14_bloom_semijoin_prune",
-    # --- remaining names, prior order kept ---
-    "ev_acf_lags",
-    "a15_bootstrap_poisson_ci",
-    "dq_constraint_suite",
-    "graph_adamic_adar_linkpred",
-    "ev_conversion_latency_histogram",
-    "graph_deterministic_walks",
-    "sim_mmr_rerank",
-    "ev_seasonal_baseline_zscore",
-    "dq_calibration_ece",
-    "dq_classifier_agreement_kappa",
-    "er_fs_decision_rule",
-    "er_fs_decision_apply",
-    "er_fs_em_train",
-    "f1_f2_synthetic_keys",
-    "f3_conditional_rewrite",
-    "f5_vocab_lookup",
-    "f6_normalize_initialism",
-    "f7_string_casts",
-    "f8_f9_f10_time_suite",
-    "f11_prefix_ops",
-    "f12_validation_checks",
-    "f_json_extract_props",
-    "d1_distinct_projection",
-    "d2_first_wins_dedup",
-    "d3_distinct_keys_sorted",
-    "d4_distinct_values_pushdown",
-    "a1_grouped_max_latest",
-    "a1_latest_row_window",
-    "a2_count_with_predicate",
-    "a4_rowcount_delta",
-    "j1_multiway_equijoin",
-    "j10_cache_merge_fetched_wins",
-    "j11_fuzzy_blocked_match",
-    "m3_stable_surrogate_ids",
-    "geo_point_in_polygon",
-    "geo_point_in_polygon_raycast",
-    "geo_knn_topk",
-    "geo_geohash_agg",
-    "graph_triangle_counts",
-    "graph_kcore_peel3",
-    "graph_copurchase_cosine",
-    "text_tfidf_topk",
-    "text_winnow_fingerprint",
-    "text_zipf_slope",
-    "text_repetition_ratio",
-    "text_shingle_containment",
-    "text_token_counts",
-    "text_train_order_interleave",
-    "text_unigram_logprob",
-    "ev_sliding_distinct_hll",
-    "agg_rollup_region_nation",
-    "text_bigram_logprob",
-    "text_pmi_collocations",
-    "text_shard_manifest",
-    "sim_ann_ivf_nprobe2",
-    "emb_matryoshka_recall",
-    "geo_zorder_layout",
-    "geo_fuzzy_match_blocked",
-    "geo_fence_transitions",
-    "geo_nearest_within_radius",
-    "emb_ivfpq_incremental",
-    "sample_cluster_diversity",
-    "sim_ann_ivfpq_filtered",
-    "sim_ann_ivfpq_search",
-    "sim_ann_ivfpq_rerank",
-    "agg_cube_order_status",
-    "agg_top_revenue_segments",
-    "graph_copurchase_cosine_dimsum",
-    "sample_weighted_reservoir",
-    "text_bm25_topk",
-    "sample_importance_dsir",
-    "sim_kmeans_assignments",
-    "text_vocab_coverage",
-    "sim_semdedup_prune",
-    "pii_k_anonymity_audit",
-    "graph_label_propagation",
-    "j2_optional_left_join",
-    "j3_values_batch_semijoin",
-    "j5_left_join_unmapped",
-    "j6_prune_keep_semi",
-    "j7_anti_union_newkeys",
-    "j8_update_join_enrich",
-    "j9_lookup_join_miss_skip",
-    "pipeline_prune_enrich_composite",
-    "text_fingerprint",
-    "agg_grouping_sets",
-    "ev_asof_salted",
-    "ev_sessionize_salted",
-    "ev_sliding_value_30min",
-    "ev_unpivot_metrics",
-    "geo_bbox_filter",
-    "geo_haversine_within",
-    "dedup_incremental_minhash",
-    "dedup_semantic_embedding",
-    "emb_ivfpq_index",
-    "emb_pca_power_projection",
-    "emb_pq_codes",
-    "ev_retention_cohorts",
-    "ev_sessionize_gap30",
-    "ev_tumbling_window_hourly",
-    "text_nb_langid_classifier",
-    "text_lr_quality_classifier",
-    "text_nb_incremental_train",
-    "sim_hard_negative_mining",
-    "ev_ewma_value",
-    "mv_retractable_agg_maintenance",
-    "mv_max_maintenance_targeted",
-    "pii_dp_bounded_contribution",
-    "dq_profile_orders",
-    "m8_time_travel_asof",
-    "agg_corr_price_quantity",
-    "m7_cdc_apply_tombstones",
-    "geo_locality_assign_nearest_fallback",
-    "pii_l_diversity_audit",
-    "geo_locality_assign_banded",
-    "ev_user_running_total",
-    "flagship_current_address",
-    "geo_gridcell_agg",
-    "graph_pagerank_3round",
-    "llm_corpus_prep_composite",
-    "mm_audio_frame_plan",
-    "mm_decode_image_meta",
-    "mm_frame_sample",
-    "mm_phash_near_dup",
-    "mm_resize_plan",
-    "pii_redact_props",
-    "sample_quality_weighted",
-    "sample_stratified_hash",
-    "sample_temperature_mix",
-    "sim_ann_ivf_bucketed",
-    "sim_cosine_topk_bruteforce",
-    "sim_embedding_neardup",
-    "sim_embedding_quantize_int8",
-    "sim_lsh_hyperplane",
-    "text_bpe_encode",
-    "text_bpe_merge_rules",
-    "text_bpe_pair_stats",
-    "text_chunk_for_training",
-    "text_contamination_ngram",
-    "text_langid",
-    "text_length_quantiles",
-    "text_pack_sequences",
-    "text_postings_index",
-    "text_quality_score",
-    "er_incremental_registry",
-    "pii_t_closeness_audit",
-    "er_fellegi_sunter_scores",
-    "dq_psi_drift",
-    "dq_benford_audit",
-    "agg_woe_price_bins",
-    "ev_cusum_drift",
-    "graph_pointer_jump_roots",
-    "er_resolve_entities",
-    "geo_fuzzy_link_feed",
-    "geo_fuzzy_link_feed_multiblock",
-    "geo_fuzzy_link_feed_full",
-    "geo_locality_assign_holes",
-    "dedup_exact_hash",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_boiler_naive",
-    "dedup_simhash",
-    "dedup_exact_substring_spans",
-    "dedup_minhash_estimate",
-    "dedup_remove_spans",
-    "ev_scd2_state_intervals",
-    "ev_window_rank_suite",
-    "ev_anomaly_mad_flags",
-    "ev_attribution_window_join",
-    "ev_ewma_dyadic",
-    "ev_value_histogram",
-    "ev_gapfill_forward",
-    "ev_rolling_mad_outliers",
-    "ev_interval_overlap_join",
-    "ev_agg_pricing_summary",
-    "ev_asof_last_purchase",
-    "ev_event_transitions",
-    "ev_funnel_conversion",
-    "ev_latency_percentiles",
-    "ev_pivot_type_counts",
-    "ev_user_value_quartiles",
-    "ev_value_band_join",
-    "ev_decayed_engagement",
-    "ev_sessionize_native_window",
 ]
 
 

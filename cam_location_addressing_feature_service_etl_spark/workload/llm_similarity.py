@@ -1280,3 +1280,184 @@ def sim_mmr_rerank_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 sim_mmr_rerank_grouped.__doc__ = sim_mmr_rerank_grouped.__doc__.format(
     q=_MMRG_QUERIES, c=_MMRG_CAND, k=_MMRG_K
 )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical + dense legs
+# ---------------------------------------------------------------------------
+
+#: RRF smoothing constant (Cormack et al. 2009's k=60 default)
+_RRF_K0 = 60
+#: per-leg shortlist depth and fused output depth
+_RRF_LEG_K = 20
+_RRF_TOP = 10
+#: query docs: ids below this (they carry both text and an embedding)
+_RRF_QUERIES = 5
+
+_RRF_TOKENS_SQL = (
+    "list_filter(string_split_regex("
+    "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '')"
+)
+
+_RRF_ORACLE = f"""
+WITH fused AS (
+  SELECT d.doc_id AS id, d.text, e.embedding::DOUBLE[] AS emb
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+qset AS (SELECT * FROM fused WHERE id < {_RRF_QUERIES}),
+corp AS (SELECT * FROM fused WHERE id >= {_RRF_QUERIES}),
+ctok AS (SELECT id, unnest(list_distinct({_RRF_TOKENS_SQL})) AS tok FROM corp),
+qtok AS (SELECT id AS query_id, unnest(list_distinct({_RRF_TOKENS_SQL})) AS tok
+         FROM qset),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM corp),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM ctok GROUP BY 1),
+lexs AS (
+  SELECT q.query_id, c.id,
+         SUM(CAST(ROUND(LN((CAST(s.n AS DOUBLE) + 1) / (d.df + 1)), 6)
+                  AS DECIMAL(18,6))) AS lex_score
+  FROM qtok q JOIN ctok c USING (tok) JOIN dfreq d USING (tok)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+lexr AS (
+  SELECT query_id, id, rnk FROM (
+    SELECT query_id, id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY lex_score DESC, id ASC) AS rnk
+    FROM lexs
+  ) WHERE rnk <= {_RRF_LEG_K}
+),
+denser AS (
+  SELECT query_id, id, rnk FROM (
+    SELECT query_id, id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, id ASC) AS rnk
+    FROM (
+      SELECT q.id AS query_id, c.id,
+             {_COS_SQL.format(a="q.emb", b="c.emb")} AS cosine
+      FROM qset q CROSS JOIN corp c
+    )
+  ) WHERE rnk <= {_RRF_LEG_K}
+),
+pooled AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.id, d.id) AS doc_id,
+         CAST(COALESCE(l.rnk, 0) AS BIGINT) AS rnk_lex,
+         CAST(COALESCE(d.rnk, 0) AS BIGINT) AS rnk_dense,
+         ROUND(COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K0} + l.rnk), 0)
+               + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K0} + d.rnk), 0), 9) AS rrf
+  FROM lexr l
+  FULL OUTER JOIN denser d ON d.query_id = l.query_id AND d.id = l.id
+)
+SELECT query_id, doc_id, rnk_lex, rnk_dense, rrf, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id ASC) AS rnk
+  FROM pooled
+) WHERE rnk <= {_RRF_TOP}
+"""
+
+
+@register("sim_rrf_fusion", oracle=_RRF_ORACLE)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — reciprocal-rank fusion (Cormack et al. 2009)
+    of a lexical leg and a dense leg, the standard two-tower RAG
+    retrieval stack: per query, rank the corpus by idf-weighted
+    distinct-token overlap (lexical) and by cosine (dense), keep each
+    leg's top {lk}, and fuse the pooled shortlist by
+    Σ 1/({k0} + rank) — docs found by both legs rise, docs found by
+    one survive. Queries are the {q} docs that carry BOTH text and an
+    embedding (doc_id = vec_id); a leg miss contributes 0 and reports
+    rank 0.
+
+    Determinism: per-term idf weights are rounded to 6 digits and
+    summed as exact DECIMAL (the BM25 discipline — no float summation
+    order anywhere); cosines round to 6; the RRF score is two one-op
+    IEEE divisions and one add on ranks (integers), identical across
+    engines, rounded to 9 at the output edge; every rank ties by id.
+
+    Scale: the lexical leg is a postings semi-join — the query-term
+    postings (bounded: |queries| × their vocab) broadcast, the corpus
+    postings stream once, and only matching-token rows shuffle into
+    the per-(query, doc) partial-agg sum; df/stats are vocabulary-
+    sized. The dense leg here is the brute baseline (one corpus scan,
+    queries broadcast); at 100 TB swap in ``sim_ann_ivf_trained``'s
+    bucketed search — fusion is rank-based, so the fusion stage is
+    UNCHANGED by the ANN substitution (that's why RRF, not score
+    fusion: ANN scores are not calibrated against BM25's). The fusion
+    itself touches ≤ 2·{lk} rows per query."""
+    from ..operators.dedup import tokens_col
+
+    documents, embeddings = _t(spark, sf_dir, "documents", "embeddings")
+    fused = documents.join(
+        embeddings, documents["doc_id"] == embeddings["vec_id"]
+    ).select(F.col("doc_id").alias("id"), "text", "embedding")
+    qset = fused.filter(F.col("id") < _RRF_QUERIES).transform(materialize)
+    corp = fused.filter(F.col("id") >= _RRF_QUERIES).transform(materialize)
+
+    # --- lexical leg: idf-weighted distinct-token overlap --------------
+    ctok = corp.select(
+        "id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok")
+    ).transform(materialize)
+    qtok = qset.select(
+        F.col("id").alias("query_id"),
+        F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok"),
+    )
+    stats = corp.agg(F.count(F.lit(1)).alias("n"))
+    dfreq = ctok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf_w = F.round(
+        F.log((F.col("n").cast("double") + 1) / (F.col("df") + 1)), 6
+    ).cast("decimal(18,6)")
+    lexs = (
+        F.broadcast(qtok)
+        .join(ctok, "tok")
+        .join(dfreq, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "id", idf_w.alias("w"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("w").alias("lex_score"))
+    )
+    wlex = Window.partitionBy("query_id").orderBy(
+        F.desc("lex_score"), F.asc("id")
+    )
+    lexr = (
+        lexs.withColumn("rnk", F.row_number().over(wlex))
+        .filter(F.col("rnk") <= _RRF_LEG_K)
+        .select("query_id", F.col("id").alias("doc_id"), F.col("rnk").alias("rnk_lex"))
+    )
+
+    # --- dense leg: exact cosine shortlist (see docstring for the ANN
+    # substitution at scale) --------------------------------------------
+    dense = brute_force_topk(
+        corp.select(F.col("id").alias("vec_id"), "embedding"),
+        qset.select(F.col("id").alias("vec_id"), "embedding"),
+        k=_RRF_LEG_K,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("rnk_dense"),
+    )
+
+    # --- fusion over the pooled shortlists ------------------------------
+    pooled = lexr.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce(F.col("rnk_lex"), F.lit(0)).cast("long").alias("rnk_lex"),
+        F.coalesce(F.col("rnk_dense"), F.lit(0)).cast("long").alias("rnk_dense"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (_RRF_K0 + F.col("rnk_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (_RRF_K0 + F.col("rnk_dense")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        pooled.withColumn("rnk", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rnk") <= _RRF_TOP)
+        .select("query_id", "doc_id", "rnk_lex", "rnk_dense", "rrf", "rnk")
+    )
+
+
+sim_rrf_fusion.__doc__ = sim_rrf_fusion.__doc__.format(
+    lk=_RRF_LEG_K, k0=_RRF_K0, q=_RRF_QUERIES
+)

@@ -3707,3 +3707,151 @@ def dedup_shared_span_stopgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_shared_span_stopgrams.__doc__ = (
     dedup_shared_span_stopgrams.__doc__.format(cap=_SS_CAP)
 )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus doc-level decontamination (train vs frozen benchmark)
+# ---------------------------------------------------------------------------
+
+#: benchmark split: every doc whose id divides by this is "held-out
+#: eval"; the rest is the training corpus under audit. A deterministic
+#: arithmetic split (not a hash) so the oracle states it verbatim.
+_XC_MOD = 83
+#: flag threshold: a train doc covering >= this fraction of a benchmark
+#: doc's distinct shingles is contaminated BY that benchmark doc.
+_XC_TAU = 0.2
+
+_XC_ORACLE = f"""
+WITH {_shingle_cte(_NJ_SHINGLE_N)},
+bench AS (SELECT doc_id AS bench_id, shingle FROM shingle WHERE doc_id % {_XC_MOD} = 0),
+corp AS (SELECT doc_id, shingle FROM shingle WHERE doc_id % {_XC_MOD} <> 0),
+bsz AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS bench_sz FROM bench GROUP BY 1),
+inter AS (
+  SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM corp c JOIN bench b USING (shingle)
+  GROUP BY 1, 2
+)
+SELECT doc_id, bench_id, n_inter, bench_sz,
+       ROUND(n_inter / bench_sz, 6) AS containment
+FROM inter JOIN bsz USING (bench_id)
+WHERE n_inter / bench_sz >= {_XC_TAU}
+"""
+
+
+@register("dedup_cross_corpus", oracle=_XC_ORACLE)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOC-LEVEL cross-corpus decontamination: flag training documents
+    that cover ≥ {tau} of a held-out benchmark document's distinct
+    {n}-gram shingles (containment measured against the BENCHMARK
+    side, the direction eval-leakage audits care about — a giant train
+    doc quoting a whole eval question is contaminated however small
+    the quote is relative to the train doc). Complements the n-gram
+    decontamination suite (``text_contamination_ngram``, the streaming
+    guard): those report WHICH grams leak; this reports WHICH DOC
+    PAIRS, with coverage evidence — the row a curator acts on.
+
+    Scale shape — the asymmetry IS the plan: the benchmark side is
+    tiny and FROZEN (thousands of docs against a 100 TB corpus), so
+    its postings broadcast to every executor and the train corpus is
+    scanned exactly once map-side; the only shuffle is the collision
+    stream (corpus postings that hit a benchmark shingle — at a
+    realistic leak rate, orders of magnitude under the corpus), into
+    one partial-aggregated pair count. No corpus self-join exists
+    anywhere in the plan, unlike the within-corpus Jaccard family.
+    Shingles travel as raw trigram text here to keep the oracle
+    verbatim; at 100 TB key them md5/xxhash64 (the
+    ``duplicated_token_spans`` discipline — same algebra)."""
+    from ..operators.dedup import shingle_postings
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sh = shingle_postings(documents, "doc_id", "text", _NJ_SHINGLE_N)
+    bench = (
+        sh.filter(F.col("doc_id") % _XC_MOD == 0)
+        .select(F.col("doc_id").alias("bench_id"), "shingle")
+        .transform(materialize)
+    )
+    corp = sh.filter(F.col("doc_id") % _XC_MOD != 0)
+    bsz = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_sz"))
+    inter = (
+        corp.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(F.broadcast(bsz), "bench_id")
+        .withColumn(
+            "containment", F.round(F.col("n_inter") / F.col("bench_sz"), 6)
+        )
+        .filter(F.col("n_inter") / F.col("bench_sz") >= _XC_TAU)
+        .select("doc_id", "bench_id", "n_inter", "bench_sz", "containment")
+    )
+
+
+dedup_cross_corpus.__doc__ = dedup_cross_corpus.__doc__.format(
+    tau=_XC_TAU, n=_NJ_SHINGLE_N
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-source document caps (the CommonCrawl-style domain cap)
+# ---------------------------------------------------------------------------
+
+#: keep at most this many documents per source
+_SRC_CAP = 10
+#: salt fan-out of the two-phase top-cap (phase 1 ranks within
+#: (source, salt) so no task ever sorts a whole source's partition)
+_SRC_SALT = 8
+
+_SRC_CAP_ORACLE = f"""
+SELECT source, doc_id, n_chars, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM documents
+) WHERE rnk <= {_SRC_CAP}
+"""
+
+
+@register("sample_source_cap", oracle=_SRC_CAP_ORACLE)
+def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — keep the top {cap} docs per source by
+    the deterministic priority (n_chars DESC, doc_id ASC): the domain-
+    cap stage every web-scale corpus runs so one crawler-friendly host
+    cannot dominate the training mix (the same shape caps per-domain,
+    per-license, or per-language with a different key/priority).
+
+    Scale shape — a single ``row_number`` window per source is the
+    WRONG plan at 100 TB: sources are Zipfian, so the biggest source's
+    partition is a single-task sort of billions of rows. This runs the
+    TWO-PHASE SALTED top-cap instead: phase 1 ranks within
+    (source, salt = doc_id mod {salt}) and keeps ≤ {cap} per salt —
+    every task sorts ~1/{salt} of even the hottest source, and the
+    salt fan-out dials with skew; phase 2 re-ranks the ≤ {cap}·{salt}
+    survivors per source — a bounded frame however large the source.
+    Exact by containment: the global per-source top-{cap} is a subset
+    of the union of per-salt top-{cap}s (each global winner wins its
+    own salt class too), so phase 2 sees every winner. The oracle is
+    the one-window form; the salted plan must (and does) reproduce it
+    byte-for-byte."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    base = documents.select("source", "doc_id", "n_chars")
+    w1 = Window.partitionBy("source", "_salt").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    survivors = (
+        base.withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(_SRC_SALT)))
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= _SRC_CAP)
+        .drop("_salt", "_r")
+    )
+    w2 = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= _SRC_CAP)
+        .select("source", "doc_id", "n_chars", "rnk")
+    )
+
+
+sample_source_cap.__doc__ = sample_source_cap.__doc__.format(
+    cap=_SRC_CAP, salt=_SRC_SALT
+)

@@ -43,6 +43,13 @@ CARTESIAN_ALLOWED = {
     "sim_ann_ivfpq_search",         # queries/members scored vs broadcast centroids
     "sim_ann_ivfpq_rerank",         # same ADC stage feeding the exact rerank
     "sim_ann_ivfpq_filtered",       # same ADC stage with a pre-filtered code table
+    # Lloyd training + assignment/probe: every vector scored against
+    # the broadcast k-row trained-centroid frame (the sim_kmeans shape,
+    # k rounds deep), then the ivf_search broadcast-query probe
+    "sim_ann_ivf_trained",
+    # hybrid fusion: dense leg = brute_force_topk's broadcast-query
+    # scoring pass; lexical leg carries the 1-row corpus-stats frame
+    "sim_rrf_fusion",
     # 1-row broadcast scalar aggregates
     "m3_stable_surrogate_ids",      # lazy 1-row max-id start frame
     "text_tfidf_topk",              # corpus doc count

@@ -1,0 +1,125 @@
+"""Semantics of the r15 composition queries, pinned on purpose-built
+fixtures (the registered queries' parity rows prove engine-equality;
+these prove the operators do what their docstrings CLAIM):
+
+- ``sample_source_cap``: the salted two-phase top-cap equals the
+  one-window form on a skewed fixture where phase-1 pruning bites.
+- ``dedup_cross_corpus``: a planted quote of a benchmark doc is
+  flagged with containment 1.0, clean docs are not, and the flag is
+  asymmetric (measured against the BENCHMARK side's size).
+- ``sim_rrf_fusion`` (kernel algebra): a doc found by both legs
+  outranks a doc found by one leg at the same per-leg rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cam_location_addressing_feature_service_etl_spark.workload.llm_text import (
+    _SRC_CAP,
+    _SRC_SALT,
+)
+
+
+def test_source_cap_salted_two_phase_matches_one_window(spark):
+    # skewed fixture: source 'hot' has 200 docs (25x the cap), others
+    # have 3 — phase 1 must prune hot's partition before phase 2
+    rows = []
+    did = 0
+    for i in range(200):
+        rows.append((did, "hot", 1000 - i))
+        did += 1
+    for s in ("cold1", "cold2"):
+        for i in range(3):
+            rows.append((did, s, 10 * (i + 1)))
+            did += 1
+    # ties on n_chars inside 'hot' so the doc_id tiebreak is exercised
+    rows.append((did, "hot", 1000))
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+
+    w1 = Window.partitionBy("source", "_salt").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    survivors = (
+        df.withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(_SRC_SALT)))
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= _SRC_CAP)
+        .drop("_salt", "_r")
+    )
+    # phase 1 genuinely pruned: survivors are bounded by cap*salt per
+    # source, strictly fewer rows than 'hot' brought in
+    n_hot_surv = survivors.filter(F.col("source") == "hot").count()
+    assert n_hot_surv <= _SRC_CAP * _SRC_SALT < 201
+
+    w2 = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    salted = (
+        survivors.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= _SRC_CAP)
+    )
+    one_window = (
+        df.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= _SRC_CAP)
+    )
+    got = {tuple(r) for r in salted.select("source", "doc_id", "rnk").collect()}
+    want = {tuple(r) for r in one_window.select("source", "doc_id", "rnk").collect()}
+    assert got == want
+    # cold sources are under the cap: all kept
+    assert sum(1 for s, _, _ in want if s != "hot") == 6
+
+
+def test_cross_corpus_flags_planted_quote_and_only_it(spark):
+    from cam_location_addressing_feature_service_etl_spark.operators.dedup import (
+        shingle_postings,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, bench_text),                       # benchmark doc (id % 83 == 0)
+        (1, "totally unrelated words with no overlap at all here"),
+        # train doc quoting the WHOLE benchmark inside a larger doc:
+        # containment vs bench = 1.0 even though the quote is a small
+        # fraction of the train doc (the asymmetry the query exists for)
+        (2, "preamble text " + bench_text + " and a long tail of extra filler tokens"),
+        (3, "alpha beta gamma unrelated continuation of words"),  # partial overlap
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = shingle_postings(df, "doc_id", "text", 3)
+    bench = sh.filter(F.col("doc_id") % 83 == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corp = sh.filter(F.col("doc_id") % 83 != 0)
+    bsz = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_sz"))
+    inter = (
+        corp.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = {
+        (r["doc_id"], r["bench_id"]): r["c"]
+        for r in inter.join(bsz, "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.round(F.col("n_inter") / F.col("bench_sz"), 6).alias("c"),
+        )
+        .collect()
+    }
+    assert scored[(2, 0)] == 1.0          # full quote → full coverage
+    assert 0 < scored[(3, 0)] < 0.5       # partial overlap under the flag bar
+    assert (1, 0) not in scored           # clean doc never reaches the join output
+
+
+def test_rrf_kernel_both_legs_beat_single_leg():
+    # pure algebra check (no Spark needed): at equal per-leg rank r,
+    # a doc in both legs scores 2/(60+r) > any single-leg 1/(60+r'),
+    # r' >= 1 — fusion rewards agreement
+    k0 = 60
+
+    def rrf(rl, rd):
+        return (1.0 / (k0 + rl) if rl else 0.0) + (1.0 / (k0 + rd) if rd else 0.0)
+
+    assert rrf(5, 5) > rrf(1, 0) > rrf(2, 0) > rrf(0, 20)
+    # a deep both-legs doc still beats the best single-leg doc while
+    # 2/(60+r) > 1/61 — i.e. for every r <= 61 (leg depth is 20)
+    assert rrf(20, 20) > rrf(1, 0)
