@@ -3865,7 +3865,16 @@ def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the union of per-salt top-{cap}s (each global winner wins its
     own salt class too), so phase 2 sees every winner. The oracle is
     the one-window form; the salted plan must (and does) reproduce it
-    byte-for-byte."""
+    byte-for-byte.
+
+    Honest engine note: Spark ≥ 3.5 plans rank-filter windows with
+    ``WindowGroupLimit`` (visible in this query's plan at both
+    phases), so even the one-window form keeps ≤ {cap} rows per
+    source per MAP task before the exchange — but that partial bound
+    is cap × numTasks (10⁵+ tasks at 100 TB → 10⁶+ rows of one hot
+    source on a single reducer); the salt phase replaces it with the
+    CONSTANT bound cap × {salt} into the final re-rank, independent
+    of task count."""
     (documents,) = _t(spark, sf_dir, "documents")
     base = documents.select("source", "doc_id", "n_chars")
     return source_cap_phase2(source_cap_phase1(base))
