@@ -42,7 +42,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # --- r15 new + changed (hybrid RRF fusion, cross-corpus doc
     # decontam, salted source cap, trained IVF, capped shared spans,
-    # additive-df incremental fold, naive-branch AllPairs filter) ---
+    # additive-df incremental fold, naive-branch AllPairs filter,
+    # chi-squared categorical drift, blocking-quality audit) ---
+    "dq_chi2_drift",
+    "er_blocking_quality",
     "sim_rrf_fusion",
     "dedup_cross_corpus",
     "sample_source_cap",

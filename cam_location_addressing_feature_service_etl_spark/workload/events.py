@@ -3412,3 +3412,90 @@ def a16_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 a16_ddsketch_quantiles.__doc__ = a16_ddsketch_quantiles.__doc__.format(
     t=int(_DD_TOL * 100)
 )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared categorical drift (the CATEGORY member of the drift suite)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq_chi2_drift",
+    oracle=f"""
+WITH split AS (
+  SELECT event_type,
+         CAST(epoch_ms(ts) AS BIGINT) < {_PSI_SPLIT_MS} AS is_ref
+  FROM events
+),
+cnt AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM split GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS tr, CAST(SUM(n_cur) AS BIGINT) AS tc,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM cnt
+)
+SELECT event_type, n_ref, n_cur,
+       ROUND(
+         (CAST(n_cur + 1 AS DOUBLE)
+          - CAST(n_ref + 1 AS DOUBLE) * (tc + k) / (tr + k))
+         * (CAST(n_cur + 1 AS DOUBLE)
+            - CAST(n_ref + 1 AS DOUBLE) * (tc + k) / (tr + k))
+         / (CAST(n_ref + 1 AS DOUBLE) * (tc + k) / (tr + k)), 6)
+         AS chi2_part
+FROM cnt CROSS JOIN tot
+""",
+)
+def dq_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared drift over the EVENT-TYPE distribution —
+    the categorical member of the drift suite (PSI = banded values,
+    KS = continuous values, chi² = categories): the category mix
+    before the shared a8/PSI boundary is the expected distribution,
+    and each category reports its (observed − expected)²/expected
+    contribution against the current window, Laplace-smoothed
+    ((n+1)-counts, totals +k) so a category absent from one side
+    neither divides by zero nor saturates. Per-category rows avoid
+    any engine-ordered summation (the dq_psi_drift discipline); the
+    smoothed expectation is one fixed expression tree of exact
+    integers — multiply-then-divide in the same order on both
+    engines — and the output edge rounds to 6.
+
+    Scale: one partial-aggregatable groupBy keyed on the category
+    (k rows of network) + a broadcast 1-row totals frame — a
+    metadata-priced standing monitor, like its PSI/KS siblings. A
+    streaming deployment folds the same (category, side) counts the
+    ``streaming/dq_suite.py`` monitors fold — counts are mergeable
+    integers."""
+    events = _events(spark, sf_dir)
+    cnt = (
+        events.select(
+            "event_type",
+            (F.unix_millis("ts") < _PSI_SPLIT_MS).alias("is_ref"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(F.lit(0))).alias("n_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(F.lit(0))).alias("n_cur"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("n_ref").alias("tr"),
+        F.sum("n_cur").alias("tc"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    expected = (
+        (F.col("n_ref") + 1).cast("double")
+        * (F.col("tc") + F.col("k"))
+        / (F.col("tr") + F.col("k"))
+    )
+    observed = (F.col("n_cur") + 1).cast("double")
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.round((observed - expected) * (observed - expected) / expected, 6).alias(
+            "chi2_part"
+        ),
+    )

