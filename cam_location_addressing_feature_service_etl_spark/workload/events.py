@@ -3418,6 +3418,55 @@ a16_ddsketch_quantiles.__doc__ = a16_ddsketch_quantiles.__doc__.format(
 # Chi-squared categorical drift (the CATEGORY member of the drift suite)
 # ---------------------------------------------------------------------------
 
+def chi2_category_counts(events_df: DataFrame) -> DataFrame:
+    """THE mergeable chi² state form — per-category ref/cur counts,
+    ref = before the shared a8/PSI increment boundary. One definition
+    feeds the batch query, the streaming fold (``streaming/chi2.py``)
+    and its read, so the category key or the split boundary can never
+    drift between the oracle-checked query and the standing monitor
+    (the ``ks_value_counts`` discipline)."""
+    return (
+        events_df.select(
+            "event_type",
+            (F.unix_millis("ts") < F.lit(_PSI_SPLIT_MS)).alias("is_ref"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+
+
+def chi2_table_from_counts(cnt: DataFrame) -> DataFrame:
+    """The chi² drift table from folded (category, ref/cur) counts —
+    the read side shared by the batch query and the standing monitor.
+    See ``dq_chi2_drift`` for the smoothing and determinism rules."""
+    tot = cnt.agg(
+        F.sum("n_ref").alias("tr"),
+        F.sum("n_cur").alias("tc"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    expected = (
+        (F.col("n_ref") + 1).cast("double")
+        * (F.col("tc") + F.col("k"))
+        / (F.col("tr") + F.col("k"))
+    )
+    observed = (F.col("n_cur") + 1).cast("double")
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.round(
+            (observed - expected) * (observed - expected) / expected, 6
+        ).alias("chi2_part"),
+    )
+
+
 @register(
     "dq_chi2_drift",
     oracle=f"""
@@ -3464,38 +3513,12 @@ def dq_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one partial-aggregatable groupBy keyed on the category
     (k rows of network) + a broadcast 1-row totals frame — a
-    metadata-priced standing monitor, like its PSI/KS siblings. A
-    streaming deployment folds the same (category, side) counts the
-    ``streaming/dq_suite.py`` monitors fold — counts are mergeable
-    integers."""
+    metadata-priced standing monitor, like its PSI/KS siblings. The
+    standing twin (``streaming/chi2.py``) folds the same mergeable
+    (category, side) integer counts per micro-batch and derives this
+    exact table at read time — both sides call the SAME
+    ``chi2_category_counts`` / ``chi2_table_from_counts``
+    definitions, so the split boundary and smoothing can never drift
+    between the oracle-checked query and the monitor."""
     events = _events(spark, sf_dir)
-    cnt = (
-        events.select(
-            "event_type",
-            (F.unix_millis("ts") < _PSI_SPLIT_MS).alias("is_ref"),
-        )
-        .groupBy("event_type")
-        .agg(
-            F.sum(F.when(F.col("is_ref"), 1).otherwise(F.lit(0))).alias("n_ref"),
-            F.sum(F.when(~F.col("is_ref"), 1).otherwise(F.lit(0))).alias("n_cur"),
-        )
-    )
-    tot = cnt.agg(
-        F.sum("n_ref").alias("tr"),
-        F.sum("n_cur").alias("tc"),
-        F.count(F.lit(1)).alias("k"),
-    )
-    expected = (
-        (F.col("n_ref") + 1).cast("double")
-        * (F.col("tc") + F.col("k"))
-        / (F.col("tr") + F.col("k"))
-    )
-    observed = (F.col("n_cur") + 1).cast("double")
-    return cnt.crossJoin(F.broadcast(tot)).select(
-        "event_type",
-        "n_ref",
-        "n_cur",
-        F.round((observed - expected) * (observed - expected) / expected, 6).alias(
-            "chi2_part"
-        ),
-    )
+    return chi2_table_from_counts(chi2_category_counts(events))
