@@ -2574,8 +2574,11 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _pair_count(keys: list[str]) -> DataFrame:
         cf = fb.groupBy(*keys).agg(F.count(F.lit(1)).alias("cf"))
         cm = mb.groupBy(*keys).agg(F.count(F.lit(1)).alias("cm"))
+        # coalesce: an empty block-key join must yield 0 candidate
+        # pairs (the oracle's COUNT form), not a NULL aggregate that
+        # would poison cand_pairs / reduction_ratio downstream
         return cf.join(cm, keys).agg(
-            F.sum(F.col("cf") * F.col("cm")).alias("n")
+            F.coalesce(F.sum(F.col("cf") * F.col("cm")), F.lit(0)).alias("n")
         )
     n1, n2, n12 = (
         _pair_count(["b1"]),

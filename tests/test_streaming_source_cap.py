@@ -91,3 +91,47 @@ def test_stream_wrapper_end_to_end(spark, tmp_path):
     got = _sorted_rows(read_source_cap(spark, state))
     want = _sorted_rows(QUERIES["sample_source_cap"](spark, SF_SMOKE))
     assert got == want
+
+
+def test_within_batch_duplicate_does_not_burn_rank_slot(spark, tmp_path):
+    # ADVICE r15: a doc_id appearing twice in ONE micro-batch must not
+    # consume two phase-1 rank slots in its salt class, or the salt-
+    # class boundary candidate is pruned and lost from the state
+    # permanently. 11 docs in a single salt class (doc_id % 8 == 0),
+    # top doc duplicated: the keep-list must still be the true top-10.
+    state = str(tmp_path / "state")
+    rows = [("s", i * 8, 1000 - i) for i in range(11)]
+    rows.append(("s", 0, 1000))  # exact duplicate of the top doc
+    b0 = spark.createDataFrame(
+        rows, "source string, doc_id bigint, n_chars bigint"
+    )
+    apply_doc_batch(b0, 0, state)
+    kept = {r["doc_id"] for r in read_source_cap(spark, state).collect()}
+    assert kept == {i * 8 for i in range(10)}  # boundary doc 72 kept
+    assert len(kept) == 10
+
+
+def test_doc_update_resolves_deterministically(spark, tmp_path):
+    # same doc_id with two different payloads in one batch: winner is
+    # pinned by (n_chars DESC, source ASC), identical on every replay
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [("s", 1, 50), ("s", 1, 70), ("t", 1, 70), ("s", 2, 10)],
+        "source string, doc_id bigint, n_chars bigint",
+    )
+    apply_doc_batch(b0, 0, state)
+    out = {
+        (r["source"], r["doc_id"], r["n_chars"])
+        for r in read_source_cap(spark, state).collect()
+    }
+    assert out == {("s", 1, 70), ("s", 2, 10)}
+    # cross-batch update: a later, longer payload for doc 2 wins too
+    b1 = spark.createDataFrame(
+        [("s", 2, 99)], "source string, doc_id bigint, n_chars bigint"
+    )
+    apply_doc_batch(b1, 1, state)
+    out2 = {
+        (r["source"], r["doc_id"], r["n_chars"])
+        for r in read_source_cap(spark, state).collect()
+    }
+    assert out2 == {("s", 1, 70), ("s", 2, 99)}
