@@ -40,64 +40,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (committed as PARITY_r{N}.txt) proves the full registry every round
 #: regardless.
 _PRIORITY = [
-    # --- r15 new + changed (hybrid RRF fusion, cross-corpus doc
-    # decontam, salted source cap, trained IVF, capped shared spans,
-    # additive-df incremental fold, naive-branch AllPairs filter,
-    # chi-squared categorical drift, blocking-quality audit) ---
-    "dq_chi2_drift",
+    # --- r16 new + changed (production trained-IVF tier, ANN recall
+    # audit, ANN-dense RRF fusion, cross-doc span removal; oracle/
+    # code touched: blocking-quality coalesce, RRF refactor, trained-
+    # IVF oracle refactor, source-cap dedup discipline) ---
+    "sim_ann_ivf_scaled",
+    "sim_ann_recall_audit",
+    "sim_rrf_fusion_ann",
+    "dedup_remove_shared_spans",
     "er_blocking_quality",
     "sim_rrf_fusion",
-    "dedup_cross_corpus",
-    "sample_source_cap",
     "sim_ann_ivf_trained",
-    "dedup_shared_spans_capped",
-    "dedup_shared_span_stopgrams",
-    "dedup_incremental_registry",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_boiler_naive",
-    "sample_pack_concat_chunks",
-    "dedup_connected_components",
-    "dedup_cc_star_converged",
-    "dedup_cluster_canonical",
-    # --- the stalest driver rows, oldest round first: r5 + r6 + r9
-    # in full (the r14 verdict's #3 rotation), then r10 fills the
-    # 50-sample; the remainder keeps strict staleness order so the
-    # next rotation reads straight off this list ---
-    "text_token_counts",
-    "text_train_order_interleave",
-    "text_unigram_logprob",
-    "agg_rollup_region_nation",
-    "emb_matryoshka_recall",
-    "geo_zorder_layout",
-    "sim_ann_ivf_nprobe2",
-    "text_bigram_logprob",
-    "text_pmi_collocations",
-    "text_shard_manifest",
-    "agg_cube_order_status",
-    "agg_top_revenue_segments",
-    "emb_ivfpq_incremental",
-    "ev_sliding_distinct_hll",
-    "geo_fence_transitions",
-    "geo_fuzzy_match_blocked",
-    "geo_nearest_within_radius",
-    "graph_copurchase_cosine_dimsum",
-    "sample_cluster_diversity",
-    "sample_importance_dsir",
-    "sample_weighted_reservoir",
-    "sim_ann_ivfpq_filtered",
-    "sim_ann_ivfpq_rerank",
-    "sim_ann_ivfpq_search",
-    "sim_kmeans_assignments",
-    "text_bm25_topk",
-    "text_vocab_coverage",
-    "agg_grouping_sets",
-    "dedup_incremental_minhash",
-    "dedup_semantic_embedding",
-    "emb_ivfpq_index",
-    "emb_pca_power_projection",
-    "emb_pq_codes",
-    "ev_asof_salted",
-    "ev_retention_cohorts",
+    "sample_source_cap",
+    # --- the stalest driver rows (r10 in full — the r15 verdict's
+    # #5 rotation), then r11 fills the 50-sample; the remainder
+    # keeps strict staleness order so the next rotation reads
+    # straight off this list ---
     "ev_sessionize_gap30",
     "ev_sessionize_salted",
     "ev_sliding_value_30min",
@@ -117,6 +75,7 @@ _PRIORITY = [
     "pipeline_prune_enrich_composite",
     "sim_semdedup_prune",
     "text_fingerprint",
+    # --- r11 tranche ---
     "agg_corr_price_quantity",
     "dq_profile_orders",
     "ev_ewma_value",
@@ -161,6 +120,7 @@ _PRIORITY = [
     "text_pack_sequences",
     "text_postings_index",
     "text_quality_score",
+    # --- r12 tranche ---
     "agg_woe_price_bins",
     "dedup_exact_hash",
     "dedup_exact_substring_spans",
@@ -199,6 +159,7 @@ _PRIORITY = [
     "geo_locality_assign_holes",
     "graph_pointer_jump_roots",
     "pii_t_closeness_audit",
+    # --- r13 tranche ---
     "a1_grouped_max_latest",
     "a1_latest_row_window",
     "a2_count_with_predicate",
@@ -237,6 +198,7 @@ _PRIORITY = [
     "text_tfidf_topk",
     "text_winnow_fingerprint",
     "text_zipf_slope",
+    # --- r14 tranche ---
     "a10_theta_audience_overlap",
     "a11_kll_quantile_rollup",
     "a12_cms_heavy_hitters",
@@ -282,6 +244,53 @@ _PRIORITY = [
     "u3_intersect_nations",
     "u4_except_nations",
     "u5_snapshot_diff",
+    # --- r15 tranche ---
+    "agg_cube_order_status",
+    "agg_grouping_sets",
+    "agg_rollup_region_nation",
+    "agg_top_revenue_segments",
+    "dedup_cc_star_converged",
+    "dedup_cluster_canonical",
+    "dedup_connected_components",
+    "dedup_cross_corpus",
+    "dedup_incremental_minhash",
+    "dedup_incremental_registry",
+    "dedup_jaccard_boiler_naive",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_embedding",
+    "dedup_shared_span_stopgrams",
+    "dedup_shared_spans_capped",
+    "dq_chi2_drift",
+    "emb_ivfpq_incremental",
+    "emb_ivfpq_index",
+    "emb_matryoshka_recall",
+    "emb_pca_power_projection",
+    "emb_pq_codes",
+    "ev_asof_salted",
+    "ev_retention_cohorts",
+    "ev_sliding_distinct_hll",
+    "geo_fence_transitions",
+    "geo_fuzzy_match_blocked",
+    "geo_nearest_within_radius",
+    "geo_zorder_layout",
+    "graph_copurchase_cosine_dimsum",
+    "sample_cluster_diversity",
+    "sample_importance_dsir",
+    "sample_pack_concat_chunks",
+    "sample_weighted_reservoir",
+    "sim_ann_ivf_nprobe2",
+    "sim_ann_ivfpq_filtered",
+    "sim_ann_ivfpq_rerank",
+    "sim_ann_ivfpq_search",
+    "sim_kmeans_assignments",
+    "text_bigram_logprob",
+    "text_bm25_topk",
+    "text_pmi_collocations",
+    "text_shard_manifest",
+    "text_token_counts",
+    "text_train_order_interleave",
+    "text_unigram_logprob",
+    "text_vocab_coverage",
 ]
 
 

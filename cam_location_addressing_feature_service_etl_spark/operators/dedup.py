@@ -1100,3 +1100,89 @@ def shared_token_spans(
             "span_tokens",
         )
     )
+
+
+def remove_shared_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_span: int = 8,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """CROSS-document span removal — the endgame of ExactSubstr dedup
+    (Lee et al. 2022): :func:`shared_token_spans` reports who shares
+    what with whom; this REWRITES the corpus so each shared span keeps
+    ONE survivor. Survivor policy: keep-first — for every reported
+    span the lexicographically-lower doc (``id_a``) keeps its copy and
+    the span's token range is cut from ``id_b``. Deterministic and
+    local (no global ordering pass); under chained duplication
+    A=B=C the lowest id keeps the text and every later doc loses it
+    (each later doc is ``id_b`` of at least one pair with a lower id).
+    Overlapping cuts on one doc union naturally — a token goes if ANY
+    cut covers it.
+
+    Returns per-doc accounting, the :func:`remove_duplicated_spans`
+    shape: ``(id, n_tokens, kept_tokens, removed_tokens,
+    cleaned_hash)`` — the cleaned text itself is a map-side
+    ``array_join`` away; hashed to keep the frame narrow. Every doc
+    appears, cut or not.
+
+    Scale: the cut frame is spans-not-tokens sized (and with
+    ``max_gram_df`` its generation is linear in the corpus — the
+    capped join); the anti-join tests each token position against its
+    OWN doc's cuts only (equi on the doc id, range on the position),
+    so fan-out is bounded by cuts-per-doc; the rebuild groups by doc
+    id — single-doc-width partitions throughout."""
+    spans = shared_token_spans(
+        df, id_col, text_col, k=k, min_span=min_span, max_gram_df=max_gram_df
+    )
+    # keep-first survivor: id_a (the lower id) keeps; cut from id_b.
+    # 0-based [cut_start, cut_end] token ranges, matching the spans'
+    # 0-based starts.
+    cuts = spans.select(
+        F.col("id_b").alias(id_col),
+        F.col("start_b").alias("cut_start"),
+        (F.col("start_b") + F.col("span_tokens") - 1).alias("cut_end"),
+    ).transform(materialize)
+    # the tokenized frame feeds the position explode AND the n_tokens
+    # base — materialize or the corpus tokenize runs once per branch
+    toks = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    ).transform(materialize)
+    pos = toks.select(
+        F.col(id_col), F.posexplode("_toks").alias("p", "tok")
+    )
+    t, c = pos.alias("t"), cuts.alias("c")
+    kept = t.join(
+        c,
+        (F.col(f"t.{id_col}") == F.col(f"c.{id_col}"))
+        & F.col("t.p").between(F.col("c.cut_start"), F.col("c.cut_end")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda r: r["tok"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_hash"),
+    )
+    base = toks.select(
+        F.col(id_col), F.size("_toks").cast("long").alias("n_tokens")
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("kept_tokens"), F.lit(0))).alias(
+            "removed_tokens"
+        ),
+        F.coalesce(F.col("cleaned_hash"), F.md5(F.lit(""))).alias(
+            "cleaned_hash"
+        ),
+    )

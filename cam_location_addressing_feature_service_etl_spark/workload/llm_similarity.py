@@ -374,88 +374,110 @@ _IVT_K = 5
 _IVT_QUERIES = 10
 
 
+def _lloyd_train_parts(
+    src: str, rounds: int, k: int, p: str = ""
+) -> tuple[list[str], str]:
+    """CTE parts training ``k`` centroids over CTE ``src`` (columns
+    vec_id, e) for ``rounds`` full assign+update Lloyd rounds — the
+    ``_kmeans_oracle`` chain extended one step to the centroid MEANS
+    after the final assignment (``lloyd_train``'s contract). ``p``
+    prefixes every CTE name so two independent unrolls (e.g. the
+    k=8 and k=32 tiers of ``sim_ann_recall_audit``) compose in one
+    statement. Returns (parts, trained-centroid CTE name)."""
+    parts = [f"""{p}c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         e AS c
+  FROM {src} ORDER BY vec_id LIMIT {k}
+)"""]
+    prev = f"{p}c0"
+    for i in range(1, rounds + 1):
+        d = _KM_D.format(a=f"{src}.e", b=f"{prev}.c")
+        parts.append(f"""{p}a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT {src}.vec_id, {prev}.cluster,
+           ROW_NUMBER() OVER (PARTITION BY {src}.vec_id
+                              ORDER BY {d} ASC, {prev}.cluster ASC) AS rn
+    FROM {src} CROSS JOIN {prev}
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""{p}mem{i} AS (
+  SELECT {p}a{i}.cluster,
+         unnest(range(1, len({src}.e) + 1)) AS pos,
+         unnest({src}.e) AS val
+  FROM {p}a{i} JOIN {src} USING (vec_id)
+)""")
+        parts.append(f"""{p}m{i} AS (
+  SELECT cluster, pos, ROUND(AVG(val), 6) AS m
+  FROM {p}mem{i} GROUP BY cluster, pos
+)""")
+        parts.append(f"""{p}c{i} AS (
+  SELECT cluster, list(m ORDER BY pos) AS c FROM {p}m{i} GROUP BY cluster
+)""")
+        prev = f"{p}c{i}"
+    return parts, prev
+
+
+def _ivf_search_parts(
+    src: str, cent: str, qcte: str, nprobe: int, p: str = ""
+) -> tuple[list[str], str]:
+    """CTE parts replaying ``operators.similarity.ivf_search`` against
+    centroid CTE ``cent`` (cluster, c): cosine cell assignment of the
+    ``src`` members, nprobe probe selection for ``qcte`` (query_id,
+    qe), exact scoring within probed cells, rank. Returns (parts,
+    ranked CTE name) — the caller filters ``rank <= k``."""
+    cos_vc = _COS_SQL.format(a=f"{src}.e", b=f"{cent}.c")
+    cos_qc = _COS_SQL.format(a=f"{qcte}.qe", b=f"{cent}.c")
+    parts = [f"""{p}assigned AS (
+  SELECT vec_id, cluster, e FROM (
+    SELECT {src}.vec_id, {cent}.cluster, {src}.e,
+           ROW_NUMBER() OVER (PARTITION BY {src}.vec_id
+                              ORDER BY {cos_vc} DESC, {cent}.cluster ASC) AS rn
+    FROM {src} CROSS JOIN {cent}
+  ) WHERE rn = 1
+)""", f"""{p}probes AS (
+  SELECT query_id, cluster, qe FROM (
+    SELECT {qcte}.query_id, {cent}.cluster, {qcte}.qe,
+           ROW_NUMBER() OVER (PARTITION BY {qcte}.query_id
+                              ORDER BY {cos_qc} DESC, {cent}.cluster ASC) AS rn
+    FROM {qcte} CROSS JOIN {cent}
+  ) WHERE rn <= {nprobe}
+)""", f"""{p}scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="p.qe", b="a.e")} AS cosine
+  FROM {p}probes p JOIN {p}assigned a
+    ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+)""", f"""{p}ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM {p}scored
+)"""]
+    return parts, f"{p}ranked"
+
+
 def _ivf_trained_oracle(
     rounds: int = _IVT_ROUNDS,
     nprobe: int = _IVT_NPROBE,
     topk: int = _IVT_K,
     n_queries: int = _IVT_QUERIES,
+    k: int = _KM_K,
 ) -> str:
-    """Trained-IVF oracle: unroll ``rounds`` Lloyd rounds (the
-    ``_kmeans_oracle`` CTE chain, extended one step to the centroid
-    MEANS after the final assignment), then replay the cosine cell
-    assignment and the nprobe search against those trained centroids.
-    Distances, means and cosines are rounded to 6 digits on both
-    engines; all ties break by cluster / neighbor id."""
-    parts = [
-        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
-        f"""c0 AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
-         e AS c
-  FROM v ORDER BY vec_id LIMIT {_KM_K}
-)""",
-    ]
-    prev = "c0"
-    for i in range(1, rounds + 1):
-        d = _KM_D.format(a="v.e", b=f"{prev}.c")
-        parts.append(f"""a{i} AS (
-  SELECT vec_id, cluster FROM (
-    SELECT v.vec_id, {prev}.cluster,
-           ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                              ORDER BY {d} ASC, {prev}.cluster ASC) AS rn
-    FROM v CROSS JOIN {prev}
-  ) WHERE rn = 1
-)""")
-        parts.append(f"""mem{i} AS (
-  SELECT a{i}.cluster,
-         unnest(range(1, len(v.e) + 1)) AS pos,
-         unnest(v.e) AS val
-  FROM a{i} JOIN v USING (vec_id)
-)""")
-        parts.append(f"""m{i} AS (
-  SELECT cluster, pos, ROUND(AVG(val), 6) AS m
-  FROM mem{i} GROUP BY cluster, pos
-)""")
-        parts.append(f"""c{i} AS (
-  SELECT cluster, list(m ORDER BY pos) AS c FROM m{i} GROUP BY cluster
-)""")
-        prev = f"c{i}"
-    cos_vc = _COS_SQL.format(a="v.e", b=f"{prev}.c")
-    cos_qc = _COS_SQL.format(a="q.qe", b=f"{prev}.c")
-    parts.append(f"""assigned AS (
-  SELECT vec_id, cluster, e FROM (
-    SELECT v.vec_id, {prev}.cluster, v.e,
-           ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                              ORDER BY {cos_vc} DESC, {prev}.cluster ASC) AS rn
-    FROM v CROSS JOIN {prev}
-  ) WHERE rn = 1
-)""")
-    parts.append(
+    """Trained-IVF oracle: unroll ``rounds`` Lloyd rounds
+    (``_lloyd_train_parts``), then replay the cosine cell assignment
+    and the nprobe search against those trained centroids
+    (``_ivf_search_parts``). Distances, means and cosines are rounded
+    to 6 digits on both engines; all ties break by cluster /
+    neighbor id."""
+    lp, cent = _lloyd_train_parts("v", rounds, k)
+    q = (
         f"q AS (SELECT vec_id AS query_id, e AS qe FROM v "
         f"WHERE vec_id < {n_queries})"
     )
-    parts.append(f"""probes AS (
-  SELECT query_id, cluster, qe FROM (
-    SELECT q.query_id, {prev}.cluster, q.qe,
-           ROW_NUMBER() OVER (PARTITION BY q.query_id
-                              ORDER BY {cos_qc} DESC, {prev}.cluster ASC) AS rn
-    FROM q CROSS JOIN {prev}
-  ) WHERE rn <= {nprobe}
-)""")
-    parts.append(f"""scored AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id,
-         {_COS_SQL.format(a="p.qe", b="a.e")} AS cosine
-  FROM probes p JOIN assigned a
-    ON a.cluster = p.cluster AND a.vec_id <> p.query_id
-)""")
-    parts.append("""ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM scored
-)""")
+    sp, ranked = _ivf_search_parts("v", cent, "q", nprobe)
     return (
-        ",\n".join(parts)
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),\n"
+        + ",\n".join(lp + [q] + sp)
         + f"\nSELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank"
-        f"\nFROM ranked WHERE rank <= {topk}"
+        f"\nFROM {ranked} WHERE rank <= {topk}"
     )
 
 
@@ -501,6 +523,180 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 sim_ann_ivf_trained.__doc__ = sim_ann_ivf_trained.__doc__.format(
     r=_IVT_ROUNDS, k=_KM_K, np=_IVT_NPROBE, tk=_IVT_K, q=_IVT_QUERIES
+)
+
+
+_IVS_K = 32
+_IVS_NPROBE = 4
+
+
+@register(
+    "sim_ann_ivf_scaled",
+    oracle=_ivf_trained_oracle(nprobe=_IVS_NPROBE, k=_IVS_K),
+)
+def sim_ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION trained-IVF operating point the r14/r15 fleet
+    probes identified (SCALING.md, 200k-vector/2,000-query fleet):
+    cells ∝ corpus — k={k} trained centroids here vs the k=8 demo —
+    with nprobe={np} keeping the probed fraction at {np}/{k} of the
+    index. Measured at the fleet shape: k=32/nprobe=4 matches
+    k=8/nprobe=2's recall@3 (0.756 vs 0.759) at HALF the wall
+    (24.1 s vs 51.9 s), and nprobe=8 reaches 0.885 probing 1/4 of
+    the index where k=8 needed 1/2 and 648.9 s. Registering this
+    point pins the production dial to the oracle every round instead
+    of leaving it as SCALING.md prose (r15 verdict #1).
+
+    Same composition as ``sim_ann_ivf_trained`` — ``lloyd_train``
+    ({r} rounds) + ``operators.similarity.ivf_search`` — only the two
+    dials move; the oracle is the same Lloyd-unroll + probe replay
+    with k/nprobe substituted (``_lloyd_train_parts`` /
+    ``_ivf_search_parts``). Scale: training cost is one broadcast
+    argmin + one partial-agg mean per round (k ≪ n); at 100 TB the
+    members live bucketed by cell and a query touches nprobe buckets,
+    so cells-∝-corpus keeps per-bucket size (and thus probe cost)
+    CONSTANT as the corpus grows."""
+    from ..operators.kmeans import lloyd_train
+    from ..operators.similarity import ivf_search
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    cent = lloyd_train(
+        embeddings, k=_IVS_K, iterations=_IVT_ROUNDS, round_digits=6
+    ).select(
+        F.col("cluster").cast("bigint").alias("vec_id"),
+        F.col("c").alias("embedding"),
+    )
+    cent = materialize(cent)
+    queries = embeddings.filter(F.col("vec_id") < _IVT_QUERIES)
+    return ivf_search(
+        embeddings, cent, queries, k=_IVT_K, nprobe=_IVS_NPROBE
+    )
+
+
+sim_ann_ivf_scaled.__doc__ = sim_ann_ivf_scaled.__doc__.format(
+    r=_IVT_ROUNDS, k=_IVS_K, np=_IVS_NPROBE
+)
+
+
+#: (tier label, trained cells, nprobe) — the registered demo tier and
+#: the production tier, both audited against the same exact answer
+_RECALL_TIERS = (
+    ("trained_k8_np2", _KM_K, _IVT_NPROBE),
+    ("scaled_k32_np4", _IVS_K, _IVS_NPROBE),
+)
+
+
+def _ann_recall_oracle() -> str:
+    """Recall-audit oracle: ONE statement containing the exact brute
+    top-k, two prefixed Lloyd unrolls (k=8, k=32) + their probe
+    replays, and the intersection counts — recall@k is computed
+    inside the oracle, so the quality dial itself is parity-pinned."""
+    cos_qv = _COS_SQL.format(a="q.qe", b="v.e")
+    parts = [
+        f"q AS (SELECT vec_id AS query_id, e AS qe FROM v "
+        f"WHERE vec_id < {_IVT_QUERIES})",
+        f"""exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, v.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_qv} DESC, v.vec_id ASC) AS rank
+    FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id
+  ) WHERE rank <= {_IVT_K}
+)""",
+        "extot AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs FROM exact)",
+    ]
+    selects = []
+    for name, k, nprobe in _RECALL_TIERS:
+        p = f"x{k}_"
+        lp, cent = _lloyd_train_parts("v", _IVT_ROUNDS, k, p=p)
+        sp, ranked = _ivf_search_parts("v", cent, "q", nprobe, p=p)
+        parts += lp + sp
+        parts.append(f"""{p}hits AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS hit_pairs
+  FROM (SELECT query_id, neighbor_id FROM {ranked}
+        WHERE rank <= {_IVT_K}) r
+  JOIN exact USING (query_id, neighbor_id)
+)""")
+        selects.append(
+            f"SELECT '{name}' AS tier, exact_pairs, hit_pairs,\n"
+            f"       ROUND(CAST(hit_pairs AS DOUBLE) / exact_pairs, 6)"
+            f" AS recall_at_k\n"
+            f"FROM {p}hits CROSS JOIN extot"
+        )
+    return (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),\n"
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@register("sim_ann_recall_audit", oracle=_ann_recall_oracle())
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a REGISTERED number — the a5/a7 sketch-vs-exact
+    discipline applied to ANN (r15 verdict #2): recall@{tk} of each
+    trained-IVF tier against the exact brute-force answer, computed in
+    ONE plan, so a regression in training, assignment or probing
+    surfaces as a parity failure instead of drifting silently in
+    SCALING.md prose. One row per tier: the registered demo
+    (k={k8}, nprobe={np8}) and the production point
+    (k={k32}, nprobe={np32}).
+
+    Both legs are the existing operators — ``brute_force_topk`` is the
+    exact denominator, ``lloyd_train`` + ``ivf_search`` the measured
+    tier — joined on (query_id, neighbor_id) and counted; recall@k =
+    hit_pairs / exact_pairs, one IEEE division at the edge. Scale:
+    run over a fixed audit SAMPLE of queries (here: the {q} baseline
+    queries); the brute leg is one corpus scan with the queries
+    broadcast, each IVF leg touches nprobe buckets — the audit costs
+    one extra corpus scan however large the index."""
+    from ..operators.kmeans import lloyd_train
+    from ..operators.similarity import ivf_search
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < _IVT_QUERIES)
+    exact = materialize(
+        brute_force_topk(embeddings, queries, k=_IVT_K).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    extot = exact.agg(F.count(F.lit(1)).alias("exact_pairs"))
+    tiers = []
+    for name, k, nprobe in _RECALL_TIERS:
+        cent = materialize(
+            lloyd_train(
+                embeddings, k=k, iterations=_IVT_ROUNDS, round_digits=6
+            ).select(
+                F.col("cluster").cast("bigint").alias("vec_id"),
+                F.col("c").alias("embedding"),
+            )
+        )
+        approx = ivf_search(
+            embeddings, cent, queries, k=_IVT_K, nprobe=nprobe
+        ).select("query_id", "neighbor_id")
+        hits = approx.join(exact, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("hit_pairs")
+        )
+        tiers.append(
+            hits.crossJoin(F.broadcast(extot)).select(
+                F.lit(name).alias("tier"),
+                "exact_pairs",
+                "hit_pairs",
+                F.round(
+                    F.col("hit_pairs").cast("double") / F.col("exact_pairs"),
+                    6,
+                ).alias("recall_at_k"),
+            )
+        )
+    return tiers[0].unionByName(tiers[1])
+
+
+sim_ann_recall_audit.__doc__ = sim_ann_recall_audit.__doc__.format(
+    tk=_IVT_K,
+    k8=_KM_K,
+    np8=_IVT_NPROBE,
+    k32=_IVS_K,
+    np32=_IVS_NPROBE,
+    q=_IVT_QUERIES,
 )
 
 
@@ -1299,7 +1495,11 @@ _RRF_TOKENS_SQL = (
     "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '')"
 )
 
-_RRF_ORACLE = f"""
+#: head (corpus split + lexical leg) and tail (fusion) shared by the
+#: brute-dense and ANN-dense oracles — the fusion algebra is ONE text,
+#: so the "dense leg swaps without touching fusion" claim is literal
+#: in the oracle too
+_RRF_HEAD = f"""
 WITH fused AS (
   SELECT d.doc_id AS id, d.text, e.embedding::DOUBLE[] AS emb
   FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
@@ -1326,19 +1526,9 @@ lexr AS (
                               ORDER BY lex_score DESC, id ASC) AS rnk
     FROM lexs
   ) WHERE rnk <= {_RRF_LEG_K}
-),
-denser AS (
-  SELECT query_id, id, rnk FROM (
-    SELECT query_id, id,
-           ROW_NUMBER() OVER (PARTITION BY query_id
-                              ORDER BY cosine DESC, id ASC) AS rnk
-    FROM (
-      SELECT q.id AS query_id, c.id,
-             {_COS_SQL.format(a="q.emb", b="c.emb")} AS cosine
-      FROM qset q CROSS JOIN corp c
-    )
-  ) WHERE rnk <= {_RRF_LEG_K}
-),
+)"""
+
+_RRF_TAIL = f""",
 pooled AS (
   SELECT COALESCE(l.query_id, d.query_id) AS query_id,
          COALESCE(l.id, d.id) AS doc_id,
@@ -1356,6 +1546,115 @@ FROM (
   FROM pooled
 ) WHERE rnk <= {_RRF_TOP}
 """
+
+_RRF_ORACLE = _RRF_HEAD + f""",
+denser AS (
+  SELECT query_id, id, rnk FROM (
+    SELECT query_id, id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, id ASC) AS rnk
+    FROM (
+      SELECT q.id AS query_id, c.id,
+             {_COS_SQL.format(a="q.emb", b="c.emb")} AS cosine
+      FROM qset q CROSS JOIN corp c
+    )
+  ) WHERE rnk <= {_RRF_LEG_K}
+)""" + _RRF_TAIL
+
+
+def _rrf_ann_oracle() -> str:
+    """The ANN-dense RRF oracle: identical head (lexical leg) and tail
+    (fusion) text to ``_RRF_ORACLE``; only the ``denser`` CTE swaps —
+    a Lloyd unroll over the CORPUS embeddings plus the nprobe probe
+    replay (``_lloyd_train_parts`` / ``_ivf_search_parts``, the
+    ``sim_ann_ivf_trained`` discipline)."""
+    cv = "rcv AS (SELECT id AS vec_id, emb AS e FROM corp)"
+    qv = "rqv AS (SELECT id AS query_id, emb AS qe FROM qset)"
+    lp, cent = _lloyd_train_parts("rcv", _IVT_ROUNDS, _KM_K, p="rr")
+    sp, ranked = _ivf_search_parts("rcv", cent, "rqv", _IVT_NPROBE, p="rr")
+    denser = (
+        f"denser AS (SELECT query_id, neighbor_id AS id, "
+        f"CAST(rank AS BIGINT) AS rnk FROM {ranked} "
+        f"WHERE rank <= {_RRF_LEG_K})"
+    )
+    return _RRF_HEAD + ",\n" + ",\n".join([cv, qv] + lp + sp + [denser]) + _RRF_TAIL
+
+
+def _rrf_corpus(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(qset, corp): docs carrying BOTH text and an embedding, split
+    into the query set (id < {q}) and the searched corpus."""
+    documents, embeddings = _t(spark, sf_dir, "documents", "embeddings")
+    fused = documents.join(
+        embeddings, documents["doc_id"] == embeddings["vec_id"]
+    ).select(F.col("doc_id").alias("id"), "text", "embedding")
+    qset = fused.filter(F.col("id") < _RRF_QUERIES).transform(materialize)
+    corp = fused.filter(F.col("id") >= _RRF_QUERIES).transform(materialize)
+    return qset, corp
+
+
+def _rrf_lex_leg(qset: DataFrame, corp: DataFrame) -> DataFrame:
+    """Lexical leg: idf-weighted distinct-token overlap, top
+    ``_RRF_LEG_K`` per query → (query_id, doc_id, rnk_lex). The
+    query-term postings broadcast; corpus postings stream once."""
+    from ..operators.dedup import tokens_col
+
+    ctok = corp.select(
+        "id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok")
+    ).transform(materialize)
+    qtok = qset.select(
+        F.col("id").alias("query_id"),
+        F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok"),
+    )
+    stats = corp.agg(F.count(F.lit(1)).alias("n"))
+    dfreq = ctok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf_w = F.round(
+        F.log((F.col("n").cast("double") + 1) / (F.col("df") + 1)), 6
+    ).cast("decimal(18,6)")
+    lexs = (
+        F.broadcast(qtok)
+        .join(ctok, "tok")
+        .join(dfreq, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "id", idf_w.alias("w"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("w").alias("lex_score"))
+    )
+    wlex = Window.partitionBy("query_id").orderBy(
+        F.desc("lex_score"), F.asc("id")
+    )
+    return (
+        lexs.withColumn("rnk", F.row_number().over(wlex))
+        .filter(F.col("rnk") <= _RRF_LEG_K)
+        .select(
+            "query_id", F.col("id").alias("doc_id"), F.col("rnk").alias("rnk_lex")
+        )
+    )
+
+
+def _rrf_fuse(lexr: DataFrame, dense: DataFrame) -> DataFrame:
+    """RRF fusion over the pooled shortlists — ONE function shared by
+    the brute-dense and ANN-dense queries, proving the claimed dense-
+    leg swap costs zero fusion changes (fusion is rank-based; it never
+    sees a score). ``dense``: (query_id, doc_id, rnk_dense)."""
+    pooled = lexr.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce(F.col("rnk_lex"), F.lit(0)).cast("long").alias("rnk_lex"),
+        F.coalesce(F.col("rnk_dense"), F.lit(0)).cast("long").alias("rnk_dense"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (_RRF_K0 + F.col("rnk_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (_RRF_K0 + F.col("rnk_dense")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        pooled.withColumn("rnk", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rnk") <= _RRF_TOP)
+        .select("query_id", "doc_id", "rnk_lex", "rnk_dense", "rrf", "rnk")
+    )
 
 
 @register("sim_rrf_fusion", oracle=_RRF_ORACLE)
@@ -1386,48 +1685,10 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNCHANGED by the ANN substitution (that's why RRF, not score
     fusion: ANN scores are not calibrated against BM25's). The fusion
     itself touches ≤ 2·{lk} rows per query."""
-    from ..operators.dedup import tokens_col
-
-    documents, embeddings = _t(spark, sf_dir, "documents", "embeddings")
-    fused = documents.join(
-        embeddings, documents["doc_id"] == embeddings["vec_id"]
-    ).select(F.col("doc_id").alias("id"), "text", "embedding")
-    qset = fused.filter(F.col("id") < _RRF_QUERIES).transform(materialize)
-    corp = fused.filter(F.col("id") >= _RRF_QUERIES).transform(materialize)
-
-    # --- lexical leg: idf-weighted distinct-token overlap --------------
-    ctok = corp.select(
-        "id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok")
-    ).transform(materialize)
-    qtok = qset.select(
-        F.col("id").alias("query_id"),
-        F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok"),
-    )
-    stats = corp.agg(F.count(F.lit(1)).alias("n"))
-    dfreq = ctok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    idf_w = F.round(
-        F.log((F.col("n").cast("double") + 1) / (F.col("df") + 1)), 6
-    ).cast("decimal(18,6)")
-    lexs = (
-        F.broadcast(qtok)
-        .join(ctok, "tok")
-        .join(dfreq, "tok")
-        .crossJoin(F.broadcast(stats))
-        .select("query_id", "id", idf_w.alias("w"))
-        .groupBy("query_id", "id")
-        .agg(F.sum("w").alias("lex_score"))
-    )
-    wlex = Window.partitionBy("query_id").orderBy(
-        F.desc("lex_score"), F.asc("id")
-    )
-    lexr = (
-        lexs.withColumn("rnk", F.row_number().over(wlex))
-        .filter(F.col("rnk") <= _RRF_LEG_K)
-        .select("query_id", F.col("id").alias("doc_id"), F.col("rnk").alias("rnk_lex"))
-    )
-
-    # --- dense leg: exact cosine shortlist (see docstring for the ANN
-    # substitution at scale) --------------------------------------------
+    qset, corp = _rrf_corpus(spark, sf_dir)
+    lexr = _rrf_lex_leg(qset, corp)
+    # dense leg: exact cosine shortlist — sim_rrf_fusion_ann swaps in
+    # the trained-IVF search through the SAME _rrf_fuse
     dense = brute_force_topk(
         corp.select(F.col("id").alias("vec_id"), "embedding"),
         qset.select(F.col("id").alias("vec_id"), "embedding"),
@@ -1437,27 +1698,62 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("rnk_dense"),
     )
-
-    # --- fusion over the pooled shortlists ------------------------------
-    pooled = lexr.join(dense, ["query_id", "doc_id"], "full_outer").select(
-        "query_id",
-        "doc_id",
-        F.coalesce(F.col("rnk_lex"), F.lit(0)).cast("long").alias("rnk_lex"),
-        F.coalesce(F.col("rnk_dense"), F.lit(0)).cast("long").alias("rnk_dense"),
-        F.round(
-            F.coalesce(F.lit(1.0) / (_RRF_K0 + F.col("rnk_lex")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (_RRF_K0 + F.col("rnk_dense")), F.lit(0.0)),
-            9,
-        ).alias("rrf"),
-    )
-    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
-    return (
-        pooled.withColumn("rnk", F.row_number().over(wf).cast("long"))
-        .filter(F.col("rnk") <= _RRF_TOP)
-        .select("query_id", "doc_id", "rnk_lex", "rnk_dense", "rrf", "rnk")
-    )
+    return _rrf_fuse(lexr, dense)
 
 
 sim_rrf_fusion.__doc__ = sim_rrf_fusion.__doc__.format(
     lk=_RRF_LEG_K, k0=_RRF_K0, q=_RRF_QUERIES
+)
+
+
+@register("sim_rrf_fusion_ann", oracle=_rrf_ann_oracle())
+def sim_rrf_fusion_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sim_rrf_fusion`` with the dense leg SWAPPED to the trained-IVF
+    search — the substitution that query's docstring promises for
+    100 TB, registered so the claim is parity-pinned (r15 verdict #3):
+    same ``_rrf_lex_leg``, same ``_rrf_fuse`` (one function, two leg
+    sources — fusion is rank-based, so it never sees a score and the
+    swap costs ZERO fusion changes), dense leg = ``lloyd_train``
+    (k={k}, {r} rounds, over the CORPUS embeddings) +
+    ``operators.similarity.ivf_search`` (nprobe={np}, leg depth {lk}).
+
+    The oracle shares ``_RRF_HEAD``/``_RRF_TAIL`` — the lexical-leg
+    and fusion SQL are byte-identical to ``sim_rrf_fusion``'s oracle —
+    and only the ``denser`` CTE becomes the Lloyd-unroll + probe
+    replay. Output differences vs the brute-dense query are exactly
+    the ANN leg's recall misses re-ranked by the fusion algebra
+    (``tests/test_hybrid_and_caps.py`` asserts the overlap). Scale:
+    the leg swap is what makes hybrid retrieval affordable — the
+    corpus-scan dense leg becomes nprobe bucket probes while the
+    fusion stage still touches ≤ 2·{lk} rows per query."""
+    from ..operators.kmeans import lloyd_train
+    from ..operators.similarity import ivf_search
+
+    qset, corp = _rrf_corpus(spark, sf_dir)
+    lexr = _rrf_lex_leg(qset, corp)
+    corp_vec = corp.select(F.col("id").alias("vec_id"), "embedding")
+    cent = materialize(
+        lloyd_train(
+            corp_vec, k=_KM_K, iterations=_IVT_ROUNDS, round_digits=6
+        ).select(
+            F.col("cluster").cast("bigint").alias("vec_id"),
+            F.col("c").alias("embedding"),
+        )
+    )
+    dense = ivf_search(
+        corp_vec,
+        cent,
+        qset.select(F.col("id").alias("vec_id"), "embedding"),
+        k=_RRF_LEG_K,
+        nprobe=_IVT_NPROBE,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("rnk_dense"),
+    )
+    return _rrf_fuse(lexr, dense)
+
+
+sim_rrf_fusion_ann.__doc__ = sim_rrf_fusion_ann.__doc__.format(
+    k=_KM_K, r=_IVT_ROUNDS, np=_IVT_NPROBE, lk=_RRF_LEG_K
 )

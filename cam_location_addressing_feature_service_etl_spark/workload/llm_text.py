@@ -3709,6 +3709,90 @@ dedup_shared_span_stopgrams.__doc__ = (
 )
 
 
+@register(
+    "dedup_remove_shared_spans",
+    oracle=_SS_KG_CTE + f""",
+hot AS (
+  SELECT kg FROM (SELECT kg, COUNT(*) AS c FROM kg GROUP BY kg)
+  WHERE c > {_SS_CAP}
+),
+kgf AS (SELECT * FROM kg WHERE kg NOT IN (SELECT kg FROM hot)),
+j AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.pos AS pa, a.pos - b.pos AS d
+  FROM kgf a JOIN kgf b ON a.kg = b.kg AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT id_a, id_b, d, pa,
+         pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, d
+                                 ORDER BY pa) AS grp
+  FROM j
+),
+s AS (
+  SELECT id_a, id_b, d, CAST(MIN(pa) AS BIGINT) AS start_a,
+         CAST(COUNT(*) + {_SS_K} - 1 AS BIGINT) AS span_tokens
+  FROM r GROUP BY id_a, id_b, d, grp
+),
+cuts AS (
+  SELECT id_b AS doc_id, CAST(start_a - d AS BIGINT) AS cs,
+         CAST(start_a - d + span_tokens - 1 AS BIGINT) AS ce
+  FROM s WHERE span_tokens >= {_SS_MIN_SPAN}
+),
+pos AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, toks[i] AS tok
+  FROM tokl, UNNEST(generate_series(1, len(toks))) AS u(i)
+),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.tok FROM pos
+  WHERE NOT EXISTS (SELECT 1 FROM cuts
+                    WHERE cuts.doc_id = pos.doc_id
+                      AND pos.p BETWEEN cuts.cs AND cuts.ce)
+),
+reb AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_hash
+  FROM kept GROUP BY 1
+),
+base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tokl)
+SELECT base.doc_id, n_tokens,
+       COALESCE(kept_tokens, 0) AS kept_tokens,
+       n_tokens - COALESCE(kept_tokens, 0) AS removed_tokens,
+       COALESCE(cleaned_hash, md5('')) AS cleaned_hash
+FROM base LEFT JOIN reb USING (doc_id)
+""",
+)
+def dedup_remove_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document span REMOVAL — the act the alignment queries
+    prepare for, completing the ExactSubstr story (Lee et al. 2022's
+    endgame; r15 verdict #4): the capped shared spans
+    (``dedup_shared_spans_capped``'s exact pipeline, cap {cap}) are
+    resolved to ONE survivor per span — keep-first: the lower doc id
+    keeps its copy, the span's token range is cut from the higher —
+    and the corpus is rewritten. Per-doc accounting out, the
+    ``dedup_remove_spans`` shape: (doc_id, n_tokens, kept_tokens,
+    removed_tokens, cleaned_hash), every doc present, cut or not, so
+    ``SUM(removed_tokens)`` is the corpus-level dedup yield and the
+    hash pins the rewritten text. tests/test_llm_text.py proves on a
+    planted fixture that the removed text IS the reported spans.
+
+    Scale: span generation is the capped (linear) join; the cut frame
+    is spans-sized; the position anti-join is equi-on-doc-id with a
+    range predicate, fan-out bounded by cuts-per-doc; the rebuild
+    groups by doc id. Nothing in the plan materializes doc pairs."""
+    from ..operators.dedup import remove_shared_spans
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return remove_shared_spans(
+        documents, "doc_id", "text",
+        k=_SS_K, min_span=_SS_MIN_SPAN, max_gram_df=_SS_CAP,
+    )
+
+
+dedup_remove_shared_spans.__doc__ = dedup_remove_shared_spans.__doc__.format(
+    cap=_SS_CAP
+)
+
+
 # ---------------------------------------------------------------------------
 # Cross-corpus doc-level decontamination (train vs frozen benchmark)
 # ---------------------------------------------------------------------------

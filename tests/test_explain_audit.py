@@ -47,9 +47,16 @@ CARTESIAN_ALLOWED = {
     # the broadcast k-row trained-centroid frame (the sim_kmeans shape,
     # k rounds deep), then the ivf_search broadcast-query probe
     "sim_ann_ivf_trained",
+    "sim_ann_ivf_scaled",           # same trained-centroid broadcast shape, k=32
+    # recall audit: brute exact leg + both trained tiers in one plan —
+    # every cross is a broadcast query/centroid/1-row-count frame
+    "sim_ann_recall_audit",
     # hybrid fusion: dense leg = brute_force_topk's broadcast-query
     # scoring pass; lexical leg carries the 1-row corpus-stats frame
     "sim_rrf_fusion",
+    # same lexical leg; ANN dense leg adds the trained-centroid
+    # broadcast argmin (the sim_ann_ivf_trained shape)
+    "sim_rrf_fusion_ann",
     # 1-row broadcast scalar aggregates
     "m3_stable_surrogate_ids",      # lazy 1-row max-id start frame
     "text_tfidf_topk",              # corpus doc count

@@ -164,3 +164,46 @@ def test_chi2_drift_flags_shifted_category_mix(spark):
     for r in rows:
         assert r["chi2_part"] >= 0.0
         assert r["n_ref"] + r["n_cur"] > 0
+
+
+def test_rrf_ann_swap_shares_fusion_and_overlaps(spark):
+    # r16: the ANN-dense fusion swaps ONLY the dense leg — same
+    # _rrf_lex_leg, same _rrf_fuse — so per (query_id, doc_id) the
+    # lexical ranks must be IDENTICAL across the two queries, and the
+    # fused lists overlap except where the ANN leg's recall misses
+    # re-rank the pool.
+    from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+
+    from tests.conftest import SF_SMOKE
+
+    brute = QUERIES["sim_rrf_fusion"](spark, SF_SMOKE).collect()
+    ann = QUERIES["sim_rrf_fusion_ann"](spark, SF_SMOKE).collect()
+    assert len(brute) == len(ann) > 0
+    # lexical leg identical: any (query, doc) present in both with a
+    # lexical hit reports the same rnk_lex
+    blex = {(r["query_id"], r["doc_id"]): r["rnk_lex"] for r in brute}
+    alex = {(r["query_id"], r["doc_id"]): r["rnk_lex"] for r in ann}
+    common = set(blex) & set(alex)
+    assert common and all(blex[k] == alex[k] for k in common)
+    # the fused shortlists substantially overlap (ANN recall ~0.8+ at
+    # this fixture): at least half the fused pairs agree
+    assert len(common) >= len(brute) // 2
+    # every ANN dense rank, where present, is a valid leg rank
+    assert all(0 <= r["rnk_dense"] for r in ann)
+
+
+def test_ann_recall_audit_bounds_and_exact_denominator(spark):
+    # the audit's denominator is the exact leg's pair count and the
+    # recall is a true ratio in (0, 1]; both tiers report the same
+    # denominator (same query set, same k)
+    from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
+
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["tier"]: r for r in QUERIES["sim_ann_recall_audit"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"trained_k8_np2", "scaled_k32_np4"}
+    denoms = {r["exact_pairs"] for r in rows.values()}
+    assert len(denoms) == 1 and denoms.pop() > 0
+    for r in rows.values():
+        assert 0 < r["hit_pairs"] <= r["exact_pairs"]
+        assert 0 < r["recall_at_k"] <= 1.0

@@ -956,3 +956,61 @@ def test_shared_token_spans_maximal_alignment(spark):
         r["start_b"],
         r["span_tokens"],
     ) == (1, 2, 0, 2, 8)
+
+
+def test_remove_shared_spans_cuts_exactly_the_reported_spans(spark):
+    """remove_shared_spans (keep-first cross-doc rewrite): the removed
+    token positions of every doc are EXACTLY the union of its cut
+    ranges from shared_token_spans (id_b side); survivors and
+    unrelated docs are untouched; the cleaned hash is the md5 of the
+    surviving tokens in order; chained duplicates keep only the
+    lowest id's copy."""
+    import hashlib
+
+    from cam_location_addressing_feature_service_etl_spark.operators.dedup import (
+        remove_shared_spans,
+        shared_token_spans,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    docs = [
+        (1, f"h1 h2 {shared} t1 t2"),          # lowest id: survivor
+        (2, f"b1 b2 b3 {shared} c1 c2"),       # loses the span
+        (3, f"{shared} d1 d2 d3 d4 d5"),       # chained: also loses it
+        (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),     # unrelated: untouched
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = shared_token_spans(df, "doc_id", "text", k=5, min_span=8).collect()
+    out = {r["doc_id"]: r for r in remove_shared_spans(
+        df, "doc_id", "text", k=5, min_span=8
+    ).collect()}
+
+    # reconciliation: per doc, removed_tokens == |union of its id_b cut
+    # ranges reported by the alignment|
+    cut_positions: dict[int, set[int]] = {}
+    for s in spans:
+        cut_positions.setdefault(s["id_b"], set()).update(
+            range(s["start_b"], s["start_b"] + s["span_tokens"])
+        )
+    for did, _text in docs:
+        assert out[did]["removed_tokens"] == len(cut_positions.get(did, set()))
+
+    # survivor + unrelated keep everything, with the full-text hash
+    for did in (1, 4):
+        toks = dict(docs)[did].split()
+        assert out[did]["kept_tokens"] == len(toks)
+        assert out[did]["cleaned_hash"] == hashlib.md5(
+            " ".join(toks).encode()
+        ).hexdigest()
+
+    # the cut docs keep exactly their non-shared tokens, in order
+    assert out[2]["removed_tokens"] == 10
+    assert out[2]["cleaned_hash"] == hashlib.md5(
+        b"b1 b2 b3 c1 c2"
+    ).hexdigest()
+    assert out[3]["removed_tokens"] == 10
+    assert out[3]["cleaned_hash"] == hashlib.md5(
+        b"d1 d2 d3 d4 d5"
+    ).hexdigest()
+    # corpus-level yield: one surviving copy of the 10-token span
+    assert sum(r["removed_tokens"] for r in out.values()) == 20
