@@ -2474,6 +2474,135 @@ def geo_fence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Blocking-quality audit: reduction ratio + pair completeness
 # ---------------------------------------------------------------------------
 
+def blocking_feed_names(part: DataFrame) -> DataFrame:
+    """Distinct feed-side names ``(fn)`` of a part batch — the exact
+    derivation the registered audit uses; shared with the streaming
+    twin (``streaming/er_blocking.py``) so the name space can never
+    drift between them."""
+    return part.select(F.expr(_FEED_NAME_SQL).alias("fn")).distinct()
+
+
+def blocking_master_names(part: DataFrame) -> DataFrame:
+    """Distinct master-side names ``(mn)`` of a part batch."""
+    return part.select(F.col("p_name").alias("mn")).distinct()
+
+
+def blocking_true_pairs(
+    m_names: DataFrame, f_names: DataFrame
+) -> DataFrame:
+    """TRUE match pairs ``(mn, fn)`` (edit distance ≤ ``_LINK_TAU``)
+    between the two distinct-name sets — whole-name PassJoin
+    (complete within tau by the pigeonhole filter) + one levenshtein
+    verify per candidate, candidates ∝ true matches, never the F×M
+    cross. Shared by the batch audit and the streaming twin's
+    incremental closure."""
+    from ..operators.fuzzy import passjoin_link
+
+    return (
+        passjoin_link(
+            _block_names_union(
+                m_names.select(F.col("mn").alias("nm")), ("whole_name",)
+            ),
+            _block_names_union(
+                f_names.select(F.col("fn").alias("nm")), ("whole_name",)
+            ),
+            "nm",
+            "blk",
+            _LINK_TAU,
+            seg_col="rest",
+        )
+        .withColumn(
+            "d", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
+        )
+        .filter(F.col("d") <= _LINK_TAU)
+        .select(F.col("name_a").alias("mn"), F.col("name_b").alias("fn"))
+    )
+
+
+def blocking_quality_audit(
+    f_names: DataFrame, m_names: DataFrame, true_p: DataFrame
+) -> DataFrame:
+    """The audit ROW from the three frames (distinct feed names,
+    distinct master names, verified true pairs): |candidates| under
+    the token-union blocking by INCLUSION–EXCLUSION over per-block-key
+    count products (zero pair rows — see the registered query's
+    docstring for the algebra), retained matches by re-deriving the
+    block keys on the bounded verified set, counts + the two ratios
+    in one final select. ONE function shared by the batch query and
+    the streaming twin, so the audit algebra can never drift."""
+    from ..runtime import materialize
+
+    f_names = materialize(f_names)
+    m_names = materialize(m_names)
+    true_p = materialize(true_p)
+
+    def _keys(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.split(F.col(name), " ").getItem(0).alias("b1"),
+            F.element_at(F.split(F.col(name), " "), -1).alias("b2"),
+        )
+
+    fb = _keys(f_names, "fn").transform(materialize)
+    mb = _keys(m_names, "mn").transform(materialize)
+
+    def _pair_count(keys: list[str]) -> DataFrame:
+        cf = fb.groupBy(*keys).agg(F.count(F.lit(1)).alias("cf"))
+        cm = mb.groupBy(*keys).agg(F.count(F.lit(1)).alias("cm"))
+        # coalesce: an empty block-key join must yield 0 candidate
+        # pairs (the oracle's COUNT form), not a NULL aggregate that
+        # would poison cand_pairs / reduction_ratio downstream
+        return cf.join(cm, keys).agg(
+            F.coalesce(F.sum(F.col("cf") * F.col("cm")), F.lit(0)).alias("n")
+        )
+
+    n1, n2, n12 = (
+        _pair_count(["b1"]),
+        _pair_count(["b2"]),
+        _pair_count(["b1", "b2"]),
+    )
+    nc = (
+        n1.select(F.col("n").alias("x1"))
+        .crossJoin(F.broadcast(n2.select(F.col("n").alias("x2"))))
+        .crossJoin(F.broadcast(n12.select(F.col("n").alias("x12"))))
+        .select((F.col("x1") + F.col("x2") - F.col("x12")).alias("nc"))
+    )
+    # retained = true pairs whose names agree on first OR last token —
+    # re-derived on the bounded verified set, no candidate join
+    found = true_p.filter(
+        (
+            F.split(F.col("fn"), " ").getItem(0)
+            == F.split(F.col("mn"), " ").getItem(0)
+        )
+        | (
+            F.element_at(F.split(F.col("fn"), " "), -1)
+            == F.element_at(F.split(F.col("mn"), " "), -1)
+        )
+    )
+    nf = f_names.agg(F.count(F.lit(1)).alias("nf"))
+    nm_ = m_names.agg(F.count(F.lit(1)).alias("nm"))
+    nt = true_p.agg(F.count(F.lit(1)).alias("nt"))
+    nd = found.agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        nf.crossJoin(F.broadcast(nm_))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("nf").alias("n_feed"),
+            F.col("nm").alias("n_master"),
+            F.col("nc").alias("cand_pairs"),
+            F.col("nt").alias("true_pairs"),
+            F.col("nd").alias("found_pairs"),
+            F.round(
+                1 - F.col("nc").cast("double") / (F.col("nf") * F.col("nm")), 6
+            ).alias("reduction_ratio"),
+            F.round(F.col("nd").cast("double") / F.col("nt"), 6).alias(
+                "pair_completeness"
+            ),
+        )
+    )
+
+
 @register(
     "er_blocking_quality",
     oracle=f"""
@@ -2548,104 +2677,12 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ARITHMETIC, nf·nm). The oracle states the DEFINITIONAL enumerated
     form (DISTINCT over the unioned block joins + INTERSECT with the
     cross-join truth), proving the inclusion–exclusion algebra."""
-    from ..operators.fuzzy import passjoin_link
-    from ..runtime import materialize
-
     tune(spark)
     part = load(spark, sf_dir, "part")
-    m_names = part.select(F.col("p_name").alias("mn")).distinct().transform(
-        materialize
+    f_names = blocking_feed_names(part)
+    m_names = blocking_master_names(part)
+    return blocking_quality_audit(
+        f_names, m_names, blocking_true_pairs(m_names, f_names)
     )
-    f_names = (
-        part.select(F.expr(_FEED_NAME_SQL).alias("fn"))
-        .distinct()
-        .transform(materialize)
-    )
-
-    def _keys(df: DataFrame, name: str) -> DataFrame:
-        return df.select(
-            F.split(F.col(name), " ").getItem(0).alias("b1"),
-            F.element_at(F.split(F.col(name), " "), -1).alias("b2"),
-        )
-
-    fb = _keys(f_names, "fn").transform(materialize)
-    mb = _keys(m_names, "mn").transform(materialize)
-
-    def _pair_count(keys: list[str]) -> DataFrame:
-        cf = fb.groupBy(*keys).agg(F.count(F.lit(1)).alias("cf"))
-        cm = mb.groupBy(*keys).agg(F.count(F.lit(1)).alias("cm"))
-        # coalesce: an empty block-key join must yield 0 candidate
-        # pairs (the oracle's COUNT form), not a NULL aggregate that
-        # would poison cand_pairs / reduction_ratio downstream
-        return cf.join(cm, keys).agg(
-            F.coalesce(F.sum(F.col("cf") * F.col("cm")), F.lit(0)).alias("n")
-        )
-    n1, n2, n12 = (
-        _pair_count(["b1"]),
-        _pair_count(["b2"]),
-        _pair_count(["b1", "b2"]),
-    )
-    nc = (
-        n1.select(F.col("n").alias("x1"))
-        .crossJoin(F.broadcast(n2.select(F.col("n").alias("x2"))))
-        .crossJoin(F.broadcast(n12.select(F.col("n").alias("x12"))))
-        .select((F.col("x1") + F.col("x2") - F.col("x12")).alias("nc"))
-    )
-
-    # true name pairs: whole-name PassJoin (complete within tau) +
-    # one levenshtein verify per candidate (∝ true matches)
-    true_p = (
-        passjoin_link(
-            _block_names_union(m_names.select(F.col("mn").alias("nm")), ("whole_name",)),
-            _block_names_union(f_names.select(F.col("fn").alias("nm")), ("whole_name",)),
-            "nm",
-            "blk",
-            _LINK_TAU,
-            seg_col="rest",
-        )
-        .withColumn(
-            "d", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
-        )
-        .filter(F.col("d") <= _LINK_TAU)
-        .select(F.col("name_a").alias("mn"), F.col("name_b").alias("fn"))
-        .transform(materialize)
-    )
-    # retained = true pairs whose names agree on first OR last token —
-    # re-derived on the bounded verified set, no candidate join
-    found = true_p.filter(
-        (
-            F.split(F.col("fn"), " ").getItem(0)
-            == F.split(F.col("mn"), " ").getItem(0)
-        )
-        | (
-            F.element_at(F.split(F.col("fn"), " "), -1)
-            == F.element_at(F.split(F.col("mn"), " "), -1)
-        )
-    )
-
-    nf = f_names.agg(F.count(F.lit(1)).alias("nf"))
-    nm_ = m_names.agg(F.count(F.lit(1)).alias("nm"))
-    nt = true_p.agg(F.count(F.lit(1)).alias("nt"))
-    nd = found.agg(F.count(F.lit(1)).alias("nd"))
-    return (
-        nf.crossJoin(F.broadcast(nm_))
-        .crossJoin(F.broadcast(nc))
-        .crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(nd))
-        .select(
-            F.col("nf").alias("n_feed"),
-            F.col("nm").alias("n_master"),
-            F.col("nc").alias("cand_pairs"),
-            F.col("nt").alias("true_pairs"),
-            F.col("nd").alias("found_pairs"),
-            F.round(
-                1 - F.col("nc").cast("double") / (F.col("nf") * F.col("nm")), 6
-            ).alias("reduction_ratio"),
-            F.round(F.col("nd").cast("double") / F.col("nt"), 6).alias(
-                "pair_completeness"
-            ),
-        )
-    )
-
 
 er_blocking_quality.__doc__ = er_blocking_quality.__doc__.format(tau=_LINK_TAU)

@@ -53,6 +53,13 @@ _QUERIES = [
     "sim_mmr_rerank_grouped",
     "dq_ks_drift",
     "sample_pack_concat_chunks",
+    # r16 widening: the production trained-IVF point, the ANN recall
+    # audit (brute + both tiers in one plan), the ANN-dense hybrid
+    # fusion, and the cross-doc span-cut rewrite
+    "sim_ann_ivf_scaled",
+    "sim_ann_recall_audit",
+    "sim_rrf_fusion_ann",
+    "dedup_remove_shared_spans",
 ]
 
 _DIRS = [
@@ -66,7 +73,13 @@ def main() -> int:
     spark = get_spark(app_name="sf1-probe")
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[tuple[str, str], float] = {}
-    for qname in _QUERIES:
+    # optional argv filter: probe only the named queries (substring
+    # match), so a round's new family doesn't re-pay the full table
+    filters = sys.argv[1:]
+    names = [
+        q for q in _QUERIES if not filters or any(f in q for f in filters)
+    ]
+    for qname in names:
         for dname, d in _DIRS:
             if not os.path.isdir(d):
                 print(f"skip {dname}: {d} missing (run gen_scale_data.py)")
