@@ -356,10 +356,15 @@ def dedup_fold_increment(
     hit = dfreq.join(
         _maybe_bcast(df_b.select("sh"), bcast_batch), "sh", "leftsemi"
     )
+    # _dfb rides along so the screen can also price the confirm's
+    # "full" bound shingle-level (Σ over (doc, sh) of df =
+    # Σ_sh dfb·df) — one fewer aggregate in the confirm action (r15
+    # ADVICE: fuse the gate scalars where possible)
     merged_b = (
         df_b.join(hit, "sh", "left")
         .select(
             "sh",
+            "_dfb",
             (F.coalesce(F.col("df"), F.lit(0)) + F.col("_dfb")).alias("_df"),
         )
         .transform(materialize)
@@ -407,6 +412,10 @@ def dedup_fold_increment(
                     dfd * (dfd - 1),
                 )
             ).alias("hot"),
+            # the confirm's FULL bound, priced here shingle-level
+            # (Σ over (doc, sh) probe rows of df = Σ_sh dfb·df) so the
+            # confirm action only computes the prefix side
+            F.sum(F.col("_dfb").cast("double") * dfd).alias("full"),
         )
         .collect()[0]
     )
@@ -429,11 +438,10 @@ def dedup_fold_increment(
                 .transform(materialize)
             )
             st = ranked.agg(
-                F.sum("_df").alias("full"),
                 F.sum(F.when(F.col("_rn") <= plen, F.col("_df"))).alias("pre"),
             ).collect()[0]
             use_prefix = (
-                st["pre"] is not None and st["pre"] * 4.0 <= st["full"]
+                st["pre"] is not None and st["pre"] * 4.0 <= scr["full"]
             )
     sizes = registry.select(F.col(id_col), "n_sh").unionByName(
         new_rows.select(id_col, "n_sh")
@@ -504,16 +512,16 @@ def dedup_fold_increment(
         )
         .select(F.coalesce("new_lbl", "label").alias("label"))
     )
-    touched = (
-        new_final.unionByName(relabel.select(F.col("new_lbl").alias("label")))
-        .distinct()
-        .transform(materialize)
-    )
+    touched = new_final.unionByName(
+        relabel.select(F.col("new_lbl").alias("label"))
+    ).distinct()
     # the anti-join set must ALSO cover the losing side of every
     # merge: a registry row whose label was re-mapped carries the OLD
     # label, which is not in `touched` (that holds merge WINNERS and
     # new-doc labels) — without old_lbl here the row would survive the
-    # anti-join AND reappear re-labeled from the recompute (duplicate)
+    # anti-join AND reappear re-labeled from the recompute (duplicate).
+    # `touched` stays lazy: touched_old is its only consumer, so ONE
+    # checkpoint covers both (one fewer eager job per fold)
     touched_old = touched.unionByName(
         relabel.select(F.col("old_lbl").alias("label"))
     ).distinct().transform(materialize)
