@@ -992,17 +992,30 @@ def remove_duplicated_spans(
 
 
 def _gram_postings(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Positional k-gram postings ``(_id, pos, kg)`` — kg the md5 of
     the k consecutive tokens starting at 0-based ``pos``; docs shorter
     than ``k`` tokens contribute nothing. Shared by the alignment join
-    and its stop-gram ledger."""
-    tokd = (
-        df.select(F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("_toks"))
-        .filter(F.size("_toks") >= k)
-        .transform(materialize)
-    )
+    and its stop-gram ledger. ``toks``: optional pre-tokenized,
+    already-materialized ``(_id, _toks)`` frame, so a caller that
+    needs the token stream anyway (``remove_shared_spans``'s rebuild)
+    pays the corpus tokenize ONCE instead of once per pass."""
+    if toks is not None:
+        tokd = toks.filter(F.size("_toks") >= k)
+    else:
+        tokd = (
+            df.select(
+                F.col(id_col).alias("_id"),
+                tokens_col(F.col(text_col)).alias("_toks"),
+            )
+            .filter(F.size("_toks") >= k)
+            .transform(materialize)
+        )
     return tokd.select(
         "_id",
         F.explode(
@@ -1047,6 +1060,7 @@ def shared_token_spans(
     k: int = 5,
     min_span: int = 8,
     max_gram_df: int | None = None,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Pairwise maximal shared token runs (cross-document ExactSubstr
     alignment) — see the registered ``dedup_shared_spans`` docstring
@@ -1069,7 +1083,7 @@ def shared_token_spans(
     ledger instead of losing it silently. ``None`` keeps the exact
     uncapped semantics (audits of bounded pair sets, and the
     registered uncapped query's oracle)."""
-    kg = _gram_postings(df, id_col, text_col, k)
+    kg = _gram_postings(df, id_col, text_col, k, toks=toks)
     if max_gram_df is not None:
         gdf = kg.groupBy("kg").agg(F.count(F.lit(1)).alias("g_df"))
         hot = gdf.filter(F.col("g_df") > max_gram_df).select("kg")
@@ -1134,8 +1148,21 @@ def remove_shared_spans(
     OWN doc's cuts only (equi on the doc id, range on the position),
     so fan-out is bounded by cuts-per-doc; the rebuild groups by doc
     id — single-doc-width partitions throughout."""
+    # ONE corpus tokenize, materialized: it feeds the alignment's gram
+    # postings (via the toks pass-through), the position explode AND
+    # the n_tokens base — without the sharing the corpus would
+    # tokenize once per pass
+    toks = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    ).transform(materialize)
     spans = shared_token_spans(
-        df, id_col, text_col, k=k, min_span=min_span, max_gram_df=max_gram_df
+        df,
+        id_col,
+        text_col,
+        k=k,
+        min_span=min_span,
+        max_gram_df=max_gram_df,
+        toks=toks.select(F.col(id_col).alias("_id"), "_toks"),
     )
     # keep-first survivor: id_a (the lower id) keeps; cut from id_b.
     # 0-based [cut_start, cut_end] token ranges, matching the spans'
@@ -1144,11 +1171,6 @@ def remove_shared_spans(
         F.col("id_b").alias(id_col),
         F.col("start_b").alias("cut_start"),
         (F.col("start_b") + F.col("span_tokens") - 1).alias("cut_end"),
-    ).transform(materialize)
-    # the tokenized frame feeds the position explode AND the n_tokens
-    # base — materialize or the corpus tokenize runs once per branch
-    toks = df.select(
-        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
     ).transform(materialize)
     pos = toks.select(
         F.col(id_col), F.posexplode("_toks").alias("p", "tok")
