@@ -1208,3 +1208,102 @@ def remove_shared_spans(
             "cleaned_hash"
         ),
     )
+
+
+def remove_contaminated_spans(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """SPAN-LEVEL cross-corpus decontamination — the rewrite act the
+    doc-level audit (``dedup_cross_corpus``) prepares for: instead of
+    dropping whole training documents that quote a held-out benchmark,
+    cut ONLY the quoted token ranges and keep the rest of the doc (the
+    surgical decontamination large pipelines actually run — dropping a
+    book because it quotes one eval question wastes the book).
+
+    A train token position is contaminated iff some k-gram covering it
+    appears ANYWHERE in the benchmark corpus; overlapping/adjacent hit
+    grams merge into maximal islands (two hits merge iff their k-token
+    windows touch: gap <= k), and each island's [min, max + k - 1]
+    token range is cut. Returns the per-doc accounting shape of
+    :func:`remove_duplicated_spans` over TRAIN docs only:
+    ``(id, n_tokens, kept_tokens, removed_tokens, cleaned_hash)`` —
+    every train doc present, cut or not, so ``SUM(removed_tokens)`` is
+    the corpus-level contamination yield and the hash pins the
+    rewritten text.
+
+    Scale shape — the asymmetry IS the plan (the ``dedup_cross_corpus``
+    argument): the benchmark side is tiny and FROZEN, so its distinct
+    k-gram set broadcasts and the train corpus is scanned exactly
+    once map-side; the only shuffled stream is the collision hits
+    (doc-local island window, spans-sized cut frame). The position
+    anti-join is equi-on-doc-id with a range predicate, fan-out
+    bounded by cuts-per-doc; the rebuild groups by doc id. No
+    corpus-vs-corpus join exists anywhere in the plan.
+    """
+    # ONE train tokenize, materialized: feeds the gram postings, the
+    # position explode AND the n_tokens base (the repo-wide shared-
+    # subtree rule)
+    toks = train_df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    ).transform(materialize)
+    bench_kg = _gram_postings(bench_df, id_col, text_col, k).select("kg").distinct()
+    grams = _gram_postings(
+        train_df, id_col, text_col, k,
+        toks=toks.select(F.col(id_col).alias("_id"), "_toks"),
+    )
+    # the frozen-benchmark gram set is broadcast-scale by premise;
+    # semi join keeps the hit stream only
+    hits = grams.join(F.broadcast(bench_kg), "kg", "leftsemi").select(
+        F.col("_id").alias(id_col), "pos"
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    brk = F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0)
+    islands = hits.withColumn("_isl", F.sum(brk).over(w))
+    cuts = (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("cut_start"),
+            (F.max("pos") + (k - 1)).alias("cut_end"),
+        )
+        .drop("_isl")
+        .transform(materialize)
+    )
+    pos = toks.select(F.col(id_col), F.posexplode("_toks").alias("p", "tok"))
+    t, c = pos.alias("t"), cuts.alias("c")
+    kept = t.join(
+        c,
+        (F.col(f"t.{id_col}") == F.col(f"c.{id_col}"))
+        & F.col("t.p").between(F.col("c.cut_start"), F.col("c.cut_end")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda r: r["tok"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_hash"),
+    )
+    base = toks.select(
+        F.col(id_col), F.size("_toks").cast("long").alias("n_tokens")
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("kept_tokens"), F.lit(0))).alias(
+            "removed_tokens"
+        ),
+        F.coalesce(F.col("cleaned_hash"), F.md5(F.lit(""))).alias(
+            "cleaned_hash"
+        ),
+    )

@@ -3877,6 +3877,108 @@ dedup_cross_corpus.__doc__ = dedup_cross_corpus.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# Span-level cross-corpus decontamination REWRITE (cut the quote,
+# keep the doc)
+# ---------------------------------------------------------------------------
+
+#: k-gram width of the contamination match (the ExactSubstr width —
+#: an 8-token verbatim overlap with an eval doc is a quote, not chance)
+_XR_K = 8
+
+_XR_ORACLE = f"""
+WITH tokl AS (
+  SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM documents
+),
+gram AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(toks[i + 1 : i + {_XR_K}], ' ')) AS kg
+  FROM tokl, UNNEST(generate_series(0, len(toks) - {_XR_K})) AS t(i)
+  WHERE len(toks) >= {_XR_K}
+),
+bkg AS (SELECT DISTINCT kg FROM gram WHERE doc_id % {_XC_MOD} = 0),
+hit AS (
+  SELECT doc_id, pos FROM gram
+  WHERE doc_id % {_XC_MOD} <> 0 AND kg IN (SELECT kg FROM bkg)
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {_XR_K} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM hit
+  )
+),
+cuts AS (
+  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS cs,
+         CAST(MAX(pos) + {_XR_K} - 1 AS BIGINT) AS ce
+  FROM isl GROUP BY doc_id, island
+),
+pos AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, toks[i] AS tok
+  FROM tokl, UNNEST(generate_series(1, len(toks))) AS u(i)
+  WHERE doc_id % {_XC_MOD} <> 0
+),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.tok FROM pos
+  WHERE NOT EXISTS (SELECT 1 FROM cuts
+                    WHERE cuts.doc_id = pos.doc_id
+                      AND pos.p BETWEEN cuts.cs AND cuts.ce)
+),
+reb AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_hash
+  FROM kept GROUP BY 1
+),
+base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM tokl WHERE doc_id % {_XC_MOD} <> 0
+)
+SELECT base.doc_id, n_tokens,
+       COALESCE(kept_tokens, 0) AS kept_tokens,
+       n_tokens - COALESCE(kept_tokens, 0) AS removed_tokens,
+       COALESCE(cleaned_hash, md5('')) AS cleaned_hash
+FROM base LEFT JOIN reb USING (doc_id)
+"""
+
+
+@register("dedup_decontam_span_rewrite", oracle=_XR_ORACLE)
+def dedup_decontam_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL cross-corpus decontamination — the REWRITE the
+    doc-level audit prepares for: ``dedup_cross_corpus`` names the
+    contaminated (train, benchmark) doc pairs; this cuts the quoted
+    token ranges OUT of the training docs and keeps the rest (dropping
+    a book because it quotes one eval question wastes the book — the
+    surgical form real pipelines run). Same deterministic split as the
+    audit (benchmark = doc_id % {mod} = 0); a train position is
+    contaminated iff some {k}-gram covering it appears anywhere in the
+    benchmark; adjacent hits island-merge; cuts rewrite. Output is the
+    ``dedup_remove_spans`` accounting shape over TRAIN docs only —
+    SUM(removed_tokens) is the contamination yield, the hash pins the
+    rewritten text (tests/test_llm_text.py proves on a planted fixture
+    that the removed text IS the benchmark quote).
+
+    Scale: the frozen benchmark's distinct {k}-gram set broadcasts;
+    the 100 TB train corpus is scanned ONCE map-side; the only
+    shuffled stream is the collision hits (doc-local island window),
+    then a spans-sized cut frame into a per-doc bounded anti-join.
+    No corpus-vs-corpus join anywhere (operators/dedup.py
+    remove_contaminated_spans)."""
+    from ..operators.dedup import remove_contaminated_spans
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    bench = documents.filter(F.col("doc_id") % _XC_MOD == 0)
+    train = documents.filter(F.col("doc_id") % _XC_MOD != 0)
+    return remove_contaminated_spans(train, bench, "doc_id", "text", k=_XR_K)
+
+
+dedup_decontam_span_rewrite.__doc__ = dedup_decontam_span_rewrite.__doc__.format(
+    mod=_XC_MOD, k=_XR_K
+)
+
+
+# ---------------------------------------------------------------------------
 # Per-source document caps (the CommonCrawl-style domain cap)
 # ---------------------------------------------------------------------------
 

@@ -1014,3 +1014,54 @@ def test_remove_shared_spans_cuts_exactly_the_reported_spans(spark):
     ).hexdigest()
     # corpus-level yield: one surviving copy of the 10-token span
     assert sum(r["removed_tokens"] for r in out.values()) == 20
+
+
+def test_remove_contaminated_spans_cuts_exactly_the_benchmark_quote(spark):
+    """remove_contaminated_spans (span-level decontamination): a train
+    doc quoting a benchmark doc loses EXACTLY the quoted token range
+    (island-merged across overlapping k-gram hits); clean train docs
+    are untouched with the full-text hash; a train doc repeating the
+    quote twice loses both copies; nothing shorter than k matches."""
+    import hashlib
+
+    from cam_location_addressing_feature_service_etl_spark.operators.dedup import (
+        remove_contaminated_spans,
+    )
+
+    quote = "q1 q2 q3 q4 q5 q6"  # 6 tokens, k=5 -> two overlapping hits
+    bench = spark.createDataFrame(
+        [(100, f"e1 e2 {quote} e3 e4")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {quote} b1 b2"),          # one quote, mid-doc
+            (2, f"{quote} c1 c2 c3 {quote}"),        # quote twice
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8"),          # clean
+            (4, "q1 q2 q3 x q4 q5 q6 y z w"),        # broken quote: no 5-gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_contaminated_spans(
+            train, bench, "doc_id", "text", k=5
+        ).collect()
+    }
+
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1: exactly the 6 quoted tokens go (two k-gram hits merge)
+    assert out[1]["removed_tokens"] == 6
+    assert out[1]["cleaned_hash"] == hashlib.md5(
+        b"a1 a2 a3 b1 b2"
+    ).hexdigest()
+    # doc 2: both copies cut, the separator survives
+    assert out[2]["removed_tokens"] == 12
+    assert out[2]["cleaned_hash"] == hashlib.md5(b"c1 c2 c3").hexdigest()
+    # clean and sub-k docs untouched
+    for did in (3, 4):
+        toks = out[did]["n_tokens"]
+        assert out[did]["kept_tokens"] == toks
+        assert out[did]["removed_tokens"] == 0
+    assert out[4]["cleaned_hash"] == hashlib.md5(
+        b"q1 q2 q3 x q4 q5 q6 y z w"
+    ).hexdigest()
