@@ -2140,6 +2140,175 @@ text_repetition_ratio.__doc__ = text_repetition_ratio.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# Quality-filter funnel (one-pass survival audit over the filter chain)
+# ---------------------------------------------------------------------------
+
+#: the funnel's stage constants — stage 3 reuses the REGISTERED
+#: repetition rule's thresholds verbatim so the funnel audits the
+#: same filters the pipeline runs, not a private copy
+_FUNNEL_LANGS = ("en", "es", "de", "fr")
+_FUNNEL_MIN_TOKENS = 30
+_FUNNEL_QUALITY_TAU = 0.25
+
+
+def funnel_doc_flags(documents: DataFrame) -> DataFrame:
+    """Per-doc cumulative pass flags for the 4-stage quality funnel
+    (lang → length → repetition → quality), every predicate doc-local
+    and computed from ONE tokenize. Shared by the batch query and the
+    streaming twin (``streaming/quality_funnel.py``) so a stage
+    definition can never drift between them. Stage predicates compare
+    ROUNDed ratios (the ``text_repetition_ratio`` boundary
+    discipline)."""
+    from ..operators.dedup import shingles_col
+
+    toks = tokens_col(F.col("text"))
+    base = documents.select("doc_id", "lang", toks.alias("t"))
+    n = F.size("t")
+    dtr = F.round(F.size(F.array_distinct("t")) / F.greatest(n, F.lit(1)), 6)
+    dup3 = F.round(
+        F.when(
+            n > 2, 1.0 - F.size(shingles_col(F.col("t"), 3)) / (1.0 * (n - 2))
+        ).otherwise(0.0),
+        6,
+    )
+    stop_ratio = F.size(
+        F.filter(F.col("t"), lambda t: t.isin(*_STOPWORDS))
+    ) / F.greatest(n, F.lit(1))
+    quality = F.round(
+        F.least(n / F.lit(100.0), F.lit(1.0)) * 0.5 + stop_ratio * 0.5, 6
+    )
+    p1 = F.col("lang").isin(*_FUNNEL_LANGS)
+    p2 = p1 & (n >= _FUNNEL_MIN_TOKENS)
+    p3 = p2 & ~((dup3 > _REP_DUP_MAX) | (dtr < _REP_DISTINCT_MIN))
+    p4 = p3 & (quality >= _FUNNEL_QUALITY_TAU)
+    return base.select(
+        "doc_id",
+        p1.alias("p1"),
+        p2.alias("p2"),
+        p3.alias("p3"),
+        p4.alias("p4"),
+    )
+
+
+def funnel_counts(flags: DataFrame) -> DataFrame:
+    """The funnel's sufficient statistics: one row of cumulative
+    survival counters. ADDITIVE over disjoint batches (every predicate
+    is doc-local), so the streaming twin folds these with a plain
+    sum."""
+    cnt = lambda c: F.count(F.when(F.col(c), F.lit(1))).cast("long")  # noqa: E731
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        cnt("p1").alias("k1"),
+        cnt("p2").alias("k2"),
+        cnt("p3").alias("k3"),
+        cnt("p4").alias("k4"),
+    )
+
+
+def funnel_table_from_counts(counts: DataFrame) -> DataFrame:
+    """Unpivot the 1-row counters into the 4-row funnel table —
+    (stage_ord, stage, n_in, n_kept, n_dropped, drop_rate), stage i's
+    n_in = stage i-1's n_kept."""
+    stages = [
+        (1, "lang", "n_total", "k1"),
+        (2, "length", "k1", "k2"),
+        (3, "repetition", "k2", "k3"),
+        (4, "quality", "k3", "k4"),
+    ]
+    stack = ", ".join(
+        f"CAST({o} AS BIGINT), '{s}', {i}, {k}" for o, s, i, k in stages
+    )
+    return counts.selectExpr(
+        f"stack(4, {stack}) AS (stage_ord, stage, n_in, n_kept)"
+    ).select(
+        "stage_ord",
+        "stage",
+        "n_in",
+        "n_kept",
+        (F.col("n_in") - F.col("n_kept")).alias("n_dropped"),
+        F.round(
+            (F.col("n_in") - F.col("n_kept"))
+            / F.greatest(F.col("n_in"), F.lit(1)),
+            6,
+        ).alias("drop_rate"),
+    )
+
+
+def _funnel_oracle() -> str:
+    toks = TOKENS_SQL.format(col="text")
+    langs = ", ".join(repr(s) for s in _FUNNEL_LANGS)
+    stops = ", ".join(repr(s) for s in _STOPWORDS)
+    return f"""
+WITH {_shingle_cte(3)},
+sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS d3 FROM shingle GROUP BY doc_id),
+base AS (SELECT doc_id, lang, {toks} AS t FROM documents),
+scored AS (
+  SELECT b.doc_id, b.lang, len(t) AS n,
+         ROUND(len(list_distinct(t)) / (1.0 * GREATEST(len(t), 1)), 6) AS dtr,
+         ROUND(CASE WHEN len(t) > 2
+                    THEN 1.0 - COALESCE(sc.d3, 0) / (1.0 * (len(t) - 2))
+                    ELSE 0.0 END, 6) AS dup3,
+         ROUND(LEAST(len(t) / 100.0, 1.0) * 0.5
+               + (len(list_filter(t, x -> x IN ({stops})))
+                  / (1.0 * GREATEST(len(t), 1))) * 0.5, 6) AS quality
+  FROM base b LEFT JOIN sc ON sc.doc_id = b.doc_id
+),
+flags AS (
+  SELECT doc_id,
+         lang IN ({langs}) AS p1,
+         lang IN ({langs}) AND n >= {_FUNNEL_MIN_TOKENS} AS p2,
+         lang IN ({langs}) AND n >= {_FUNNEL_MIN_TOKENS}
+           AND NOT (dup3 > {_REP_DUP_MAX} OR dtr < {_REP_DISTINCT_MIN}) AS p3,
+         lang IN ({langs}) AND n >= {_FUNNEL_MIN_TOKENS}
+           AND NOT (dup3 > {_REP_DUP_MAX} OR dtr < {_REP_DISTINCT_MIN})
+           AND quality >= {_FUNNEL_QUALITY_TAU} AS p4
+  FROM scored
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(COUNT(*) FILTER (p1) AS BIGINT) AS k1,
+         CAST(COUNT(*) FILTER (p2) AS BIGINT) AS k2,
+         CAST(COUNT(*) FILTER (p3) AS BIGINT) AS k3,
+         CAST(COUNT(*) FILTER (p4) AS BIGINT) AS k4
+  FROM flags
+),
+stages AS (
+  SELECT CAST(1 AS BIGINT) AS stage_ord, 'lang' AS stage, n_total AS n_in, k1 AS n_kept FROM agg
+  UNION ALL SELECT 2, 'length', k1, k2 FROM agg
+  UNION ALL SELECT 3, 'repetition', k2, k3 FROM agg
+  UNION ALL SELECT 4, 'quality', k3, k4 FROM agg
+)
+SELECT stage_ord, stage, n_in, n_kept,
+       n_in - n_kept AS n_dropped,
+       ROUND((n_in - n_kept) / (1.0 * GREATEST(n_in, 1)), 6) AS drop_rate
+FROM stages
+"""
+
+
+@register("text_quality_funnel", oracle=_funnel_oracle())
+def text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter FUNNEL audit — the pipeline-observability table
+    every corpus curation run reports: per filter stage (lang →
+    length → repetition → quality, the registered filters' own
+    thresholds), how many docs entered, survived, dropped, and the
+    drop rate, with stage i's intake = stage i-1's survivors. The row
+    a curator reads to see WHERE the corpus went before asking why.
+
+    Scale: every stage predicate is doc-local, so the whole funnel is
+    ONE corpus scan (one tokenize feeding all four predicates) into a
+    5-counter map-side-combined aggregate — adding a stage adds a
+    counter, not a pass. The unpivot runs on the 1-row counter frame.
+    The counters are ADDITIVE over disjoint batches, so the standing
+    streaming twin (``streaming/quality_funnel.py``) folds the same
+    ``funnel_counts`` per micro-batch and derives the identical table
+    at read — both sides call the SAME stage definitions
+    (``funnel_doc_flags``), so a threshold can never drift between
+    the audit and the monitor."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return funnel_table_from_counts(funnel_counts(funnel_doc_flags(documents)))
+
+
+# ---------------------------------------------------------------------------
 # Corpus bigram log-probability (the stronger perplexity proxy)
 # ---------------------------------------------------------------------------
 
