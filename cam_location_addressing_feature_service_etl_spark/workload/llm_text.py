@@ -2312,10 +2312,9 @@ def text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Corpus bigram log-probability (the stronger perplexity proxy)
 # ---------------------------------------------------------------------------
 
-@register(
-    "text_bigram_logprob",
-    oracle=f"""
-WITH tokl AS (SELECT doc_id, {TOKENS_SQL.format(col="text")} AS t FROM documents),
+#: the bigram model + per-doc score CTE chain, shared verbatim by the
+#: text_bigram_logprob oracle and the perplexity-bucket oracle
+_BG_CTES = f"""tokl AS (SELECT doc_id, {TOKENS_SQL.format(col="text")} AS t FROM documents),
 tok AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM tokl),
 bg AS (
   SELECT doc_id, prev, tok FROM (
@@ -2326,32 +2325,26 @@ bg AS (
 ),
 cb AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2),
 cc AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS cc FROM bg GROUP BY 1),
-vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tok)
-SELECT b.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       ROUND(AVG(ln((f.cb + 1.0) / (c.cc + vocab.v))), 6) AS avg_logprob
-FROM bg b
-JOIN cb f ON f.prev = b.prev AND f.tok = b.tok
-JOIN cc c ON c.prev = b.prev
-CROSS JOIN vocab
-GROUP BY b.doc_id
-""",
-)
-def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document mean log-probability under an add-one-smoothed
-    corpus BIGRAM model — the stronger perplexity proxy (catches
-    scrambled word order that the unigram score cannot). One token
-    pass builds the bigram stream via a doc-partitioned lag window;
-    bigram and context counts are partial-aggregatable groupBys; the
-    per-doc score joins the bigram stream back to the (vocabulary-
-    sized, AQE-broadcast) count tables. Same determinism discipline
-    as text_unigram_logprob: exact-integer count ratios inside ln,
-    one rounded AVG at the output edge."""
+vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tok),
+score AS (
+  SELECT b.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(AVG(ln((f.cb + 1.0) / (c.cc + vocab.v))), 6) AS avg_logprob
+  FROM bg b
+  JOIN cb f ON f.prev = b.prev AND f.tok = b.tok
+  JOIN cc c ON c.prev = b.prev
+  CROSS JOIN vocab
+  GROUP BY b.doc_id
+)"""
+
+
+def bigram_doc_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document mean log-probability under the add-one-smoothed
+    corpus bigram model: ``(doc_id, n_bigrams, avg_logprob)``, docs
+    with at least one bigram. Shared by ``text_bigram_logprob`` and
+    the perplexity-bucket query so the model algebra cannot drift."""
     from pyspark.sql.window import Window
 
-    (documents,) = _t(spark, sf_dir, "documents")
-    # the token pass feeds the bigram subtree AND the vocab count —
-    # materialize it or the corpus-wide tokenize+explode runs twice
     tok = documents.select(
         "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
     ).transform(materialize)
@@ -2374,10 +2367,116 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(
-                F.avg(F.log((F.col("cb") + F.lit(1.0)) / (F.col("cc") + F.col("v")))), 6
+                F.avg(
+                    F.log((F.col("cb") + F.lit(1.0)) / (F.col("cc") + F.col("v")))
+                ),
+                6,
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+WITH {_BG_CTES}
+SELECT doc_id, n_bigrams, avg_logprob FROM score
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under an add-one-smoothed
+    corpus BIGRAM model — the stronger perplexity proxy (catches
+    scrambled word order that the unigram score cannot). One token
+    pass builds the bigram stream via a doc-partitioned lag window;
+    bigram and context counts are partial-aggregatable groupBys; the
+    per-doc score joins the bigram stream back to the (vocabulary-
+    sized, AQE-broadcast) count tables. Same determinism discipline
+    as text_unigram_logprob: exact-integer count ratios inside ln,
+    one rounded AVG at the output edge."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return bigram_doc_logprob(documents)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+
+#: σ multiplier of the per-language bucket bands — ±0.43σ are the
+#: tercile boundaries of a normal, the CCNet head/middle/tail split
+#: re-expressed as a THRESHOLD rule so no global rank window exists
+_PPL_BAND = 0.43
+
+_PPL_ORACLE = f"""
+WITH {_BG_CTES},
+lab AS (
+  SELECT s.doc_id, d.lang, s.avg_logprob
+  FROM score s JOIN documents d USING (doc_id)
+),
+st AS (
+  SELECT lang, ROUND(AVG(avg_logprob), 6) AS mu,
+         ROUND(STDDEV_SAMP(avg_logprob), 6) AS sigma
+  FROM lab GROUP BY 1
+)
+SELECT l.doc_id, l.lang, l.avg_logprob,
+       CASE WHEN l.avg_logprob >= ROUND(mu + {_PPL_BAND} * sigma, 6) THEN 'head'
+            WHEN l.avg_logprob <= ROUND(mu - {_PPL_BAND} * sigma, 6) THEN 'tail'
+            ELSE 'middle' END AS bucket
+FROM lab l JOIN st USING (lang)
+"""
+
+
+@register("text_perplexity_buckets", oracle=_PPL_ORACLE)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: every document scored under
+    the corpus bigram model (``bigram_doc_logprob`` — the SAME builder
+    as ``text_bigram_logprob``, so the model cannot drift) and split
+    into head / middle / tail PER LANGUAGE — head = most-probable text
+    (lowest perplexity), tail = least — the split CCNet feeds to
+    downstream sampling (train mostly on head+middle, keep a tail
+    slice for diversity).
+
+    Scale shape — the textbook split is a per-language NTILE, i.e. a
+    rank window over the whole corpus partitioned by a handful of
+    Zipfian language keys: a single-task sort of the 'en' partition at
+    100 TB. This re-expresses the split as a THRESHOLD rule: per-lang
+    mean ± {band}σ of the score (the tercile boundaries under
+    normality), computed by one languages-sized aggregate that
+    broadcasts back — the corpus is never rank-sorted, docs bucket
+    map-side, and the plan has no window at all outside the model's
+    doc-partitioned lag. Thresholds and scores are ROUNDed to 6 on
+    both sides so boundary docs bucket identically in both engines;
+    a language with one scored doc has NULL σ and buckets middle by
+    the CASE's ELSE in both."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    score = bigram_doc_logprob(documents)
+    lab = score.join(documents.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "avg_logprob"
+    )
+    # feeds the per-lang stats AND the bucket join — one score pass
+    lab = materialize(lab)
+    stats = lab.groupBy("lang").agg(
+        F.round(F.avg("avg_logprob"), 6).alias("mu"),
+        F.round(F.stddev_samp("avg_logprob"), 6).alias("sigma"),
+    )
+    hi = F.round(F.col("mu") + _PPL_BAND * F.col("sigma"), 6)
+    lo = F.round(F.col("mu") - _PPL_BAND * F.col("sigma"), 6)
+    return (
+        lab.join(F.broadcast(stats), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            F.when(F.col("avg_logprob") >= hi, "head")
+            .when(F.col("avg_logprob") <= lo, "tail")
+            .otherwise("middle")
+            .alias("bucket"),
+        )
+    )
+
+
+text_perplexity_buckets.__doc__ = text_perplexity_buckets.__doc__.format(
+    band=_PPL_BAND
+)
 
 
 # ---------------------------------------------------------------------------
