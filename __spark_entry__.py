@@ -41,9 +41,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: regardless.
 _PRIORITY = [
     # --- r16 new + changed (production trained-IVF tier, ANN recall
-    # audit, ANN-dense RRF fusion, cross-doc span removal; oracle/
-    # code touched: blocking-quality coalesce, RRF refactor, trained-
-    # IVF oracle refactor, source-cap dedup discipline) ---
+    # audit, ANN-dense RRF fusion, cross-doc span removal, span-level
+    # decontamination rewrite, quality funnel, perplexity buckets;
+    # oracle/code touched: blocking-quality coalesce, RRF refactor,
+    # trained-IVF oracle refactor, source-cap dedup discipline,
+    # bigram-logprob shared-builder refactor) ---
+    "dedup_decontam_span_rewrite",
+    "text_quality_funnel",
+    "text_perplexity_buckets",
+    "text_bigram_logprob",
     "sim_ann_ivf_scaled",
     "sim_ann_recall_audit",
     "sim_rrf_fusion_ann",
