@@ -60,6 +60,11 @@ _QUERIES = [
     "sim_ann_recall_audit",
     "sim_rrf_fusion_ann",
     "dedup_remove_shared_spans",
+    # r16 late widening: the span-level decontamination rewrite, the
+    # one-pass quality funnel, and the perplexity bucketing
+    "dedup_decontam_span_rewrite",
+    "text_quality_funnel",
+    "text_perplexity_buckets",
 ]
 
 _DIRS = [
