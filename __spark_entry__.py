@@ -49,6 +49,7 @@ _PRIORITY = [
     "dedup_decontam_span_rewrite",
     "text_quality_funnel",
     "text_perplexity_buckets",
+    "sim_kmeans_cohesion_audit",
     "text_bigram_logprob",
     "sim_ann_ivf_scaled",
     "sim_ann_recall_audit",

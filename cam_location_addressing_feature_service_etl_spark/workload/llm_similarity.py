@@ -417,6 +417,110 @@ def _lloyd_train_parts(
     return parts, prev
 
 
+def _cohesion_oracle() -> str:
+    parts, cent = _lloyd_train_parts("v", 2, _KM_K, p="qa")
+    d = _KM_D.format(a="v.e", b=f"{cent}.c")
+    dcc = _KM_D.format(a="a.c", b="b.c")
+    chain = ",\n".join(
+        ["WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"]
+        + parts
+    )
+    return f"""{chain},
+asg AS (
+  SELECT vec_id, cluster, d FROM (
+    SELECT v.vec_id, {cent}.cluster, {d} AS d,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d} ASC, {cent}.cluster ASC) AS rn
+    FROM v CROSS JOIN {cent}
+  ) WHERE rn = 1
+),
+intra AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+         ROUND(AVG(d), 6) AS intra_msd
+  FROM asg GROUP BY 1
+),
+sep AS (
+  SELECT a.cluster, MIN({dcc}) AS nearest_other_sq
+  FROM {cent} a JOIN {cent} b ON a.cluster <> b.cluster
+  GROUP BY 1
+)
+SELECT s.cluster, COALESCE(i.n_members, 0) AS n_members, i.intra_msd,
+       s.nearest_other_sq,
+       ROUND(i.intra_msd / NULLIF(s.nearest_other_sq, 0), 6) AS cohesion
+FROM sep s LEFT JOIN intra i USING (cluster)
+"""
+
+
+@register("sim_kmeans_cohesion_audit", oracle=_cohesion_oracle())
+def sim_kmeans_cohesion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality AUDIT — the ``sim_ann_recall_audit`` /
+    ``er_blocking_quality`` discipline applied to the k-means stage
+    every cluster-dependent operator sits on (SemDeDup's within-
+    cluster pruning, the IVF coarse quantizer, cluster-diversity
+    sampling): per trained cluster, member count, mean squared
+    distance to own centroid (intra_msd), squared distance to the
+    nearest OTHER centroid (separation), and their ratio (cohesion —
+    a per-cluster Davies–Bouldin-style score; low = tight and well-
+    separated, >= 1 means members sit as far from their own centroid
+    as the neighboring centroid is). A quality regression in the
+    quantizer now fails a parity row instead of living in prose.
+
+    One plan: 2 trained Lloyd rounds (the SAME ``lloyd_train`` the
+    production IVF tier uses), one broadcast-argmin assignment
+    KEEPING the member distance, a k-sized per-cluster aggregate, and
+    a k×k centroid table (64 rows — both sides broadcast-tiny). The
+    oracle unrolls the training chain (``_lloyd_train_parts``) and
+    replays the same rounded-distance algebra. Scale: the only
+    corpus-sized stages are the per-round argmin and the audit
+    assignment — identical shape to training itself; the audit adds
+    a k-row aggregate, not a pass."""
+    from ..operators.kmeans import _sq_dist, lloyd_train
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    v = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = lloyd_train(embeddings, k=_KM_K, iterations=2, round_digits=6)
+    cent = materialize(cent)  # feeds the assignment AND the k×k table
+    d = F.round(_sq_dist(F.col("v"), F.col("c")), 6)
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cluster", d.alias("d")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cluster"))
+    asg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster", "d")
+    )
+    intra = asg.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.avg("d"), 6).alias("intra_msd"),
+    )
+    a = cent.select("cluster", F.col("c").alias("ca"))
+    b = cent.select(F.col("cluster").alias("cl_b"), F.col("c").alias("cb"))
+    sep = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("cluster") != F.col("cl_b"))
+        .select(
+            "cluster",
+            F.round(_sq_dist(F.col("ca"), F.col("cb")), 6).alias("d2"),
+        )
+        .groupBy("cluster")
+        .agg(F.min("d2").alias("nearest_other_sq"))
+    )
+    return sep.join(intra, "cluster", "left").select(
+        "cluster",
+        F.coalesce(F.col("n_members"), F.lit(0)).alias("n_members"),
+        "intra_msd",
+        "nearest_other_sq",
+        F.round(
+            F.col("intra_msd")
+            / F.expr("NULLIF(nearest_other_sq, CAST(0.0 AS DOUBLE))"),
+            6,
+        ).alias("cohesion"),
+    )
+
+
 def _ivf_search_parts(
     src: str, cent: str, qcte: str, nprobe: int, p: str = ""
 ) -> tuple[list[str], str]:

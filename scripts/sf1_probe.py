@@ -65,6 +65,7 @@ _QUERIES = [
     "dedup_decontam_span_rewrite",
     "text_quality_funnel",
     "text_perplexity_buckets",
+    "sim_kmeans_cohesion_audit",
 ]
 
 _DIRS = [

@@ -48,6 +48,9 @@ CARTESIAN_ALLOWED = {
     # k rounds deep), then the ivf_search broadcast-query probe
     "sim_ann_ivf_trained",
     "sim_ann_ivf_scaled",           # same trained-centroid broadcast shape, k=32
+    # cohesion audit: lloyd_train + one more broadcast-centroid argmin
+    # keeping the distance, plus the k×k (64-row) centroid pair table
+    "sim_kmeans_cohesion_audit",
     # recall audit: brute exact leg + both trained tiers in one plan —
     # every cross is a broadcast query/centroid/1-row-count frame
     "sim_ann_recall_audit",
