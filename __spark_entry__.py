@@ -50,6 +50,7 @@ _PRIORITY = [
     "text_quality_funnel",
     "text_perplexity_buckets",
     "sim_kmeans_cohesion_audit",
+    "sample_ppl_bucket_mix",
     "text_bigram_logprob",
     "sim_ann_ivf_scaled",
     "sim_ann_recall_audit",

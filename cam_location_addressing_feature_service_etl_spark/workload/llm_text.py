@@ -2479,6 +2479,91 @@ text_perplexity_buckets.__doc__ = text_perplexity_buckets.__doc__.format(
 )
 
 
+#: per-bucket target share of each language's byte budget — the CCNet
+#: mix: train mostly on head+middle, keep a tail slice for diversity
+_MIX_W = (("head", 0.5), ("middle", 0.35), ("tail", 0.15))
+
+_MIX_ORACLE = f"""
+WITH bucketed AS ({_PPL_ORACLE}),
+cell AS (
+  SELECT b.lang, b.bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(d.n_chars) AS BIGINT) AS cell_chars
+  FROM bucketed b JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT lang, CAST(SUM(cell_chars) AS BIGINT) AS lang_chars
+  FROM cell GROUP BY 1
+),
+w(bucket, wt) AS (VALUES {", ".join(f"('{b}', {wt})" for b, wt in _MIX_W)})
+SELECT c.lang, c.bucket, c.n_docs, c.cell_chars,
+       ROUND(t.lang_chars * w.wt, 6) AS target_chars,
+       ROUND(LEAST(1.0, (t.lang_chars * w.wt) / c.cell_chars), 6)
+         AS sample_rate,
+       ROUND(LEAST(CAST(c.cell_chars AS DOUBLE), t.lang_chars * w.wt), 6)
+         AS planned_chars
+FROM cell c JOIN tot t USING (lang) JOIN w USING (bucket)
+"""
+
+
+@register("sample_ppl_bucket_mix", oracle=_MIX_ORACLE)
+def sample_ppl_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet ENDGAME over the perplexity buckets: a per-
+    (language × bucket) sampling plan that reshapes each language's
+    byte budget to the target bucket shares ({w}) — train mostly on
+    head+middle, keep a tail slice for diversity. Per cell: docs,
+    bytes, the language's target bytes for that bucket, the capped
+    sampling rate (≤ 1 — a cell smaller than its target is taken
+    whole, the standard under-supply rule), and the planned bytes a
+    downstream writer draws. Composes ``text_perplexity_buckets``
+    (the SAME registered builder) exactly the way
+    ``sample_mix_epoch_plan`` composes the source mix.
+
+    Scale: the bucket frame joins doc-keyed to the corpus for byte
+    counts, then everything is cells-sized: one (lang × 3) aggregate,
+    a languages-sized total re-broadcast, a 3-row weight table. The
+    plan itself never re-scans the corpus — the only corpus-sized
+    stages are inside the bucket builder."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    bucketed = text_perplexity_buckets(spark, sf_dir)
+    cell = (
+        bucketed.join(documents.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("cell_chars"),
+        )
+    )
+    cell = materialize(cell)  # feeds the lang totals AND the plan join
+    tot = cell.groupBy("lang").agg(
+        F.sum("cell_chars").cast("long").alias("lang_chars")
+    )
+    w = spark.createDataFrame(list(_MIX_W), "bucket string, wt double")
+    target = F.col("lang_chars") * F.col("wt")
+    return (
+        cell.join(F.broadcast(tot), "lang")
+        .join(F.broadcast(w), "bucket")
+        .select(
+            "lang",
+            "bucket",
+            "n_docs",
+            "cell_chars",
+            F.round(target, 6).alias("target_chars"),
+            F.round(
+                F.least(F.lit(1.0), target / F.col("cell_chars")), 6
+            ).alias("sample_rate"),
+            F.round(
+                F.least(F.col("cell_chars").cast("double"), target), 6
+            ).alias("planned_chars"),
+        )
+    )
+
+
+sample_ppl_bucket_mix.__doc__ = sample_ppl_bucket_mix.__doc__.format(
+    w=", ".join(f"{b} {wt}" for b, wt in _MIX_W)
+)
+
+
 # ---------------------------------------------------------------------------
 # Exact substring-span dedup (Lee et al. suffix-array dedup, k-gram form)
 # ---------------------------------------------------------------------------

@@ -66,6 +66,7 @@ _QUERIES = [
     "text_quality_funnel",
     "text_perplexity_buckets",
     "sim_kmeans_cohesion_audit",
+    "sample_ppl_bucket_mix",
 ]
 
 _DIRS = [
