@@ -291,7 +291,6 @@ _PRIORITY = [
     "sim_ann_ivfpq_rerank",
     "sim_ann_ivfpq_search",
     "sim_kmeans_assignments",
-    "text_bigram_logprob",
     "text_bm25_topk",
     "text_pmi_collocations",
     "text_shard_manifest",
