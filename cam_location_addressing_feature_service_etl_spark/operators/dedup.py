@@ -1212,10 +1212,11 @@ def remove_shared_spans(
 
 def remove_contaminated_spans(
     train_df: DataFrame,
-    bench_df: DataFrame,
+    bench_df: DataFrame | None,
     id_col: str,
     text_col: str,
     k: int = 8,
+    bench_kg: DataFrame | None = None,
 ) -> DataFrame:
     """SPAN-LEVEL cross-corpus decontamination — the rewrite act the
     doc-level audit (``dedup_cross_corpus``) prepares for: instead of
@@ -1243,6 +1244,11 @@ def remove_contaminated_spans(
     anti-join is equi-on-doc-id with a range predicate, fan-out
     bounded by cuts-per-doc; the rebuild groups by doc id. No
     corpus-vs-corpus join exists anywhere in the plan.
+
+    ``bench_kg``: optional pre-built distinct benchmark k-gram hash
+    frame (one ``kg`` column) — the streaming guard freezes it once
+    (``streaming/decontam_rewrite.py``) instead of rescanning the
+    benchmark per batch; when given, ``bench_df`` is unused.
     """
     # ONE train tokenize, materialized: feeds the gram postings, the
     # position explode AND the n_tokens base (the repo-wide shared-
@@ -1250,7 +1256,10 @@ def remove_contaminated_spans(
     toks = train_df.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
     ).transform(materialize)
-    bench_kg = _gram_postings(bench_df, id_col, text_col, k).select("kg").distinct()
+    if bench_kg is None:
+        bench_kg = (
+            _gram_postings(bench_df, id_col, text_col, k).select("kg").distinct()
+        )
     grams = _gram_postings(
         train_df, id_col, text_col, k,
         toks=toks.select(F.col(id_col).alias("_id"), "_toks"),
