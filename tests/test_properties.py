@@ -1065,3 +1065,74 @@ def test_remove_contaminated_spans_cuts_exactly_the_benchmark_quote(spark):
     assert out[4]["cleaned_hash"] == hashlib.md5(
         b"q1 q2 q3 x q4 q5 q6 y z w"
     ).hexdigest()
+
+
+def _py_decontam(train, bench, k):
+    """Pure-Python reference for remove_contaminated_spans: removed
+    positions = union of [p, p+k-1] over train gram positions whose
+    k-gram appears anywhere in the benchmark (island merge at gap <= k
+    equals the interval union, adjacency included)."""
+    import hashlib
+
+    bkg = set()
+    for toks in bench:
+        for p in range(len(toks) - k + 1):
+            bkg.add(tuple(toks[p : p + k]))
+    out = {}
+    for did, toks in enumerate(train):
+        cut = set()
+        for p in range(len(toks) - k + 1):
+            if tuple(toks[p : p + k]) in bkg:
+                cut.update(range(p, p + k))
+        kept = [t for i, t in enumerate(toks) if i not in cut]
+        out[did] = (
+            len(toks),
+            len(kept),
+            len(toks) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+@given(
+    train=_span_docs,
+    bench=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=14),
+        min_size=0,
+        max_size=3,
+    ),
+    k=st.integers(2, 4),
+)
+@_SET
+def test_remove_contaminated_spans_matches_python_reference(
+    spark, train, bench, k
+):
+    """The span-level decontamination rewrite equals the interval-
+    union reference on arbitrary tiny-alphabet corpora: every train
+    doc accounted for, removed positions exactly the union of
+    benchmark-hit gram windows, cleaned hash over the surviving
+    tokens in order."""
+    from cam_location_addressing_feature_service_etl_spark.operators.dedup import (
+        remove_contaminated_spans,
+    )
+
+    train_df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(train)],
+        "doc_id long, text string",
+    )
+    bench_df = spark.createDataFrame(
+        [(1000 + i, " ".join(toks)) for i, toks in enumerate(bench)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["kept_tokens"],
+            r["removed_tokens"],
+            r["cleaned_hash"],
+        )
+        for r in remove_contaminated_spans(
+            train_df, bench_df, "doc_id", "text", k=k
+        ).collect()
+    }
+    assert got == _py_decontam(train, bench, k)
