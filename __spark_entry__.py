@@ -51,6 +51,7 @@ _PRIORITY = [
     "text_perplexity_buckets",
     "sim_kmeans_cohesion_audit",
     "sample_ppl_bucket_mix",
+    "llm_curation_budget_composite",
     "text_bigram_logprob",
     "sim_ann_ivf_scaled",
     "sim_ann_recall_audit",

@@ -2234,7 +2234,10 @@ def funnel_table_from_counts(counts: DataFrame) -> DataFrame:
     )
 
 
-def _funnel_oracle() -> str:
+def _funnel_flags_sql() -> str:
+    """Complete statement yielding (doc_id, p1, p2, p3, p4) cumulative
+    pass flags — the SQL twin of ``funnel_doc_flags``, shared by the
+    funnel oracle and the curation-budget composite oracle."""
     toks = TOKENS_SQL.format(col="text")
     langs = ", ".join(repr(s) for s in _FUNNEL_LANGS)
     stops = ", ".join(repr(s) for s in _STOPWORDS)
@@ -2252,18 +2255,22 @@ scored AS (
                + (len(list_filter(t, x -> x IN ({stops})))
                   / (1.0 * GREATEST(len(t), 1))) * 0.5, 6) AS quality
   FROM base b LEFT JOIN sc ON sc.doc_id = b.doc_id
-),
-flags AS (
-  SELECT doc_id,
-         lang IN ({langs}) AS p1,
-         lang IN ({langs}) AND n >= {_FUNNEL_MIN_TOKENS} AS p2,
-         lang IN ({langs}) AND n >= {_FUNNEL_MIN_TOKENS}
-           AND NOT (dup3 > {_REP_DUP_MAX} OR dtr < {_REP_DISTINCT_MIN}) AS p3,
-         lang IN ({langs}) AND n >= {_FUNNEL_MIN_TOKENS}
-           AND NOT (dup3 > {_REP_DUP_MAX} OR dtr < {_REP_DISTINCT_MIN})
-           AND quality >= {_FUNNEL_QUALITY_TAU} AS p4
-  FROM scored
-),
+)
+SELECT doc_id,
+       lang IN ({langs}) AS p1,
+       lang IN ({langs}) AND n >= {_FUNNEL_MIN_TOKENS} AS p2,
+       lang IN ({langs}) AND n >= {_FUNNEL_MIN_TOKENS}
+         AND NOT (dup3 > {_REP_DUP_MAX} OR dtr < {_REP_DISTINCT_MIN}) AS p3,
+       lang IN ({langs}) AND n >= {_FUNNEL_MIN_TOKENS}
+         AND NOT (dup3 > {_REP_DUP_MAX} OR dtr < {_REP_DISTINCT_MIN})
+         AND quality >= {_FUNNEL_QUALITY_TAU} AS p4
+FROM scored
+"""
+
+
+def _funnel_oracle() -> str:
+    return f"""
+WITH flags AS ({_funnel_flags_sql()}),
 agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
          CAST(COUNT(*) FILTER (p1) AS BIGINT) AS k1,
@@ -4329,6 +4336,77 @@ def dedup_decontam_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_decontam_span_rewrite.__doc__ = dedup_decontam_span_rewrite.__doc__.format(
     mod=_XC_MOD, k=_XR_K
 )
+
+
+@register(
+    "llm_curation_budget_composite",
+    oracle=f"""
+WITH f AS ({_funnel_flags_sql()}),
+rw AS ({_XR_ORACLE}),
+j AS (
+  SELECT rw.doc_id, d.lang, rw.n_tokens, rw.kept_tokens,
+         rw.removed_tokens
+  FROM rw JOIN f USING (doc_id) JOIN documents d USING (doc_id)
+  WHERE f.p2
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pre_tokens,
+       CAST(SUM(kept_tokens) AS BIGINT) AS kept_tokens,
+       CAST(SUM(removed_tokens) AS BIGINT) AS removed_tokens,
+       ROUND(SUM(removed_tokens) / (1.0 * GREATEST(SUM(n_tokens), 1)), 6)
+         AS removal_rate
+FROM j GROUP BY lang
+""",
+)
+def llm_curation_budget_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r16 curation stages composed as ONE plan — funnel
+    structural gate → span-level decontamination rewrite →
+    per-language token budget: docs passing the funnel's STRUCTURAL
+    stages (p2 = lang + length — the content-quality stages belong
+    AFTER decontamination, scoring the cleaned text, so they gate the
+    next hop, not this one) and the benchmark split are rewritten
+    against the frozen benchmark's k-grams, and the surviving token
+    budget rolls up per language — the table a mix planner starts
+    from AFTER filtering and decontamination, i.e. what's actually
+    trainable, not what was crawled. Every stage is verified
+    standalone (``text_quality_funnel``,
+    ``dedup_decontam_span_rewrite``); this query proves they compose
+    — the ``llm_corpus_prep_composite`` discipline for the r16
+    additions.
+
+    Scale shape: the funnel flags are map-side over one tokenize; the
+    survivor semi-join keys on doc id; the rewrite's only cross-doc
+    stage is the broadcast benchmark gram probe (rewrite accounting
+    is a pure per-doc function, so restricting to survivors first is
+    semantics-free and shrinks every downstream stage); the rollup is
+    a languages-sized partial aggregate. No corpus-vs-corpus join,
+    no global window."""
+    from ..operators.dedup import remove_contaminated_spans
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    survivors = (
+        funnel_doc_flags(documents).filter(F.col("p2")).select("doc_id")
+    )
+    bench = documents.filter(F.col("doc_id") % _XC_MOD == 0)
+    train = documents.filter(F.col("doc_id") % _XC_MOD != 0).join(
+        survivors, "doc_id", "leftsemi"
+    )
+    acct = remove_contaminated_spans(train, bench, "doc_id", "text", k=_XR_K)
+    return (
+        acct.join(documents.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pre_tokens"),
+            F.sum("kept_tokens").cast("long").alias("kept_tokens"),
+            F.sum("removed_tokens").cast("long").alias("removed_tokens"),
+            F.round(
+                F.sum("removed_tokens")
+                / F.greatest(F.sum("n_tokens"), F.lit(1)),
+                6,
+            ).alias("removal_rate"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

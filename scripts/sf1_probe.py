@@ -67,6 +67,7 @@ _QUERIES = [
     "text_perplexity_buckets",
     "sim_kmeans_cohesion_audit",
     "sample_ppl_bucket_mix",
+    "llm_curation_budget_composite",
 ]
 
 _DIRS = [
