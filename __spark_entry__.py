@@ -52,6 +52,7 @@ _PRIORITY = [
     "sim_kmeans_cohesion_audit",
     "sample_ppl_bucket_mix",
     "llm_curation_budget_composite",
+    "text_langid_confusion_audit",
     "text_bigram_logprob",
     "sim_ann_ivf_scaled",
     "sim_ann_recall_audit",

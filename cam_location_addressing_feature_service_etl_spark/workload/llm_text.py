@@ -675,6 +675,60 @@ def text_nb_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_langid_confusion_audit",
+    oracle=f"""
+WITH preds AS ({_nb_oracle()}),
+gt AS (
+  SELECT gold_lang, CAST(COUNT(*) AS BIGINT) AS gold_total
+  FROM preds GROUP BY 1
+)
+SELECT p.gold_lang, p.pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(gt.gold_total) AS BIGINT) AS gold_total,
+       ROUND(COUNT(*) / (1.0 * MIN(gt.gold_total)), 6) AS row_share
+FROM preds p JOIN gt USING (gold_lang)
+GROUP BY 1, 2
+""",
+)
+def text_langid_confusion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier CONFUSION audit — the audit-family discipline
+    (``sim_ann_recall_audit``, ``sim_kmeans_cohesion_audit``,
+    ``er_blocking_quality``) applied to the learned langid stage: the
+    held-out confusion matrix of the trained NB classifier —
+    per (gold, predicted) language, doc count, the gold class's total
+    and the row-normalized share (recall lives on the diagonal, each
+    off-diagonal row names WHICH confusion eats it). A model
+    regression now fails a parity row instead of surfacing as a
+    drifting corpus mix three stages later.
+
+    One plan: the SAME ``nb_train_score`` (train on the 80% split,
+    score the 20%) the registered classifier query runs, then a
+    labels²-bounded aggregate — the audit costs one extra tiny
+    groupBy over the prediction frame, not a second train. Same
+    honesty note as the classifier on THIS corpus (labels are
+    content-independent, so the matrix is the prior's confusion);
+    the learning behavior itself is pinned by the signal-bearing
+    fixture test."""
+    tune(spark)
+    (documents,) = _t(spark, sf_dir, "documents")
+    preds = materialize(nb_train_score(documents, _NB_TEST_MOD))
+    gt = preds.groupBy("gold_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("gold_total")
+    )
+    return (
+        preds.join(F.broadcast(gt), "gold_lang")
+        .groupBy("gold_lang", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("gold_total").cast("long").alias("gold_total"),
+            F.round(
+                F.count(F.lit(1)) / (1.0 * F.min("gold_total")), 6
+            ).alias("row_share"),
+        )
+    )
+
+
+@register(
     "text_nb_incremental_train",
     oracle=f"""
 WITH tokl AS (SELECT doc_id, lang, {TOKENS_SQL.format(col="text")} AS toks

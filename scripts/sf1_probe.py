@@ -68,6 +68,7 @@ _QUERIES = [
     "sim_kmeans_cohesion_audit",
     "sample_ppl_bucket_mix",
     "llm_curation_budget_composite",
+    "text_langid_confusion_audit",
 ]
 
 _DIRS = [

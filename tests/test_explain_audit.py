@@ -86,6 +86,7 @@ CARTESIAN_ALLOWED = {
     # broadcast (itself two 1-row scalar crossjoins: vocab size, train
     # doc total) — label-count-bounded, the text_bigram_logprob shape
     "text_nb_langid_classifier",
+    "text_langid_confusion_audit",  # same nb_train_score scoring shape
     # LR classifier: test docs scored against the broadcast 1-ROW
     # weight frame (train-side gradient crossjoins sit behind
     # materialize boundaries)
