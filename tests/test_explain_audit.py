@@ -86,7 +86,9 @@ CARTESIAN_ALLOWED = {
     # broadcast (itself two 1-row scalar crossjoins: vocab size, train
     # doc total) — label-count-bounded, the text_bigram_logprob shape
     "text_nb_langid_classifier",
-    "text_langid_confusion_audit",  # same nb_train_score scoring shape
+    # (text_langid_confusion_audit needs NO entry: its nb_train_score
+    # scoring crossjoins sit behind the materialize boundary, so the
+    # final confusion plan is crossjoin-free)
     # LR classifier: test docs scored against the broadcast 1-ROW
     # weight frame (train-side gradient crossjoins sit behind
     # materialize boundaries)
