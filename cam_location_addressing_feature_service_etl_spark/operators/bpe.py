@@ -8,28 +8,30 @@ unlike fixed-parameter iteration (connected components, PageRank),
 the round-r transformation depends on a global statistic of round
 r-1's output.
 
-Greedy-left merging is sequential on paper, but overlaps can only
-occur when the pair is a self-pair (a == b): a match at position p
-conflicts with one at p+1 only if tok[p+1] equals both the pair's
-right AND left element. So consecutive match runs are grouped
-(gaps-and-islands) and the even offsets within each run are taken —
-exactly greedy-left, expressed entirely in window functions. No UDF,
-no sequential scan.
+Representation (r16, guide §2.4 — remove shuffles outright): sequences
+live as ONE ``array<string>`` row per document, not exploded
+``(doc, pos, tok)`` rows. Adjacent pairs are a map-side
+``zip_with(toks, slice(toks, 2, ...))`` (no lead() window), and the
+greedy-left rewrite is a map-side ``aggregate`` fold with a
+``(out, pend)`` accumulator — the classic streaming BPE merge: hold
+one pending token; when (pend, x) is the round's pair emit the merged
+token and clear, else flush pend and hold x. That is exactly
+greedy-left including self-pair runs (a,a,a → [aa, a]), previously
+expressed as a five-window gaps-and-islands pipeline. Per round the
+ONLY exchange is the partial-aggregatable pair count (+ its top-1
+TakeOrdered); the rewrite costs zero shuffles, and the inter-round
+checkpoints hold one array row per doc instead of one row per token.
 
-Scale: per round, one partial-aggregatable pair count (+ a top-1
-TakeOrdered of that aggregate) and ONE doc-partitioned window
-pipeline for the rewrite — every window shares the same
-partitioning+sort, so the whole greedy-left rewrite costs a single
-exchange; the merged pair is a 1-row broadcast. Sequences stay
-exploded as (doc, pos, tok) between rounds with lineage truncated
-per round.
+Scale: the pair-count aggregate map-side combines; the merged pair is
+a 1-row broadcast; per-doc fold cost is O(tokens), the same work the
+window pipeline did after sorting. No UDF, no sequential scan.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
 from ..runtime import materialize
 
 #: Joiner for merged tokens ("new vocabulary entries").
@@ -45,7 +47,7 @@ def bpe_merge_rules(
     ``pos`` long, ``tok`` string; pos need only be ordered, not dense)
     and return the learned rules: (round, pair_a, pair_b, pair_count).
     """
-    rules, _ = _bpe_rounds(tokens, rounds, id_col)
+    rules, _ = bpe_rounds_seqs(_collect_seqs(tokens, id_col), rounds, id_col)
     return rules
 
 
@@ -58,25 +60,58 @@ def bpe_apply(
     greedy-left merge rounds (rules re-learned from the same corpus —
     train→apply as one deterministic pipeline). Returns (id, pos, tok)
     with pos renumbered dense per doc."""
-    _, stream = _bpe_rounds(tokens, rounds, id_col)
-    return stream
+    _, seqs = bpe_rounds_seqs(_collect_seqs(tokens, id_col), rounds, id_col)
+    return seqs.select(
+        F.col(id_col), F.posexplode("toks").alias("pos", "tok")
+    ).select(id_col, (F.col("pos") + 1).alias("pos"), "tok")
 
 
-def _bpe_rounds(
-    tokens: DataFrame,
+def _collect_seqs(tokens: DataFrame, id_col: str) -> DataFrame:
+    """Collapse exploded ``(id, pos, tok)`` rows to one pos-ordered
+    ``toks`` array per document (compat shim for exploded-input
+    callers; array-native callers skip straight to
+    :func:`bpe_rounds_seqs`)."""
+    return tokens.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"],
+        ).alias("toks")
+    )
+
+
+def bpe_rounds_seqs(
+    seqs: DataFrame,
     rounds: int,
     id_col: str = "doc_id",
+    seq_col: str = "toks",
 ) -> tuple[DataFrame, DataFrame]:
-    wdoc = Window.partitionBy(id_col).orderBy("pos")
-    wrun = wdoc.rowsBetween(Window.unboundedPreceding, 0)
-    expl = tokens.transform(materialize)
+    """Array-native BPE rounds over ``(id_col, seq_col array<string>)``.
+    Returns ``(rules, final_seqs)`` where rules = (merge_round, pair_a,
+    pair_b, pair_count) and final_seqs keeps the input shape."""
+    expl = seqs.select(F.col(id_col), F.col(seq_col).alias("toks")).transform(
+        materialize
+    )
     rules = None
     for r in range(1, rounds + 1):
-        # one window pass produces the pair stream; it feeds both the
-        # count and the rewrite, so materialize it
-        with_next = expl.withColumn("nxt", F.lead("tok").over(wdoc)).transform(materialize)
+        # adjacent pairs map-side: zip the array with itself shifted by
+        # one (zip_with pads the shorter side with null, so the last
+        # element pairs with null and the filter drops it — the exact
+        # rows lead() produced)
+        pair_rows = expl.select(
+            F.explode(
+                F.zip_with(
+                    F.col("toks"),
+                    F.slice(
+                        F.col("toks"),
+                        2,
+                        F.greatest(F.size("toks") - 1, F.lit(0)),
+                    ),
+                    lambda a, b: F.struct(a.alias("tok"), b.alias("nxt")),
+                )
+            ).alias("pr")
+        ).select("pr.tok", "pr.nxt")
         top = (
-            with_next.filter(F.col("nxt").isNotNull())
+            pair_rows.filter(F.col("nxt").isNotNull())
             .groupBy("tok", "nxt")
             .agg(F.count(F.lit(1)).alias("pair_count"))
             .orderBy(F.desc("pair_count"), "tok", "nxt")
@@ -90,58 +125,53 @@ def _bpe_rounds(
             .transform(materialize)
         )
         rules = top if rules is None else rules.unionByName(top)
-        # Rewrite in ONE window pipeline (every window below shares
-        # wdoc's partitioning+sort, so Spark plans a single exchange):
-        # match flag -> run starts (a run = consecutive matches; length
-        # > 1 only for self-pairs) -> greedy-left = even offsets from
-        # the running run-start -> a merged position's successor drops.
-        merged_tok = F.concat(F.col("pair_a"), F.lit(JOIN_CH), F.col("pair_b"))
-        stage = (
-            # LEFT join, not crossJoin: when a round finds no adjacent
-            # pair anywhere (every doc is a single token), ``top`` is
-            # EMPTY and a cross join would annihilate the stream; the
-            # left join keeps every row with a null pair, _m coalesces
-            # to false, and the round is a no-op — encode returns the
-            # stream unchanged. With the usual 1-row top the plans are
-            # identical (broadcast nested loop over one row).
-            with_next.join(
+        # Greedy-left rewrite as a map-side (out, pend) fold — see the
+        # module docstring. LEFT join, not crossJoin: when a round
+        # finds no adjacent pair anywhere (every doc a single token),
+        # ``top`` is EMPTY and a cross join would annihilate the
+        # stream; with a null pair the match condition is never true
+        # and the round is a no-op. With the usual 1-row top the plans
+        # are identical (broadcast nested loop over one row).
+        expl = (
+            expl.join(
                 F.broadcast(top.select("pair_a", "pair_b")), F.lit(True), "left"
             )
-            .withColumn(
-                "_m",
-                F.coalesce(
-                    (F.col("tok") == F.col("pair_a")) & (F.col("nxt") == F.col("pair_b")),
-                    F.lit(False),
-                ),
-            )
-            .withColumn(
-                "_newrun",
-                F.col("_m") & ~F.coalesce(F.lag("_m").over(wdoc), F.lit(False)),
-            )
-            # Greedy-left parity must be computed over row offsets, not
-            # raw pos values: pos is ordered but not necessarily dense
-            # (e.g. tokens at pos 0,2,4), and value arithmetic would
-            # mark both matches of a self-pair run as _taken. _ridx is
-            # a dense row index over the same window, so it shares the
-            # single exchange with the rest of the pipeline.
-            .withColumn("_ridx", F.row_number().over(wdoc))
-            .withColumn(
-                "_run_start",
-                F.max(F.when(F.col("_newrun"), F.col("_ridx"))).over(wrun),
-            )
-            .withColumn(
-                "_taken",
-                F.col("_m") & ((F.col("_ridx") - F.col("_run_start")) % 2 == 0),
-            )
-            .withColumn("_drop", F.coalesce(F.lag("_taken").over(wdoc), F.lit(False)))
-        )
-        expl = (
-            stage.filter(~F.col("_drop"))
-            .select(
-                F.col(id_col),
-                F.row_number().over(wdoc).alias("pos"),
-                F.when(F.col("_taken"), merged_tok).otherwise(F.col("tok")).alias("tok"),
-            )
+            .select(F.col(id_col), _merge_fold().alias("toks"))
             .transform(materialize)
         )
     return rules, expl
+
+
+def _merge_fold() -> Column:
+    """Fold ``toks`` through the (out, pend) greedy-left merge against
+    the ``pair_a``/``pair_b`` columns riding on the row."""
+    merged_tok = F.concat(F.col("pair_a"), F.lit(JOIN_CH), F.col("pair_b"))
+
+    def step(acc, x):
+        flushed = F.concat(acc["out"], F.array(acc["pend"]))
+        return (
+            F.when(
+                acc["pend"].isNull(),
+                F.struct(acc["out"].alias("out"), x.alias("pend")),
+            )
+            .when(
+                (acc["pend"] == F.col("pair_a")) & (x == F.col("pair_b")),
+                F.struct(
+                    F.concat(acc["out"], F.array(merged_tok)).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(F.struct(flushed.alias("out"), x.alias("pend")))
+        )
+
+    return F.aggregate(
+        F.col("toks"),
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("pend"),
+        ),
+        step,
+        lambda acc: F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        ),
+    )

@@ -6,6 +6,15 @@ at 100 TB the cross join disappears and each probe touches one
 bucket's partitions only. All math is built-in column expressions
 (``zip_with`` + ``aggregate``) — JVM-side, codegen-friendly, no UDFs.
 
+Argmin/argmax discipline (r16): nearest-cell decisions are map-only —
+the centroid set is broadcast as ONE sorted ``array<struct>`` row and
+each vector reduces it with ``array_min`` over (−cosine, centroid_id)
+structs, which is exactly the (cosine DESC, centroid_id ASC) window
+ordering the previous plan shuffled n×k rows to evaluate (struct
+ordering is field-lexicographic; Spark's double ordering treats ±0.0
+as equal, so the negation cannot reorder ties). Equivalence to the
+window form is pinned in ``tests/test_kmeans.py``.
+
 Determinism: dot products fold left in array order in both Spark and
 the DuckDB oracle; cosines are rounded before ranking so tie-breaking
 (neighbor id asc) is reproducible across engines.
@@ -81,6 +90,68 @@ def brute_force_topk(
     )
 
 
+def _centroid_arr(
+    centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Collapse the centroid set to ONE row holding a
+    ``sort_array``-by-id array of ``struct(centroid_id, cv, cn)`` —
+    the broadcast build for the map-side argmax (sorted so the first
+    maximal-cosine element is the lowest centroid id, the window
+    tie-break the previous plan used)."""
+    return (
+        centroids.select(
+            F.col(id_col).alias("centroid_id"),
+            as_double_array(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cn", norm_col(F.col("cv")))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("centroid_id", "cv", "cn"))
+            ).alias("_cents")
+        )
+    )
+
+
+def _cell_ranking(vec: Column, vnorm: Column, round_digits: int) -> Column:
+    """Array of ``struct(ncos, centroid_id)`` over the broadcast
+    ``_cents`` array, where ``ncos`` = NEGATED rounded cosine — so
+    ascending struct order is (cosine DESC, centroid_id ASC), the
+    exact ordering the previous row_number window used (Spark double
+    ordering treats ±0.0 as equal, so negation cannot reorder ties)."""
+    return F.transform(
+        F.col("_cents"),
+        lambda s: F.struct(
+            (-F.round(dot_col(vec, s["cv"]) / (vnorm * s["cn"]), round_digits)).alias(
+                "ncos"
+            ),
+            s["centroid_id"].alias("centroid_id"),
+        ),
+    )
+
+
+def _assign_with_vec(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """(id, vec) → (vec_id, centroid_id, nv, nn) by nearest-cosine cell,
+    MAP-ONLY: the centroid array is broadcast and the argmax is
+    ``array_min`` over (−cosine, centroid_id) structs. Carrying the
+    vector and its norm through lets :func:`ivf_search` score
+    candidates without re-joining the member table (the previous plan
+    paid an n×k Exchange+Sort for the window argmax plus an n⋈n join
+    to re-attach vectors)."""
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), as_double_array(F.col(vec_col)).alias("nv")
+    ).withColumn("nn", norm_col(F.col("nv")))
+    best = F.array_min(_cell_ranking(F.col("nv"), F.col("nn"), round_digits))
+    return v.crossJoin(
+        F.broadcast(_centroid_arr(centroids, id_col, vec_col))
+    ).select("vec_id", best["centroid_id"].alias("centroid_id"), "nv", "nn")
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -90,30 +161,17 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (IVF cells).
 
-    Centroids are broadcast; the argmax is a row_number window keyed on
-    the vector id — one shuffle on vector id, which at scale becomes
-    the bucketed layout you then co-partition searches against.
+    Centroids are broadcast as ONE sorted array row and the argmax is
+    a map-only ``array_min`` over (−cosine, centroid_id) structs —
+    same rounded cosine expression, same centroid-id-ascending
+    tie-break as the row_number-window form it replaces, with NO
+    exchange (the window shape shuffled n×k scored rows by vector id).
+    At scale the resulting (vec_id, centroid_id) map is what you write
+    as the cell-bucketed layout searches co-partition against.
     """
-    c = centroids.select(
-        F.col(id_col).alias("centroid_id"), as_double_array(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", norm_col(F.col("cv")))
-    v = vectors.select(
-        F.col(id_col).alias("vid"), as_double_array(F.col(vec_col)).alias("vv")
-    ).withColumn("vn", norm_col(F.col("vv")))
-    scored = v.crossJoin(F.broadcast(c)).select(
-        "vid",
-        "centroid_id",
-        F.round(
-            dot_col(F.col("vv"), F.col("cv")) / (F.col("vn") * F.col("cn")),
-            round_digits,
-        ).alias("ccos"),
-    )
-    w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("vid").alias("vec_id"), "centroid_id")
-    )
+    return _assign_with_vec(
+        vectors, centroids, id_col, vec_col, round_digits
+    ).select("vec_id", "centroid_id")
 
 
 def ivf_search(
@@ -134,9 +192,19 @@ def ivf_search(
     EXACT top-k over the probed candidate set, so any true global
     neighbor whose cell is probed is always returned, and recall is
     monotonically non-decreasing in ``nprobe`` (a superset candidate
-    pool can only keep more of the true top-k). At scale the member
-    side is stored bucketed by ``centroid_id`` and the probe join
-    touches only those buckets' partitions; centroids broadcast.
+    pool can only keep more of the true top-k).
+
+    Plan shape (r16): cell assignment and probe selection are both
+    MAP-SIDE against the one-row broadcast centroid array (see
+    :func:`_assign_with_vec` / :func:`_cell_ranking`) and the
+    assignment carries each member's vector+norm, so candidates come
+    from ONE broadcast hash join (probe rows = |Q|·nprobe, hint-pinned
+    — a query batch is bounded by contract) and the only exchange in
+    the whole search is the final per-query top-k window. The previous
+    shape paid the assignment window's n×k Exchange+Sort, the probe
+    window's |Q|×k exchange, and an n⋈n members re-join. At scale the
+    member side is stored bucketed by ``centroid_id`` and the probe
+    join touches only those buckets' partitions; centroids broadcast.
 
     ``pair_predicate`` (over columns ``query_id``, ``neighbor_id``,
     ``cosine``) restricts the candidate pairs BEFORE the top-k rank —
@@ -146,38 +214,31 @@ def ivf_search(
     result the exact top-k of the RESTRICTED pool, not a post-filter
     of the unrestricted top-k (which could return < k rows and lose
     deeper valid neighbors)."""
-    assigned = ivf_assign(vectors, centroids, id_col, vec_col, round_digits)
-    c = centroids.select(
-        F.col(id_col).alias("centroid_id"), as_double_array(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", norm_col(F.col("cv")))
+    assigned = _assign_with_vec(
+        vectors, centroids, id_col, vec_col, round_digits
+    ).withColumnRenamed("vec_id", "neighbor_id")
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
     ).withColumn("qn", norm_col(F.col("qv")))
-    wq = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("centroid_id"))
-    probes = (
-        q.crossJoin(F.broadcast(c))
-        .select(
-            "query_id",
-            "qv",
-            "qn",
-            "centroid_id",
-            F.round(
-                dot_col(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
-                round_digits,
-            ).alias("pcos"),
-        )
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "qn", "centroid_id")
+    # probe selection: top-nprobe cells per query as a map-side
+    # array_sort + slice over the same broadcast centroid array (the
+    # previous plan windowed |Q|×k rows — one more exchange for the
+    # identical (cosine DESC, centroid_id ASC) ranking)
+    ranked = F.slice(
+        F.array_sort(_cell_ranking(F.col("qv"), F.col("qn"), round_digits)),
+        1,
+        nprobe,
     )
-    members = vectors.select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("nv")
-    ).withColumn("nn", norm_col(F.col("nv")))
-    cand = (
-        assigned.withColumnRenamed(id_col, "neighbor_id")
-        .join(probes, "centroid_id")
-        .join(members, "neighbor_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+    probes = q.crossJoin(
+        F.broadcast(_centroid_arr(centroids, id_col, vec_col))
+    ).select(
+        "query_id",
+        "qv",
+        "qn",
+        F.explode(ranked).alias("_p"),
+    ).select("query_id", "qv", "qn", F.col("_p.centroid_id").alias("centroid_id"))
+    cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     scored = cand.select(

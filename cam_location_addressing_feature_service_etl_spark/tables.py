@@ -45,24 +45,35 @@ _COMPUTE_HEAVY = {"documents", "embeddings"}
 _SCAN_MEMO: dict[tuple[str, str], tuple] = {}
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+) -> DataFrame:
     """Load one testdata table. Never caches DATA: each query still
     forms a single scan-to-result plan so pushdown happens per-query;
-    only scan METADATA (schema, parallelism probe) is memoized."""
+    only scan METADATA (schema, parallelism probe) is memoized.
+
+    ``widen=True`` opts THIS call into the compute-parallelism
+    repartition (same probe/memo as the ``_COMPUTE_HEAVY`` tables):
+    for queries whose expensive stage is map-side work BEFORE the
+    first exchange (sketch builds, md5 fan-outs, multi-countDistinct
+    Expands), a narrow single-row-group file would otherwise pin that
+    work to ONE task (guide §2.5 input skew / §6 split sizing). The
+    probe keeps it scale-safe: at 100 TB the scan already has many
+    splits, the probe returns False, and no exchange is added."""
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     memo = _SCAN_MEMO.get((sf_dir, name))
     if memo is None:
         df = spark.read.parquet(path)
-        widen = name in _COMPUTE_HEAVY and (
+        few_splits = (
             df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
         )
-        _SCAN_MEMO[(sf_dir, name)] = (df.schema, widen)
+        _SCAN_MEMO[(sf_dir, name)] = (df.schema, few_splits)
     else:
-        schema, widen = memo
+        schema, few_splits = memo
         df = spark.read.schema(schema).parquet(path)
-    if widen:
+    if few_splits and (widen or name in _COMPUTE_HEAVY):
         df = df.repartition(spark.sparkContext.defaultParallelism)
     if name == "events":
         # ts arrives either as parquet TIMESTAMP(NANOS) read as long

@@ -3022,7 +3022,14 @@ def a15_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     final order statistics sort {B} numbers. Total cost = one pass,
     independent of cluster size — the reason Poisson bootstrap
     replaced classical resampling for terabyte-scale error bars."""
-    events = _events(spark, sf_dir)
+    tune(spark)
+    # widen=True: the {B}× hash fan-out below is pure map work BEFORE
+    # the first exchange — on a narrow single-row-group file it would
+    # run on ONE task ({B}·n md5s single-threaded); the probe-gated
+    # repartition spreads it across the cores and is a no-op at scale
+    # (guide §2.5 input skew). Measured r16: 6.3 s → see
+    # OPTIMIZATION_r16.md.
+    events = load(spark, sf_dir, "events", widen=True)
     x = F.floor(F.col("value") * 1000000 + 0.5).cast("decimal(38,0)")
     ex = events.select(
         F.col("event_id").cast("string").alias("eid"), x.alias("x")

@@ -842,17 +842,22 @@ def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking is a totally-ordered window per node — no RNG state, no
     float.
 
-    Scale: the ranked adjacency builds once (one window per node
-    partition — the SAME shuffle key every step reuses); each hop is
-    an equi-join of the walk frontier against (src, rank) — walk
-    count × 1 row each — so L hops cost L frontier joins, embarrass-
-    ingly parallel in the number of walks. Hub-node rank skew is
-    AQE-split like every key join here. The walk table feeds skip-
-    gram windows exactly like ``text_train_order_interleave`` feeds
-    packing."""
-    (orders, lineitem) = _t(spark, sf_dir, "orders", "lineitem")
-    from pyspark.sql.window import Window
+    Plan shape (r16, guide §2.4): the adjacency builds once as a
+    per-node SORTED neighbor array (one partial-aggregatable groupBy —
+    the previous per-node row_number ranking window is gone), and each
+    hop is ONE walk⋈adjacency equi-join on ``cur`` with the pick a
+    map-side ``element_at(nbrs, 1 + coin mod size)`` — the (rank =
+    coin) probe row the previous plan paid a second join to fetch is
+    an array index. ``sort_array`` on strings is the same binary UTF8
+    ordering as the window's ORDER BY dst, so ranks are identical.
 
+    Scale: L hops cost L walk-frame joins against the node-keyed
+    adjacency (broadcast when it fits, else keyed shuffle of
+    walk-count rows) — the frontier never explodes to candidate rows.
+    Hub-node skew ships ONE array row per hub per join instead of
+    deg(hub) ranked rows. The walk table feeds skip-gram windows
+    exactly like ``text_train_order_interleave`` feeds packing."""
+    (orders, lineitem) = _t(spark, sf_dir, "orders", "lineitem")
     pairs = (
         orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
         .select(
@@ -863,18 +868,14 @@ def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.selectExpr("c AS src", "s AS dst").unionByName(
         pairs.selectExpr("s AS src", "c AS dst")
-    ).transform(materialize)
-    nbr = edges.select(
-        "src",
-        "dst",
-        F.row_number()
-        .over(Window.partitionBy("src").orderBy("dst"))
-        .alias("rn"),
-    ).transform(materialize)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    walk = (
-        deg.filter(F.col("src").startswith("s:"))
-        .select(F.col("src").alias("start"), F.col("src").alias("cur"))
+    )
+    adj = (
+        edges.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("_nbrs"))
+        .transform(materialize)
+    )
+    walk = adj.filter(F.col("src").startswith("s:")).select(
+        F.col("src").alias("start"), F.col("src").alias("cur")
     )
     hops = []
     for t in range(1, _WALK_STEPS + 1):
@@ -896,20 +897,15 @@ def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 16,
                 10,
             ).cast("long")
-            % F.col("d")
+            % F.size("_nbrs").cast("long")
             + 1
         )
         walk = (
-            walk.join(deg, deg["src"] == walk["cur"])
-            .withColumn("_pick", pick)
-            .join(
-                nbr,
-                (nbr["src"] == walk["cur"]) & (nbr["rn"] == F.col("_pick")),
-            )
+            walk.join(adj, adj["src"] == walk["cur"])
             .select(
                 "start",
                 *[F.col(f"hop{i}") for i in range(1, t)],
-                F.col("dst").alias(f"hop{t}"),
+                F.element_at(F.col("_nbrs"), pick.cast("int")).alias(f"hop{t}"),
             )
             .withColumn("cur", F.col(f"hop{t}"))
         )
@@ -948,42 +944,86 @@ def node2vec_walk_frame(
     reproducible across runs AND engines (the DuckDB oracle replays
     the identical algebra).
 
-    Per hop: one frontier×neighbors equi-join, one LEFT probe of the
-    edge set for the triangle check (the "(prev, cur) edge check" —
-    this join is the whole cost delta vs first-order walks), one
-    per-walk window cumsum, one interval filter. Returns
-    ``(start, hop1..hopN)``.
+    Plan shape (r16, guide §2.3/§2.4 — shuffle keys and metadata, not
+    the candidate explosion): the edge set is collapsed ONCE to a
+    per-node sorted adjacency array (one partial-aggregatable
+    groupBy), and each hop is a walk⋈adjacency equi-join on ``cur``
+    plus a LEFT walk⋈adjacency join on ``prev`` — the weighting, the
+    integer cumulative-weight inversion and the interval pick are a
+    MAP-SIDE fold over the sorted neighbor array (``aggregate`` with a
+    (cum, pick) struct accumulator), replaying the exact
+    (dst ASC)-ordered window cumsum the previous plan shuffled
+    frontier×degree exploded rows to evaluate. The triangle check is
+    ``array_intersect`` of the two sorted adjacency arrays (hash-set
+    build, O(deg_cur + deg_prev)) + membership against that
+    intersection — the (prev, dst) edge-set SMJ probe is gone.
 
-    Scale: each hop shuffles frontier×degree rows keyed by the walk
-    id — walks parallelize embarrassingly; the triangle probe is an
-    equi-join on (prev, dst) against the same materialized edge set
-    every hop reuses; hub-degree skew is AQE territory exactly as in
-    the first-order operator. node2vec's alias-table preprocessing
-    (per (prev,cur) pair) trades this per-hop join for O(Σ deg(u)·
-    deg(v)) state — the join form is the one that survives 100 TB."""
+    Scale: per hop the only shuffle-eligible rows are the WALK frame
+    itself (adjacency broadcasts when it fits, else the join keys on
+    node id) — the frontier×degree candidate explosion never crosses
+    the network, where the previous shape shuffled it three times per
+    hop (edge join, (prev,dst) probe, per-walk window). Per-task cost
+    picks up the O(deg_cur · |common(prev,cur)|) membership loop —
+    bounded by the intersection, which hub skew shrinks (a hub's
+    neighbors rarely share many neighbors with one walker's prev) —
+    the classic shuffle-for-compute trade of guide §2.3. node2vec's
+    alias-table preprocessing (per (prev,cur) pair) would instead pay
+    O(Σ deg(u)·deg(v)) state; the per-hop join+fold form is the one
+    that survives 100 TB."""
+    adj = (
+        edges.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("_nbrs"))
+        .transform(materialize)
+    )
+    padj = adj.select(
+        F.col("src").alias("_psrc"), F.col("_nbrs").alias("_pnbrs")
+    )
     walk = starts.select(
         F.col("start"),
         F.col("start").alias("cur"),
         F.lit(None).cast("string").alias("prev"),
     )
-    pe = edges.select(F.col("src").alias("_ps"), F.col("dst").alias("_pd"))
-    wcum = Window.partitionBy("start").orderBy("dst")
-    wtot = Window.partitionBy("start")
-    for t in range(1, steps + 1):
-        cand = (
-            walk.join(edges, edges["src"] == walk["cur"]).drop("src")
-            .join(
-                pe,
-                (F.col("_ps") == F.col("prev")) & (F.col("_pd") == F.col("dst")),
-                "left",
-            )
-        )
-        wt = (
+    # Higher-order-function discipline (measured this round, 17x): a
+    # COMPUTED outer column referenced once inside a lambda gets
+    # CollapseProject-inlined and re-evaluated PER ELEMENT (the
+    # tokenize-once gotcha). Every per-row scalar the fold needs — the
+    # intersection, the weight total, the coin — is therefore threaded
+    # through the folds' ZERO-value structs, which Spark evaluates once
+    # per row, never per element.
+    def wt(x, common):
+        return (
             F.when(F.col("prev").isNull(), F.lit(1))
-            .when(F.col("dst") == F.col("prev"), F.lit(_N2V_W_RETURN))
-            .when(F.col("_ps").isNotNull(), F.lit(_N2V_W_COMMON))
+            .when(x == F.col("prev"), F.lit(_N2V_W_RETURN))
+            .when(F.array_contains(common, x), F.lit(_N2V_W_COMMON))
             .otherwise(F.lit(_N2V_W_FAR))
         ).cast("long")
+
+    for t in range(1, steps + 1):
+        cand = (
+            walk.join(adj, adj["src"] == walk["cur"]).drop("src")
+            .join(padj, F.col("_psrc") == F.col("prev"), "left")
+        )
+        # common neighbors of (prev, cur): sorted-array hash intersect;
+        # membership tests run against THIS (≤ min-degree) array, not
+        # the full prev adjacency. Computed ONCE per row as the weight
+        # fold's zero field.
+        common = F.coalesce(
+            F.array_intersect(F.col("_nbrs"), F.col("_pnbrs")),
+            F.array().cast("array<string>"),
+        )
+        # weight total: fold carrying (sum, common) so the intersect is
+        # the zero expression (once per row)
+        pre = F.aggregate(
+            F.col("_nbrs"),
+            F.struct(
+                F.lit(0).cast("long").alias("sum"), common.alias("common")
+            ),
+            lambda acc, x: F.struct(
+                (acc["sum"] + wt(x, acc["common"])).alias("sum"),
+                acc["common"].alias("common"),
+            ),
+            lambda acc: acc,
+        )
         coin = (
             F.conv(
                 F.substring(
@@ -1003,41 +1043,45 @@ def node2vec_walk_frame(
                 16,
                 10,
             ).cast("long")
-            % F.col("_tot")
+            % F.col("_pre")["sum"]
         )
-        scored = (
-            cand.select(
+        # interval pick = first neighbor (dst ASC) whose cumulative
+        # weight exceeds the coin — identical to the window form's
+        # (coin >= cum - w AND coin < cum) interval filter, because the
+        # cumsum is strictly increasing (all weights >= 1). coin and
+        # common ride in the accumulator (once-per-row).
+        picked = F.aggregate(
+            F.col("_nbrs"),
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(None).cast("string").alias("pick"),
+                F.col("_coin").alias("coin"),
+                F.col("_pre")["common"].alias("common"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["cum"] + wt(x, acc["common"])).alias("cum"),
+                F.when(
+                    acc["pick"].isNull()
+                    & (acc["coin"] < acc["cum"] + wt(x, acc["common"])),
+                    x,
+                )
+                .otherwise(acc["pick"])
+                .alias("pick"),
+                acc["coin"].alias("coin"),
+                acc["common"].alias("common"),
+            ),
+            lambda acc: acc["pick"],
+        )
+        walk = (
+            cand.withColumn("_pre", pre)
+            .withColumn("_coin", coin)
+            .select(
                 "start",
                 *[F.col(f"hop{i}") for i in range(1, t)],
-                "cur",
-                "prev",
-                "dst",
-                wt.alias("_w"),
+                picked.alias(f"hop{t}"),
+                F.col("cur").alias("prev"),
             )
-            .select(
-                "*",
-                F.sum("_w")
-                .over(wcum.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-                .alias("_cum"),
-                F.sum("_w")
-                .over(
-                    wtot.rowsBetween(
-                        Window.unboundedPreceding, Window.unboundedFollowing
-                    )
-                )
-                .alias("_tot"),
-            )
-            .withColumn("_coin", coin)
-        )
-        walk = scored.filter(
-            (F.col("_coin") >= F.col("_cum") - F.col("_w"))
-            & (F.col("_coin") < F.col("_cum"))
-        ).select(
-            "start",
-            *[F.col(f"hop{i}") for i in range(1, t)],
-            F.col("dst").alias(f"hop{t}"),
-            F.col("dst").alias("cur"),
-            F.col("cur").alias("prev"),
+            .withColumn("cur", F.col(f"hop{t}"))
         )
     return walk.select("start", *[f"hop{i}" for i in range(1, steps + 1)])
 

@@ -20,7 +20,6 @@ from ..operators.similarity import (
     dot_col,
     norm_col,
     cosine_pairs_above,
-    ivf_assign,
 )
 from ..session import tune
 from ..tables import load
@@ -104,22 +103,23 @@ def sim_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: vectors assigned to nearest of 8 'centroids'
     (deterministically: the first 8 vectors), queries probe only their
     own cell — the bucketed scale path (nprobe=1)."""
+    from ..operators.similarity import _assign_with_vec
+
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     centroids = embeddings.filter(F.col("vec_id") < _IVF_CENTROIDS)
     members = embeddings.filter(F.col("vec_id") >= _IVF_CENTROIDS)
-    assigned = ivf_assign(members, centroids).join(
-        members.select(
-            "vec_id", as_double_array(F.col("embedding")).alias("e")
-        ).withColumn("n", norm_col(F.col("e"))),
-        "vec_id",
-    )
+    # map-side cell assignment CARRYING the member vector+norm — the
+    # previous ivf_assign⋈members form re-joined the member table on
+    # vec_id just to re-attach the vector the assignment had already
+    # read (operators/similarity.py r16 argmin discipline)
+    assigned = _assign_with_vec(members, centroids, "vec_id", "embedding", 6)
     q = assigned.filter(
         (F.col("vec_id") >= _IVF_QUERY_LO) & (F.col("vec_id") < _IVF_QUERY_HI)
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("centroid_id").alias("qc"),
-        F.col("e").alias("qe"),
-        F.col("n").alias("qn"),
+        F.col("nv").alias("qe"),
+        F.col("nn").alias("qn"),
     )
     scored = (
         assigned.join(
@@ -130,7 +130,7 @@ def sim_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                dot_col(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 6
+                dot_col(F.col("qe"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
             ).alias("cosine"),
         )
     )
@@ -474,7 +474,12 @@ def sim_kmeans_cohesion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized stages are the per-round argmin and the audit
     assignment — identical shape to training itself; the audit adds
     a k-row aggregate, not a pass."""
-    from ..operators.kmeans import _sq_dist, lloyd_train
+    from ..operators.kmeans import (
+        _cent_arr,
+        _nearest_struct,
+        _sq_dist,
+        lloyd_train,
+    )
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     v = embeddings.select(
@@ -482,15 +487,18 @@ def sim_kmeans_cohesion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = lloyd_train(embeddings, k=_KM_K, iterations=2, round_digits=6)
     cent = materialize(cent)  # feeds the assignment AND the k×k table
-    d = F.round(_sq_dist(F.col("v"), F.col("c")), 6)
-    scored = v.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cluster", d.alias("d")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cluster"))
+    # map-side argmin KEEPING the member distance (operators/kmeans.py
+    # array_min discipline — same rounded distance, same (d ASC,
+    # cluster ASC) tie-break the row_number window evaluated, minus
+    # that window's n×k Exchange+Sort)
     asg = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster", "d")
+        v.crossJoin(F.broadcast(_cent_arr(cent)))
+        .select("vec_id", _nearest_struct(6).alias("_b"))
+        .select(
+            "vec_id",
+            F.col("_b.cluster").alias("cluster"),
+            F.col("_b.d").alias("d"),
+        )
     )
     intra = asg.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),

@@ -1740,7 +1740,11 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same profile as six scans UNIONed — same answer, proving the
     single-pass unpivot purely physical."""
     tune(spark)
-    orders = load(spark, sf_dir, "orders")
+    # widen=True: the 6-column exact-countDistinct Expand (7× row
+    # multiplication) and its partial aggregation happen in the scan
+    # stage — single-task on a one-row-group file without the
+    # probe-gated repartition (no-op at scale; guide §2.5)
+    orders = load(spark, sf_dir, "orders", widen=True)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for col, _, spark_repr in _DQ_COLS:
         aggs.extend(

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.bpe import JOIN_CH, bpe_apply, bpe_merge_rules
+from ..operators.bpe import JOIN_CH, bpe_rounds_seqs
 from ..operators.dedup import tokens_col
 from .llm_text import TOKENS_SQL, _t
 from . import register
@@ -102,12 +102,16 @@ def text_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     desc, lexicographic tiebreak) is merged greedy-left everywhere and
     the next round re-counts on the rewritten sequences. Output: one
     rule per round with its pre-merge pair count — the vocabulary
-    deltas a tokenizer-training job would emit."""
+    deltas a tokenizer-training job would emit.
+
+    Plan shape (r16): sequences stay ARRAY-per-doc straight from the
+    tokenizer split (no posexplode, no per-round lead() window) — per
+    round the only exchange is the map-side-combined pair count; the
+    greedy-left rewrite is a map-side fold (operators/bpe.py)."""
     (documents,) = _t(spark, sf_dir, "documents")
-    tokens = documents.select(
-        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
-    )
-    return bpe_merge_rules(tokens, rounds=_BPE_ROUNDS)
+    seqs = documents.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    rules, _ = bpe_rounds_seqs(seqs, rounds=_BPE_ROUNDS)
+    return rules
 
 
 text_bpe_merge_rules.__doc__ = text_bpe_merge_rules.__doc__.format(n=_BPE_ROUNDS)
@@ -190,20 +194,22 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document with the {n} learned merge rules and emit per-doc
     post-merge token counts plus an md5 of the exact rewritten token
     stream — so the oracle verifies every merge position in every
-    document, not just the rule list. Same per-doc window pipeline as
-    the trainer; the stream hash is order-exact via a per-doc sorted
-    aggregation (no global stage)."""
+    document, not just the rule list.
+
+    Plan shape (r16): the rewritten sequence is already one array row
+    per doc (operators/bpe.py array-native rounds), so the count and
+    the order-exact stream hash are map-side ``size``/``array_join``
+    projections — the former collect_list re-aggregation of the
+    exploded stream (one more corpus shuffle) is gone. Empty docs are
+    filtered exactly as the exploded form dropped them (no token rows
+    → no group)."""
     (documents,) = _t(spark, sf_dir, "documents")
-    tokens = documents.select(
-        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
-    )
-    stream = bpe_apply(tokens, rounds=_BPE_ROUNDS)
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
-    )
-    return stream.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.md5(F.array_join(ordered, " ")).alias("stream_hash"),
+    seqs = documents.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    _, out = bpe_rounds_seqs(seqs, rounds=_BPE_ROUNDS)
+    return out.filter(F.size("toks") > 0).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("toks", " ")).alias("stream_hash"),
     )
 
 

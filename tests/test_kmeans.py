@@ -62,6 +62,75 @@ def test_clustering_beats_single_cluster_baseline(spark):
     assert sse_k8 < sse_single * 0.95, (sse_k8, sse_single)
 
 
+def test_array_argmin_matches_window_form(spark):
+    """r16 optimization guard: the map-side ``array_min`` argmin /
+    argmax (operators/kmeans.py ``kmeans_assign``,
+    operators/similarity.py ``ivf_assign``) must reproduce the
+    crossJoin + row_number-window form it replaced BIT-FOR-BIT —
+    same rounded metric, same (metric, id ASC) tie-break — on the
+    real smoke embeddings."""
+    from pyspark.sql.window import Window
+
+    from cam_location_addressing_feature_service_etl_spark.operators.kmeans import (
+        _sq_dist,
+    )
+    from cam_location_addressing_feature_service_etl_spark.operators.similarity import (
+        as_double_array,
+        dot_col,
+        ivf_assign,
+        norm_col,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("c")
+    )
+
+    # window form of the euclidean argmin (the pre-r16 kmeans_assign)
+    d = F.round(_sq_dist(F.col("v"), F.col("c")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cluster"))
+    win = (
+        v.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cluster", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("vec_id", "cluster")
+    )
+    arr = kmeans_assign(v, cents, round_digits=6)
+    assert sorted(win.collect()) == sorted(arr.collect())
+
+    # window form of the cosine argmax (the pre-r16 ivf_assign)
+    c2 = cents.select(
+        F.col("cluster").cast("long").alias("centroid_id"),
+        as_double_array(F.col("c")).alias("cv"),
+    ).withColumn("cn", norm_col(F.col("cv")))
+    v2 = v.select("vec_id", as_double_array(F.col("v")).alias("vv")).withColumn(
+        "vn", norm_col(F.col("vv"))
+    )
+    ccos = F.round(
+        dot_col(F.col("vv"), F.col("cv")) / (F.col("vn") * F.col("cn")), 6
+    )
+    w2 = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    win2 = (
+        v2.crossJoin(F.broadcast(c2))
+        .select("vec_id", "centroid_id", ccos.alias("ccos"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter("rn = 1")
+        .select("vec_id", "centroid_id")
+    )
+    arr2 = ivf_assign(
+        v.select("vec_id", F.col("v").alias("embedding")),
+        cents.select(
+            F.col("cluster").cast("long").alias("vec_id"),
+            F.col("c").alias("embedding"),
+        ),
+    )
+    assert sorted(win2.collect()) == sorted(arr2.collect())
+
+
 def test_semdedup_prune_semantics(spark):
     """SemDeDup invariants on the smoke fixture: (1) every vector
     appears exactly once with a cluster and kept flag; (2) a vector is
