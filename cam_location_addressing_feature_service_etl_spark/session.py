@@ -57,6 +57,17 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # Join strategy (guide §3.1/§9): let the planner pick shuffled-hash
+    # over sort-merge when its size conditions hold (skips both sides'
+    # sorts), and let AQE demote a planned SMJ to SHJ at runtime when
+    # every post-shuffle partition's map output is under the advisory
+    # size. Scale story: SHJ eligibility is size-GATED per partition
+    # (not a blanket hint), AQE skew-split applies to SHJ as to SMJ,
+    # and a build side that exceeds the threshold keeps sort-merge —
+    # so at 100 TB the demotion simply stops firing where it would
+    # OOM. A/B-measured this round (OPTIMIZATION_r16.md §C4).
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64MB",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # events.parquet stores TIMESTAMP(NANOS); Spark's reader rejects it
     # unless nanos are surfaced as long (converted back in tables.load).
