@@ -588,8 +588,16 @@ def nb_fit(train_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Train multinomial NB: returns (counts, stats) — the
     (label, token) count table and the per-label stats frame
     (token total, doc prior, vocab size, train doc total). Both are
-    pure aggregations; stats is label-count-sized (broadcast)."""
-    counts = nb_token_counts(train_docs)
+    pure aggregations; stats is label-count-sized (broadcast).
+
+    ``counts`` is materialized: three plan branches consume it (the
+    label totals, the vocab size, and the scorer's left join) and
+    Spark does not reuse exchanges across branches — without the
+    checkpoint the corpus-sized tokenize+count subtree executes once
+    PER BRANCH (measured: the classifier plan carried 44 Exchanges,
+    the kappa audit 148). The checkpointed frame is vocab×labels-
+    sized, never corpus-sized."""
+    counts = materialize(nb_token_counts(train_docs))
     ltot = counts.groupBy("lbl").agg(F.sum("cnt").alias("tot"))
     prior = train_docs.groupBy(F.col("lang").alias("lbl")).agg(
         F.count(F.lit(1)).alias("docs")
@@ -3507,8 +3515,15 @@ def dq_classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame
     tune(spark)
     (documents,) = _t(spark, sf_dir, "documents")
     preds = nb_train_score(documents, _NB_TEST_MOD)
-    conf = preds.groupBy("gold_lang", "pred_lang").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # materialized: four branches (row marginals, column marginals,
+    # totals, the chance term) consume the confusion matrix, and
+    # without the checkpoint each branch re-executes the whole
+    # train+score subtree (the plan carried 148 Exchanges). The
+    # checkpointed frame is labels²-sized.
+    conf = materialize(
+        preds.groupBy("gold_lang", "pred_lang").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
     )
     rows = conf.groupBy("gold_lang").agg(F.sum("c").alias("r"))
     cols = conf.groupBy("pred_lang").agg(F.sum("c").alias("cc"))
