@@ -292,7 +292,13 @@ def _ivfpq_parts(
         F.col(id_col).alias("centroid_id"), F.col("xs").alias("cs")
     )
     members = xs.filter(F.col(id_col) >= n_cells)
-    rcomp = _assign_and_explode(members, cents, sub_dims, id_col)
+    # materialized: the residual-component frame feeds BOTH the
+    # codebook slice and the code-assignment join, and Spark replans
+    # the whole corpus-scale assign+explode subtree per consumer
+    # (2 scans + 2 broadcast argmins without the checkpoint). The
+    # frame is members×dims rows — the same exploded micro-unit shape
+    # the workload already checkpoints for ``xs``.
+    rcomp = materialize(_assign_and_explode(members, cents, sub_dims, id_col))
     cb = rcomp.filter(F.col(id_col) < n_cells + codebook_ids).select(
         F.col(id_col).alias("code"), "subspace", "pos", F.col("ri").alias("bi")
     )
