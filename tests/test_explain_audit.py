@@ -38,7 +38,10 @@ CARTESIAN_ALLOWED = {
     "sim_kmeans_assignments",
     "sample_cluster_diversity",      # same k-centroid broadcast argmin as kmeans
     "sim_semdedup_prune",            # same k-centroid broadcast argmin (assignment stage)
-    "emb_ivfpq_index",
+    # emb_ivfpq_index's broadcast-centroid cross now sits behind the
+    # materialized residual frame (r16 C6) — invisible to this audit
+    # (the documented LogicalRDD caveat), so its entry is pruned; the
+    # family members below still show their query-side probe cross.
     "emb_ivfpq_incremental",        # frozen-centroid broadcast argmin on the add path
     "sim_ann_ivfpq_search",         # queries/members scored vs broadcast centroids
     "sim_ann_ivfpq_rerank",         # same ADC stage feeding the exact rerank
