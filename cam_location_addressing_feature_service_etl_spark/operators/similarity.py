@@ -450,3 +450,98 @@ def semdedup_keep_first(
         F.col(vec_col).alias("v"),
     )
     return base.groupBy("c").applyInPandas(kernel, out_schema)
+
+
+def mmr_greedy_col(cands: Column, k: int, lam: float, one_minus: float) -> Column:
+    """Full greedy-MMR trajectory as ONE map-side expression over a
+    collected shortlist array — no per-step jobs, joins or windows.
+
+    ``cands`` is ``array<struct<vec_id,e,rel>>`` (one query's shortlist;
+    ``rel`` already rounded to 6 digits). Returns
+    ``array<struct<sel_rank,vec_id,e,rel,mmr_score>>`` of the ``k``
+    greedy picks: first pick is pure relevance, each later pick is
+    argmax ``lam*rel - one_minus*max-sim-to-selected`` with the score
+    rounded to 6 digits BEFORE the argmax and ties broken on vec_id —
+    bit-identical to the per-step join/window form this replaces
+    (pinned by ``tests/test_walks_mmr_textrank.py``):
+
+    - every argmax is ``array_sort`` over ``(-score, vec_id, ...)``
+      structs + take-first; struct comparison is field-lexicographic
+      and Spark's double ordering treats ±0.0 as equal, so negation
+      cannot reorder ties (the same discipline as the kmeans argmin);
+    - the max-sim over the selected set is ``array_max`` over the SAME
+      ``round(cosine, 6)`` doubles the join form aggregated with
+      ``F.max`` — max is comparison-based, so the fold order cannot
+      change the value;
+    - each step's scored array is evaluated exactly once: the pick is
+      rebuilt from the sorted array's first element via ``transform``
+      over a 1-element ``slice`` (a lambda variable is a bound VALUE,
+      so the cosines are not re-evaluated per field access — the
+      CollapseProject per-element re-evaluation trap);
+    - an exhausted shortlist contributes an empty slice, so the
+      trajectory simply stops growing (the join form's empty-pick
+      behavior).
+
+    Scale shape: the rerank is per-query LOCAL work — one row in, one
+    row out, zero shuffles, and queries parallelize embarrassingly;
+    cost per row is O(k * |cands| * |selected| * dims) scalar ops on
+    a <= |cands|-element array.
+    """
+
+    def _ranked(items: Column, score_neg) -> Column:
+        return F.array_sort(
+            F.transform(
+                items,
+                lambda c: F.struct(
+                    score_neg(c).alias("neg"),
+                    c["vec_id"].alias("vec_id"),
+                    c["e"].alias("e"),
+                    c["rel"].alias("rel"),
+                ),
+            )
+        )
+
+    first = F.transform(
+        F.slice(_ranked(cands, lambda c: -c["rel"]), 1, 1),
+        lambda b: F.struct(
+            F.lit(1).cast("long").alias("sel_rank"),
+            b["vec_id"].alias("vec_id"),
+            b["e"].alias("e"),
+            b["rel"].alias("rel"),
+            b["rel"].alias("mmr_score"),
+        ),
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        remaining = F.filter(
+            cands,
+            lambda c: ~F.exists(acc, lambda s: s["vec_id"] == c["vec_id"]),
+        )
+        ranked = _ranked(
+            remaining,
+            lambda c: -F.round(
+                F.lit(lam) * c["rel"]
+                - F.lit(one_minus)
+                * F.array_max(
+                    F.transform(
+                        acc, lambda s: F.round(cosine_col(c["e"], s["e"]), 6)
+                    )
+                ),
+                6,
+            ),
+        )
+        return F.concat(
+            acc,
+            F.transform(
+                F.slice(ranked, 1, 1),
+                lambda b: F.struct(
+                    i.cast("long").alias("sel_rank"),
+                    b["vec_id"].alias("vec_id"),
+                    b["e"].alias("e"),
+                    b["rel"].alias("rel"),
+                    (-b["neg"]).alias("mmr_score"),
+                ),
+            ),
+        )
+
+    return F.aggregate(F.sequence(F.lit(2), F.lit(k)), first, step)

@@ -18,6 +18,7 @@ from ..operators.similarity import (
     brute_force_topk,
     cosine_col,
     dot_col,
+    mmr_greedy_col,
     norm_col,
     cosine_pairs_above,
 )
@@ -1338,18 +1339,18 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible. λ and 1−λ are shared literals.
 
     Scale shape: candidate generation is the brute/IVF top-k's plan
-    (its cost story lives there); the rerank itself touches only the
-    {c}-row shortlist — each of the {k} steps is a broadcast of the
-    ≤{k}-row selected set against the shortlist (tiny BNLJ by
-    design), a {c}-key max, and a TakeOrdered(1). Per-query rerank
-    cost is O(k·c) sims REGARDLESS of corpus size, and queries
-    parallelize embarrassingly — the standard production deployment
-    reranks millions of query shortlists per hour on exactly this
-    shape."""
+    (its cost story lives there); the rerank itself is per-query LOCAL
+    work — the {c}-row shortlist collapses to ONE array row and the
+    whole {k}-step greedy trajectory is a single map-side fold
+    (``operators/similarity.py mmr_greedy_col``): zero joins, zero
+    windows, zero per-step driver actions. Per-query rerank cost is
+    O(k·c) sims REGARDLESS of corpus size, and queries parallelize
+    embarrassingly — the standard production deployment reranks
+    millions of query shortlists per hour on exactly this shape."""
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     v = embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("e"))
     q = v.filter(F.col("vec_id") == _MMR_QID).select(F.col("e").alias("qe"))
-    cand = (
+    packed = (
         v.filter(F.col("vec_id") != _MMR_QID)
         .crossJoin(F.broadcast(q))
         .select(
@@ -1359,58 +1360,20 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(_MMR_CAND)
-        .transform(materialize)
+        .groupBy()
+        .agg(F.collect_list(F.struct("vec_id", "e", "rel")).alias("cands"))
     )
-    selected = (
-        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
-        .limit(1)
-        .select(
-            F.lit(1).cast("long").alias("sel_rank"),
-            "vec_id",
-            "e",
-            "rel",
-            F.col("rel").alias("mmr_score"),
-        )
-        .transform(materialize)
+    sel = packed.select(
+        F.explode(
+            mmr_greedy_col(F.col("cands"), _MMR_K, _MMR_LAMBDA, _MMR_ONE_MINUS)
+        ).alias("s")
     )
-    for i in range(2, _MMR_K + 1):
-        sel_vecs = selected.select(
-            F.col("vec_id").alias("sid"), F.col("e").alias("se")
-        )
-        mx = (
-            cand.join(sel_vecs, cand["vec_id"] == sel_vecs["sid"], "left_anti")
-            .crossJoin(F.broadcast(sel_vecs))
-            .select(
-                "vec_id",
-                "e",
-                "rel",
-                F.round(cosine_col(F.col("e"), F.col("se")), 6).alias("sim"),
-            )
-            .groupBy("vec_id", "rel")
-            .agg(F.first("e").alias("e"), F.max("sim").alias("m"))
-        )
-        pick = (
-            mx.select(
-                F.lit(i).cast("long").alias("sel_rank"),
-                "vec_id",
-                "e",
-                "rel",
-                F.round(
-                    F.lit(_MMR_LAMBDA) * F.col("rel")
-                    - F.lit(_MMR_ONE_MINUS) * F.col("m"),
-                    6,
-                ).alias("mmr_score"),
-            )
-            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
-            .limit(1)
-        )
-        selected = selected.unionByName(pick).transform(materialize)
-        # force the checkpoint NOW: each step references the previous
-        # selected set in TWO branches (anti-join + broadcast), so a
-        # deferred plan would nest 2^k copies and stall analysis — the
-        # per-round action is the star-CC discipline on a <= k-row frame
-        selected.count()
-    return selected.select("sel_rank", "vec_id", F.col("rel").alias("relevance"), "mmr_score")
+    return sel.select(
+        F.col("s.sel_rank").alias("sel_rank"),
+        F.col("s.vec_id").alias("vec_id"),
+        F.col("s.rel").alias("relevance"),
+        F.col("s.mmr_score").alias("mmr_score"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1486,28 +1449,24 @@ FROM sel{_MMRG_K}"""
 @register("sim_mmr_rerank_grouped", oracle=_mmr_grouped_oracle())
 def sim_mmr_rerank_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversification for {q} query shortlists AT ONCE — the
-    production shape ``sim_mmr_rerank``'s docstring promises: instead
-    of k driver-coordinated steps PER QUERY (k·N tiny jobs for N
-    queries), every query advances one greedy step per job — the
-    per-step argmax is a row_number window over the query_id
-    partition, so the driver loop runs {k} steps TOTAL regardless of
-    how many shortlists are in flight. Semantics per query are
-    identical to the single-query operator: first pick is pure
-    relevance, then argmax λ·rel − (1−λ)·max-sim-to-selected with
-    6-digit pre-argmax rounding and vec_id tie-breaks — the DuckDB
-    oracle replays all {q} greedy trajectories step-locked through
-    the same MATERIALIZED-CTE chain.
+    production shape ``sim_mmr_rerank``'s docstring promises: every
+    query's shortlist collapses to one array row and the whole
+    {k}-step greedy trajectory runs as a single map-side fold per row
+    (``operators/similarity.py mmr_greedy_col``) — ZERO driver-
+    coordinated steps regardless of how many shortlists are in
+    flight. Semantics per query are identical to the single-query
+    operator: first pick is pure relevance, then argmax
+    λ·rel − (1−λ)·max-sim-to-selected with 6-digit pre-argmax
+    rounding and vec_id tie-breaks — the DuckDB oracle replays all
+    {q} greedy trajectories step-locked through the same
+    MATERIALIZED-CTE chain.
 
     Scale: the shortlists ({c} candidates per query) come from one
-    broadcast-queries corpus scan + per-query top-k window; each MMR
-    step is one join keyed on query_id (selected sets stay ≤ k rows
-    per query, co-partitioned with their candidates), one
-    partial-aggregatable max per (query, candidate), and one window
-    argmax — shuffle ∝ Σ shortlist sizes, never corpus, and adding
-    queries widens partitions instead of adding jobs. The per-step
-    materialize + count is ONE bounded action for the whole fleet
-    (k·N-row frame), the same lineage-cut discipline as the
-    single-query form."""
+    broadcast-queries corpus scan + per-query top-k window; the
+    rerank itself adds ONE partial-aggregatable collect per query_id
+    and no further shuffle — per-query cost is O(k·c·|sel|·dims)
+    map-side scalar ops, so adding queries widens partitions instead
+    of adding jobs or rounds."""
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     v = embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("e"))
     q = v.filter(F.col("vec_id") < _MMRG_QUERIES).select(
@@ -1524,64 +1483,24 @@ def sim_mmr_rerank_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
-    cand = (
+    packed = (
         scored.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= _MMRG_CAND)
-        .transform(materialize)
+        .groupBy("query_id")
+        .agg(F.collect_list(F.struct("vec_id", "e", "rel")).alias("cands"))
     )
-    selected = cand.filter(F.col("rn") == 1).select(
+    out = packed.select(
         "query_id",
-        F.lit(1).cast("long").alias("sel_rank"),
-        "vec_id",
-        "e",
-        "rel",
-        F.col("rel").alias("mmr_score"),
-    ).transform(materialize)
-    for i in range(2, _MMRG_K + 1):
-        sel_vecs = selected.select(
-            "query_id", F.col("vec_id").alias("sid"), F.col("e").alias("se")
-        )
-        remaining = cand.join(
-            selected.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
-        )
-        mx = (
-            remaining.join(sel_vecs, "query_id")
-            .select(
-                "query_id",
-                "vec_id",
-                "e",
-                "rel",
-                F.round(cosine_col(F.col("e"), F.col("se")), 6).alias("sim"),
-            )
-            .groupBy("query_id", "vec_id", "rel")
-            .agg(F.first("e").alias("e"), F.max("sim").alias("m"))
-        )
-        score = F.round(
-            F.lit(_MMR_LAMBDA) * F.col("rel") - F.lit(_MMR_ONE_MINUS) * F.col("m"),
-            6,
-        )
-        wpick = Window.partitionBy("query_id").orderBy(
-            F.desc("mmr_score"), F.asc("vec_id")
-        )
-        pick = (
-            mx.select(
-                "query_id",
-                F.lit(i).cast("long").alias("sel_rank"),
-                "vec_id",
-                "e",
-                "rel",
-                score.alias("mmr_score"),
-            )
-            .withColumn("prn", F.row_number().over(wpick))
-            .filter(F.col("prn") == 1)
-            .drop("prn")
-        )
-        selected = selected.unionByName(pick).transform(materialize)
-        # one bounded action advances EVERY query's trajectory — the
-        # k-jobs-total contract (vs k per query in sim_mmr_rerank)
-        selected.count()
-    return selected.select(
-        "query_id", "sel_rank", "vec_id", F.col("rel").alias("relevance"), "mmr_score"
+        F.explode(
+            mmr_greedy_col(F.col("cands"), _MMRG_K, _MMR_LAMBDA, _MMR_ONE_MINUS)
+        ).alias("s"),
+    )
+    return out.select(
+        "query_id",
+        F.col("s.sel_rank").alias("sel_rank"),
+        F.col("s.vec_id").alias("vec_id"),
+        F.col("s.rel").alias("relevance"),
+        F.col("s.mmr_score").alias("mmr_score"),
     )
 
 

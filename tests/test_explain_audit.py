@@ -57,6 +57,13 @@ CARTESIAN_ALLOWED = {
     # recall audit: brute exact leg + both trained tiers in one plan —
     # every cross is a broadcast query/centroid/1-row-count frame
     "sim_ann_recall_audit",
+    # MMR shortlist scoring: corpus vs the broadcast 1-row query
+    # frame (single) / <=100-row query frame (grouped) — the
+    # sim_cosine_topk_bruteforce shape. Visible since the r16 fold
+    # rewrite removed the materialize boundary that hid it (the
+    # greedy loop itself is now join-free map-side work)
+    "sim_mmr_rerank",
+    "sim_mmr_rerank_grouped",
     # hybrid fusion: dense leg = brute_force_topk's broadcast-query
     # scoring pass; lexical leg carries the 1-row corpus-stats frame
     "sim_rrf_fusion",

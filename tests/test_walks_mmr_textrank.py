@@ -214,3 +214,95 @@ def test_node2vec_bias_replays_python_mini_oracle(spark):
         for r in node2vec_walk_frame(edges_df, starts_df, steps, seed).collect()
     }
     assert got == want
+
+
+def test_mmr_fold_matches_join_window_form(spark):
+    """``mmr_greedy_col`` (the r16 map-side fold) must reproduce the
+    literal pre-r16 per-step join/window greedy loop bit-for-bit on
+    the real smoke embeddings — same guard discipline as
+    ``test_array_argmin_matches_window_form`` for the kmeans argmin."""
+    from cam_location_addressing_feature_service_etl_spark.operators.similarity import (
+        as_double_array,
+        cosine_col,
+    )
+    from cam_location_addressing_feature_service_etl_spark.runtime import materialize
+    from cam_location_addressing_feature_service_etl_spark.workload.llm_similarity import (
+        _MMR_CAND,
+        _MMR_K,
+        _MMR_LAMBDA,
+        _MMR_ONE_MINUS,
+        _MMR_QID,
+    )
+
+    embeddings = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    v = embeddings.select("vec_id", as_double_array(F.col("embedding")).alias("e"))
+    q = v.filter(F.col("vec_id") == _MMR_QID).select(F.col("e").alias("qe"))
+    cand = (
+        v.filter(F.col("vec_id") != _MMR_QID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "e",
+            F.round(cosine_col(F.col("e"), F.col("qe")), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_CAND)
+        .transform(materialize)
+    )
+    # --- the literal pre-r16 loop: per-step anti-join + broadcast
+    # BNLJ + grouped max + TakeOrdered(1), eager checkpoint per step
+    selected = (
+        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("sel_rank"),
+            "vec_id",
+            "e",
+            "rel",
+            F.col("rel").alias("mmr_score"),
+        )
+        .transform(materialize)
+    )
+    for i in range(2, _MMR_K + 1):
+        sel_vecs = selected.select(
+            F.col("vec_id").alias("sid"), F.col("e").alias("se")
+        )
+        mx = (
+            cand.join(sel_vecs, cand["vec_id"] == sel_vecs["sid"], "left_anti")
+            .crossJoin(F.broadcast(sel_vecs))
+            .select(
+                "vec_id",
+                "e",
+                "rel",
+                F.round(cosine_col(F.col("e"), F.col("se")), 6).alias("sim"),
+            )
+            .groupBy("vec_id", "rel")
+            .agg(F.first("e").alias("e"), F.max("sim").alias("m"))
+        )
+        pick = (
+            mx.select(
+                F.lit(i).cast("long").alias("sel_rank"),
+                "vec_id",
+                "e",
+                "rel",
+                F.round(
+                    F.lit(_MMR_LAMBDA) * F.col("rel")
+                    - F.lit(_MMR_ONE_MINUS) * F.col("m"),
+                    6,
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+            .limit(1)
+        )
+        selected = selected.unionByName(pick).transform(materialize)
+        selected.count()
+    old = sorted(
+        (r["sel_rank"], r["vec_id"], r["rel"], r["mmr_score"])
+        for r in selected.collect()
+    )
+    new = sorted(
+        (r["sel_rank"], r["vec_id"], r["relevance"], r["mmr_score"])
+        for r in QUERIES["sim_mmr_rerank"](spark, SF_DIR).collect()
+    )
+    assert len(old) == _MMR_K
+    assert new == old  # exact float equality: bit-for-bit trajectory
