@@ -69,6 +69,25 @@ RUNTIME_CONF = {
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64MB",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # PySpark 4's DataFrame-debugging layer wraps EVERY DataFrame/Column
+    # API call in _with_origin: per call one getActiveSession + a
+    # spark.conf.get RPC + a PySparkCurrentOrigin.set/clear RPC pair +
+    # a Python stack walk — 3+ py4j round-trips of pure driver overhead
+    # per builder call, bought back only as call-site strings in error
+    # messages. Profiled on this workload (guide §1.1 driver
+    # attribution): the wrapper accounted for 3-5s of the two registry
+    # queries' build time alone (650-960 wrapped calls each) and ~10%
+    # of total bench wall. Plans, results and exceptions themselves
+    # are unchanged — only the error-context decoration is skipped.
+    # Scale story: this is DRIVER planning overhead, the same at any
+    # data size; a 100 TB deployment wants it off even more (guide
+    # §7.3 — planning time is single-threaded driver work).
+    # NOTE: pyspark caches the flag at the FIRST decorated call, so it
+    # must be in the session's conf at creation (builder conf below) —
+    # tune() also sets it for driver-owned sessions, which takes
+    # effect when the driver's first DataFrame op happens after tune()
+    # (and is harmless otherwise).
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # events.parquet stores TIMESTAMP(NANOS); Spark's reader rejects it
     # unless nanos are surfaced as long (converted back in tables.load).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
