@@ -33,8 +33,26 @@ substring) — no Python UDFs.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Expression-tree memoization (r16 optimization round, guide §7.3 —
+# driver-side planning overhead): the Column trees below reference
+# input columns BY NAME only and depend on nothing but ``tau`` /
+# ``symmetric`` / the caller's column names, yet each construction is
+# ~900 py4j round-trips (~0.4 s measured on the probe-rows tree alone —
+# every operator/alias/literal is one JVM call). PassJoin is built
+# 8-10 times per bench run (three ER-registry folds, the one-shot ER,
+# the blocking audit, the geo fuzzy family), so the rebuild cost is
+# pure repeated driver work. ``functools.lru_cache`` keyed on those
+# scalars makes every build after the first free; Column objects are
+# immutable unresolved expression trees bound to the process-wide py4j
+# gateway (NOT to a session or a DataFrame), so reuse across frames
+# and sessions within one process is exactly how the DSL already
+# treats shared module-level Columns. This memoizes EXPRESSIONS only —
+# never data, plans-with-stats, or results.
 
 
 def _seg_len(ls: Column, i: Column, k: int) -> Column:
@@ -49,8 +67,11 @@ def _seg_start(ls: Column, i: Column, k: int) -> Column:
     return i * (ls / k).cast("int") + F.least(i, ls % k)
 
 
-def _prepare(names: DataFrame, name_col: str, blk_col: str, seg_col: str | None) -> DataFrame:
-    return names.select(
+@functools.lru_cache(maxsize=None)
+def _prepare_cols(
+    name_col: str, blk_col: str, seg_col: str | None
+) -> tuple[Column, ...]:
+    return (
         F.col(blk_col).alias("blk"),
         F.col(name_col).alias("nm"),
         F.col(seg_col if seg_col is not None else name_col).alias("sg"),
@@ -58,33 +79,43 @@ def _prepare(names: DataFrame, name_col: str, blk_col: str, seg_col: str | None)
     )
 
 
-def _seg_rows(base: DataFrame, tau: int) -> DataFrame:
-    """Index side: the tau+1 segments of every string of length >= k
-    (shorter strings have EMPTY segments — vacuous matches — and are
-    the caller's fallback leg)."""
+def _prepare(names: DataFrame, name_col: str, blk_col: str, seg_col: str | None) -> DataFrame:
+    return names.select(*_prepare_cols(name_col, blk_col, seg_col))
+
+
+@functools.lru_cache(maxsize=None)
+def _seg_parts(tau: int) -> tuple[Column, tuple[Column, ...], tuple[Column, ...]]:
     k = tau + 1
     i = F.col("seg_i")
     return (
-        base.filter(F.col("ln") >= k)
-        .select(
-            "blk",
-            "nm",
-            "sg",
-            "ln",
+        F.col("ln") >= k,
+        (
+            F.col("blk"),
+            F.col("nm"),
+            F.col("sg"),
+            F.col("ln"),
             F.explode(F.sequence(F.lit(0), F.lit(tau))).alias("seg_i"),
-        )
-        .select(
-            "blk",
+        ),
+        (
+            F.col("blk"),
             F.col("nm").alias("nm_s"),
             F.col("ln").alias("ls"),
-            "seg_i",
+            F.col("seg_i"),
             F.substring(
                 F.col("sg"),
                 (_seg_start(F.col("ln"), i, k) + 1).cast("int"),
                 _seg_len(F.col("ln"), i, k).cast("int"),
             ).alias("piece"),
-        )
+        ),
     )
+
+
+def _seg_rows(base: DataFrame, tau: int) -> DataFrame:
+    """Index side: the tau+1 segments of every string of length >= k
+    (shorter strings have EMPTY segments — vacuous matches — and are
+    the caller's fallback leg)."""
+    long_enough, exploded, final = _seg_parts(tau)
+    return base.filter(long_enough).select(*exploded).select(*final)
 
 
 def _probe_rows(base: DataFrame, tau: int, symmetric: bool) -> DataFrame:
@@ -115,45 +146,22 @@ def _probe_rows(base: DataFrame, tau: int, symmetric: bool) -> DataFrame:
     empty-string case of the exhaustive mirror test and an
     empty-rest link test (tests/test_fuzzy_passjoin.py).
     """
-    k = tau + 1
-    i = F.col("seg_i")
-    lsc = F.col("ls_cand")
-    if symmetric:
-        src = base.filter(F.col("ln") >= k)
-        ls_hi = F.col("ln")
-    else:
-        # greatest(ln - tau, k) <= ln + tau  <=>  ln >= k - tau = 1
-        src = base.filter(F.col("ln") >= 1)
-        ls_hi = F.col("ln") + tau
+    (
+        src_filter,
+        sel_seg,
+        sel_len,
+        sel_geom,
+        lo_col,
+        hi_col,
+        window_nonempty,
+        sel_pos,
+        sel_final,
+    ) = _probe_parts(tau, symmetric)
     return (
-        src.select(
-            "blk",
-            "nm",
-            "sg",
-            "ln",
-            F.explode(F.sequence(F.lit(0), F.lit(tau))).alias("seg_i"),
-        )
-        .select(
-            "blk",
-            "nm",
-            "sg",
-            "ln",
-            "seg_i",
-            F.explode(
-                F.sequence(F.greatest(F.col("ln") - tau, F.lit(k)), ls_hi)
-            ).alias("ls_cand"),
-        )
-        .select(
-            "blk",
-            "nm",
-            "sg",
-            "ln",
-            "seg_i",
-            "ls_cand",
-            _seg_len(lsc, i, k).cast("int").alias("plen"),
-            _seg_start(lsc, i, k).cast("int").alias("pstart"),
-            (F.col("ln") - lsc).cast("int").alias("delta"),
-        )
+        base.filter(src_filter)
+        .select(*sel_seg)
+        .select(*sel_len)
+        .select(*sel_geom)
         # Multi-match-aware position window (PassJoin §4.2): segment i
         # of the indexed string can only match the probe at
         # [max(0, p_i - i, p_i + Δ - (tau - i)),
@@ -162,40 +170,77 @@ def _probe_rows(base: DataFrame, tau: int, symmetric: bool) -> DataFrame:
         # the edit total provably exceeds tau), cutting fan-out ~2x vs
         # the loose ±tau window. Property-tested end to end in
         # tests/test_fuzzy_passjoin.py (random-edit no-loss sweeps).
-        .withColumn(
-            "lo",
-            F.greatest(
-                F.lit(0),
-                F.col("pstart") - i,
-                F.col("pstart") + F.col("delta") - (F.lit(tau) - i),
-            ),
-        )
-        .withColumn(
-            "hi",
-            F.least(
-                F.col("ln") - F.col("plen"),
-                F.col("pstart") + i,
-                F.col("pstart") + F.col("delta") + (F.lit(tau) - i),
-            ),
-        )
-        .filter(F.col("lo") <= F.col("hi"))
-        .select(
-            "blk",
-            "nm",
-            "sg",
-            "ln",
-            "seg_i",
-            "ls_cand",
-            "plen",
-            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("pos"),
-        )
-        .select(
-            F.col("blk").alias("blk_p"),
-            F.col("nm").alias("nm_p"),
-            F.col("seg_i").alias("seg_i_p"),
-            "ls_cand",
-            F.substring(F.col("sg"), F.col("pos") + 1, F.col("plen")).alias("piece_p"),
-        )
+        .withColumn("lo", lo_col)
+        .withColumn("hi", hi_col)
+        .filter(window_nonempty)
+        .select(*sel_pos)
+        .select(*sel_final)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _probe_parts(tau: int, symmetric: bool) -> tuple:
+    k = tau + 1
+    i = F.col("seg_i")
+    lsc = F.col("ls_cand")
+    if symmetric:
+        src_filter = F.col("ln") >= k
+        ls_hi = F.col("ln")
+    else:
+        # greatest(ln - tau, k) <= ln + tau  <=>  ln >= k - tau = 1
+        src_filter = F.col("ln") >= 1
+        ls_hi = F.col("ln") + tau
+    base_cols = (F.col("blk"), F.col("nm"), F.col("sg"), F.col("ln"))
+    sel_seg = base_cols + (
+        F.explode(F.sequence(F.lit(0), F.lit(tau))).alias("seg_i"),
+    )
+    sel_len = base_cols + (
+        F.col("seg_i"),
+        F.explode(
+            F.sequence(F.greatest(F.col("ln") - tau, F.lit(k)), ls_hi)
+        ).alias("ls_cand"),
+    )
+    sel_geom = base_cols + (
+        F.col("seg_i"),
+        F.col("ls_cand"),
+        _seg_len(lsc, i, k).cast("int").alias("plen"),
+        _seg_start(lsc, i, k).cast("int").alias("pstart"),
+        (F.col("ln") - lsc).cast("int").alias("delta"),
+    )
+    lo_col = F.greatest(
+        F.lit(0),
+        F.col("pstart") - i,
+        F.col("pstart") + F.col("delta") - (F.lit(tau) - i),
+    )
+    hi_col = F.least(
+        F.col("ln") - F.col("plen"),
+        F.col("pstart") + i,
+        F.col("pstart") + F.col("delta") + (F.lit(tau) - i),
+    )
+    window_nonempty = F.col("lo") <= F.col("hi")
+    sel_pos = base_cols + (
+        F.col("seg_i"),
+        F.col("ls_cand"),
+        F.col("plen"),
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("pos"),
+    )
+    sel_final = (
+        F.col("blk").alias("blk_p"),
+        F.col("nm").alias("nm_p"),
+        F.col("seg_i").alias("seg_i_p"),
+        F.col("ls_cand"),
+        F.substring(F.col("sg"), F.col("pos") + 1, F.col("plen")).alias("piece_p"),
+    )
+    return (
+        src_filter,
+        sel_seg,
+        sel_len,
+        sel_geom,
+        lo_col,
+        hi_col,
+        window_nonempty,
+        sel_pos,
+        sel_final,
     )
 
 
@@ -203,13 +248,18 @@ def _probe_rows(base: DataFrame, tau: int, symmetric: bool) -> DataFrame:
 #: each side: the frames can share lineage, and same-named self-join
 #: keys can resolve to the same attribute (a trivially-true predicate
 #: that silently drops the block constraint).
-def _candidate_join(segs: DataFrame, probes: DataFrame, extra) -> DataFrame:
-    conds = [
+@functools.lru_cache(maxsize=None)
+def _candidate_conds() -> tuple[Column, ...]:
+    return (
         F.col("blk") == F.col("blk_p"),
         F.col("seg_i") == F.col("seg_i_p"),
         F.col("ls") == F.col("ls_cand"),
         F.col("piece") == F.col("piece_p"),
-    ]
+    )
+
+
+def _candidate_join(segs: DataFrame, probes: DataFrame, extra) -> DataFrame:
+    conds = list(_candidate_conds())
     if extra is not None:
         conds.append(extra)
     return segs.join(probes, on=conds)
