@@ -69,6 +69,12 @@ def main() -> None:
         os.close(real_stdout_fd)
 
     total = round(sum(timings.values()), 3)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        with open("/proc/loadavg") as f:
+            load_avg = float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        load_avg = None
     full = json.dumps(
         {
             "metric": "workload_total_runtime",
@@ -76,13 +82,24 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            # record provenance (r16 verdict #4/#8): which core count
+            # produced this record, and how loaded the host was at the
+            # end of the run — so cross-round diffs can mechanically
+            # skip noisy windows and scaling runs stop being mistaken
+            # for regressions.
+            "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+            "load_avg": load_avg,
         },
         separators=(",", ":"),
     )
-    # durable full record (all per-query timings) on disk only
+    # durable full record (all per-query timings) on disk only; the
+    # per-cpus file keeps a low-core scaling run from clobbering the
+    # primary 32-core record (r16 verdict #4 — additions only, the
+    # stdout contract below is unchanged)
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo_dir, "BENCH.json"), "w") as f:
-        f.write(full + "\n")
+    for fname in ("BENCH.json", f"BENCH_c{cpus}.json"):
+        with open(os.path.join(repo_dir, fname), "w") as f:
+            f.write(full + "\n")
     # stdout line stays compact: the driver keeps only a short capture
     # tail, so the FULL per-query map lives in BENCH.json and the stdout
     # "queries" map carries just the 5 slowest (same contract shape).

@@ -53,6 +53,27 @@ from pyspark.sql import functions as F
 # and sessions within one process is exactly how the DSL already
 # treats shared module-level Columns. This memoizes EXPRESSIONS only —
 # never data, plans-with-stats, or results.
+#
+# Staleness guard (r16 ADVICE): the cached Columns wrap py4j JavaObject
+# refs bound to the gateway alive when they were built. If the JVM
+# gateway is torn down and rebuilt inside one Python process (test
+# harnesses do this; Spark Connect would too), the cached trees go
+# stale and error confusingly. ``_fresh_caches`` compares the live
+# gateway against the one recorded at last fill and clears all four
+# caches on change — entry points call it, so a gateway restart costs
+# one rebuild instead of a stale-JavaObject failure.
+
+_CACHE_GATEWAY_REF: list = [None]
+
+
+def _fresh_caches() -> None:
+    from pyspark import SparkContext
+
+    gw = SparkContext._gateway
+    if _CACHE_GATEWAY_REF[0] is not gw:
+        for fn in (_prepare_cols, _seg_parts, _probe_parts, _candidate_conds):
+            fn.cache_clear()
+        _CACHE_GATEWAY_REF[0] = gw
 
 
 def _seg_len(ls: Column, i: Column, k: int) -> Column:
@@ -305,6 +326,7 @@ def passjoin_candidates(
     block.
     """
     k = tau + 1
+    _fresh_caches()
     base = _prepare(names, name_col, blk_col, seg_col)
     main = _candidate_join(
         _seg_rows(base, tau),
@@ -363,6 +385,7 @@ def passjoin_link(
     INDEXED string has vacuously-matching empty segments).
     """
     k = tau + 1
+    _fresh_caches()
     a = _prepare(a_names, name_col, blk_col, seg_col)
     b = _prepare(b_names, name_col, blk_col, seg_col)
     main = _candidate_join(

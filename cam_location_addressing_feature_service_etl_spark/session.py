@@ -86,8 +86,13 @@ RUNTIME_CONF = {
     # must be in the session's conf at creation (builder conf below) —
     # tune() also sets it for driver-owned sessions, which takes
     # effect when the driver's first DataFrame op happens after tune()
-    # (and is harmless otherwise).
-    "spark.python.sql.dataFrameDebugging.enabled": "false",
+    # (and is harmless otherwise). SPARK_GRAFT_DF_DEBUG=1 is the
+    # escape hatch for failure investigations: it re-enables origin
+    # capture (call-site context in error messages) without editing
+    # this file (r16 ADVICE).
+    "spark.python.sql.dataFrameDebugging.enabled": (
+        "true" if os.environ.get("SPARK_GRAFT_DF_DEBUG") == "1" else "false"
+    ),
     # events.parquet stores TIMESTAMP(NANOS); Spark's reader rejects it
     # unless nanos are surfaced as long (converted back in tables.load).
     "spark.sql.legacy.parquet.nanosAsLong": "true",

@@ -54,6 +54,8 @@ from cam_location_addressing_feature_service_etl_spark.workload import (  # noqa
 def main() -> None:
     name = sys.argv[1]
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    if repeats < 1:
+        raise SystemExit("repeats must be >= 1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="cam-etl-jobprofile")
     spark.sparkContext.setLogLevel("ERROR")
@@ -111,8 +113,10 @@ def _select_rows(jobs: dict, t_mark: float, dt: float) -> list[dict]:
         (j for j in jobs.values() if "end" in j),
         key=lambda j: j["start"],
     )
-    # keep only the LAST repeat's window (t_mark is the last marker)
-    return [j for j in rows if j["start"] >= t_mark - 500]
+    # keep only the LAST repeat's window (t_mark is the last marker;
+    # strictly >= so a previous repeat's tail jobs can't inflate the
+    # first gap row)
+    return [j for j in rows if j["start"] >= t_mark]
 
 
 def _report(rows: list[dict]) -> None:
