@@ -283,13 +283,68 @@ graph_kcore_peel3.__doc__ = graph_kcore_peel3.__doc__.format(
 
 _COSIM_MIN_COOC = 3
 
+#: Sorted-basket map-side pair generation (r16 verdict #2; guide §2.3
+#: "shuffle keys and metadata instead of payloads" / §2.4): collapse
+#: each customer's basket to ONE sorted array (a single partial-
+#: aggregatable groupBy) and emit the (u < v) pairs MAP-SIDE with a
+#: posexplode + slice stream straight into the pair count's partial
+#: aggregate. Measured this round (interleaved A/B at sf0.1): it WINS
+#: only for the DIMSUM twin (×0.86 — the basket build deduplicates the
+#: sampled frame the join form computed twice); for the exact
+#: cosine/adamic-adar/triangle forms it LOST ×1.16–1.68 (the
+#: self-join's two exchanges already collapse to one at runtime via
+#: AQE exchange reuse, and the array path trades codegen'd
+#: SMJ+partial-agg for ObjectHashAggregate + per-element slice
+#: allocation), so only dimsum ships it. The cap is the hub-degree
+#: bound that keeps the per-row array (and the O(deg²) per-row pair
+#: stream) memory-safe: a basket above it routes the WHOLE query to
+#: the join form — byte-identical pair set — via one bounded scalar
+#: gate over the already-materialized basket frame (the measured-gate
+#: discipline of operators/dedup.py). Sampled DIMSUM baskets are
+#: ~γ·√deg ≪ cap by construction; the fallback covers a γ-misconfig.
+#: Documented in SCALING.md.
+_BASKET_ARRAY_CAP = 1024
+
+
+def _basket_pair_stream(baskets: DataFrame, xs: str = "xs") -> DataFrame:
+    """MAP-SIDE (u < v) pair stream over a frame of SORTED, distinct
+    basket arrays: posexplode each element, pair it with the strictly-
+    later slice of the same array. Streaming (no basket² array is ever
+    built — the second explode consumes a per-element slice), exact
+    (sorted + distinct ⇒ every unordered pair exactly once, a < b)."""
+    return baskets.select(
+        *[c for c in baskets.columns if c != xs],
+        F.col(xs),
+        F.posexplode(xs).alias("_i", "_a"),
+    ).select(
+        *[c for c in baskets.columns if c != xs],
+        "_a",
+        F.explode(
+            F.slice(
+                F.col(xs), F.col("_i") + 2, F.size(xs) - F.col("_i") - 1
+            )
+        ).alias("_b"),
+    )
+
 
 def copurchase_pairs_exact(cp, min_cooc: int):
     """Exact co-occurrence pairs over a (c, p) basket frame: the
     Σ basket² bounded self-join on the customer key, partial-agg
     count, integer HAVING prune. Shared by ``graph_copurchase_cosine``
     and ``scripts/scale_probe.py`` so the probe times the SHIPPED
-    operator, not a copy."""
+    operator, not a copy.
+
+    r17 NEGATIVE RESULT (measured, kept out): the sorted-basket
+    map-side pair stream (collect_list per customer + posexplode/slice
+    pairing — the C2 adjacency-array discipline) LOST the interleaved
+    A/B ×1.16 (cosine) / ×1.68 (adamic-adar) at sf0.1: the self-join's
+    two cp exchanges canonicalize to ONE at runtime (AQE exchange
+    reuse over the identical checkpointed child), so there was no
+    shuffle to save, while the array path swapped the codegen'd
+    SMJ+partial-agg pair stream for ObjectHashAggregate + per-element
+    slice allocation. The DIMSUM twin is the exception (see
+    ``copurchase_pairs_dimsum``): there the basket build deduplicates
+    the sampled frame the join form computed twice."""
     a, b = cp.alias("a"), cp.alias("b")
     return (
         a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
@@ -333,21 +388,45 @@ def copurchase_pairs_dimsum(cp):
         10,
     ).cast("long") % 1000000
     s = cp.join(keep, "p").filter(coin < F.col("ppm"))
-    sa = s.select(
-        "c",
-        F.col("p").alias("u"),
-        F.col("d").alias("_du"),
-        F.col("ppm").alias("_pu"),
+    # sorted-basket map-side pairing (r17 — same shape/gate as
+    # copurchase_pairs_exact): the struct sorts on p first (distinct
+    # within a basket), so the stream emits every sampled (u < v) pair
+    # exactly once with its (d, ppm) payload riding along; d/ppm are
+    # functions of the item, so the group MINs equal the carried values
+    # exactly as in the join form.
+    baskets = (
+        s.groupBy("c")
+        .agg(F.sort_array(F.collect_list(F.struct("p", "d", "ppm"))).alias("xs"))
+        .transform(materialize)
     )
-    sb = s.select(
-        "c",
-        F.col("p").alias("v"),
-        F.col("d").alias("_dv"),
-        F.col("ppm").alias("_pv"),
-    )
+    dmax = baskets.agg(F.max(F.size("xs")).alias("m")).collect()[0]["m"] or 0
+    if dmax <= _BASKET_ARRAY_CAP:
+        pairs = _basket_pair_stream(baskets.select("xs")).select(
+            F.col("_a.p").alias("u"),
+            F.col("_b.p").alias("v"),
+            F.col("_a.d").alias("_du"),
+            F.col("_b.d").alias("_dv"),
+            F.col("_a.ppm").alias("_pu"),
+            F.col("_b.ppm").alias("_pv"),
+        )
+    else:  # hub fallback: the r16 self-join form, byte-identical pairs
+        sa = s.select(
+            "c",
+            F.col("p").alias("u"),
+            F.col("d").alias("_du"),
+            F.col("ppm").alias("_pu"),
+        )
+        sb = s.select(
+            "c",
+            F.col("p").alias("v"),
+            F.col("d").alias("_dv"),
+            F.col("ppm").alias("_pv"),
+        )
+        pairs = sa.join(sb, (sa["c"] == sb["c"]) & (sa["u"] < sb["v"])).select(
+            "u", "v", "_du", "_dv", "_pu", "_pv"
+        )
     return (
-        sa.join(sb, (sa["c"] == sb["c"]) & (sa["u"] < sb["v"]))
-        .groupBy("u", "v")
+        pairs.groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).alias("cooc_s"),
             F.min("_du").alias("du"),
@@ -742,6 +821,10 @@ def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(materialize)
     )
     pdeg = cp.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    # NOTE (r17): the sorted-basket map-side pairing was tried here and
+    # measured ×1.68 SLOWER interleaved — see copurchase_pairs_exact's
+    # negative-result note; the self-join's two cp exchanges already
+    # collapse to one at runtime (AQE exchange reuse).
     a, b = cpw.alias("a"), cpw.alias("b")
     pairs = (
         a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
