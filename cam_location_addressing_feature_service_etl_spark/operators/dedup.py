@@ -714,11 +714,30 @@ def connected_components(
     # those plan branches and recomputed per branch. Measured at
     # sf0.1: full query 12.6s → 3.7s from this one line.
     e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).transform(materialize)
+
+    # Single-partition fast path for SMALL edge sets (r17 — the
+    # connected_components_star discipline, see _STAR_LOCAL_MAX): a
+    # near-dup edge set is collision-bounded and usually tiny relative
+    # to the corpus, yet every round paid the join + min-agg exchanges
+    # and each exchange is an AQE query-stage job of ~107–175 ms fixed
+    # driver latency. One physical partition satisfies every
+    # distribution requirement, so below the cap the whole round chain
+    # is exchange-free and the final action runs it as ONE narrow
+    # stage per checkpoint segment. The count doubles as e's
+    # checkpoint trigger; algebra (and results) are unchanged; above
+    # the cap the distributed rounds run exactly as before.
+    local = e.count() <= _STAR_LOCAL_MAX
+
+    def narrow(df: DataFrame) -> DataFrame:
+        return df.coalesce(1) if local else df
+
     bidir = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    nodes = bidir.select(F.col("src").alias("node")).distinct()
+    nodes = narrow(bidir).select(F.col("src").alias("node")).distinct()
     adj = (
-        bidir.unionByName(
-            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        narrow(
+            bidir.unionByName(
+                nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+            )
         )
         # the adjacency list is re-joined every round: materialize it
         # once (without this the edge-derivation subtree is replicated
@@ -728,8 +747,22 @@ def connected_components(
     )
     labels = nodes.withColumn("label", F.col("node"))
     for i in range(iterations):
+        # localCheckpoint drops outputPartitioning (r9 caveat), so the
+        # local path re-asserts SinglePartition on both join inputs
+        # each round — a no-op narrow dependency over 1-partition data.
+        # The label side additionally carries a broadcast hint on the
+        # local path: the measured gate BOUNDS it (≤ 2·cap + cap node
+        # rows), but the lazy-checkpoint LogicalRDDs inherit their
+        # producing plan's (huge) size estimate, so without the hint
+        # EnsureRequirements re-shuffles the SinglePartition children
+        # (spark.sql.maxSinglePartitionBytes) and the exchange-free
+        # round is lost — measured on the sf0.1 near-dup graph: the
+        # hinted round plans BHJ with zero hash exchanges and both
+        # aggregate halves collapse in place.
+        adj_i = narrow(adj)
+        lbl_i = F.broadcast(narrow(labels)) if local else labels
         labels = (
-            adj.join(labels, adj["dst"] == labels["node"])
+            adj_i.join(lbl_i, adj_i["dst"] == F.col("node"))
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("label"))
         )
@@ -739,6 +772,16 @@ def connected_components(
         if i < iterations - 1:
             labels = labels.transform(materialize)
     return labels
+
+
+#: Edge-count cap for connected_components_star's single-partition
+#: fast path (see the in-function comment): below it, every star
+#: round and convergence check runs exchange-free on ONE partition
+#: (~2^17 canonical edges sort/hash in milliseconds in a single task);
+#: above it, the distributed window rounds run unchanged. Priced per
+#: call by the canonical edge count — which the operator materializes
+#: anyway, so the gate costs no extra pass over the data.
+_STAR_LOCAL_MAX = 131072
 
 
 def connected_components_star(
@@ -796,13 +839,45 @@ def connected_components_star(
         edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     ).transform(materialize)
 
+    # Single-partition fast path for SMALL edge sets (r17; guide §2.4
+    # remove shuffles outright, §7.3 driver-side per-stage latency):
+    # the registry folds' label-level mini-graphs are ∝ batch edges by
+    # contract, yet each star round paid 3 exchanges (two window-min
+    # passes + the distinct) and each convergence check 2 more — under
+    # AQE every exchange is a separate query-stage JOB with a measured
+    # 107–175 ms fixed driver cost, so a 2-round mini-CC cost ~11
+    # sequential jobs of almost pure scheduling latency. A single
+    # physical partition satisfies EVERY clustering/distribution
+    # requirement, so coalesce(1) makes every window, distinct and
+    # aggregate below it exchange-free — the whole check collapses to
+    # ONE job — while the ALGEBRA is untouched (window min per u sees
+    # the same rows; results are bit-identical). The measured-count
+    # gate prices it per call: the count doubles as e's checkpoint
+    # trigger (the canonical edge set is materialized here either
+    # way), and anything above the cap keeps the distributed rounds —
+    # at 100 TB a corpus-scale CC never enters the local path, while
+    # the fold minis (and converged tails of big graphs, whose edge
+    # set only SHRINKS toward the fixed point) do.
+    local = e.count() <= _STAR_LOCAL_MAX
+
+    def narrow(df: DataFrame) -> DataFrame:
+        # no-op reshuffle-free narrowing: inputs on this path are
+        # either already 1 partition or a just-checkpointed tiny frame
+        # (localCheckpoint drops outputPartitioning, so each round
+        # must re-assert SinglePartition — r9 measured caveat)
+        return df.coalesce(1) if local else df
+
     def non_flat_count(df: DataFrame) -> int:
         # Edges violating flatness: a u with >1 edge, or a node that is
         # both a u and a v (a chain). Two-level aggregation — partial-
         # aggregatable on node id, then a single scalar — one action.
         per_node = (
-            df.select(F.col("u").alias("x"), F.lit(1).alias("is_u"))
-            .unionAll(df.select(F.col("v").alias("x"), F.lit(0).alias("is_u")))
+            narrow(
+                df.select(F.col("u").alias("x"), F.lit(1).alias("is_u"))
+                .unionAll(
+                    df.select(F.col("v").alias("x"), F.lit(0).alias("is_u"))
+                )
+            )
             .groupBy("x")
             .agg(F.sum("is_u").alias("cu"), F.count(F.lit(1)).alias("ct"))
         )
@@ -819,7 +894,9 @@ def connected_components_star(
         # neighborhood minimum is a partition-wide window min — ONE
         # exchange on u — instead of the groupBy + join-back
         # formulation (two exchanges plus a join build per round).
-        bidir = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        bidir = narrow(
+            e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        )
         large = (
             bidir.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
             .filter(F.col("v") > F.col("u"))
@@ -861,7 +938,9 @@ def connected_components_star(
         )
     # converged stars: u -> component minimum; centers label themselves
     return e.select(F.col("u").alias("node"), F.col("v").alias("label")).unionByName(
-        e.select(F.col("v").alias("node"), F.col("v").alias("label")).distinct()
+        narrow(
+            e.select(F.col("v").alias("node"), F.col("v").alias("label"))
+        ).distinct()
     )
 
 
