@@ -231,6 +231,62 @@ def graph_probe(spark, sf_dir: str) -> None:
         )
         pr.unpersist(blocking=True)
         print()
+
+    # Walk-adjacency hub-degree probe (r17, r16 verdict #3): the C2
+    # walk rewrites hold ONE sorted adjacency array per node
+    # (workload/graph.py node2vec_walk_frame / the first-order hop) —
+    # an O(deg) row. This leg measures, under the same hub-growth
+    # regime as the labelprop leg (supplier degree doubles per
+    # doubling), the max per-node degree, the max per-row adjacency
+    # payload in bytes, and the 3-hop node2vec wall time — the numbers
+    # SCALING.md's written bound quotes.
+    from cam_location_addressing_feature_service_etl_spark.workload.graph import (
+        _N2V_SEED,
+        node2vec_walk_frame,
+    )
+
+    print("== walk adjacency arrays: customer-replicated (hub degree grows) ==")
+    prev = {"node2vec_3hop": None}
+    for copies in (1, 2, 4):
+        pr = scaled_lpa_edges(copies)
+        edges = pr.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+            pr.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+        stats = (
+            edges.groupBy("src")
+            .agg(
+                F.count(F.lit(1)).alias("d"),
+                F.sum(F.length("dst")).alias("bytes"),
+            )
+            .agg(
+                F.max("d").alias("max_deg"),
+                F.max("bytes").alias("max_row_bytes"),
+                F.avg("d").alias("avg_deg"),
+            )
+            .collect()[0]
+        )
+        print(
+            f"[{copies}x] max_deg={stats['max_deg']} "
+            f"max_row_bytes={stats['max_row_bytes']} "
+            f"avg_deg={stats['avg_deg']:.1f}"
+        )
+        starts = (
+            edges.filter(F.col("src").startswith("s:"))
+            .select(F.col("src").alias("start"))
+            .distinct()
+        )
+        _timed(
+            {
+                "node2vec_3hop": lambda d: node2vec_walk_frame(
+                    d, starts, 3, _N2V_SEED
+                ).count()
+            },
+            edges,
+            prev,
+            copies,
+        )
+        pr.unpersist(blocking=True)
+        print()
     lpa_base.unpersist(blocking=True)
 
 
