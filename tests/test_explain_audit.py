@@ -153,6 +153,52 @@ PUSHDOWN_REQUIRED = {
 
 CARTESIAN = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
 
+#: Plan-shape ceilings pinning the r16/r17 optimization wins
+#: (r16 verdict #5): (max "Exchange" occurrences, max "Window"
+#: occurrences, max "events.parquet" scans) in the sf0.001 simple-mode
+#: plan of each plan-paired query, set to the counts measured on the
+#: optimized tree. A count above its ceiling means a won shape
+#: silently regrew (a window argmin came back, a materialize boundary
+#: was lost, a duplicated subtree re-planned) — fix the plan, don't
+#: raise the ceiling without a plan-pair justifying it. The counts are
+#: loose unions of the wins, not exact equalities, so benign planner
+#: drift below the ceiling stays green.
+PLAN_SHAPE_MAX: dict[str, tuple[int, int, int]] = {
+    # C1 (r16): map-side array_min argmin replaced crossJoin+window
+    "sim_kmeans_assignments": (3, 0, 0),
+    "sim_semdedup_prune": (6, 0, 0),
+    "sim_ann_ivf_trained": (8, 3, 0),
+    "sim_ann_ivf_scaled": (8, 3, 0),
+    # C5 (r16): NB counts/conf materialized once
+    "dq_classifier_agreement_kappa": (5, 0, 0),
+    "text_nb_langid_classifier": (17, 0, 0),
+    # C6 (r16): IVF-PQ residual frame materialized once
+    "emb_ivfpq_index": (3, 0, 0),
+    "emb_ivfpq_incremental": (8, 0, 0),
+    "sim_ann_ivfpq_search": (9, 6, 0),
+    "sim_ann_ivfpq_filtered": (11, 6, 0),
+    "sim_ann_ivfpq_rerank": (14, 9, 0),
+    # C8 (r16): funnel frontiers materialized (events scanned once in
+    # the final frame; the stage frames sit behind checkpoints)
+    "ev_conversion_latency_histogram": (5, 0, 1),
+    # C2 (r16): adjacency-array walks (per-hop windows gone)
+    "graph_node2vec_walks": (10, 0, 0),
+    "graph_walk_skipgram_pairs": (11, 0, 0),
+    "graph_deterministic_walks": (6, 0, 0),
+    # C3 (r16): array-native BPE (exchange-free final frame)
+    "text_bpe_encode": (0, 0, 0),
+    # C9 (r16): greedy MMR as one map-side fold
+    "sim_mmr_rerank": (3, 0, 0),
+    "sim_mmr_rerank_grouped": (4, 3, 0),
+    # r17: DIMSUM sorted-basket map-side pairing
+    "graph_copurchase_cosine_dimsum": (1, 0, 0),
+    # r17: single-partition CC fast path (gated on edge count)
+    "dedup_connected_components": (1, 0, 0),
+    "dedup_cc_star_converged": (0, 0, 0),
+    "dedup_cluster_canonical": (5, 1, 0),
+    "sample_split_leakfree": (3, 0, 0),
+}
+
 #: Queries allowed to keep a Window with an EMPTY partition spec — the
 #: single-partition sort WindowExec warns about. Every entry must prove
 #: the window's input frame is bounded (≤ top-k rows) — e.g. it sits
@@ -218,6 +264,32 @@ def test_cartesian_allowlist_minimal(plans):
     assert stale == [], (
         f"allowlist entries whose plans no longer contain a cartesian: "
         f"{stale} — prune them so the allowlist stays minimal"
+    )
+
+
+def test_plan_shape_ceilings(plans):
+    """The r16/r17 plan wins may not silently regress: each pinned
+    query's Exchange/Window/events-scan counts must stay at or below
+    the ceilings measured on the optimized tree (see PLAN_SHAPE_MAX)."""
+    over = {}
+    for name, (max_ex, max_win, max_ev) in PLAN_SHAPE_MAX.items():
+        if name not in plans:
+            continue
+        p = plans[name]["plan"]
+        got = (
+            p.count("Exchange"),
+            p.count("Window"),
+            p.count("events.parquet"),
+        )
+        if got[0] > max_ex or got[1] > max_win or got[2] > max_ev:
+            over[name] = {
+                "got (exchange, window, events_scans)": got,
+                "max": (max_ex, max_win, max_ev),
+            }
+    assert over == {}, (
+        f"plan shapes regrew past their pinned ceilings: {over} — a won "
+        f"optimization regressed; fix the plan (or justify a new ceiling "
+        f"with a before/after plan pair)"
     )
 
 
