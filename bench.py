@@ -36,7 +36,18 @@ from cam_location_addressing_feature_service_etl_spark.workload import QUERIES
 SKIP: set[str] = set()
 
 
+def _loadavg() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
+    # quiet-window signal: the 1-min load BEFORE the run (the end-of-run
+    # value mostly measures the bench's own 32-core load)
+    load_avg_start = _loadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -70,11 +81,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    try:
-        with open("/proc/loadavg") as f:
-            load_avg = float(f.read().split()[0])
-    except (OSError, ValueError, IndexError):
-        load_avg = None
+    load_avg = _loadavg()
     full = json.dumps(
         {
             "metric": "workload_total_runtime",
@@ -88,6 +95,7 @@ def main() -> None:
             # skip noisy windows and scaling runs stop being mistaken
             # for regressions.
             "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+            "load_avg_start": load_avg_start,
             "load_avg": load_avg,
         },
         separators=(",", ":"),
