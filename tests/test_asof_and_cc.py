@@ -81,3 +81,38 @@ def test_connected_components_fixed_rounds_deterministic(spark):
         for r in connected_components(edges, iterations=4).collect()
     }
     assert set(full.values()) == {1}
+
+
+def test_cc_local_fast_path_matches_distributed(spark):
+    """The r17 single-partition fast path (edge count <= _STAR_LOCAL_MAX
+    runs every round/check coalesced to ONE partition, min-label rounds
+    add a measured-gate broadcast hint) is a partitioning-only change:
+    both CC operators must return bit-identical labels with the gate
+    forced each way, including the empty and single-edge boundaries."""
+    import cam_location_addressing_feature_service_etl_spark.operators.dedup as D
+
+    # a deterministic multi-component graph with chains, a star and
+    # isolated pairs — enough structure to need >1 star round
+    rows = [(i, (i * 31) % 97) for i in range(200)] + [(500, 501), (600, 601)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in rows if a != b], "id_a long, id_b long"
+    )
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    one = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    cap = D._STAR_LOCAL_MAX
+    out = {}
+    try:
+        for mode, forced in (("local", 1 << 17), ("dist", -1)):
+            D._STAR_LOCAL_MAX = forced
+            out[mode] = {
+                "star": sorted(map(tuple, D.connected_components_star(edges).collect())),
+                "minlbl": sorted(map(tuple, D.connected_components(edges, 4).collect())),
+                "star_empty": D.connected_components_star(empty).count(),
+                "minlbl_empty": D.connected_components(empty, 2).count(),
+                "star_one": sorted(map(tuple, D.connected_components_star(one).collect())),
+            }
+    finally:
+        D._STAR_LOCAL_MAX = cap
+    assert out["local"] == out["dist"]
+    assert out["local"]["star_empty"] == 0 and out["local"]["minlbl_empty"] == 0
+    assert out["local"]["star_one"] == [(1, 1), (2, 1)]
